@@ -1,0 +1,372 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard.
+
+Design rules for 100 TB:
+- signatures are computed with built-in array/hash expressions (xxhash64 +
+  affine rehash family) — one narrow scan, no Python, no shuffle;
+- candidate generation shuffles on *band buckets* (MinHash-LSH), never all
+  pairs; the only cross-row joins are per-bucket;
+- exact dedup is a hash aggregate on a fingerprint, not a sort.
+
+A portable md5-based exact path (``fingerprint_expr``) backs the duckdb-oracle
+checks; xxhash64 signatures back the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from carto_etl_spark.operators.text import (
+    normalize_text_expr,
+    fingerprint_expr,
+    tokens_expr,
+)
+
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Row-level exact dedup: ``dropDuplicates`` (hash aggregate)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_text_dedup(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Content dedup on normalized text, deterministic winner = min id.
+    One hash-shuffle on the md5 fingerprint; survivors keep original rows."""
+    fp = fingerprint_expr(text_col).alias("__fp")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        df.select("*", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash signatures (all built-in expressions)
+# ---------------------------------------------------------------------------
+
+def word_shingles_expr(text, n: int = 3):
+    """Distinct word n-gram strings over normalized text."""
+    toks = tokens_expr(normalize_text_expr(text))
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), F.greatest(count - 1, F.lit(0)))
+    shingles = F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+    return F.array_distinct(shingles)
+
+
+def char_shingles_expr(text, k: int = 5):
+    """Distinct character k-gram strings over normalized text."""
+    norm = normalize_text_expr(text)
+    count = F.greatest(F.length(norm) - (k - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), F.greatest(count, F.lit(1)))
+    shingles = F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+    )
+    return F.array_distinct(shingles)
+
+
+def minhash_signature_expr(shingles, num_hashes: int = 64):
+    """MinHash signature as an array<long>: hash function i is
+    xxhash64(i, shingle) — a keyed 64-bit hash per seed, no modular
+    arithmetic (ANSI-safe: xxhash64 never overflows).  Computed in ONE
+    aggregate pass over the shingles with an element-wise running min
+    (num_hashes separate array_min passes would blow up codegen).  Empty
+    shingle set -> NULL signature (can't estimate Jaccard on nothing)."""
+    long_max = (1 << 63) - 1
+    init = F.array_repeat(F.lit(long_max).cast("long"), num_hashes)
+    sig = F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return F.when(F.size(shingles) > 0, sig)
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_words: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    shingles = word_shingles_expr(text_col, shingle_words)
+    return df.withColumn(out_col, minhash_signature_expr(shingles, num_hashes))
+
+
+# ---------------------------------------------------------------------------
+# LSH banding -> candidate pairs -> near-dedup
+# ---------------------------------------------------------------------------
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate pairs from banded signatures: documents sharing any band
+    bucket.  The shuffle key is (band_idx, band_hash) — cardinality ~rows x
+    bands, never rows^2.  Returns distinct (id_a < id_b) pairs with their
+    signature-estimated Jaccard."""
+    sig = F.col(sig_col)
+    rows_per_band = F.floor(F.size(sig) / bands)
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        sig.alias("__sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", "__sig", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sig").alias("sig_a"),
+            F.col("b.__sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.size(F.col("sig_a"))
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Near-dedup: drop every document that LSH-pairs (est Jaccard >=
+    threshold) with a lower-id document.  Smallest id per duplicate cluster
+    survives (transitively, via iterated min-propagation over the pair graph
+    — duplicate clusters are tiny, so 3 rounds of the small pair table
+    converge; the big table is touched once by the final anti-join)."""
+    sigs = with_minhash(df, text_col, num_hashes, shingle_words)
+    pairs = lsh_candidate_pairs(sigs, id_col).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    # min-label propagation on the (small) pair list
+    labels = pairs.select(
+        F.col("id_b").alias("node"), F.col("id_a").alias("root")
+    ).groupBy("node").agg(F.min("root").alias("root"))
+    for _ in range(3):
+        better = (
+            labels.alias("l")
+            .join(
+                labels.alias("r"), F.col("l.root") == F.col("r.node"), "left"
+            )
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(
+                    F.col("l.root"), F.coalesce(F.col("r.root"), F.col("l.root"))
+                ).alias("root"),
+            )
+        )
+        labels = better.groupBy("node").agg(F.min("root").alias("root"))
+    doomed = labels.select(F.col("node").alias(id_col)).distinct()
+    return df.join(doomed, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_expr(text, bits: int = 64):
+    """64-bit SimHash over whitespace tokens: per-token xxhash64; each bit of
+    the result is the sign of the sum of (+1/-1) contributions.  Pure array
+    arithmetic: one aggregate pass builds the 64 counters, a second packs the
+    sign bits via bitwise OR against literal bit masks (OR never overflows —
+    bit 63's mask is the sign bit itself)."""
+    toks = tokens_expr(normalize_text_expr(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def bit_vec(h):
+        # shift amounts are Python ints (column shift amounts are unsupported)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(bits)
+            ]
+        )
+
+    counters = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(acc, bit_vec(h), lambda a, c: a + c),
+    )
+    masks = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(bits)
+        ]
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            counters,
+            masks,
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return F.when(F.size(toks) > 0, packed)
+
+
+def hamming_distance_expr(a, b, bits: int = 64):
+    """Popcount of XOR via bit_count (built-in)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-pairs by SimHash: block on 16-bit prefixes (4 rotations) so only
+    same-block rows join — standard SimHash blocking: any pair within hamming
+    distance r <= 3 shares at least one of 4 disjoint 16-bit blocks."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), simhash_expr(text_col).alias("__sh")
+    ).filter(F.col("__sh").isNotNull())
+    blocks = sh.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("__sh"), i * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(64 // block_bits)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "__sh", "b.blk", "b.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming_distance_expr(F.col("a.__sh"), F.col("b.__sh")).alias(
+                "hamming"
+            ),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (verification-grade similarity)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    use_chars: bool = False,
+    shingle_chars: int = 5,
+) -> DataFrame:
+    """Exact Jaccard over n-gram sets for candidate generation at *small*
+    scale (or verification of LSH candidates at large scale): explode shingles,
+    self-join on shared shingle, count intersections, derive union from set
+    sizes.  Shuffle key = shingle value."""
+    shingles = (
+        char_shingles_expr(text_col, shingle_chars)
+        if use_chars
+        else word_shingles_expr(text_col, n)
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), shingles.alias("__sh")
+    ).withColumn("__size", F.size("__sh"))
+    exploded = base.select("__id", "__size", F.explode("__sh").alias("__g"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__size").alias("size_a"),
+            F.col("b.__size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    )
+    return inter.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= min_jaccard)

@@ -1,0 +1,179 @@
+"""Geocoding (reference etl/geocoding.py) rebuilt Spark-first.
+
+The reference has two backends sharing one lifecycle:
+- CartoGeocodingJob: per-row ``cdb_geocode_street_point`` SQL calls with
+  retry, 3-way result fan-out (found / not-found / invalid) into a zip
+  (etl/geocoding.py:139-172);
+- HereGeocodingJob: HERE batch REST submit / poll / download-zip
+  (etl/geocoding.py:44-116).
+
+Spark-native design:
+- the geocoder itself is a **broadcast lookup join** against a geocode
+  reference table (address -> point) — one shuffle-free pass at any scale;
+  an external REST geocoder can be slotted in as a ``mapInPandas`` stage with
+  per-partition batching (same dataflow, network calls at the executors);
+- the 3-way fan-out is one status column + three filtered sinks (D7);
+- the HERE client shape is preserved as a driver-side orchestration class
+  with an injectable transport (no HTTP in this environment).
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from carto_etl_spark.config import JobConfig
+from carto_etl_spark.functions.geom import validated_lat, validated_lon
+from carto_etl_spark.sources.csv import read_csv
+
+#: Result schema of the "found" branch (reference etl/geocoding.py:141-146:
+#: recId + st_x/st_y of the geocoded point).
+FOUND_COLUMNS = ["recid", "displaylongitude", "displaylatitude"]
+
+
+def normalize_address_expr(col) -> F.Column:
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def geocode_with_lookup(
+    df: DataFrame,
+    lookup: DataFrame,
+    address_col: str = "searchtext",
+    country_col: str = "country",
+) -> DataFrame:
+    """Geocode rows against a (address, country) -> (lon, lat) lookup table.
+
+    Returns the input plus ``displaylongitude/displaylatitude/status`` where
+    status is found / not_found / invalid — invalid meaning the *request* was
+    malformed (blank address), mirroring the reference's invalid bucket for
+    malformed responses (etl/geocoding.py:158-166)."""
+    key = normalize_address_expr(address_col)
+    ckey = F.coalesce(F.lower(F.trim(F.col(country_col))), F.lit(""))
+    keyed = df.withColumn("__addr", key).withColumn("__ctry", ckey)
+
+    lk = lookup.select(
+        normalize_address_expr("address").alias("__addr"),
+        F.coalesce(F.lower(F.trim(F.col("country"))), F.lit("")).alias("__ctry"),
+        validated_lon(F.col("lon").cast("double")).alias("displaylongitude"),
+        validated_lat(F.col("lat").cast("double")).alias("displaylatitude"),
+    )
+    joined = keyed.join(F.broadcast(lk), ["__addr", "__ctry"], "left")
+    status = (
+        F.when(F.col("__addr").isNull() | (F.col("__addr") == ""), "invalid")
+        .when(
+            F.col("displaylongitude").isNotNull()
+            & F.col("displaylatitude").isNotNull(),
+            "found",
+        )
+        .otherwise("not_found")
+    )
+    return joined.withColumn("status", status).drop("__addr", "__ctry")
+
+
+def fanout(geocoded: DataFrame) -> dict[str, DataFrame]:
+    """Reference D7: one DataFrame per result bucket."""
+    return {
+        "found": geocoded.filter(F.col("status") == "found"),
+        "not_found": geocoded.filter(F.col("status") == "not_found"),
+        "invalid": geocoded.filter(F.col("status") == "invalid"),
+    }
+
+
+class CartoGeocodingJob:
+    """Reference-shaped API (etl/geocoding.py:119-172): CSV of
+    (recId, searchText, country) in, three-member zip out — but the geocode
+    itself is a distributed broadcast join, not N SQL round-trips."""
+
+    def __init__(
+        self,
+        csv_path: str,
+        lookup: DataFrame,
+        spark: SparkSession | None = None,
+        **kwargs,
+    ):
+        self.cfg = JobConfig.from_kwargs(**kwargs)
+        self.csv_path = csv_path
+        self.lookup = lookup
+        self.spark = spark or lookup.sparkSession
+
+    def run(self) -> DataFrame:
+        src = read_csv(self.spark, self.csv_path, self.cfg)
+        return geocode_with_lookup(src, self.lookup)
+
+    def download(self, zip_path: str | Path) -> Path:
+        """Write found/_err/_inv members like the reference's zip
+        (etl/geocoding.py:168-172).  Driver-side packaging step — results are
+        collected per bucket; for big outputs write parquet sinks instead."""
+        zip_path = Path(zip_path)
+        buckets = fanout(self.run())
+        stem = Path(self.csv_path).stem
+
+        def to_csv(df: DataFrame, cols: list[str]) -> str:
+            out = io.StringIO()
+            out.write(",".join(cols) + "\n")
+            for row in df.select(*cols).collect():
+                out.write(
+                    ",".join("" if v is None else str(v) for v in row) + "\n"
+                )
+            return out.getvalue()
+
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            zf.writestr(
+                f"{stem}_out.txt", to_csv(buckets["found"], FOUND_COLUMNS)
+            )
+            zf.writestr(
+                f"{stem}_err.txt",
+                to_csv(buckets["not_found"], ["recid", "searchtext", "country"]),
+            )
+            zf.writestr(
+                f"{stem}_inv.txt",
+                to_csv(buckets["invalid"], ["recid", "searchtext", "country"]),
+            )
+        return zip_path
+
+
+class HereGeocodingJob:
+    """HERE batch-geocode orchestration shape (etl/geocoding.py:24-116):
+    start/refresh/download against an injectable transport.  The real REST
+    transport is not available in this environment; any object with
+    ``submit(csv_bytes) -> request_id``, ``status(request_id) -> str`` and
+    ``result(request_id) -> bytes (zip)`` slots in."""
+
+    def __init__(self, csv_path: str, email: str, transport=None, **kwargs):
+        self.cfg = JobConfig.from_kwargs(**kwargs)
+        self.csv_path = csv_path
+        self.email = email
+        self.transport = transport
+        self.request_id: str | None = None
+        self.status: str | None = None
+
+    def _require_transport(self):
+        if self.transport is None:
+            raise NotImplementedError(
+                "HERE REST transport unavailable here; inject a transport "
+                "(submit/status/result) to use HereGeocodingJob"
+            )
+
+    def start(self) -> str:
+        self._require_transport()
+        with open(self.csv_path, "rb") as f:
+            self.request_id = self.transport.submit(f.read())
+        self.status = "accepted"
+        return self.request_id
+
+    def refresh(self) -> str:
+        self._require_transport()
+        self.status = self.transport.status(self.request_id)
+        return self.status
+
+    def download(self, out_path: str | Path) -> Path:
+        self._require_transport()
+        payload = self.transport.result(self.request_id)
+        out_path = Path(out_path)
+        out_path.write_bytes(payload)
+        return out_path

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — one narrow scan, JVM-side arithmetic via
+``aggregate``/``zip_with``, no UDFs.  Scale path: LSH bucketing with random
+hyperplanes (deterministic, seeded) so the scan only scores candidate buckets;
+and a near-dup variant that joins embeddings bucket-to-bucket instead of
+all-pairs.
+
+At 100 TB the brute-force path is still sometimes right (it is a single
+pass, perfectly parallel, no shuffle for per-query top-k — Spark's takeOrdered
+tree-aggregates per partition); the LSH path trades recall for touching only
+~1/2^planes of the data per query.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a, b):
+    """Dot product of two array columns via zip_with + aggregate (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_expr(a, b):
+    """Cosine similarity; NULL when either norm is 0."""
+    return dot_expr(a, b) / F.nullif(norm_expr(a) * norm_expr(b), F.lit(0.0))
+
+
+def _query_lit(query_vec: list[float]):
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against one query vector.  The embedding is
+    cast to double before arithmetic so results are engine-portable."""
+    q = _query_lit(query_vec)
+    emb = F.col(vec_col).cast("array<double>")
+    scored = df.select(
+        F.col(id_col),
+        cosine_expr(emb, q).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane / sign) bucketing
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes without numpy RNG
+    state: a simple LCG -> uniform(-1,1) per coordinate.  Stable across runs
+    and engines."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def signature_bits_expr(vec, planes: list[list[float]]):
+    """LSH signature: one bit per hyperplane (sign of the dot product),
+    packed into a long."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = dot_expr(vec, F.array(*[F.lit(float(v)) for v in plane]))
+        sig = sig + F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    emb = F.col(vec_col).cast("array<double>")
+    return df.withColumn(out_col, signature_bits_expr(emb, planes))
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    hamming_radius: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only rows whose LSH bucket is within
+    ``hamming_radius`` of the query's bucket.  With 8 planes and radius 1 the
+    scan touches ~(1+8)/256 of the data; the bucket predicate pushes into the
+    scan when buckets are precomputed + partitioned."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucketed = with_lsh_buckets(df, vec_col, n_planes, dim, seed)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if d >= 0:
+            qsig |= 1 << i
+    candidates = bucketed.filter(
+        F.bit_count(F.col("lsh_bucket").bitwiseXOR(F.lit(qsig))) <= hamming_radius
+    )
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket join (same LSH bucket)
+    then exact cosine filter.  Shuffle key = bucket, never all-pairs."""
+    bucketed = with_lsh_buckets(df, vec_col, n_planes, seed=seed).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        "lsh_bucket",
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            cosine_expr(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

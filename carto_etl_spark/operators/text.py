@@ -1,0 +1,181 @@
+"""Text-analysis operators for training-data pipelines: token counting, quality
+scoring, language ID, and document fingerprinting.
+
+Not in the reference (its only string ops are strip/lower/replace,
+/root/reference/etl/etl.py:70-83,233-234); mandated by the engine's north star
+as first-class 100 TB-scale operators.  Everything is built from
+`pyspark.sql.functions` — string/regex/array expressions inside whole-stage
+codegen; no Python UDFs.  Each operator has a deliberately portable definition
+(same regexes/arithmetic expressible in ANSI SQL) so the duckdb oracle can
+verify it value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+# ---------------------------------------------------------------------------
+# Tokenization + counting
+# ---------------------------------------------------------------------------
+
+def tokens_expr(text: Column | str) -> Column:
+    """Whitespace tokens; empty/blank text -> empty array (split would give
+    [''] — filtered out to keep counts honest)."""
+    t = _col(text)
+    return F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+
+
+def token_count_expr(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_expr(text))
+
+
+#: BPE-ish lexer: word pieces or single non-space punctuation — the classic
+#: pre-tokenization regex shape used by BPE vocabularies.
+BPE_TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def bpe_token_count_expr(text: Column | str) -> Column:
+    """Count of BPE-style pre-tokens (words + standalone punctuation)."""
+    return F.regexp_count(_col(text), F.lit(BPE_TOKEN_PATTERN))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+#: Tiny function-word list for quality scoring (public stop-word canon).
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "be", "this", "that", "are",
+)
+
+PUNCT_PATTERN = r"[.,;:!?]"
+
+
+def stopword_ratio_expr(text: Column | str) -> Column:
+    """Fraction of whitespace tokens that are stopwords (lowercased exact
+    match); NULL for token-less text."""
+    toks = tokens_expr(text)
+    stops = F.array(*[F.lit(w) for w in STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, F.lower(t))))
+    return hits / F.nullif(F.size(toks), F.lit(0))
+
+
+def punct_ratio_expr(text: Column | str) -> Column:
+    """Sentence-punctuation chars per character; NULL for empty text."""
+    t = _col(text)
+    return F.regexp_count(t, F.lit(PUNCT_PATTERN)) / F.nullif(
+        F.length(t), F.lit(0)
+    )
+
+
+def mean_word_length_expr(text: Column | str) -> Column:
+    toks = tokens_expr(text)
+    total = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.nullif(F.size(toks), F.lit(0))
+
+
+def quality_score_expr(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot, sane word length,
+    some-but-not-too-much punctuation, stopword presence.  A deterministic
+    arithmetic blend — the point is the *shape* (pluggable per corpus), each
+    component is a documented public heuristic (C4/Gopher-style filters)."""
+    t = _col(text)
+    n_chars = F.length(t)
+    length_score = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    mwl = mean_word_length_expr(t)
+    word_score = F.when(
+        mwl.isNull(), F.lit(0.0)
+    ).otherwise(
+        F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    )
+    stop = F.coalesce(stopword_ratio_expr(t), F.lit(0.0))
+    stop_score = F.when(stop > 0.05, F.lit(1.0)).otherwise(stop * 20.0)
+    punct = F.coalesce(punct_ratio_expr(t), F.lit(0.0))
+    punct_score = F.when(punct <= 0.1, F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), F.lit(1.0) - (punct - 0.1) * 5.0)
+    )
+    return (
+        length_score * 0.3 + word_score * 0.2 + stop_score * 0.3 + punct_score * 0.2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (marker-word heuristic)
+# ---------------------------------------------------------------------------
+
+#: Small high-frequency marker sets per language (public function-word lists).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with"),
+    "es": ("el", "la", "los", "que", "con"),
+    "de": ("der", "die", "und", "ist", "mit"),
+    "fr": ("le", "la", "les", "est", "avec"),
+}
+
+
+def lang_scores_expr(text: Column | str) -> dict[str, Column]:
+    toks = tokens_expr(text)
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        markers = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(
+            F.filter(toks, lambda t: F.array_contains(markers, F.lower(t)))
+        )
+    return out
+
+
+def lang_id_expr(text: Column | str) -> Column:
+    """argmax over marker-hit counts; ties broken by language-code order;
+    'und' (undetermined) when nothing hits."""
+    scores = lang_scores_expr(text)
+    langs = sorted(scores)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(langs):  # earlier langs win ties by overwriting later
+        s = scores[lang]
+        best_lang = F.when((s >= 1) & (s >= best_score), F.lit(lang)).otherwise(
+            best_lang
+        )
+        best_score = F.greatest(best_score, s)
+    return best_lang
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+def normalize_text_expr(text: Column | str) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse whitespace,
+    trim."""
+    return F.trim(F.regexp_replace(F.lower(_col(text)), r"\s+", " "))
+
+
+def fingerprint_expr(text: Column | str) -> Column:
+    """Exact-content fingerprint: md5 of the normalized text (portable —
+    identical in any engine with md5)."""
+    return F.md5(normalize_text_expr(text))
+
+
+def shingle_fingerprint_expr(
+    text: Column | str, k: int = 8, n_min: int = 4
+) -> Column:
+    """Near-dup fingerprint via a bottom-k sketch of character k-gram hashes
+    over the normalized text (a winnowing-style rolling fingerprint: two
+    documents sharing most k-grams share most of the sketch).  Pure array
+    expressions: positions -> substrings -> md5 -> sorted bottom-n_min."""
+    norm = normalize_text_expr(text)
+    n_shingles = F.greatest(F.length(norm) - (k - 1), F.lit(0))
+    positions = F.sequence(F.lit(1), F.greatest(n_shingles, F.lit(1)))
+    hashes = F.when(n_shingles <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(positions, lambda i: F.md5(norm.substr(i, F.lit(k))))
+    )
+    return F.slice(F.array_sort(hashes), 1, n_min)

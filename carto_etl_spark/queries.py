@@ -1,0 +1,825 @@
+"""Driver-facing query catalog: every implemented operator from SURVEY.md §2
+(plus the LLM-pipeline extensions) as a (spark, sf_dir) -> DataFrame callable,
+with a DuckDB-runnable ANSI-SQL oracle where the semantics are SQL-expressible.
+
+Conventions (driver compare is column-name-sorted value hashing):
+- every computed column is aliased identically in Spark and SQL;
+- floating aggregates are rounded (sums:2, averages:4, ratios/cosines:6) so
+  accumulation-order FP noise cannot flip the hash;
+- timestamps are rendered to strings on both sides;
+- ordering only matters where a LIMIT exists, and is always made deterministic
+  by a unique tie-break key on the *rounded* value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from carto_etl_spark.config import JobConfig
+from carto_etl_spark.functions.coerce import float_expr, timestamp_expr
+from carto_etl_spark.functions.geom import (
+    point_struct,
+    tile_x,
+    tile_y,
+    validated_lat,
+    validated_lon,
+    wkt_point,
+)
+from carto_etl_spark.operators import dedup as dd
+from carto_etl_spark.operators import overviews as ov
+from carto_etl_spark.operators import similarity as sim
+from carto_etl_spark.operators import text as tx
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # nanosecond-precision parquet timestamps arrive as long (see session.py
+    # nanosAsLong); convert to microsecond timestamps.
+    for c, t in df.dtypes:
+        if c == "ts" and t == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Relational core (the execution surface the reference delegates to PostgreSQL)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy partial-agg benchmark anchor."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """Window top-k per group (reference S8/top-k analog)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    return (
+        joined.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_region_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with small dims broadcast."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, (li["l_suppkey"] == s["s_suppkey"])
+              & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+ORACLE_REGION_VOLUME = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY n_name
+"""
+
+
+def q_mktsegment_stats(spark, sf_dir):
+    """Aggregation surface: count / avg / distinct."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+ORACLE_MKTSEGMENT = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 4) AS avg_acctbal,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# ETL-job semantics as queries (insert coercion / update merge / delete /
+# chunking / row ranges)
+# ---------------------------------------------------------------------------
+
+def q_locale_float_coercion(spark, sf_dir):
+    """Reference F2: locale float parse round-trip (decimal comma)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty_str = F.replace(
+        F.col("l_quantity").cast("string"), F.lit("."), F.lit(",")
+    )
+    disc_str = F.replace(
+        F.col("l_discount").cast("string"), F.lit("."), F.lit(",")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        float_expr(qty_str, comma_separator=",").alias("qty_parsed"),
+        float_expr(disc_str, comma_separator=",").alias("disc_parsed"),
+        float_expr(F.lit("INFINITY")).alias("forbidden_is_null"),
+    )
+
+
+ORACLE_LOCALE_FLOAT = """
+SELECT l_orderkey, l_linenumber,
+       try_cast(replace(replace(cast(l_quantity AS varchar), '.', ','), ',', '.') AS double) AS qty_parsed,
+       try_cast(replace(replace(cast(l_discount AS varchar), '.', ','), ',', '.') AS double) AS disc_parsed,
+       CAST(NULL AS double) AS forbidden_is_null
+FROM lineitem
+"""
+
+
+def q_dual_format_dates(spark, sf_dir):
+    """Reference F3: dual-format date parse + CARTO render."""
+    o = load(spark, sf_dir, "orders")
+    as_string = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.date_format("o_orderdate", "dd/MM/yyyy HH:mm:ss"),
+    ).otherwise(F.date_format("o_orderdate", "dd/MM/yyyy"))
+    parsed = timestamp_expr(as_string, "%d/%m/%Y %H:%M:%S", "%d/%m/%Y")
+    return o.select(
+        "o_orderkey",
+        as_string.alias("raw_string"),
+        F.date_format(parsed, "yyyy-MM-dd HH:mm:ss'+00'").alias("carto_rendered"),
+    )
+
+
+ORACLE_DUAL_DATES = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%d/%m/%Y %H:%M:%S')
+            ELSE strftime(o_orderdate, '%d/%m/%Y') END AS raw_string,
+       strftime(
+         coalesce(
+           try_strptime(CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%d/%m/%Y %H:%M:%S')
+                             ELSE strftime(o_orderdate, '%d/%m/%Y') END, '%d/%m/%Y %H:%M:%S'),
+           try_strptime(CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%d/%m/%Y %H:%M:%S')
+                             ELSE strftime(o_orderdate, '%d/%m/%Y') END, '%d/%m/%Y')),
+         '%Y-%m-%d %H:%M:%S+00') AS carto_rendered
+FROM orders
+"""
+
+
+def q_update_merge(spark, sf_dir):
+    """Reference D2 (keyed UPDATE) as one MERGE-shaped join: every 10th
+    customer gets acctbal+1000 and an uppercased name."""
+    c = load(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("u_key"),
+        F.round(F.col("c_acctbal") + 1000.0, 2).alias("u_acctbal"),
+        F.upper("c_name").alias("u_name"),
+        F.lit(True).alias("u_matched"),
+    )
+    joined = c.join(F.broadcast(updates), c["c_custkey"] == updates["u_key"], "left")
+    m = F.col("u_matched").isNotNull()
+    return joined.select(
+        "c_custkey",
+        F.when(m, F.col("u_name")).otherwise(F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.round(
+            F.when(m, F.col("u_acctbal")).otherwise(F.col("c_acctbal")), 2
+        ).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+ORACLE_UPDATE_MERGE = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 10 = 0 THEN upper(c_name) ELSE c_name END AS c_name,
+       c_nationkey,
+       round(CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 1000.0, 2)
+                  ELSE c_acctbal END, 2) AS c_acctbal,
+       c_mktsegment
+FROM customer
+"""
+
+
+def q_delete_antijoin(spark, sf_dir):
+    """Reference D3 (keyed DELETE) as an anti-join: drop lineitems of 'F'
+    orders, then aggregate survivors."""
+    li = load(spark, sf_dir, "lineitem")
+    doomed = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    survivors = li.join(
+        doomed, li["l_orderkey"] == doomed["o_orderkey"], "left_anti"
+    )
+    return survivors.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+ORACLE_DELETE = """
+SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+GROUP BY l_returnflag
+"""
+
+
+def q_chunk_assignment(spark, sf_dir):
+    """Reference S7 (documented chunk semantics): chunk = floor(row_idx /
+    chunk_size) + 1 over a deterministic row order."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    chunked = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor((F.row_number().over(w) - 1) / 1000) + 1).alias("chunk_id"),
+    )
+    return chunked.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("first_key"),
+        F.max("l_orderkey").alias("last_key"),
+    )
+
+
+ORACLE_CHUNKS = """
+SELECT chunk_id, count(*) AS n_rows,
+       min(l_orderkey) AS first_key, max(l_orderkey) AS last_key
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         cast(floor((row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) / 1000) + 1 AS bigint) AS chunk_id
+  FROM lineitem
+) GROUP BY chunk_id
+"""
+
+
+def q_row_range(spark, sf_dir):
+    """Reference S8 (UpdateJob start_row/end_row): rows 1001..1100 of the
+    ordered scan."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") >= 1001) & (F.col("rn") <= 1100))
+        .select("rn", "l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("qty"))
+    )
+
+
+ORACLE_ROW_RANGE = """
+SELECT rn, l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn BETWEEN 1001 AND 1100
+"""
+
+
+def q_threeway_fanout(spark, sf_dir):
+    """Reference D7 (geocode 3-way fan-out sink shape): classify rows into
+    found / not_found / invalid and aggregate each branch."""
+    e = load(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("value") < 10, "invalid")
+        .when(F.col("value") < 100, "not_found")
+        .otherwise("found")
+    )
+    return e.select(status.alias("status"), "value").groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_FANOUT = """
+SELECT CASE WHEN value < 10 THEN 'invalid'
+            WHEN value < 100 THEN 'not_found'
+            ELSE 'found' END AS status,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Geometry + overviews
+# ---------------------------------------------------------------------------
+
+def _synth_lon(key, modulo=400, offset=200):
+    return (key % modulo - offset + F.lit(0.5)).cast("double")
+
+
+def q_geom_points(spark, sf_dir):
+    """Reference F5/P3/P4: point construction with bounds validation; some
+    synthesized coords are deliberately out of range -> NULL geometry."""
+    c = load(spark, sf_dir, "customer")
+    lon = validated_lon((F.col("c_custkey") % 400 - 200 + F.lit(0.5)).cast("double"))
+    lat = validated_lat((F.col("c_custkey") % 200 - 100 + F.lit(0.5)).cast("double"))
+    return c.select(
+        "c_custkey",
+        lon.alias("lon"),
+        lat.alias("lat"),
+        wkt_point(lon, lat).alias("the_geom_wkt"),
+    )
+
+
+ORACLE_GEOM_POINTS = """
+WITH pts AS (
+  SELECT c_custkey,
+         CASE WHEN abs(raw_lon) > 180 THEN NULL ELSE raw_lon END AS lon,
+         CASE WHEN abs(raw_lat) > 90 THEN NULL ELSE raw_lat END AS lat
+  FROM (SELECT c_custkey,
+               cast(c_custkey % 400 - 200 + 0.5 AS double) AS raw_lon,
+               cast(c_custkey % 200 - 100 + 0.5 AS double) AS raw_lat
+        FROM customer)
+)
+SELECT c_custkey, lon, lat,
+       CASE WHEN lon IS NOT NULL AND lat IS NOT NULL
+            THEN concat('POINT (', cast(lon AS varchar), ' ', cast(lat AS varchar), ')')
+       END AS the_geom_wkt
+FROM pts
+"""
+
+
+def q_overview_grid(spark, sf_dir):
+    """Reference D5 (CDB_CreateOverviews): finest-zoom grid aggregate over
+    web-mercator tiles (zoom 4)."""
+    c = load(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") % 360 - 180 + F.lit(0.5)).cast("double")
+    lat = (F.col("c_custkey") % 160 - 80 + F.lit(0.5)).cast("double")
+    return (
+        c.groupBy(
+            tile_x(lon, 4).alias("tile_x"), tile_y(lat, 4).alias("tile_y")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.round(F.avg(lon), 6).alias("centroid_x"),
+            F.round(F.avg(lat), 6).alias("centroid_y"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+ORACLE_OVERVIEW_GRID = """
+WITH pts AS (
+  SELECT cast(c_custkey % 360 - 180 + 0.5 AS double) AS lon,
+         cast(c_custkey % 160 - 80 + 0.5 AS double) AS lat,
+         c_acctbal
+  FROM customer
+)
+SELECT cast(least(greatest(floor((lon + 180) / 360 * 16), 0), 15) AS bigint) AS tile_x,
+       cast(least(greatest(floor((1 - ln(tan(radians(lat)) + 1 / cos(radians(lat))) / pi()) / 2 * 16), 0), 15) AS bigint) AS tile_y,
+       count(*) AS n_features,
+       round(avg(lon), 6) AS centroid_x,
+       round(avg(lat), 6) AS centroid_y,
+       round(avg(c_acctbal), 4) AS avg_acctbal
+FROM pts GROUP BY 1, 2
+"""
+
+
+def q_overview_rollup(spark, sf_dir):
+    """Hierarchical rollup: zoom-3 overview derived from the zoom-4 aggregate
+    (parent tile = floor(child/2)) — the scale path that avoids re-scanning
+    the base table per zoom."""
+    c = load(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") % 360 - 180 + F.lit(0.5)).cast("double")
+    lat = (F.col("c_custkey") % 160 - 80 + F.lit(0.5)).cast("double")
+    pts = c.select(
+        point_struct(lon, lat).alias("the_geom"), F.col("c_acctbal")
+    )
+    z4 = ov.base_overview(pts, 4, value_columns=["c_acctbal"])
+    z3 = ov.rollup_overview(z4, value_columns=["c_acctbal"])
+    return z3.select(
+        "tile_x",
+        "tile_y",
+        "n_features",
+        F.round("sum_c_acctbal", 2).alias("sum_acctbal"),
+    )
+
+
+ORACLE_OVERVIEW_ROLLUP = """
+WITH pts AS (
+  SELECT cast(c_custkey % 360 - 180 + 0.5 AS double) AS lon,
+         cast(c_custkey % 160 - 80 + 0.5 AS double) AS lat,
+         c_acctbal
+  FROM customer
+), z4 AS (
+  SELECT cast(least(greatest(floor((lon + 180) / 360 * 16), 0), 15) AS bigint) AS tile_x,
+         cast(least(greatest(floor((1 - ln(tan(radians(lat)) + 1 / cos(radians(lat))) / pi()) / 2 * 16), 0), 15) AS bigint) AS tile_y,
+         count(*) AS n_features,
+         sum(c_acctbal) AS sum_acctbal
+  FROM pts GROUP BY 1, 2
+)
+SELECT cast(floor(tile_x / 2) AS bigint) AS tile_x,
+       cast(floor(tile_y / 2) AS bigint) AS tile_y,
+       sum(n_features) AS n_features,
+       round(sum(sum_acctbal), 2) AS sum_acctbal
+FROM z4 GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count_expr("text").alias("n_ws_tokens"),
+        tx.bpe_token_count_expr("text").alias("n_bpe_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS) + "]"
+
+
+def q_text_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(tx.stopword_ratio_expr("text"), 6).alias("stopword_ratio"),
+        F.round(tx.punct_ratio_expr("text"), 6).alias("punct_ratio"),
+        F.round(tx.mean_word_length_expr("text"), 6).alias("mean_word_len"),
+    )
+
+
+ORACLE_TEXT_QUALITY = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       round(len(list_filter(t, x -> list_contains(STOPLIST, lower(x))))
+             / cast(nullif(len(t), 0) AS double), 6) AS stopword_ratio,
+       round(len(regexp_extract_all(text, '[.,;:!?]'))
+             / cast(nullif(len(text), 0) AS double), 6) AS punct_ratio,
+       round(list_sum(list_transform(t, x -> len(x)))
+             / cast(nullif(len(t), 0) AS double), 6) AS mean_word_len
+FROM toks
+""".replace("STOPLIST", _STOPLIST_SQL)
+
+
+def q_lang_id(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.lang_id_expr("text").alias("lang_guess"))
+
+
+def _lang_counts_sql() -> str:
+    parts = []
+    for lang, words in tx.LANG_MARKERS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        parts.append(
+            f"len(list_filter(t, x -> list_contains({lst}, lower(x)))) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+ORACLE_LANG_ID = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+  FROM documents
+), scores AS (
+  SELECT doc_id, {_lang_counts_sql()} FROM toks
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 1 THEN 'und'
+            WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en >= greatest(s_es, s_fr) THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM scores
+"""
+
+
+NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact content dedup: the corpus unioned with a shifted-id copy of
+    itself; min-id winner per normalized-text fingerprint."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    dup = d.withColumn("doc_id", F.col("doc_id") + 1000000)
+    both = d.unionByName(dup)
+    out = dd.exact_text_dedup(both, "doc_id", "text")
+    return out.select("doc_id", "lang", "source")
+
+
+ORACLE_EXACT_DEDUP = rf"""
+WITH base AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source FROM documents
+)
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY md5({NORM_SQL}) ORDER BY doc_id) AS rn
+  FROM base
+) WHERE rn = 1
+"""
+
+
+def q_shingle_fingerprint(spark, sf_dir):
+    """Winnowing-style near-dup fingerprint: bottom-4 sketch of char-8-gram
+    md5 hashes (portable across engines)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(tx.shingle_fingerprint_expr("text", k=8, n_min=4), "|").alias(
+            "fingerprint"
+        ),
+    )
+
+
+ORACLE_SHINGLE_FP = rf"""
+SELECT doc_id,
+       array_to_string(
+         list_sort(list_transform(range(1, greatest(len(norm) - 7, 0) + 1),
+                                  i -> md5(substr(norm, cast(i AS int), 8))))[1:4],
+         '|') AS fingerprint
+FROM (SELECT doc_id, {NORM_SQL} AS norm FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors of vec_id=0 (ANN baseline)."""
+    e = load(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    scored = sim.cosine_topk(e, [float(v) for v in query], k=5)
+    return scored.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+ORACLE_COSINE_TOPK = """
+WITH q AS (SELECT cast(embedding AS double[]) AS v FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(cast(embedding AS double[]), q.v)
+             / nullif(sqrt(list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])))
+                      * sqrt(list_dot_product(q.v, q.v)), 0), 6) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped (batch-equivalent windowed aggregation)
+# ---------------------------------------------------------------------------
+
+def q_events_window(spark, sf_dir):
+    """5-minute tumbling window per event_type (the batch equivalent of the
+    structured-streaming aggregation in streaming/jobs.py)."""
+    e = load(spark, sf_dir, "events")
+    bucket = F.from_unixtime(
+        (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long"),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    return e.groupBy(
+        bucket.alias("window_start"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+ORACLE_EVENTS_WINDOW = """
+SELECT strftime(to_timestamp(cast(floor(epoch(ts) / 300) * 300 AS bigint)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators (rows-only checks: xxhash64-based sketches,
+# LSH buckets with engine-side hyperplanes)
+# ---------------------------------------------------------------------------
+
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dedup over documents + a mutated near-copy of each
+    10th document (survivor set; xxhash64 signatures — no SQL oracle)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        )
+    )
+    both = d.unionByName(near)
+    out = dd.minhash_dedup(both, "doc_id", "text", threshold=0.5)
+    return out.select("doc_id")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-pairs over documents + mutated near-copies (hamming<=6)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    both = d.unionByName(near)
+    return dd.simhash_near_pairs(both, "doc_id", "text", max_hamming=6)
+
+
+def q_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-5 for vec_id=0 (scale path of
+    q_cosine_topk)."""
+    e = load(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = sim.ann_topk(e, [float(v) for v in query], k=5, n_planes=8,
+                       hamming_radius=2)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via LSH bucket join."""
+    e = load(spark, sf_dir, "embeddings")
+    dup = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    both = e.unionByName(dup)
+    return sim.embedding_near_dup_pairs(both, threshold=0.99)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: documents' bytes as fake image payloads ->
+    Arrow-batched decode (deterministic stub) -> feature rows."""
+    from carto_etl_spark.operators.multimodal import decode_image_features
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    feats = decode_image_features(d, fake=True)
+    return feats.select(
+        "media_id", "width", "height", "n_channels",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, v: a + v), 6).alias(
+            "feature_sum"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "shipping_priority": q_shipping_priority,
+    "region_volume": q_region_volume,
+    "mktsegment_stats": q_mktsegment_stats,
+    "locale_float_coercion": q_locale_float_coercion,
+    "dual_format_dates": q_dual_format_dates,
+    "update_merge": q_update_merge,
+    "delete_antijoin": q_delete_antijoin,
+    "chunk_assignment": q_chunk_assignment,
+    "row_range": q_row_range,
+    "threeway_fanout": q_threeway_fanout,
+    "geom_points": q_geom_points,
+    "overview_grid": q_overview_grid,
+    "overview_rollup": q_overview_rollup,
+    "token_counts": q_token_counts,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "exact_dedup": q_exact_dedup,
+    "shingle_fingerprint": q_shingle_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "events_window": q_events_window,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_topk": q_ann_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "pricing_summary": ORACLE_PRICING,
+    "top_orders_per_customer": ORACLE_TOP_ORDERS,
+    "shipping_priority": ORACLE_SHIPPING,
+    "region_volume": ORACLE_REGION_VOLUME,
+    "mktsegment_stats": ORACLE_MKTSEGMENT,
+    "locale_float_coercion": ORACLE_LOCALE_FLOAT,
+    "dual_format_dates": ORACLE_DUAL_DATES,
+    "update_merge": ORACLE_UPDATE_MERGE,
+    "delete_antijoin": ORACLE_DELETE,
+    "chunk_assignment": ORACLE_CHUNKS,
+    "row_range": ORACLE_ROW_RANGE,
+    "threeway_fanout": ORACLE_FANOUT,
+    "geom_points": ORACLE_GEOM_POINTS,
+    "overview_grid": ORACLE_OVERVIEW_GRID,
+    "overview_rollup": ORACLE_OVERVIEW_ROLLUP,
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "lang_id": ORACLE_LANG_ID,
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "shingle_fingerprint": ORACLE_SHINGLE_FP,
+    "cosine_topk": ORACLE_COSINE_TOPK,
+    "events_window": ORACLE_EVENTS_WINDOW,
+    # minhash_dedup / simhash_pairs / ann_topk / embedding_near_dup /
+    # multimodal_features: xxhash64- or stub-based -> rows-only checks.
+}

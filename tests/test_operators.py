@@ -1,0 +1,201 @@
+"""Sanity tests for overview, dedup, similarity, text, and multimodal
+operators (the duckdb-differential harness covers value-exactness; these cover
+semantics the oracle can't: async job lifecycle, LSH recall, stubs)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from carto_etl_spark.functions.geom import point_struct
+from carto_etl_spark.operators import dedup as dd
+from carto_etl_spark.operators import overviews as ov
+from carto_etl_spark.operators import similarity as sim
+from carto_etl_spark.operators import text as tx
+from carto_etl_spark.operators.jobs import TargetTable
+from carto_etl_spark.operators.multimodal import (
+    decode_image_features,
+    frame_sample_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rows = [(i, (i % 360) - 180 + 0.5, (i % 160) - 80 + 0.5, float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "lon", "lat", "val"])
+    return df.select(
+        "id", "val", point_struct(F.col("lon"), F.col("lat")).alias("the_geom")
+    )
+
+
+def test_overview_hierarchy_consistency(spark, points):
+    levels = ov.create_overviews(points, max_zoom=4, min_zoom=2,
+                                 value_columns=["val"])
+    totals = {
+        z: df.agg(F.sum("n_features")).first()[0] for z, df in levels.items()
+    }
+    assert totals[4] == totals[3] == totals[2] == 200
+    # coarser zoom -> fewer-or-equal tiles
+    counts = {z: levels[z].count() for z in levels}
+    assert counts[2] <= counts[3] <= counts[4]
+
+
+def test_overview_async_job(spark, points, tmp_path):
+    target = TargetTable(spark, tmp_path / "pts")
+    target.append(points)
+    job_id = ov.submit_overview_job(target, max_zoom=3, min_zoom=2,
+                                    value_columns=["val"])
+    for _ in range(60):
+        status = ov.check_job(job_id)
+        if status["status"] in ("done", "failed"):
+            break
+        time.sleep(0.5)
+    assert status["status"] == "done"
+    assert status["zooms"] == [2, 3]
+    z2 = spark.read.parquet(str(tmp_path / "pts_ovw_z2"))
+    assert z2.agg(F.sum("n_features")).first()[0] == 200
+    assert ov.check_job("nope")["status"] == "unknown"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (3, "completely different text about spark query engines and shuffles"),
+        (4, "el rapido zorro marron salta sobre el perro perezoso con la luna"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(base, ["doc_id", "text"])
+
+
+def test_minhash_finds_near_dup(docs):
+    sigs = dd.with_minhash(docs, "text", num_hashes=64)
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id").collect()
+    found = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert (1, 2) in found and found[(1, 2)] > 0.5
+    assert all(k == (1, 2) or found[k] < 0.5 for k in found)
+
+
+def test_minhash_dedup_removes_higher_id(docs):
+    out = dd.minhash_dedup(docs, "doc_id", "text", threshold=0.5)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids
+    assert {3, 4, 5} <= ids
+
+
+def test_simhash_near_pairs(spark):
+    # 16-bit-block blocking guarantees detection for hamming <= 3; long docs
+    # with a one-token change land within that (short docs can exceed it and
+    # are best-effort, like any SimHash deployment).
+    base = "spark shuffles partition data across executors while catalyst optimizes " * 8
+    df = spark.createDataFrame(
+        [
+            (1, base + "ending one"),
+            (2, base + "ending two"),
+            (3, "totally unrelated words about geometry tiles and overviews"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dd.simhash_near_pairs(df, "doc_id", "text", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got)
+
+
+def test_ngram_jaccard(docs):
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                   min_jaccard=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (1, 2) in got
+    assert 0.3 <= got[(1, 2)] <= 1.0
+
+
+def test_exact_text_dedup_whitespace_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        ["doc_id", "text"],
+    )
+    out = dd.exact_text_dedup(df, "doc_id", "text")
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # id 0: unit x; id 1: same direction scaled; id 2: orthogonal; id 3: opposite
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, 0.1, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(vectors):
+    out = sim.cosine_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 4]
+    assert out[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_ann_topk_contains_query_direction(vectors):
+    out = sim.ann_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=2, n_planes=4,
+                       hamming_radius=1).collect()
+    assert out and out[0]["vec_id"] in (0, 1)
+
+
+def test_embedding_near_dup(vectors):
+    pairs = sim.embedding_near_dup_pairs(vectors, threshold=0.95).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got
+
+
+def test_text_exprs_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one two three.",)], ["text"]
+    )
+    out = df.select(
+        tx.token_count_expr("text").alias("n"),
+        tx.punct_ratio_expr("text").alias("p"),
+        tx.lang_id_expr("text").alias("lang"),
+    ).collect()
+    assert [r["n"] for r in out] == [0, 0, 3]
+    assert out[0]["p"] is None  # empty text -> NULL ratio, not div/0 error
+    assert out[0]["lang"] == "und"
+
+
+def test_multimodal_fake_decode(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"xyz"))],
+        "media_id long, content binary",
+    )
+    feats = decode_image_features(df, fake=True).collect()
+    assert len(feats) == 2
+    byid = {r["media_id"]: r for r in feats}
+    assert 64 <= byid[1]["width"] < 256
+    assert len(byid[1]["feature"]) == 8
+    # deterministic
+    again = decode_image_features(df, fake=True).collect()
+    assert {r["media_id"]: r["width"] for r in again} == {
+        r["media_id"]: r["width"] for r in feats
+    }
+
+
+def test_multimodal_real_decode_raises(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc"))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PIL|fake"):
+        decode_image_features(df, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc"))], "media_id long, content binary"
+    )
+    frames = frame_sample_plan(df, every_n_seconds=0.5, fake=True).collect()
+    assert frames and frames[0]["frame_idx"] == 0
+    assert frames[1]["ts_seconds"] == 0.5 if len(frames) > 1 else True

@@ -1,0 +1,157 @@
+"""Streaming surface (availableNow micro-batch end-to-end) + geocoding
+broadcast-join connector with 3-way fan-out."""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from carto_etl_spark.config import JobConfig
+from carto_etl_spark.operators.geocode import (
+    CartoGeocodingJob,
+    HereGeocodingJob,
+    fanout,
+    geocode_with_lookup,
+)
+from carto_etl_spark.operators.jobs import TargetTable
+from carto_etl_spark.streaming.jobs import (
+    insert_stream,
+    session_windows,
+    stream_csv_dir,
+    windowed_counts,
+)
+
+
+def test_stream_csv_insert_end_to_end(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.csv").write_text("id,lon,lat,v\n1,1.0,2.0,10\n2,200.0,3.0,20\n")
+    (src / "b.csv").write_text("id,lon,lat,v\n3,5.5,6.5,30\n")
+    target = TargetTable(spark, tmp_path / "out")
+    cfg = JobConfig.from_kwargs(columns="id,lon,lat,v")
+    stream = stream_csv_dir(
+        spark, str(src), "id string, lon string, lat string, v string", cfg
+    )
+    q = insert_stream(
+        stream, target, cfg, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    rows = {r["id"]: r for r in target.read().collect()}
+    # id/v inferred double (reference int->float coercion)
+    assert set(rows) == {1.0, 2.0, 3.0}
+    assert rows[1.0]["the_geom"]["x"] == 1.0
+    assert rows[2.0]["the_geom"] is None  # lon 200 out of range
+    assert rows[3.0]["v"] == 30.0
+
+
+def test_windowed_counts_batch_equivalence(spark):
+    rows = [
+        (1, "2024-01-01 00:01:00", 1, "click", 1.0),
+        (2, "2024-01-01 00:04:00", 1, "click", 3.0),
+        (3, "2024-01-01 00:07:00", 2, "view", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (str(r["window_start"]), r["event_type"]): r
+        for r in windowed_counts(df, "5 minutes").collect()
+    }
+    assert out[("2024-01-01 00:00:00", "click")]["n_events"] == 2
+    assert out[("2024-01-01 00:05:00", "view")]["avg_value"] == 5.0
+
+
+def test_session_windows(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "click", 1.0),
+        (2, "2024-01-01 00:10:00", 7, "click", 2.0),   # same session (gap 30m)
+        (3, "2024-01-01 02:00:00", 7, "click", 4.0),   # new session
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sessions = session_windows(df, gap="30 minutes").collect()
+    assert len(sessions) == 2
+    by_start = sorted(sessions, key=lambda r: r["session_start"])
+    assert by_start[0]["n_events"] == 2
+    assert by_start[1]["sum_value"] == 4.0
+
+
+@pytest.fixture()
+def lookup(spark):
+    return spark.createDataFrame(
+        [
+            ("Calle Mayor 1", "es", -3.7, 40.4),
+            ("Main St 5", "us", -73.9, 40.7),
+            ("Bad Coords Rd", "us", -200.0, 40.0),
+        ],
+        ["address", "country", "lon", "lat"],
+    )
+
+
+def test_geocode_three_way_fanout(spark, lookup):
+    src = spark.createDataFrame(
+        [
+            ("1", "calle  mayor 1", "ES"),      # found (case/ws-insensitive)
+            ("2", "Unknown Road 9", "es"),       # not_found
+            ("3", "", "us"),                     # invalid: blank address
+            ("4", "Bad Coords Rd", "us"),        # not_found: lon out of range
+        ],
+        ["recid", "searchtext", "country"],
+    )
+    out = geocode_with_lookup(src, lookup)
+    buckets = {k: {r["recid"] for r in v.collect()} for k, v in fanout(out).items()}
+    assert buckets == {
+        "found": {"1"},
+        "not_found": {"2", "4"},
+        "invalid": {"3"},
+    }
+    found = out.filter(F.col("recid") == "1").first()
+    assert found["displaylongitude"] == -3.7
+
+
+def test_carto_geocoding_job_zip(spark, lookup, tmp_path):
+    csv = tmp_path / "addrs.csv"
+    csv.write_text(
+        "recId,searchText,country\n1,Calle Mayor 1,es\n2,Nope St,es\n3,,us\n"
+    )
+    job = CartoGeocodingJob(str(csv), lookup, spark=spark)
+    zpath = job.download(tmp_path / "result.zip")
+    with zipfile.ZipFile(zpath) as zf:
+        names = set(zf.namelist())
+        assert names == {"addrs_out.txt", "addrs_err.txt", "addrs_inv.txt"}
+        out_lines = zf.read("addrs_out.txt").decode().strip().splitlines()
+        assert out_lines[0] == "recid,displaylongitude,displaylatitude"
+        assert out_lines[1].startswith("1,-3.7")
+
+
+def test_here_job_requires_transport(tmp_path):
+    csv = tmp_path / "x.csv"
+    csv.write_text("recId,searchText,country\n")
+    job = HereGeocodingJob(str(csv), "a@b.c")
+    with pytest.raises(NotImplementedError):
+        job.start()
+
+
+def test_here_job_with_fake_transport(tmp_path):
+    csv = tmp_path / "x.csv"
+    csv.write_text("recId,searchText,country\n1,Somewhere,es\n")
+
+    class FakeTransport:
+        def submit(self, payload):
+            assert b"Somewhere" in payload
+            return "req-1"
+
+        def status(self, rid):
+            return "completed"
+
+        def result(self, rid):
+            return b"zipbytes"
+
+    job = HereGeocodingJob(str(csv), "a@b.c", transport=FakeTransport())
+    assert job.start() == "req-1"
+    assert job.refresh() == "completed"
+    out = job.download(tmp_path / "res.zip")
+    assert out.read_bytes() == b"zipbytes"
