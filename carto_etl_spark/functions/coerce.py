@@ -114,16 +114,28 @@ def float_expr(
 ) -> Column:
     """Locale-aware float parse -> DoubleType (reference F2).
 
-    ``"INFINITY"`` (case-insensitive, full match, etl/etl.py:32,265-266) is a
-    forbidden float and yields NULL here; the render layer routes it to the
-    string path instead.  Unparseable -> NULL (``try_cast`` semantics, safe
-    under ANSI mode).
+    ``"INFINITY"`` (case-insensitive, full match on the *unstripped* value,
+    etl/etl.py:32,265-266) is a forbidden float and yields NULL here; the
+    render layer routes it to the string path instead.  Python's ``float()``
+    spellings for specials ("inf", "-infinity", "nan", any case) are accepted
+    like the reference's float() call; unparseable -> NULL (``try_cast``
+    semantics, safe under ANSI mode).  Known divergence: Python's
+    digit-group underscores ("1_0") are not accepted.
     """
     raw = _col(col)
     forbidden = F.upper(raw).isin([v.upper() for v in FORBIDDEN_FLOAT_VALUES])
     s = normalized_float_string(raw, comma_separator, thousand_separator)
+    up = F.upper(F.trim(s))
+    special = (
+        F.when(
+            up.isin("INF", "INFINITY", "+INF", "+INFINITY"),
+            F.lit(float("inf")),
+        )
+        .when(up.isin("-INF", "-INFINITY"), F.lit(float("-inf")))
+        .when(up.isin("NAN", "+NAN", "-NAN"), F.lit(float("nan")))
+    )
     return F.when(forbidden, F.lit(None).cast("double")).otherwise(
-        s.try_cast("double")
+        F.coalesce(special, s.try_cast("double"))
     )
 
 
@@ -164,12 +176,26 @@ def escape_expr(col: Column | str) -> Column:
     return F.replace(_col(col), F.lit("'"), F.lit("''"))
 
 
+_py_float_repr = None
+
+
+def _python_float_repr() -> "Column":
+    """Arrow-vectorized Python ``str(float)`` — the reference renders floats
+    with Python's repr ("99999999.0", "1e+20", "nan"), which Spark's
+    double->string cast does NOT match (Java switches to "9.9999999E7"-style
+    scientific at 1e7).  Only the golden-compat render layer and the optional
+    SQL-text sink pay this UDF; the typed hot path never does."""
+    global _py_float_repr
+    if _py_float_repr is None:
+        # explicit-functionType form: `from __future__ import annotations`
+        # stringifies hints, which pandas_udf type inference can't resolve
+        _py_float_repr = F.pandas_udf(lambda s: s.map(str), "string")
+    return _py_float_repr
+
+
 def render_float_part(value: Column) -> Column:
-    """Render a parsed double the way Python ``str(float)`` does for ordinary
-    magnitudes ("1.0", "1.5").  Spark's double->string cast matches Python for
-    non-scientific values; extreme magnitudes (1e16+) differ ("1.0E16" vs
-    "1e+16") — outside the reference's golden surface."""
-    return F.concat(value.cast("string"), F.lit(","))
+    """Render a parsed double exactly as Python ``str(float)`` does."""
+    return F.concat(_python_float_repr()(value), F.lit(","))
 
 
 def render_value_expr(
@@ -195,8 +221,10 @@ def render_value_expr(
     raw = F.col(column)
     escaped = escape_expr(raw)
 
+    # blank = whitespace-only (the reference's value.strip(), etl/etl.py:213;
+    # \s covers ASCII whitespace incl. tabs — exotic unicode spaces diverge)
     string_render = F.when(
-        raw.isNull() | (F.trim(raw) == ""), F.lit(NULL_RENDER)
+        raw.isNull() | raw.rlike(r"^\s*$"), F.lit(NULL_RENDER)
     ).otherwise(F.concat(F.lit("'"), escaped, F.lit("',")))
 
     if cfg.is_date_column(column):

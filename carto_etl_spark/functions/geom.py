@@ -168,13 +168,16 @@ def render_geom_expr(df: DataFrame, cfg: JobConfig) -> Column:
     zero = cfg.compat_zero_coord_is_null
     lon = validated_lon(coord_expr(df, cfg, cfg.x_column), zero_is_null=zero)
     lat = validated_lat(coord_expr(df, cfg, cfg.y_column), zero_is_null=zero)
+    from carto_etl_spark.functions.coerce import _python_float_repr
+
+    repr_udf = _python_float_repr()
     return F.when(
         lon.isNotNull() & lat.isNotNull(),
         F.concat(
             F.lit("st_transform(st_setsrid(st_makepoint("),
-            lon.cast("string"),
+            repr_udf(lon),
             F.lit(", "),
-            lat.cast("string"),
+            repr_udf(lat),
             F.lit(f"), {cfg.srid}), 4326),"),
         ),
     ).otherwise(F.lit(NULL_RENDER))

@@ -24,6 +24,15 @@ from carto_etl_spark.operators.text import (
 )
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a *small* intermediate (signatures, pair lists)
+    before a self-join or iteration.  Without this, both sides of a self-join
+    recompute the full upstream lineage (hashing every shingle twice), and
+    iterative label propagation re-derives the whole plan per round.  Never
+    applied to base tables — only to sketch-sized intermediates."""
+    return df.localCheckpoint(eager=True)
+
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -53,9 +62,14 @@ def exact_text_dedup(
 # Shingling + MinHash signatures (all built-in expressions)
 # ---------------------------------------------------------------------------
 
-def word_shingles_expr(text, n: int = 3):
-    """Distinct word n-gram strings over normalized text."""
-    toks = tokens_expr(normalize_text_expr(text))
+def word_shingles_expr(text, n: int = 3, *, pretokenized: bool = False):
+    """Distinct word n-gram strings over normalized text.
+
+    PERFORMANCE: the slice lambda references the token array once per shingle;
+    there is no CSE inside lambda bodies, so tokenization must not be inlined
+    here for large inputs — project the tokens first and pass
+    ``pretokenized=True`` (with_minhash does)."""
+    toks = F.col(text) if pretokenized else tokens_expr(normalize_text_expr(text))
     count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), F.greatest(count - 1, F.lit(0)))
     shingles = F.when(count <= 0, F.array().cast("array<string>")).otherwise(
@@ -67,9 +81,10 @@ def word_shingles_expr(text, n: int = 3):
     return F.array_distinct(shingles)
 
 
-def char_shingles_expr(text, k: int = 5):
-    """Distinct character k-gram strings over normalized text."""
-    norm = normalize_text_expr(text)
+def char_shingles_expr(text, k: int = 5, *, prenormalized: bool = False):
+    """Distinct character k-gram strings over normalized text (same CSE
+    caveat as word_shingles_expr)."""
+    norm = F.col(text) if prenormalized else normalize_text_expr(text)
     count = F.greatest(F.length(norm) - (k - 1), F.lit(0))
     idx = F.sequence(F.lit(1), F.greatest(count, F.lit(1)))
     shingles = F.when(count <= 0, F.array().cast("array<string>")).otherwise(
@@ -106,8 +121,16 @@ def with_minhash(
     shingle_words: int = 3,
     out_col: str = "minhash",
 ) -> DataFrame:
-    shingles = word_shingles_expr(text_col, shingle_words)
-    return df.withColumn(out_col, minhash_signature_expr(shingles, num_hashes))
+    """Staged projections (tokens -> shingles -> signature) so each stage's
+    result is computed once per row instead of once per lambda element."""
+    staged = df.withColumn(
+        "__toks", tokens_expr(normalize_text_expr(text_col))
+    ).withColumn(
+        "__shingles", word_shingles_expr("__toks", shingle_words, pretokenized=True)
+    )
+    return staged.withColumn(
+        out_col, minhash_signature_expr(F.col("__shingles"), num_hashes)
+    ).drop("__toks", "__shingles")
 
 
 # ---------------------------------------------------------------------------
@@ -147,6 +170,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("__id", "__sig", "bb.band", "bb.bucket")
+    banded = _materialize(banded)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -192,13 +216,16 @@ def minhash_dedup(
     — duplicate clusters are tiny, so 3 rounds of the small pair table
     converge; the big table is touched once by the final anti-join)."""
     sigs = with_minhash(df, text_col, num_hashes, shingle_words)
-    pairs = lsh_candidate_pairs(sigs, id_col).filter(
-        F.col("est_jaccard") >= threshold
+    pairs = _materialize(
+        lsh_candidate_pairs(sigs, id_col).filter(
+            F.col("est_jaccard") >= threshold
+        )
     )
     # min-label propagation on the (small) pair list
     labels = pairs.select(
         F.col("id_b").alias("node"), F.col("id_a").alias("root")
     ).groupBy("node").agg(F.min("root").alias("root"))
+    labels = _materialize(labels)
     for _ in range(3):
         better = (
             labels.alias("l")
@@ -212,7 +239,9 @@ def minhash_dedup(
                 ).alias("root"),
             )
         )
-        labels = better.groupBy("node").agg(F.min("root").alias("root"))
+        labels = _materialize(
+            better.groupBy("node").agg(F.min("root").alias("root"))
+        )
     doomed = labels.select(F.col("node").alias(id_col)).distinct()
     return df.join(doomed, id_col, "left_anti")
 
@@ -283,9 +312,11 @@ def simhash_near_pairs(
     """Near-pairs by SimHash: block on 16-bit prefixes (4 rotations) so only
     same-block rows join — standard SimHash blocking: any pair within hamming
     distance r <= 3 shares at least one of 4 disjoint 16-bit blocks."""
-    sh = df.select(
-        F.col(id_col).alias("__id"), simhash_expr(text_col).alias("__sh")
-    ).filter(F.col("__sh").isNotNull())
+    sh = _materialize(
+        df.select(
+            F.col(id_col).alias("__id"), simhash_expr(text_col).alias("__sh")
+        ).filter(F.col("__sh").isNotNull())
+    )
     blocks = sh.select(
         "__id",
         "__sh",
@@ -340,15 +371,20 @@ def ngram_jaccard_pairs(
     scale (or verification of LSH candidates at large scale): explode shingles,
     self-join on shared shingle, count intersections, derive union from set
     sizes.  Shuffle key = shingle value."""
-    shingles = (
-        char_shingles_expr(text_col, shingle_chars)
-        if use_chars
-        else word_shingles_expr(text_col, n)
-    )
-    base = df.select(
+    if use_chars:
+        staged = df.withColumn("__pre", normalize_text_expr(text_col))
+        shingles = char_shingles_expr("__pre", shingle_chars, prenormalized=True)
+    else:
+        staged = df.withColumn(
+            "__pre", tokens_expr(normalize_text_expr(text_col))
+        )
+        shingles = word_shingles_expr("__pre", n, pretokenized=True)
+    base = staged.select(
         F.col(id_col).alias("__id"), shingles.alias("__sh")
     ).withColumn("__size", F.size("__sh"))
-    exploded = base.select("__id", "__size", F.explode("__sh").alias("__g"))
+    exploded = _materialize(
+        base.select("__id", "__size", F.explode("__sh").alias("__g"))
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(

@@ -166,13 +166,19 @@ def fingerprint_expr(text: Column | str) -> Column:
 
 
 def shingle_fingerprint_expr(
-    text: Column | str, k: int = 8, n_min: int = 4
+    text: Column | str, k: int = 8, n_min: int = 4, *, prenormalized: bool = False
 ) -> Column:
     """Near-dup fingerprint via a bottom-k sketch of character k-gram hashes
     over the normalized text (a winnowing-style rolling fingerprint: two
     documents sharing most k-grams share most of the sketch).  Pure array
-    expressions: positions -> substrings -> md5 -> sorted bottom-n_min."""
-    norm = normalize_text_expr(text)
+    expressions: positions -> substrings -> md5 -> sorted bottom-n_min.
+
+    PERFORMANCE: the lambda below references the normalized text once per
+    shingle; if that operand is the normalize regex itself, it re-runs per
+    shingle (no CSE inside lambda bodies).  Project the normalized text into
+    its own column first and pass ``prenormalized=True`` — done by callers in
+    queries.py."""
+    norm = _col(text) if prenormalized else normalize_text_expr(text)
     n_shingles = F.greatest(F.length(norm) - (k - 1), F.lit(0))
     positions = F.sequence(F.lit(1), F.greatest(n_shingles, F.lit(1)))
     hashes = F.when(n_shingles <= 0, F.array().cast("array<string>")).otherwise(

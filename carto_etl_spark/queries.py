@@ -619,11 +619,13 @@ def q_shingle_fingerprint(spark, sf_dir):
     """Winnowing-style near-dup fingerprint: bottom-4 sketch of char-8-gram
     md5 hashes (portable across engines)."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    normed = d.select("doc_id", tx.normalize_text_expr("text").alias("__norm"))
+    return normed.select(
         "doc_id",
-        F.array_join(tx.shingle_fingerprint_expr("text", k=8, n_min=4), "|").alias(
-            "fingerprint"
-        ),
+        F.array_join(
+            tx.shingle_fingerprint_expr("__norm", k=8, n_min=4, prenormalized=True),
+            "|",
+        ).alias("fingerprint"),
     )
 
 

@@ -1,0 +1,66 @@
+"""Plan-quality gates: the properties that make these operators survive a
+100x scale-up — predicate pushdown into the parquet scan, column pruning,
+broadcast joins for small dims, whole-stage codegen on hot paths.  These are
+assertions on ``explain()`` output, so a regression in plan shape fails CI
+even while results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from carto_etl_spark.plans.inspect import (
+    codegen_stage_count,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+)
+from carto_etl_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_prunes_and_partial_aggregates(spark):
+    df = QUERIES["pricing_summary"](spark, SF)
+    cols = scan_columns(df)
+    # 6 needed columns only — no l_partkey/l_suppkey/l_shipdate etc.
+    assert "l_partkey" not in cols and "l_shipdate" not in cols
+    assert {"l_returnflag", "l_quantity", "l_extendedprice"} <= cols
+    # map-side combine: partial aggregation runs before the exchange, so the
+    # shuffle carries one row per (flag,status) per task, not 6M rows
+    from carto_etl_spark.plans.inspect import explain_str
+
+    assert "partial_sum" in explain_str(df)
+
+
+def test_shipping_priority_pushdown_and_broadcast(spark):
+    df = QUERIES["shipping_priority"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pushed  # filter reached the customer scan
+    assert "o_orderdate" in pushed
+    assert "l_shipdate" in pushed
+    assert has_broadcast_join(df)
+
+
+def test_region_volume_broadcasts_dims(spark):
+    df = QUERIES["region_volume"](spark, SF)
+    assert has_broadcast_join(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "r_name" in pushed
+
+
+def test_geom_points_reads_only_needed_columns(spark):
+    df = QUERIES["geom_points"](spark, SF)
+    assert scan_columns(df) == {"c_custkey"}
+
+
+def test_delete_antijoin_pushes_status_filter(spark):
+    df = QUERIES["delete_antijoin"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderstatus" in pushed
+
+
+def test_token_counts_prunes_documents(spark):
+    df = QUERIES["token_counts"](spark, SF)
+    cols = scan_columns(df)
+    assert "lang" not in cols and "source" not in cols
+    assert {"doc_id", "text"} <= cols
