@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     "shingle_fingerprint",
     "cosine_topk",
     "events_window",
+    "asof_join",
+    "sessionize",
+    "running_total",
+    "rollup_revenue",
+    "ingest_coercion",
     "simhash_pairs",
     "minhash_dedup",
 ]

@@ -693,6 +693,293 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Time-series joins + windows + set ops
+# ---------------------------------------------------------------------------
+
+_SHIFT = 725_000_000  # ~23 years: shifts 1995-2001 orders into the events era
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of (time-travel) join: each event picks the latest prior order of
+    the same customer (custom operator — Spark has no native as-of join)."""
+    from carto_etl_spark.operators.joins import asof_join
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id"), "ts"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey"),
+        F.timestamp_seconds(
+            F.unix_timestamp("o_orderdate") + _SHIFT
+        ).alias("o_ts"),
+        F.col("o_totalprice"),
+    )
+    joined = asof_join(e, o, on="user_id", left_ts="ts", right_ts="o_ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "o_orderkey",
+        F.date_format("o_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "order_ts"
+        ),
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+ORACLE_ASOF = f"""
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderkey,
+         to_timestamp(epoch(o_orderdate) + {_SHIFT}) AS o_ts, o_totalprice
+  FROM orders
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       o.o_orderkey,
+       strftime(o.o_ts, '%Y-%m-%d %H:%M:%S') AS order_ts,
+       round(o.o_totalprice, 2) AS totalprice
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.user_id AND e.ts >= o.o_ts
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based session windows per user (streaming/jobs.py session_windows
+    run in batch mode; oracle = gaps-and-islands SQL)."""
+    from carto_etl_spark.streaming.jobs import session_windows
+
+    e = load(spark, sf_dir, "events")
+    s = session_windows(e, gap="30 minutes", key_col="user_id")
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_running_total(spark, sf_dir):
+    """Running cumulative sum per customer (window frame surface)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+"""
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation (multi-level totals in one pass)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """Distinct set operations: big spenders vs high balances."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    spenders = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("key")
+    ).distinct()
+    rich = c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("key")
+    ).distinct()
+    return (
+        spenders.union(rich).distinct().select(F.lit("union").alias("op"), "key")
+        .unionByName(
+            spenders.intersect(rich).select(F.lit("intersect").alias("op"), "key")
+        )
+        .unionByName(
+            spenders.exceptAll(rich).select(F.lit("except").alias("op"), "key")
+        )
+    )
+
+
+ORACLE_SET_OPS = """
+WITH spenders AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_totalprice > 150000),
+     rich AS (SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal > 5000)
+SELECT 'union' AS op, key FROM (SELECT key FROM spenders UNION SELECT key FROM rich)
+UNION ALL
+SELECT 'intersect' AS op, key FROM (SELECT key FROM spenders INTERSECT SELECT key FROM rich)
+UNION ALL
+SELECT 'except' AS op, key FROM (SELECT key FROM spenders EXCEPT SELECT key FROM rich)
+"""
+
+
+def q_geocode_lookup(spark, sf_dir):
+    """Reference F7/D7: broadcast-lookup geocoding with 3-way status fan-out;
+    addresses synthesized from nation names (every 13th blank -> invalid,
+    every 7th unknown -> not_found)."""
+    from carto_etl_spark.operators.geocode import geocode_with_lookup
+
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    lookup = n.select(
+        F.col("n_name").alias("address"),
+        F.lit("xx").alias("country"),
+        (F.col("n_nationkey") % 360 - 180 + F.lit(0.5)).cast("double").alias("lon"),
+        (F.col("n_nationkey") % 120 - 60 + F.lit(0.5)).cast("double").alias("lat"),
+    )
+    src = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("c_custkey").alias("recid"),
+            F.when(F.col("c_custkey") % 13 == 0, F.lit(""))
+            .when(F.col("c_custkey") % 7 == 0, F.lit("UNKNOWN PLACE"))
+            .otherwise(F.col("n_name"))
+            .alias("searchtext"),
+            F.lit("xx").alias("country"),
+        )
+    )
+    out = geocode_with_lookup(src, lookup)
+    return out.select(
+        "recid", "status", "displaylongitude", "displaylatitude"
+    )
+
+
+ORACLE_GEOCODE = """
+WITH lookup AS (
+  SELECT lower(trim(n_name)) AS addr,
+         cast(n_nationkey % 360 - 180 + 0.5 AS double) AS lon,
+         cast(n_nationkey % 120 - 60 + 0.5 AS double) AS lat
+  FROM nation
+), src AS (
+  SELECT c_custkey AS recid,
+         CASE WHEN c_custkey % 13 = 0 THEN ''
+              WHEN c_custkey % 7 = 0 THEN 'UNKNOWN PLACE'
+              ELSE n_name END AS searchtext
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT recid,
+       CASE WHEN trim(searchtext) = '' THEN 'invalid'
+            WHEN l.addr IS NOT NULL THEN 'found'
+            ELSE 'not_found' END AS status,
+       l.lon AS displaylongitude,
+       l.lat AS displaylatitude
+FROM src LEFT JOIN lookup l
+  ON lower(trim(regexp_replace(src.searchtext, '\\s+', ' ', 'g'))) = l.addr
+"""
+
+
+def q_ingest_coercion(spark, sf_dir):
+    """The Tier-A ingest path itself under the oracle gate: lineitem cast to
+    CSV-like strings (comma decimals, %d/%m/%Y dates, blanks, coords), pushed
+    through UploadJob.coerced_df — type inference, locale floats, dual-format
+    dates, geometry, NULL rules."""
+    from carto_etl_spark.operators.jobs import UploadJob
+
+    li = load(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_orderkey").cast("string").alias("okey"),
+        F.col("l_linenumber").cast("string").alias("line"),
+        F.when(F.col("l_linenumber") == 7, F.lit("")).otherwise(
+            F.replace(F.col("l_quantity").cast("string"), F.lit("."), F.lit(","))
+        ).alias("qty"),
+        F.date_format("l_shipdate", "dd/MM/yyyy HH:mm:ss").alias("ship"),
+        (F.col("l_orderkey") % 400 - 200 + F.lit(0.5)).cast("string").alias("lon"),
+        (F.col("l_orderkey") % 160 - 80 + F.lit(0.5)).cast("string").alias("lat"),
+    )
+    cfg = JobConfig.from_kwargs(
+        columns="okey,line,qty,ship",
+        date_columns="ship",
+        date_format="%d/%m/%Y",
+        datetime_format="%d/%m/%Y %H:%M:%S",
+        float_comma_separator=",",
+        x_column="lon",
+        y_column="lat",
+    )
+    job = UploadJob(src, spark=spark, config=cfg)
+    out = job.coerced_df(job.source_df())
+    return out.select(
+        F.col("the_geom.x").alias("geom_x"),
+        F.col("the_geom.y").alias("geom_y"),
+        "okey",
+        "line",
+        "qty",
+        F.date_format("ship", "yyyy-MM-dd HH:mm:ss").alias("ship_parsed"),
+    )
+
+
+ORACLE_INGEST = """
+WITH src AS (
+  SELECT cast(l_orderkey AS double) AS okey,
+         cast(l_linenumber AS double) AS line,
+         CASE WHEN l_linenumber = 7 THEN NULL ELSE l_quantity END AS qty,
+         strftime(l_shipdate, '%d/%m/%Y %H:%M:%S') AS ship,
+         cast(l_orderkey % 400 - 200 + 0.5 AS double) AS lon,
+         cast(l_orderkey % 160 - 80 + 0.5 AS double) AS lat
+  FROM lineitem
+)
+SELECT CASE WHEN abs(lon) <= 180 AND abs(lat) <= 90 THEN lon END AS geom_x,
+       CASE WHEN abs(lon) <= 180 AND abs(lat) <= 90 THEN lat END AS geom_y,
+       okey, line, qty,
+       strftime(coalesce(try_strptime(ship, '%d/%m/%Y %H:%M:%S'),
+                         try_strptime(ship, '%d/%m/%Y')),
+                '%Y-%m-%d %H:%M:%S') AS ship_parsed
+FROM src
+"""
+
+
+# ---------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only checks: xxhash64-based sketches,
 # LSH buckets with engine-side hyperplanes)
 # ---------------------------------------------------------------------------
@@ -792,6 +1079,13 @@ QUERIES = {
     "shingle_fingerprint": q_shingle_fingerprint,
     "cosine_topk": q_cosine_topk,
     "events_window": q_events_window,
+    "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
+    "running_total": q_running_total,
+    "rollup_revenue": q_rollup_revenue,
+    "set_ops": q_set_ops,
+    "geocode_lookup": q_geocode_lookup,
+    "ingest_coercion": q_ingest_coercion,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
@@ -822,6 +1116,13 @@ ORACLES = {
     "shingle_fingerprint": ORACLE_SHINGLE_FP,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "events_window": ORACLE_EVENTS_WINDOW,
+    "asof_join": ORACLE_ASOF,
+    "sessionize": ORACLE_SESSIONIZE,
+    "running_total": ORACLE_RUNNING_TOTAL,
+    "rollup_revenue": ORACLE_ROLLUP,
+    "set_ops": ORACLE_SET_OPS,
+    "geocode_lookup": ORACLE_GEOCODE,
+    "ingest_coercion": ORACLE_INGEST,
     # minhash_dedup / simhash_pairs / ann_topk / embedding_near_dup /
     # multimodal_features: xxhash64- or stub-based -> rows-only checks.
 }
