@@ -136,6 +136,60 @@ def ann_topk(
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantization via KMeans
+# ---------------------------------------------------------------------------
+
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    out_col: str = "ivf_list",
+):
+    """Build an IVF index: KMeans coarse quantizer assigns every vector to a
+    list (cluster).  Returns (indexed_df, centers).  At scale you persist the
+    indexed table partitioned by ``ivf_list`` so a probe-limited query prunes
+    entire files; the quantizer trains on a sample, not the full corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = df.withColumn(
+        "__vec", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="__vec").fit(with_vec)
+    indexed = (
+        model.transform(with_vec)
+        .withColumnRenamed("prediction", out_col)
+        .drop("__vec")
+    )
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    return indexed, centers
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centers: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+) -> DataFrame:
+    """Probe-limited cosine top-k: score only the ``nprobe`` lists whose
+    centroids are closest to the query (driver-side picks probes over the
+    tiny centroid table; executors scan only matching lists)."""
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probes = sorted(range(len(centers)), key=lambda i: l2(centers[i], query_vec))[
+        :nprobe
+    ]
+    candidates = indexed.filter(F.col(list_col).isin(probes))
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1024,6 +1024,16 @@ def q_ann_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-partitioned approximate top-5 for vec_id=0 (coarse KMeans
+    quantizer + probe-limited scan; the file-pruning ANN scale path)."""
+    e = load(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    indexed, centers = sim.ivf_index(e, n_lists=8)
+    out = sim.ivf_topk(indexed, centers, [float(v) for v in query], k=5, nprobe=3)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via LSH bucket join."""
     e = load(spark, sf_dir, "embeddings")
@@ -1089,6 +1099,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
 }

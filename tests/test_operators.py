@@ -147,6 +147,20 @@ def test_ann_topk_contains_query_direction(vectors):
     assert out and out[0]["vec_id"] in (0, 1)
 
 
+def test_ivf_topk_finds_query_direction(spark):
+    import math
+    rows = []
+    for i in range(60):
+        angle = (i % 12) * math.pi / 6
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.0, 0.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    indexed, centers = sim.ivf_index(df, n_lists=4)
+    out = sim.ivf_topk(indexed, centers, [1.0, 0.0, 0.0, 0.0], k=3, nprobe=2)
+    top = out.collect()
+    assert top and top[0]["cosine"] == pytest.approx(1.0)
+    assert top[0]["vec_id"] % 12 == 0  # an exact-direction vector wins
+
+
 def test_embedding_near_dup(vectors):
     pairs = sim.embedding_near_dup_pairs(vectors, threshold=0.95).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
