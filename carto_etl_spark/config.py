@@ -78,6 +78,10 @@ class JobConfig:
     #: reproduce the reference's `coord or None` quirk where a 0.0 coordinate
     #: yields a NULL geometry (etl/etl.py:258) — off by default, it is a bug.
     compat_zero_coord_is_null: bool = False
+    #: optional declared column types ("qty:double,when:timestamp,name:string")
+    #: — skips the type-inference scan entirely (the reference has no declared
+    #: schema; this is the engine's fast path for known feeds).
+    column_types: str | None = None
 
     extras: dict[str, Any] = field(default_factory=dict)
 
@@ -115,6 +119,17 @@ class JobConfig:
         if not self.date_columns:
             return []
         return [c for c in self.date_columns.split(",") if c]
+
+    @property
+    def column_types_map(self) -> dict[str, str]:
+        if not self.column_types:
+            return {}
+        out: dict[str, str] = {}
+        for part in self.column_types.replace(" ", "").split(","):
+            if part:
+                name, _, typ = part.partition(":")
+                out[name.lower()] = typ or "string"
+        return out
 
     def is_date_column(self, column: str | None) -> bool:
         """Membership test as the reference defines it (etl/etl.py:219-220)."""

@@ -130,18 +130,23 @@ class UploadJob:
         ``infer_float_columns``); everything else stays string.
         """
         cols = self.projected_columns(df)
-        float_cols = infer_float_columns(
-            df,
-            [c for c in cols if not self.cfg.is_date_column(c) and c in df.columns],
-            self.cfg,
-        )
+        declared = self.cfg.column_types_map
+        if declared:
+            # declared schema: no inference scan (the engine fast path)
+            float_cols = {c for c, t in declared.items() if t == "double"}
+        else:
+            float_cols = infer_float_columns(
+                df,
+                [c for c in cols if not self.cfg.is_date_column(c) and c in df.columns],
+                self.cfg,
+            )
         exprs = []
         if include_geom:
             exprs.append(geom_expr(df, self.cfg))
         for c in cols:
             if c not in df.columns:
                 exprs.append(F.lit(None).cast("string").alias(c))
-            elif self.cfg.is_date_column(c):
+            elif self.cfg.is_date_column(c) or declared.get(c) == "timestamp":
                 exprs.append(
                     timestamp_expr(
                         F.col(c), self.cfg.datetime_format, self.cfg.date_format

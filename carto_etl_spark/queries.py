@@ -979,6 +979,86 @@ FROM src
 """
 
 
+def q_json_extract(spark, sf_dir):
+    """Semi-structured surface: JSON property extraction from events.props
+    (Spark get_json_object stays JVM-side)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type, count(*) AS n,
+       sum(cast(json_extract(props, '$.k') AS int)) AS sum_k,
+       round(avg(cast(json_extract(props, '$.k') AS int)), 4) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation) per group."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_above_customer_avg(spark, sf_dir):
+    """Orders above their customer's average price (decorrelated-subquery
+    shape via window).
+
+    Cross-engine FP hygiene: a rounded *average* of cent-values can land
+    exactly on a rounding boundary (x.xxx75) where Spark and DuckDB round
+    binary doubles differently — so the output carries the exact-cents SUM
+    (always clean at 2 decimals), and the filter uses a 1e-6 margin so
+    boundary rows resolve identically in both engines."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_sum", F.sum("o_totalprice").over(w))
+        .withColumn("cust_n", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("o_totalprice") > F.col("cust_sum") / F.col("cust_n") + 1e-6
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("cust_sum", 2).alias("cust_total"),
+            F.col("cust_n").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_ABOVE_AVG = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 2) AS totalprice,
+       round(cust_sum, 2) AS cust_total,
+       cust_n AS n_orders
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         sum(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_sum,
+         count(*) OVER (PARTITION BY o_custkey) AS cust_n
+  FROM orders
+) WHERE o_totalprice > cust_sum / cust_n + 1e-6
+"""
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only checks: xxhash64-based sketches,
 # LSH buckets with engine-side hyperplanes)
@@ -1096,6 +1176,9 @@ QUERIES = {
     "set_ops": q_set_ops,
     "geocode_lookup": q_geocode_lookup,
     "ingest_coercion": q_ingest_coercion,
+    "json_extract": q_json_extract,
+    "percentiles": q_percentiles,
+    "above_customer_avg": q_above_customer_avg,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
@@ -1134,6 +1217,9 @@ ORACLES = {
     "set_ops": ORACLE_SET_OPS,
     "geocode_lookup": ORACLE_GEOCODE,
     "ingest_coercion": ORACLE_INGEST,
+    "json_extract": ORACLE_JSON,
+    "percentiles": ORACLE_PERCENTILES,
+    "above_customer_avg": ORACLE_ABOVE_AVG,
     # minhash_dedup / simhash_pairs / ann_topk / embedding_near_dup /
     # multimodal_features: xxhash64- or stub-based -> rows-only checks.
 }

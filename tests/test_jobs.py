@@ -154,6 +154,21 @@ def test_insert_dataframe_source(spark, tmp_path):
     assert row["the_geom"]["x"] == 1.0
 
 
+def test_declared_column_types_skip_inference(spark, tmp_path):
+    # "1.5" would infer double; declaring it string must win (and no
+    # inference aggregate runs — the engine fast path for known feeds)
+    df = spark.createDataFrame([("1.5", "2")], ["a", "b"])
+    target = TargetTable(spark, tmp_path / "tdecl")
+    InsertJob(
+        df, spark=spark, target=target, columns="a,b",
+        column_types="a:string,b:double", force_no_geometry="true",
+    ).run()
+    types = dict(target.read().dtypes)
+    assert types["a"] == "string" and types["b"] == "double"
+    row = target.read().first()
+    assert row["a"] == "1.5" and row["b"] == 2.0
+
+
 def test_failed_batch_raises_and_dead_letters(spark, sample_csv, tmp_path):
     class BrokenTarget(TargetTable):
         def append(self, df):
