@@ -4,8 +4,13 @@ with a DuckDB-runnable ANSI-SQL oracle where the semantics are SQL-expressible.
 
 Conventions (driver compare is column-name-sorted value hashing):
 - every computed column is aliased identically in Spark and SQL;
-- floating aggregates are rounded (sums:2, averages:4, ratios/cosines:6) so
-  accumulation-order FP noise cannot flip the hash;
+- floating aggregates are rounded (sums of exact decimals: 2, ratios/cosines:
+  6) so accumulation-order FP noise cannot flip the hash;
+- NO rounded averages/interpolations of decimal values in hash outputs: when
+  the true value lands a '5' just past the rounding cut on an inexact double,
+  Spark (HALF_UP on the shortest decimal repr) and DuckDB (round on the
+  binary value) disagree — emit (sum, count) pairs or min/max instead, and
+  give threshold comparisons an epsilon margin;
 - timestamps are rendered to strings on both sides;
 - ordering only matters where a LIMIT exists, and is always made deterministic
   by a unique tie-break key on the *rounded* value.
@@ -57,8 +62,7 @@ def q_pricing_summary(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum("l_discount"), 2).alias("sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -70,8 +74,7 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(sum(l_discount), 2) AS sum_disc,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -178,7 +181,7 @@ def q_mktsegment_stats(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
         F.countDistinct("c_nationkey").alias("n_nations"),
     )
 
@@ -186,7 +189,7 @@ def q_mktsegment_stats(spark, sf_dir):
 ORACLE_MKTSEGMENT = """
 SELECT c_mktsegment,
        count(*) AS n_customers,
-       round(avg(c_acctbal), 4) AS avg_acctbal,
+       round(sum(c_acctbal), 2) AS sum_acctbal,
        count(DISTINCT c_nationkey) AS n_nations
 FROM customer GROUP BY c_mktsegment
 """
@@ -439,9 +442,9 @@ def q_overview_grid(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_features"),
-            F.round(F.avg(lon), 6).alias("centroid_x"),
-            F.round(F.avg(lat), 6).alias("centroid_y"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            F.round(F.sum(lon), 1).alias("sum_x"),
+            F.round(F.sum(lat), 1).alias("sum_y"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
         )
     )
 
@@ -456,9 +459,9 @@ WITH pts AS (
 SELECT cast(least(greatest(floor((lon + 180) / 360 * 16), 0), 15) AS bigint) AS tile_x,
        cast(least(greatest(floor((1 - ln(tan(radians(lat)) + 1 / cos(radians(lat))) / pi()) / 2 * 16), 0), 15) AS bigint) AS tile_y,
        count(*) AS n_features,
-       round(avg(lon), 6) AS centroid_x,
-       round(avg(lat), 6) AS centroid_y,
-       round(avg(c_acctbal), 4) AS avg_acctbal
+       round(sum(lon), 1) AS sum_x,
+       round(sum(lat), 1) AS sum_y,
+       round(sum(c_acctbal), 2) AS sum_acctbal
 FROM pts GROUP BY 1, 2
 """
 
@@ -678,7 +681,7 @@ def q_events_window(spark, sf_dir):
         bucket.alias("window_start"), F.col("event_type")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
     )
 
 
@@ -687,7 +690,7 @@ SELECT strftime(to_timestamp(cast(floor(epoch(ts) / 300) * 300 AS bigint)),
                 '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       round(avg(value), 4) AS avg_value
+       round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -987,14 +990,16 @@ def q_json_extract(spark, sf_dir):
     return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("k").alias("sum_k"),
-        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
     )
 
 
 ORACLE_JSON = """
 SELECT event_type, count(*) AS n,
        sum(cast(json_extract(props, '$.k') AS int)) AS sum_k,
-       round(avg(cast(json_extract(props, '$.k') AS int)), 4) AS avg_k
+       min(cast(json_extract(props, '$.k') AS int)) AS min_k,
+       max(cast(json_extract(props, '$.k') AS int)) AS max_k
 FROM events GROUP BY event_type
 """
 
