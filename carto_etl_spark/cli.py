@@ -1,0 +1,118 @@
+"""CLI driver with the reference's operating model: an ``etl.conf``
+(same sections/keys as /root/reference/etl.conf.example, flattened exactly
+like the samples' ``flatten()`` helper, sample01/run_etl.py:40-47) plus an
+action verb.
+
+    python -m carto_etl_spark.cli insert --conf etl.conf --csv data.csv --target /data/mytable
+    python -m carto_etl_spark.cli update --conf etl.conf --csv upd.csv --target /data/mytable --id-column a
+    python -m carto_etl_spark.cli delete --conf etl.conf --csv del.csv --target /data/mytable --id-column a
+    python -m carto_etl_spark.cli overviews --target /data/mytable --max-zoom 8
+
+A reference user keeps their conf file; ``base_url``/``api_key`` are accepted
+and ignored (the engine executes locally on Spark instead of POSTing to the
+CARTO SQL API), and the target is a parquet table path."""
+
+from __future__ import annotations
+
+import argparse
+import configparser
+import logging
+import sys
+import time
+
+from carto_etl_spark.operators.jobs import (
+    DeleteJob,
+    InsertJob,
+    TargetTable,
+    UpdateJob,
+)
+from carto_etl_spark.session import get_spark
+
+logger = logging.getLogger("carto-etl-spark")
+
+
+def load_conf(path: str | None) -> dict:
+    """Flatten every section's keys into one kwargs dict (the samples'
+    ``flatten()``, later sections win like dict.update)."""
+    if not path:
+        return {}
+    parser = configparser.RawConfigParser()
+    parser.read(path)
+    kwargs: dict = {}
+    for section in parser.sections():
+        kwargs.update(dict(parser.items(section)))
+    return kwargs
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="carto_etl_spark")
+    p.add_argument("action", choices=["insert", "update", "delete", "overviews"])
+    p.add_argument("--conf", help="etl.conf path (reference format)")
+    p.add_argument("--csv", help="input CSV path")
+    p.add_argument("--target", required=True, help="parquet table path")
+    p.add_argument("--id-column", help="key column for update/delete")
+    p.add_argument("--start-chunk", type=int, default=1)
+    p.add_argument("--end-chunk", type=int, default=None)
+    p.add_argument("--max-zoom", type=int, default=8)
+    p.add_argument("--master", default=None, help="spark master override")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    kwargs = load_conf(args.conf)
+    # remote-API settings have no local meaning
+    for k in ("base_url", "api_key", "app_code", "app_id"):
+        kwargs.pop(k, None)
+
+    spark = get_spark(app_name=f"carto-etl-{args.action}", master=args.master)
+    target = TargetTable(spark, args.target)
+
+    def observer(event: dict) -> None:
+        logger.info("%s: %s", event["type"], event["msg"])
+
+    kwargs.setdefault("observer", observer)
+
+    if args.action == "overviews":
+        job = InsertJob(args.csv or "", spark=spark, target=target, **{
+            k: v for k, v in kwargs.items() if k != "observer"
+        })
+        job_id = job.regenerate_overviews(max_zoom=args.max_zoom)
+        while True:
+            status = job.check_job(job_id)
+            logger.info("overview job %s: %s", job_id, status["status"])
+            if status["status"] in ("done", "failed", "unknown"):
+                print(status)
+                return 0 if status["status"] == "done" else 1
+            time.sleep(1)
+
+    if not args.csv:
+        logger.error("--csv required for %s", args.action)
+        return 2
+    if args.action == "insert":
+        job = InsertJob(args.csv, spark=spark, target=target, **kwargs)
+        job.run(start_chunk=args.start_chunk, end_chunk=args.end_chunk)
+    elif args.action == "update":
+        if not args.id_column:
+            logger.error("--id-column required for update")
+            return 2
+        job = UpdateJob(
+            args.id_column, args.csv, spark=spark, target=target, **kwargs
+        )
+        job.run()
+    else:
+        if not args.id_column:
+            logger.error("--id-column required for delete")
+            return 2
+        job = DeleteJob(
+            args.id_column, args.csv, spark=spark, target=target, **kwargs
+        )
+        job.run(start_chunk=args.start_chunk, end_chunk=args.end_chunk)
+
+    print(f"{args.action} complete: {target.read().count()} rows in target")
+    return 0
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    raise SystemExit(main())

@@ -1,0 +1,65 @@
+"""CLI driver: the reference's operating model (etl.conf + action verb)."""
+
+from __future__ import annotations
+
+import pytest
+
+from carto_etl_spark.cli import load_conf, main
+
+CONF = """
+[carto]
+base_url=https://ignored.example.com/
+api_key=IGNORED
+table_name=obs
+delimiter=|
+columns=a,lat,lon,b
+x_column=lon
+y_column=lat
+srid=4326
+
+[etl]
+chunk_size=2
+max_attempts=3
+"""
+
+
+@pytest.fixture()
+def workspace(tmp_path, spark):
+    (tmp_path / "etl.conf").write_text(CONF)
+    (tmp_path / "data.csv").write_text(
+        "a|lat|lon|b\nr1|36.5|-4.9|uno\nr2|37.2|-5.1|dos\nr3|91|-4|tres\n"
+    )
+    (tmp_path / "del.csv").write_text("a\nr3\n")
+    return tmp_path
+
+
+def test_load_conf_flattens_sections(workspace):
+    kwargs = load_conf(str(workspace / "etl.conf"))
+    assert kwargs["table_name"] == "obs"
+    assert kwargs["chunk_size"] == "2"  # string; JobConfig coerces
+
+
+def test_cli_insert_then_delete(workspace, spark):
+    target = str(workspace / "target")
+    rc = main([
+        "insert", "--conf", str(workspace / "etl.conf"),
+        "--csv", str(workspace / "data.csv"), "--target", target,
+    ])
+    assert rc == 0
+    assert spark.read.parquet(target).count() == 3
+    rc = main([
+        "delete", "--conf", str(workspace / "etl.conf"),
+        "--csv", str(workspace / "del.csv"), "--target", target,
+        "--id-column", "a",
+    ])
+    assert rc == 0
+    assert {r["a"] for r in spark.read.parquet(target).collect()} == {"r1", "r2"}
+
+
+def test_cli_requires_id_column_for_update(workspace):
+    rc = main([
+        "update", "--conf", str(workspace / "etl.conf"),
+        "--csv", str(workspace / "data.csv"),
+        "--target", str(workspace / "t2"),
+    ])
+    assert rc == 2
