@@ -47,15 +47,28 @@ logger = logging.getLogger("carto-etl-spark")
 
 
 class TargetTable:
-    """A parquet-directory-backed table with append / full-rewrite operations.
+    """A parquet-directory-backed table with append / rewrite operations,
+    optionally hive-partitioned.
 
-    The rewrite (used by update/delete) writes to a sibling tmp dir and swaps,
-    because Spark cannot overwrite a path it is currently reading.  With a
-    transactional format (Delta/Iceberg) this becomes a real MERGE/DELETE."""
+    - Unpartitioned rewrite writes to a sibling tmp dir and swaps (Spark
+      cannot overwrite a path it is reading).
+    - Partitioned tables (``partition_by``) additionally support
+      ``overwrite_partitions``: dynamic partition overwrite replaces ONLY the
+      partitions present in the written DataFrame — the keyed update/delete
+      jobs use it to touch affected partitions instead of rewriting the
+      table, which is the difference between O(touched data) and O(100 TB).
+    - With a transactional format (Delta/Iceberg) this interface maps to real
+      MERGE/DELETE; the jobs are format-agnostic behind it."""
 
-    def __init__(self, spark: SparkSession, path: str | Path):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str | Path,
+        partition_by: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = Path(path)
+        self.partition_by = [c.lower() for c in (partition_by or [])]
 
     def exists(self) -> bool:
         return self.path.exists() and any(self.path.iterdir())
@@ -63,15 +76,51 @@ class TargetTable:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(str(self.path))
 
+    def read_partitions(self, values: list[tuple]) -> DataFrame:
+        """Read only the named partitions (partition-pruned scan)."""
+        df = self.read()
+        if not self.partition_by or not values:
+            return df
+        cond = None
+        for tup in values:
+            eq = None
+            for col, val in zip(self.partition_by, tup):
+                c = F.col(col) == F.lit(val)
+                eq = c if eq is None else (eq & c)
+            cond = eq if cond is None else (cond | eq)
+        return df.filter(cond)
+
+    def _writer(self, df: DataFrame):
+        w = df.write
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        return w
+
     def append(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(str(self.path))
+        self._writer(df).mode("append").parquet(str(self.path))
 
     def overwrite(self, df: DataFrame) -> None:
         tmp = self.path.with_name(f"{self.path.name}.tmp-{uuid.uuid4().hex[:8]}")
-        df.write.mode("overwrite").parquet(str(tmp))
+        self._writer(df).mode("overwrite").parquet(str(tmp))
         if self.path.exists():
             shutil.rmtree(self.path)
         tmp.rename(self.path)
+
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        """Replace only the partitions present in ``df`` (dynamic partition
+        overwrite); other partitions are untouched on disk."""
+        if not self.partition_by:
+            raise ValueError("overwrite_partitions requires partition_by")
+        current = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            self._writer(df).mode("overwrite").parquet(str(self.path))
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", current
+            )
 
 
 class UploadJob:
@@ -332,34 +381,62 @@ class UpdateJob(UploadJob):
             if c in upd_types and upd_types[c] != tgt_t:
                 updates = updates.withColumn(c, F.col(c).try_cast(tgt_t))
 
-        upd_key, tgt_key = _align_id(updates[idc], target_df, idc)
+        upd_key, _ = _align_id(updates[idc], target_df, idc)
         updates = updates.withColumn("__key", upd_key)
-        target_aug = target_df.withColumn("__key", tgt_key)
-
         set_cols = [
             c for c in self.projected_columns(df) if c != idc and c != "row_idx"
         ]
-        u = updates.alias("u")
-        t = target_aug.alias("t")
-        joined = t.join(
-            F.broadcast(u) if _is_small(updates) else u,
-            F.col("t.__key").eqNullSafe(F.col("u.__key")),
-            "left",
-        )
-        matched = F.col("u.__matched").isNotNull()
-        select_exprs = []
-        for c in target_df.columns:
-            if c == "the_geom" and "the_geom" in updates.columns:
-                select_exprs.append(
-                    F.when(matched, F.col("u.the_geom")).otherwise(F.col("t.the_geom")).alias(c)
+
+        def merge(tgt: DataFrame) -> DataFrame:
+            _, tgt_key = _align_id(updates[idc], tgt, idc)
+            t = tgt.withColumn("__key", tgt_key).alias("t")
+            u = updates.alias("u")
+            joined = t.join(
+                F.broadcast(u) if _is_small(updates) else u,
+                F.col("t.__key").eqNullSafe(F.col("u.__key")),
+                "left",
+            )
+            matched = F.col("u.__matched").isNotNull()
+            select_exprs = []
+            for c in tgt.columns:
+                if (c == "the_geom" and "the_geom" in updates.columns) or c in set_cols:
+                    select_exprs.append(
+                        F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                    )
+                else:
+                    select_exprs.append(F.col(f"t.{c}").alias(c))
+            return joined.select(*select_exprs)
+
+        if self.target.partition_by:
+            # partition-scoped rewrite: find partitions holding matched keys
+            # (column-pruned + semi-join scan), merge only those, dynamic
+            # overwrite leaves every other partition untouched on disk.
+            # Updating a partition column would move rows between partition
+            # dirs and leave stale copies — that is a delete+insert, not an
+            # update.
+            moved = set(self.target.partition_by) & set(set_cols)
+            if moved:
+                raise ValueError(
+                    f"cannot update partition column(s) {sorted(moved)}; "
+                    "delete + insert instead"
                 )
-            elif c in set_cols:
-                select_exprs.append(
-                    F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-                )
-            else:
-                select_exprs.append(F.col(f"t.{c}").alias(c))
-        result = joined.select(*select_exprs)
+            _, tgt_key = _align_id(updates[idc], target_df, idc)
+            affected = (
+                target_df.withColumn("__key", tgt_key)
+                .join(updates.select("__key").distinct(), "__key", "left_semi")
+                .select(*self.target.partition_by)
+                .distinct()
+                .collect()
+            )
+            if not affected:
+                return target_df
+            sub = self.target.read_partitions([tuple(r) for r in affected])
+            # materialize before overwriting the partitions being read
+            result = merge(sub).localCheckpoint(eager=True)
+            self.send(self.target.overwrite_partitions, result, 0)
+            return result
+
+        result = merge(target_df)
         self.send(self.target.overwrite, result, 0)
         return result
 
@@ -387,9 +464,54 @@ class DeleteJob(UploadJob):
         target_df = self.target.read()
         del_key, tgt_key = _align_id(df[idc], target_df, idc)
         doomed = df.select(del_key.alias("__key")).distinct()
+        doomed = F.broadcast(doomed) if _is_small(doomed) else doomed
+
+        if self.target.partition_by:
+            # partition-scoped delete: only partitions containing doomed keys
+            # are rewritten (anti-joined); the rest stay untouched on disk.
+            affected = (
+                target_df.withColumn("__key", tgt_key)
+                .join(doomed, "__key", "left_semi")
+                .select(*self.target.partition_by)
+                .distinct()
+                .collect()
+            )
+            if not affected:
+                return target_df
+            affected_tuples = [tuple(r) for r in affected]
+            sub = self.target.read_partitions(affected_tuples)
+            _, sub_key = _align_id(df[idc], sub, idc)
+            survivors = (
+                sub.withColumn("__key", sub_key)
+                .join(doomed, "__key", "left_anti")
+                .drop("__key")
+                .localCheckpoint(eager=True)
+            )
+            self.send(self.target.overwrite_partitions, survivors, 0)
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # output — a fully-deleted partition writes nothing and its old
+            # dir would survive; drop those dirs explicitly.
+            remaining = {
+                tuple(r)
+                for r in survivors.select(*self.target.partition_by)
+                .distinct()
+                .collect()
+            }
+            for tup in affected_tuples:
+                if tup not in remaining:
+                    part_dir = self.target.path.joinpath(
+                        *[
+                            f"{c}={v}"
+                            for c, v in zip(self.target.partition_by, tup)
+                        ]
+                    )
+                    if part_dir.exists():
+                        shutil.rmtree(part_dir)
+            return survivors
+
         survivors = (
             target_df.withColumn("__key", tgt_key)
-            .join(F.broadcast(doomed) if _is_small(doomed) else doomed, "__key", "left_anti")
+            .join(doomed, "__key", "left_anti")
             .drop("__key")
         )
         self.send(self.target.overwrite, survivors, 0)
