@@ -84,6 +84,62 @@ def fanout(geocoded: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+def geocode_with_client(
+    df: DataFrame,
+    client_factory,
+    address_col: str = "searchtext",
+    country_col: str = "country",
+    batch_size: int = 100,
+) -> DataFrame:
+    """Distributed external-geocoder pattern (reference D8's scale variant):
+    Arrow-batched ``mapInPandas`` calls a REST-style client from the
+    executors, ``batch_size`` addresses per call.
+
+    ``client_factory`` is a zero-arg callable returning an object with
+    ``geocode(list[(address, country)]) -> list[(lon, lat) | None]`` —
+    constructed PER PARTITION on the executor (connections are not
+    serializable).  Input columns pass through; adds
+    displaylongitude/displaylatitude/status like ``geocode_with_lookup``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("displaylongitude", T.DoubleType()),
+            T.StructField("displaylatitude", T.DoubleType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        client = client_factory()
+        for pdf in batches:
+            lons, lats, statuses = [], [], []
+            addrs = list(zip(pdf[address_col], pdf[country_col]))
+            results = []
+            for i in range(0, len(addrs), batch_size):
+                results.extend(client.geocode(addrs[i : i + batch_size]))
+            for (addr, _), res in zip(addrs, results):
+                if addr is None or str(addr).strip() == "":
+                    lons.append(None); lats.append(None); statuses.append("invalid")
+                elif res is None:
+                    lons.append(None); lats.append(None); statuses.append("not_found")
+                else:
+                    lon, lat = res
+                    ok = abs(lon) <= 180 and abs(lat) <= 90
+                    lons.append(lon if ok else None)
+                    lats.append(lat if ok else None)
+                    statuses.append("found" if ok else "not_found")
+            out = pdf.copy()
+            out["displaylongitude"] = pd.Series(lons, dtype="float64")
+            out["displaylatitude"] = pd.Series(lats, dtype="float64")
+            out["status"] = statuses
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 class CartoGeocodingJob:
     """Reference-shaped API (etl/geocoding.py:119-172): CSV of
     (recId, searchText, country) in, three-member zip out — but the geocode

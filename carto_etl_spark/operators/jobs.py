@@ -162,15 +162,31 @@ class UploadJob:
     def source_df(self) -> DataFrame:
         if isinstance(self.source, DataFrame):
             return normalize_headers(self.source)
-        return read_csv(self.spark, self.source, self.cfg)
+        fmt = str(self.cfg.extras.get("source_format", "csv")).lower()
+        if fmt == "csv":
+            return read_csv(self.spark, self.source, self.cfg)
+        if fmt in ("parquet", "json", "orc"):
+            # columnar/semi-structured feeds arrive typed; header
+            # normalization still applies (reference S2)
+            return normalize_headers(
+                self.spark.read.format(fmt).load(self.source)
+                if fmt != "json"
+                else self.spark.read.json(self.source)
+            )
+        raise ValueError(f"unsupported source_format: {fmt}")
 
     def projected_columns(self, df: DataFrame) -> list[str]:
         cols = [c.lower() for c in self.cfg.columns_list]
         if not cols:
-            cols = [c for c in df.columns]
+            cols = [c for c in df.columns if c not in ("row_idx", "chunk_id")]
         return cols
 
-    def coerced_df(self, df: DataFrame, include_geom: bool = True) -> DataFrame:
+    def coerced_df(
+        self,
+        df: DataFrame,
+        include_geom: bool = True,
+        passthrough: tuple[str, ...] = (),
+    ) -> DataFrame:
         """Project configured columns with typed coercion.
 
         Column typing (vs the reference's per-value dispatch): date columns
@@ -216,6 +232,7 @@ class UploadJob:
                     .otherwise(F.col(c))
                     .alias(c)
                 )
+        exprs += [F.col(c) for c in passthrough if c in df.columns]
         return df.select(*exprs)
 
     # -- retry-wrapped sink action (reference D4, etl/etl.py:273-293) -------
@@ -304,26 +321,37 @@ class InsertJob(UploadJob):
         total = df.count()
         self.notify("total_rows", total / int(self.cfg.chunk_size))
 
-        if needs_chunks:
-            out = self.coerced_df(df.drop("row_idx", "chunk_id"))
-        else:
-            out = self.coerced_df(df)
+        passthrough = ("chunk_id",) if needs_chunks else ()
+        out = self.coerced_df(df, passthrough=passthrough)
+
+        if self.target is not None and self.target.exists():
+            # schema drift guard: a later batch whose inference disagrees with
+            # the existing target (e.g. an all-numeric column gains a bad
+            # value) must not append a conflicting parquet schema — the
+            # target's types are authoritative, like the reference's
+            # pre-existing server table (README.md:107).
+            tgt_types = dict(self.target.read().dtypes)
+            out_types = dict(out.dtypes)
+            aligned = []
+            for c in out.columns:
+                if c in tgt_types and out_types[c] != tgt_types[c]:
+                    aligned.append(F.col(c).try_cast(tgt_types[c]).alias(c))
+                else:
+                    aligned.append(F.col(c))
+            out = out.select(*aligned)
 
         if self.target is not None:
             if per_chunk_writes:
                 chunk_ids = [
                     r[0]
-                    for r in df.select("chunk_id").distinct().orderBy("chunk_id").collect()
+                    for r in out.select("chunk_id").distinct().orderBy("chunk_id").collect()
                 ]
-                coerced = self.coerced_df(df).withColumn(
-                    "chunk_id", df["chunk_id"]
-                )
                 for i, cid in enumerate(chunk_ids):
-                    batch = coerced.filter(F.col("chunk_id") == cid).drop("chunk_id")
+                    batch = out.filter(F.col("chunk_id") == cid).drop("chunk_id")
                     self.send(self.target.append, batch, i)
             else:
-                self.send(self.target.append, out, 0)
-        return out
+                self.send(self.target.append, out.drop("chunk_id"), 0)
+        return out.drop("chunk_id")
 
 
 def _align_id(update_id: F.Column, target_df: DataFrame, id_column: str):

@@ -88,12 +88,14 @@ def windowed_counts(
     )
     return df.groupBy(win.alias("w"), F.col(key_col)).agg(
         F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     ).select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
         key_col,
         "n_events",
+        "sum_value",
         "avg_value",
     )
 

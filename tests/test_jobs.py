@@ -154,6 +154,32 @@ def test_insert_dataframe_source(spark, tmp_path):
     assert row["the_geom"]["x"] == 1.0
 
 
+def test_append_aligns_to_existing_target_schema(spark, tmp_path):
+    # batch 1: column n all-numeric -> double; batch 2 contains "bad" ->
+    # would infer string; append must align to the target's double (NULL for
+    # the bad cell), not write a conflicting parquet schema
+    target = TargetTable(spark, tmp_path / "drift")
+    b1 = spark.createDataFrame([("r1", "1.5")], ["a", "n"])
+    b2 = spark.createDataFrame([("r2", "bad"), ("r3", "2")], ["a", "n"])
+    InsertJob(b1, spark=spark, target=target, columns="a,n",
+              force_no_geometry="true").run()
+    InsertJob(b2, spark=spark, target=target, columns="a,n",
+              force_no_geometry="true").run()
+    rows = {r["a"]: r["n"] for r in target.read().collect()}
+    assert rows == {"r1": 1.5, "r2": None, "r3": 2.0}
+    assert dict(target.read().dtypes)["n"] == "double"
+
+
+def test_parquet_source_format(spark, tmp_path):
+    src = tmp_path / "psrc"
+    spark.createDataFrame([("x", 1.0)], ["A", "V"]).write.parquet(str(src))
+    target = TargetTable(spark, tmp_path / "ptgt")
+    InsertJob(str(src), spark=spark, target=target, columns="a,v",
+              source_format="parquet", force_no_geometry="true").run()
+    row = target.read().first()
+    assert row["a"] == "x" and row["v"] == 1.0
+
+
 def test_declared_column_types_skip_inference(spark, tmp_path):
     # "1.5" would infer double; declaring it string must win (and no
     # inference aggregate runs — the engine fast path for known feeds)

@@ -127,6 +127,30 @@ def test_carto_geocoding_job_zip(spark, lookup, tmp_path):
         assert out_lines[1].startswith("1,-3.7")
 
 
+def test_geocode_with_client_batched(spark):
+    from carto_etl_spark.operators.geocode import geocode_with_client
+
+    src = spark.createDataFrame(
+        [("1", "Calle Mayor 1", "es"), ("2", "Nope St", "es"), ("3", "", "us")],
+        ["recid", "searchtext", "country"],
+    )
+
+    def client_factory():
+        class FakeClient:
+            def geocode(self, pairs):
+                out = []
+                for addr, _ in pairs:
+                    out.append((-3.7, 40.4) if "mayor" in str(addr).lower() else None)
+                return out
+
+        return FakeClient()
+
+    out = {r["recid"]: r for r in geocode_with_client(src, client_factory, batch_size=2).collect()}
+    assert out["1"]["status"] == "found" and out["1"]["displaylongitude"] == -3.7
+    assert out["2"]["status"] == "not_found"
+    assert out["3"]["status"] == "invalid"
+
+
 def test_here_job_requires_transport(tmp_path):
     csv = tmp_path / "x.csv"
     csv.write_text("recId,searchText,country\n")
