@@ -149,6 +149,30 @@ def lang_id_expr(text: Column | str) -> Column:
     return best_lang
 
 
+_compression_udf = None
+
+
+def compression_ratio_expr(text: Column | str) -> Column:
+    """zlib compressed-size / raw-size (Gopher-style repetitiveness filter:
+    boilerplate and repeated text compresses far below ~0.4).  Arrow-batched
+    pandas UDF — stdlib zlib, deterministic; NULL for empty text."""
+    global _compression_udf
+    if _compression_udf is None:
+        import zlib
+
+        def ratio(s):
+            return s.map(
+                lambda t: (
+                    len(zlib.compress(t.encode("utf-8"))) / len(t.encode("utf-8"))
+                    if t
+                    else None
+                )
+            )
+
+        _compression_udf = F.pandas_udf(ratio, "double")
+    return _compression_udf(_col(text))
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting
 # ---------------------------------------------------------------------------

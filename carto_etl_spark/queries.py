@@ -982,6 +982,77 @@ FROM src
 """
 
 
+def q_cube_revenue(spark, sf_dir):
+    """CUBE aggregation: all grouping-set combinations in one pass."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """Correlated-min-subquery shape (TPC-H Q2 flavor): for each part, the
+    supplier(s) whose account balance equals the maximum among its
+    suppliers."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = load(spark, sf_dir, "supplier")
+    joined = li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+    w = Window.partitionBy("l_partkey")
+    return (
+        joined.withColumn("max_bal", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("max_bal"))
+        .select(
+            "l_partkey",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+ORACLE_MIN_COST = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT l_partkey, s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+FROM ps JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_acctbal = (
+  SELECT max(s2.s_acctbal) FROM ps ps2
+  JOIN supplier s2 ON ps2.l_suppkey = s2.s_suppkey
+  WHERE ps2.l_partkey = ps.l_partkey
+)
+"""
+
+
+def q_compression_ratio(spark, sf_dir):
+    """Gopher-style compression-ratio quality signal: zlib bytes-out /
+    bytes-in per document (Arrow-batched pandas UDF; stdlib zlib is
+    deterministic, but no SQL oracle -> rows-only check)."""
+    from carto_etl_spark.operators.text import compression_ratio_expr
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(compression_ratio_expr("text"), 6).alias("compression_ratio")
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured surface: JSON property extraction from events.props
     (Spark get_json_object stays JVM-side)."""
@@ -1184,6 +1255,9 @@ QUERIES = {
     "json_extract": q_json_extract,
     "percentiles": q_percentiles,
     "above_customer_avg": q_above_customer_avg,
+    "cube_revenue": q_cube_revenue,
+    "min_cost_supplier": q_min_cost_supplier,
+    "compression_ratio": q_compression_ratio,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
@@ -1225,6 +1299,9 @@ ORACLES = {
     "json_extract": ORACLE_JSON,
     "percentiles": ORACLE_PERCENTILES,
     "above_customer_avg": ORACLE_ABOVE_AVG,
+    "cube_revenue": ORACLE_CUBE,
+    "min_cost_supplier": ORACLE_MIN_COST,
+    # compression_ratio: zlib-based -> rows-only check
     # minhash_dedup / simhash_pairs / ann_topk / embedding_near_dup /
     # multimodal_features: xxhash64- or stub-based -> rows-only checks.
 }

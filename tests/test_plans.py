@@ -59,6 +59,22 @@ def test_delete_antijoin_pushes_status_filter(spark):
     assert "o_orderstatus" in pushed
 
 
+def test_read_partitions_prunes_at_partition_level(spark, tmp_path):
+    from carto_etl_spark.operators.jobs import TargetTable
+    from carto_etl_spark.plans.inspect import explain_str
+
+    t = TargetTable(spark, tmp_path / "pp", partition_by=["region"])
+    t.append(
+        spark.createDataFrame([("r1", "eu"), ("r2", "us")], ["id", "region"])
+    )
+    plan = explain_str(t.read_partitions([("eu",)]))
+    # the filter lands in PartitionFilters (directory pruning), not a
+    # post-scan row filter
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "region" in part_section
+
+
 def test_token_counts_prunes_documents(spark):
     df = QUERIES["token_counts"](spark, SF)
     cols = scan_columns(df)
