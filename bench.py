@@ -40,6 +40,13 @@ BENCH_QUERIES = [
     "sessionize",
     "running_total",
     "rollup_revenue",
+    "cube_revenue",
+    "percentiles",
+    "min_cost_supplier",
+    "json_extract",
+    "above_customer_avg",
+    "geocode_lookup",
+    "set_ops",
     "ingest_coercion",
     "simhash_pairs",
     "minhash_dedup",

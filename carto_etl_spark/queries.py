@@ -1200,6 +1200,19 @@ def q_embedding_near_dup(spark, sf_dir):
     return sim.embedding_near_dup_pairs(both, threshold=0.99)
 
 
+def q_approx_stats(spark, sf_dir):
+    """Sketch path for heavy stats at 100 TB: HLL distinct counts and
+    approximate percentiles (engine-specific sketches -> rows-only check;
+    the exact counterparts are oracle-checked in mktsegment_stats and
+    percentiles)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: documents' bytes as fake image payloads ->
     Arrow-batched decode (deterministic stub) -> feature rows."""
@@ -1262,6 +1275,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "approx_stats": q_approx_stats,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
 }
