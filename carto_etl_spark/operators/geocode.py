@@ -61,7 +61,7 @@ def geocode_with_lookup(
         F.coalesce(F.lower(F.trim(F.col("country"))), F.lit("")).alias("__ctry"),
         validated_lon(F.col("lon").cast("double")).alias("displaylongitude"),
         validated_lat(F.col("lat").cast("double")).alias("displaylatitude"),
-    )
+    ).dropDuplicates(["__addr", "__ctry"])  # dup lookup rows must not fan out
     joined = keyed.join(F.broadcast(lk), ["__addr", "__ctry"], "left")
     status = (
         F.when(F.col("__addr").isNull() | (F.col("__addr") == ""), "invalid")

@@ -154,6 +154,33 @@ def test_insert_dataframe_source(spark, tmp_path):
     assert row["the_geom"]["x"] == 1.0
 
 
+SAMPLE02 = (
+    "a,b,c,d,e,f,g,h,i\n"
+    "1,2,texto,2016-07-22,sábado,9.07,10,11,12\n"
+    "3,4,otro,2016-07-23,domingo,1.5,13,14,15\n"
+)
+
+
+def test_sample02_shape_no_geometry_unlisted_date(spark, tmp_path):
+    """SURVEY §5 / FIXTURES §3: comma UTF-8, force_no_geometry, ISO date NOT
+    in date_columns -> float parse fails -> stays a STRING column."""
+    p = tmp_path / "s02.csv"
+    p.write_text(SAMPLE02, encoding="utf-8")
+    target = TargetTable(spark, tmp_path / "t02")
+    InsertJob(
+        str(p), spark=spark, target=target,
+        columns="a,b,c,d,e,f,g,h,i", force_no_geometry="true",
+    ).run()
+    types = dict(target.read().dtypes)
+    assert types["d"] == "string"      # unlisted date stays string
+    assert types["a"] == "double"      # int -> double coercion
+    assert types["f"] == "double"
+    rows = {r["a"]: r for r in target.read().collect()}
+    assert rows[1.0]["d"] == "2016-07-22"
+    assert rows[1.0]["e"] == "sábado"  # UTF-8 survives
+    assert rows[1.0]["the_geom"] is None
+
+
 def test_append_aligns_to_existing_target_schema(spark, tmp_path):
     # batch 1: column n all-numeric -> double; batch 2 contains "bad" ->
     # would infer string; append must align to the target's double (NULL for
