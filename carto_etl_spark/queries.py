@@ -647,11 +647,19 @@ FROM (SELECT doc_id, {NORM_SQL} AS norm FROM documents)
 # ---------------------------------------------------------------------------
 
 def q_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-5 neighbors of vec_id=0 (ANN baseline)."""
+    """Brute-force cosine top-5 neighbors of vec_id=0 (ANN baseline).
+
+    Ordering happens on the ROUNDED cosine (+ vec_id tie-break) exactly as
+    the oracle does, so a near-tie at the k boundary cannot select different
+    rows across engines."""
     e = load(spark, sf_dir, "embeddings")
-    query = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    scored = sim.cosine_topk(e, [float(v) for v in query], k=5)
-    return scored.select("vec_id", F.round("cosine", 6).alias("cosine"))
+    query = [float(v) for v in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    emb = F.col("embedding").cast("array<double>")
+    q = F.array(*[F.lit(v) for v in query])
+    scored = e.select(
+        "vec_id", F.round(sim.cosine_expr(emb, q), 6).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.col("vec_id")).limit(5)
 
 
 ORACLE_COSINE_TOPK = """
@@ -1200,6 +1208,17 @@ def q_embedding_near_dup(spark, sf_dir):
     return sim.embedding_near_dup_pairs(both, threshold=0.99)
 
 
+def q_quality_scores(spark, sf_dir):
+    """Composite document quality score (C4/Gopher-style blend of length,
+    word-shape, stopword, punctuation components; engine-defined arithmetic
+    -> rows-only check; its individual components are oracle-checked in
+    text_quality)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(tx.quality_score_expr("text"), 6).alias("quality")
+    )
+
+
 def q_approx_stats(spark, sf_dir):
     """Sketch path for heavy stats at 100 TB: HLL distinct counts and
     approximate percentiles (engine-specific sketches -> rows-only check;
@@ -1276,6 +1295,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "approx_stats": q_approx_stats,
+    "quality_scores": q_quality_scores,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
 }
