@@ -1,0 +1,77 @@
+"""Edge-path coverage: per-chunk writes, update row ranges, SRID transform
+round-trip, strptime 12-hour formats, exact dedup variants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from carto_etl_spark.functions.coerce import strptime_to_spark, timestamp_expr
+from carto_etl_spark.functions.geom import point_struct, st_x, st_y, transform_point
+from carto_etl_spark.operators.dedup import exact_dedup
+from carto_etl_spark.operators.jobs import InsertJob, TargetTable, UpdateJob
+
+
+def test_insert_per_chunk_writes(spark, tmp_path):
+    df = spark.createDataFrame([(f"r{i}",) for i in range(25)], ["a"])
+    target = TargetTable(spark, tmp_path / "chunked")
+    events = []
+    InsertJob(
+        df, spark=spark, target=target, columns="a", chunk_size="10",
+        force_no_geometry="true", observer=lambda m: events.append(m),
+    ).run(per_chunk_writes=True)
+    assert target.read().count() == 25
+    # one progress event per chunk (25 rows / 10 -> 3 chunks)
+    assert [e["msg"] for e in events if e["type"] == "progress"] == ["1", "2", "3"]
+
+
+def test_update_row_range(spark, tmp_path):
+    base = spark.createDataFrame(
+        [("r1", "a"), ("r2", "b"), ("r3", "c")], ["id", "v"]
+    )
+    target = TargetTable(spark, tmp_path / "rr")
+    InsertJob(base, spark=spark, target=target, columns="id,v",
+              force_no_geometry="true").run()
+    upd = tmp_path / "u.csv"
+    # three update rows; only file row 2 (0-based row 1) should apply
+    upd.write_text("id,v\nr1,X1\nr2,X2\nr3,X3\n")
+    UpdateJob("id", str(upd), spark=spark, target=target, columns="id,v",
+              force_no_geometry="true").run(start_row=2, end_row=2)
+    rows = {r["id"]: r["v"] for r in target.read().collect()}
+    assert rows == {"r1": "a", "r2": "X2", "r3": "c"}
+
+
+def test_transform_point_roundtrip(spark):
+    df = spark.createDataFrame([(-3.7, 40.4)], ["lon", "lat"])
+    pt = point_struct(F.col("lon"), F.col("lat"), 4326)
+    merc = transform_point(pt, 4326, 3857)
+    back = transform_point(merc, 3857, 4326)
+    row = df.select(
+        st_x(merc).alias("mx"), st_y(merc).alias("my"),
+        st_x(back).alias("lon2"), st_y(back).alias("lat2"),
+    ).first()
+    # public web-mercator formula values for (-3.7, 40.4)
+    assert row["mx"] == pytest.approx(-411882.116, abs=0.01)
+    assert row["my"] == pytest.approx(4924240.587, abs=0.01)
+    assert row["lon2"] == pytest.approx(-3.7, abs=1e-9)
+    assert row["lat2"] == pytest.approx(40.4, abs=1e-9)
+
+
+def test_transform_point_unsupported_srid():
+    with pytest.raises(ValueError, match="unsupported SRID"):
+        transform_point(F.lit(None), 4326, 25830)
+
+
+def test_strptime_12_hour_clock(spark):
+    assert strptime_to_spark("%d/%m/%Y %I:%M %p") == "d/M/yyyy h:m a"
+    df = spark.createDataFrame([("01/09/2017 02:47 PM",)], ["d"])
+    ts = timestamp_expr(F.col("d"), "%d/%m/%Y %I:%M %p", "%d/%m/%Y")
+    assert str(df.select(ts.alias("t")).first()["t"]) == "2017-09-01 14:47:00"
+
+
+def test_exact_dedup_subset_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "p"), (2, "x", "q"), (3, "y", "p")], ["id", "k", "v"]
+    )
+    assert exact_dedup(df).count() == 3
+    assert exact_dedup(df, ["k"]).count() == 2
