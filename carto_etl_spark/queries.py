@@ -1208,6 +1208,21 @@ def q_embedding_near_dup(spark, sf_dir):
     return sim.embedding_near_dup_pairs(both, threshold=0.99)
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs over documents + planted near-copies
+    (verification-grade similarity; shuffle key = shingle)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker")).alias("text"),
+    )
+    both = d.unionByName(near)
+    pairs = dd.ngram_jaccard_pairs(both, "doc_id", "text", n=3, min_jaccard=0.6)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_quality_scores(spark, sf_dir):
     """Composite document quality score (C4/Gopher-style blend of length,
     word-shape, stopword, punctuation components; engine-defined arithmetic
@@ -1296,6 +1311,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "approx_stats": q_approx_stats,
     "quality_scores": q_quality_scores,
+    "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
 }

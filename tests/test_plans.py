@@ -59,6 +59,15 @@ def test_delete_antijoin_pushes_status_filter(spark):
     assert "o_orderstatus" in pushed
 
 
+def test_asof_join_bounded_shuffles(spark):
+    from carto_etl_spark.plans.inspect import shuffle_count
+
+    df = QUERIES["asof_join"](spark, SF)
+    # one shuffle for the key join + one for the per-row window pick; a
+    # regression to a cartesian or extra exchange fails here
+    assert shuffle_count(df) <= 3
+
+
 def test_read_partitions_prunes_at_partition_level(spark, tmp_path):
     from carto_etl_spark.operators.jobs import TargetTable
     from carto_etl_spark.plans.inspect import explain_str

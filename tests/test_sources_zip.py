@@ -30,3 +30,13 @@ def test_zip_member_csv(spark, tmp_path):
         (r["record"]["recId"], r["record"]["lat"]) for r in recs.collect()
     )
     assert rows == [("1", "40.4"), ("2", "41.0")]
+
+
+def test_zip_member_csv_ragged_rows(spark, tmp_path):
+    # short rows pad with NULL; long rows truncate to the header width
+    with zipfile.ZipFile(tmp_path / "g.zip", "w") as zf:
+        zf.writestr("j_out.txt", "a,b,c\n1,2\n3,4,5,6\n")
+    recs = zip_member_csv(spark, str(tmp_path / "g.zip"), "_out.txt")
+    by_a = {r["record"]["a"]: r["record"] for r in recs.collect()}
+    assert by_a["1"]["c"] is None
+    assert by_a["3"]["c"] == "5" and "d" not in by_a["3"]
