@@ -38,12 +38,19 @@ from carto_etl_spark.operators import text as tx
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS), which Spark's reader rejects
+    # unless nanos arrive as long. The conf is runtime-settable, and setting it
+    # here makes the catalog self-sufficient under any session (the driver
+    # harness builds its own plain session that lacks it).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # nanosecond-precision parquet timestamps arrive as long (see session.py
-    # nanosAsLong); convert to microsecond timestamps.
+    # nanosAsLong); convert to microsecond timestamps. Integer `div` keeps the
+    # conversion exact — bigint `/` promotes to double, and epoch-nanos exceed
+    # double's 53-bit exact range.
     for c, t in df.dtypes:
         if c == "ts" and t == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
@@ -473,8 +480,14 @@ def q_overview_rollup(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     lon = (F.col("c_custkey") % 360 - 180 + F.lit(0.5)).cast("double")
     lat = (F.col("c_custkey") % 160 - 80 + F.lit(0.5)).cast("double")
+    # Sum the money column as decimal(18,2): the two-level (z4 -> z3) double
+    # sum accumulates in a different order than the oracle and can flip a digit
+    # past the rounding cut. Decimal arithmetic is exact, so the rollup is
+    # order-independent; the final cast back to double is exact too (the sums
+    # carry only 2 fractional digits).
     pts = c.select(
-        point_struct(lon, lat).alias("the_geom"), F.col("c_acctbal")
+        point_struct(lon, lat).alias("the_geom"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal"),
     )
     z4 = ov.base_overview(pts, 4, value_columns=["c_acctbal"])
     z3 = ov.rollup_overview(z4, value_columns=["c_acctbal"])
@@ -482,7 +495,7 @@ def q_overview_rollup(spark, sf_dir):
         "tile_x",
         "tile_y",
         "n_features",
-        F.round("sum_c_acctbal", 2).alias("sum_acctbal"),
+        F.col("sum_c_acctbal").cast("double").alias("sum_acctbal"),
     )
 
 
@@ -496,13 +509,13 @@ WITH pts AS (
   SELECT cast(least(greatest(floor((lon + 180) / 360 * 16), 0), 15) AS bigint) AS tile_x,
          cast(least(greatest(floor((1 - ln(tan(radians(lat)) + 1 / cos(radians(lat))) / pi()) / 2 * 16), 0), 15) AS bigint) AS tile_y,
          count(*) AS n_features,
-         sum(c_acctbal) AS sum_acctbal
+         sum(cast(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
   FROM pts GROUP BY 1, 2
 )
 SELECT cast(floor(tile_x / 2) AS bigint) AS tile_x,
        cast(floor(tile_y / 2) AS bigint) AS tile_y,
        sum(n_features) AS n_features,
-       round(sum(sum_acctbal), 2) AS sum_acctbal
+       cast(sum(sum_acctbal) AS double) AS sum_acctbal
 FROM z4 GROUP BY 1, 2
 """
 
