@@ -436,5 +436,9 @@ def ngram_jaccard_pairs(
         F.col("size_a") + F.col("size_b") - F.col("inter")
     )
     return inter.select(
-        "id_a", "id_b", jac.alias("jaccard")
+        "id_a",
+        "id_b",
+        F.col("inter"),
+        (F.col("size_a") + F.col("size_b") - F.col("inter")).alias("union_sz"),
+        jac.alias("jaccard"),
     ).filter(F.col("jaccard") >= min_jaccard)

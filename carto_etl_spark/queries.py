@@ -1231,33 +1231,124 @@ def q_ngram_jaccard(spark, sf_dir):
     )
     both = d.unionByName(near)
     pairs = dd.ngram_jaccard_pairs(both, "doc_id", "text", n=3, min_jaccard=0.6)
-    return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    # Emit the exact integer (intersection, union) pair instead of the rounded
+    # ratio: identical set arithmetic in any engine, so the hash compare is
+    # immune to FP rounding; jaccard = inter / union_sz for the reader. The
+    # threshold filter itself divides identical small ints on both engines, so
+    # boundary rows resolve identically.
+    return pairs.select("id_a", "id_b", "inter", "union_sz")
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH both_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' tail marker' AS text
+  FROM documents WHERE doc_id % 25 = 0
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x != '') AS t
+  FROM both_docs
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS g FROM sh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*) AS inter,
+       a.sz + b.sz - count(*) AS union_sz
+FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.6
+"""
 
 
 def q_quality_scores(spark, sf_dir):
     """Composite document quality score (C4/Gopher-style blend of length,
-    word-shape, stopword, punctuation components; engine-defined arithmetic
-    -> rows-only check; its individual components are oracle-checked in
-    text_quality)."""
+    word-shape, stopword, punctuation components).  Every component is plain
+    IEEE double arithmetic evaluated in the same order on both engines, so
+    the blend is oracle-checkable."""
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id", F.round(tx.quality_score_expr("text"), 6).alias("quality")
     )
 
 
+# Mirrors text.quality_score_expr term by term, in the same evaluation order,
+# so every intermediate double is bit-identical across engines.
+ORACLE_QUALITY_SCORES = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+  FROM documents
+), comps AS (
+  SELECT doc_id,
+         least(length(text) / 200.0, 1.0) AS length_score,
+         cast(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+           / cast(nullif(len(t), 0) AS DOUBLE) AS mwl,
+         coalesce(len(list_filter(t, x -> list_contains(STOPLIST, lower(x))))
+                  / cast(nullif(len(t), 0) AS DOUBLE), 0.0) AS stop_ratio,
+         coalesce(len(regexp_extract_all(text, '[.,;:!?]'))
+                  / cast(nullif(length(text), 0) AS DOUBLE), 0.0) AS punct_ratio
+  FROM toks
+)
+SELECT doc_id,
+       round(
+         least(length_score, 1.0) * 0.3
+         + (CASE WHEN mwl IS NULL THEN 0.0
+                 WHEN mwl >= 3 AND mwl <= 10 THEN 1.0
+                 ELSE 0.5 END) * 0.2
+         + (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE stop_ratio * 20.0 END) * 0.3
+         + (CASE WHEN punct_ratio <= 0.1 THEN 1.0
+                 ELSE greatest(0.0, 1.0 - (punct_ratio - 0.1) * 5.0) END) * 0.2,
+         6) AS quality
+FROM comps
+""".replace("STOPLIST", _STOPLIST_SQL)
+
+
 def q_approx_stats(spark, sf_dir):
     """Sketch path for heavy stats at 100 TB: HLL distinct counts and
-    approximate percentiles (engine-specific sketches -> rows-only check;
-    the exact counterparts are oracle-checked in mktsegment_stats and
-    percentiles)."""
+    approximate percentiles.  The raw sketch estimates are engine-specific,
+    so the catalog entry emits exact values plus booleans asserting the
+    sketch landed within tolerance (HLL: 5% relative error, approx median:
+    5% of the exact median) — deterministic on both engines while still
+    exercising the sketch aggregates."""
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
+    agg = o.groupBy("o_orderstatus").agg(
+        # rsd=0.01 so the 5% acceptance band is ~5 sigma (the default 0.05
+        # leaves it at 1 sigma, which flips on real data).
+        F.approx_count_distinct("o_custkey", 0.01).alias("__hll"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("__amed"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("__emed"),
         F.count(F.lit(1)).alias("n"),
     )
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        "exact_customers",
+        (
+            F.abs(F.col("__hll") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("__amed") - F.col("__emed")) <= 0.05 * F.abs(F.col("__emed"))
+        ).alias("approx_median_ok"),
+    )
+
+
+ORACLE_APPROX_STATS = """
+SELECT o_orderstatus,
+       count(*) AS n,
+       count(DISTINCT o_custkey) AS exact_customers,
+       true AS hll_ok,
+       true AS approx_median_ok
+FROM orders GROUP BY o_orderstatus
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1276,6 +1367,38 @@ def q_multimodal_features(spark, sf_dir):
             "feature_sum"
         ),
     )
+
+
+# The fake decoder derives every output from sha256(content): width/height
+# from digest bytes 0-1, an 8-dim float32 feature vector from bytes 2-9.
+# DuckDB's sha256() yields the same digest (hex), so the oracle re-derives
+# the bytes from hex pairs. The float32 terms are dyadic rationals whose
+# 8-term double sum is exact, so the left-associated sum matches Spark's
+# aggregate() fold bit for bit.
+ORACLE_MULTIMODAL = """
+WITH h AS (
+  SELECT doc_id AS media_id, sha256(text) AS d FROM documents
+), b AS (
+  SELECT media_id,
+         list_transform(range(0, 10),
+           i -> (strpos('0123456789abcdef', substr(d, cast(2*i+1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(d, cast(2*i+2 AS INT), 1)) - 1)) AS by
+  FROM h
+)
+SELECT media_id,
+       cast(64 + by[1] % 192 AS INT) AS width,
+       cast(64 + by[2] % 192 AS INT) AS height,
+       cast(3 AS INT) AS n_channels,
+       round(cast(cast(by[3] / 255.0 AS REAL) AS DOUBLE)
+           + cast(cast(by[4] / 255.0 AS REAL) AS DOUBLE)
+           + cast(cast(by[5] / 255.0 AS REAL) AS DOUBLE)
+           + cast(cast(by[6] / 255.0 AS REAL) AS DOUBLE)
+           + cast(cast(by[7] / 255.0 AS REAL) AS DOUBLE)
+           + cast(cast(by[8] / 255.0 AS REAL) AS DOUBLE)
+           + cast(cast(by[9] / 255.0 AS REAL) AS DOUBLE)
+           + cast(cast(by[10] / 255.0 AS REAL) AS DOUBLE), 6) AS feature_sum
+FROM b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1364,7 +1487,11 @@ ORACLES = {
     "above_customer_avg": ORACLE_ABOVE_AVG,
     "cube_revenue": ORACLE_CUBE,
     "min_cost_supplier": ORACLE_MIN_COST,
-    # compression_ratio: zlib-based -> rows-only check
-    # minhash_dedup / simhash_pairs / ann_topk / embedding_near_dup /
-    # multimodal_features: xxhash64- or stub-based -> rows-only checks.
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "quality_scores": ORACLE_QUALITY_SCORES,
+    "approx_stats": ORACLE_APPROX_STATS,
+    "multimodal_features": ORACLE_MULTIMODAL,
+    # compression_ratio: zlib-based -> rows-only check.
+    # minhash_dedup / simhash_pairs / ann_topk / ann_ivf /
+    # embedding_near_dup: xxhash64- or engine-side-LSH-based -> rows-only.
 }
