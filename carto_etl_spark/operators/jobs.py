@@ -100,11 +100,21 @@ class TargetTable:
         self._writer(df).mode("append").parquet(str(self.path))
 
     def overwrite(self, df: DataFrame) -> None:
-        tmp = self.path.with_name(f"{self.path.name}.tmp-{uuid.uuid4().hex[:8]}")
+        # Write to tmp, move the old table ASIDE (rename, not delete), swap
+        # tmp in, then drop the old copy. A crash mid-sequence leaves either
+        # the old or the new table reachable under a predictable name —
+        # rmtree-before-rename left a window with no table at all and the new
+        # data stranded under a random tmp name.
+        token = uuid.uuid4().hex[:8]
+        tmp = self.path.with_name(f"{self.path.name}.tmp-{token}")
         self._writer(df).mode("overwrite").parquet(str(tmp))
-        if self.path.exists():
-            shutil.rmtree(self.path)
+        old = self.path.with_name(f"{self.path.name}.old-{token}")
+        had_old = self.path.exists()
+        if had_old:
+            self.path.rename(old)
         tmp.rename(self.path)
+        if had_old:
+            shutil.rmtree(old)
 
     def overwrite_partitions(self, df: DataFrame) -> None:
         """Replace only the partitions present in ``df`` (dynamic partition
@@ -236,7 +246,13 @@ class UploadJob:
         return df.select(*exprs)
 
     # -- retry-wrapped sink action (reference D4, etl/etl.py:273-293) -------
-    def send(self, action, batch_df: DataFrame, batch_num: int) -> bool:
+    def send(
+        self,
+        action,
+        batch_df: DataFrame,
+        batch_num: int,
+        notify_progress: bool = True,
+    ) -> bool:
         for attempt in range(self.cfg.max_attempts):
             try:
                 action(batch_df)
@@ -245,7 +261,8 @@ class UploadJob:
                 self.notify("error", exc)
             else:
                 logger.info("Batch #%s: Success!", batch_num + 1)
-                self.notify("progress", batch_num + 1)
+                if notify_progress:
+                    self.notify("progress", batch_num + 1)
                 return True
         logger.error("Batch #%s: Failed!", batch_num + 1)
         self.notify("error", f"Failed {batch_num + 1}")
@@ -342,13 +359,28 @@ class InsertJob(UploadJob):
 
         if self.target is not None:
             if per_chunk_writes:
+                # Strict observer parity WITHOUT per-chunk Spark jobs: one
+                # aggregate computes the ordered chunk list, one
+                # range-partitioned write emits every chunk (chunk rows
+                # co-located, ~one output file per chunk), then the ordered
+                # per-chunk progress events fire. The previous form ran one
+                # sequential filtered write per chunk — with chunk_size 1000
+                # that is millions of jobs at 100 TB.
                 chunk_ids = [
                     r[0]
-                    for r in out.select("chunk_id").distinct().orderBy("chunk_id").collect()
+                    for r in out.groupBy("chunk_id")
+                    .agg(F.count(F.lit(1)))
+                    .orderBy("chunk_id")
+                    .collect()
                 ]
-                for i, cid in enumerate(chunk_ids):
-                    batch = out.filter(F.col("chunk_id") == cid).drop("chunk_id")
-                    self.send(self.target.append, batch, i)
+                batch = out.repartitionByRange(
+                    max(len(chunk_ids), 1), "chunk_id"
+                ).drop("chunk_id")
+                if self.send(
+                    self.target.append, batch, 0, notify_progress=False
+                ):
+                    for i in range(len(chunk_ids)):
+                        self.notify("progress", i + 1)
             else:
                 self.send(self.target.append, out.drop("chunk_id"), 0)
         return out.drop("chunk_id")
@@ -387,18 +419,25 @@ class UpdateJob(UploadJob):
         self.notify("total_rows", df.count())
         df = row_range_filter(df, start_row, end_row)
 
-        # last occurrence of each id wins
-        latest = df.groupBy(F.col(idc).alias("__id_raw")).agg(
+        target_df = self.target.read()
+
+        # Last occurrence of each id wins — dedup on the CAST join key, not
+        # the raw string: distinct raw ids that cast equal ('1' vs '1.0')
+        # address the same target row, and keeping both would fan out the
+        # merge join and duplicate the matched target row.
+        dedup_key, _ = _align_id(df[idc], target_df, idc)
+        keyed = df.withColumn("__dk", dedup_key)
+        latest = keyed.groupBy(F.col("__dk").alias("__id_key")).agg(
             F.max("row_idx").alias("row_idx")
         )
-        df = df.join(
+        df = keyed.join(
             latest,
-            (df[idc] == latest["__id_raw"]) & (df["row_idx"] == latest["row_idx"]),
+            keyed["__dk"].eqNullSafe(latest["__id_key"])
+            & (keyed["row_idx"] == latest["row_idx"]),
             "left_semi",
-        )
+        ).drop("__dk")
 
         updates = self.coerced_df(df).withColumn("__matched", F.lit(True))
-        target_df = self.target.read()
 
         # The target's schema is authoritative (the reference updates a
         # pre-existing server table, README.md:107): align update columns to
