@@ -42,6 +42,10 @@ def read_csv(
         .option("encoding", cfg.file_encoding)
         .option("maxCharsPerColumn", -1)
         .option("multiLine", False)
+        # RFC-4180 doubled-quote unescaping ("qu""ote" -> qu"ote), matching the
+        # reference's csv.DictReader (doublequote=True, no backslash escapes).
+        # Spark's default escape char is backslash, which leaves "" unparsed.
+        .option("escape", '"')
     )
     if schema is not None:
         reader = reader.schema(schema)

@@ -25,6 +25,42 @@ def test_insert_per_chunk_writes(spark, tmp_path):
     assert [e["msg"] for e in events if e["type"] == "progress"] == ["1", "2", "3"]
 
 
+def test_csv_rfc4180_quote_unescape(spark, tmp_path):
+    # The reference reads with csv.DictReader (doublequote=True, no backslash
+    # escapes): "qu""ote" -> qu"ote, backslashes literal.  Spark's default
+    # escape char is backslash, which leaves "" unparsed — read_csv overrides
+    # it (sources/csv.py).
+    from carto_etl_spark.sources.csv import read_csv
+
+    p = tmp_path / "q.csv"
+    p.write_text(
+        'id,name\n1,"qu""ote"\n2,"a,b"\n3,back\\slash\n4,"multi ""q"" uoted"\n'
+    )
+    rows = {r["id"]: r["name"] for r in read_csv(spark, str(p)).collect()}
+    assert rows == {
+        "1": 'qu"ote',
+        "2": "a,b",
+        "3": "back\\slash",
+        "4": 'multi "q" uoted',
+    }
+
+
+def test_update_dedup_on_cast_join_key(spark, tmp_path):
+    # Distinct raw ids that cast equal ('5' vs '5.0') address the same target
+    # row: last occurrence wins and the merge must not fan out the match.
+    base = spark.createDataFrame([("5", "orig"), ("6", "keep")], ["id", "v"])
+    target = TargetTable(spark, tmp_path / "ck")
+    InsertJob(base, spark=spark, target=target, columns="id,v",
+              force_no_geometry="true").run()
+    upd = tmp_path / "u2.csv"
+    upd.write_text("id,v\n5,first\n5.0,second\n")
+    UpdateJob("id", str(upd), spark=spark, target=target, columns="id,v",
+              force_no_geometry="true").run()
+    # 'id' is float-inferred at insert, so the target stores doubles
+    rows = sorted((r["id"], r["v"]) for r in target.read().collect())
+    assert rows == [(5.0, "second"), (6.0, "keep")]
+
+
 def test_update_row_range(spark, tmp_path):
     base = spark.createDataFrame(
         [("r1", "a"), ("r2", "b"), ("r3", "c")], ["id", "v"]
