@@ -201,6 +201,63 @@ def lsh_candidate_pairs(
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
+def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components over an undirected pair list (``id_a``/``id_b``)
+    as (node, root) where root = the component's minimum id.
+
+    Plain BFS-min propagation iterated to FIXPOINT: each round every node
+    takes the min label over itself and its neighbors; convergence is a
+    changed-label count of zero (labels only ever decrease, so the check is a
+    cheap ``new < old`` join).  Rounds needed = the max component diameter —
+    near-dup clusters are shallow, so this converges in a handful of rounds;
+    ``max_rounds`` bounds adversarial chains and a warning fires if the bound
+    is hit.  Each round touches only the (small) pair table, never the corpus.
+
+    Pointer-jumping alone is NOT correct here: min-parent pointers cannot
+    cross a "valley" (chain 2—5—1 leaves 2 rooted at itself), which is why
+    propagation goes along edges every round.
+    """
+    edges = _materialize(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    # seed: min over self + direct neighbors
+    labels = _materialize(
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("dst"), F.min("src")).alias("root"))
+    )
+    for _ in range(max_rounds):
+        neighbor_best = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("root").alias("nroot"))
+        )
+        improved = (
+            labels.join(neighbor_best, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("root"), F.coalesce(F.col("nroot"), F.col("root"))).alias(
+                    "root"
+                ),
+                (F.col("nroot") < F.col("root")).alias("__changed"),
+            )
+        )
+        improved = _materialize(improved)
+        changed = improved.filter(F.col("__changed")).count()
+        labels = improved.drop("__changed")
+        if changed == 0:
+            return labels
+    import logging
+
+    logging.getLogger("carto-etl-spark").warning(
+        "min_label_components: not converged after %d rounds; residual labels "
+        "may be non-minimal (component diameter exceeds the bound)",
+        max_rounds,
+    )
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
@@ -210,39 +267,24 @@ def minhash_dedup(
     bands: int = 16,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """Near-dedup: drop every document that LSH-pairs (est Jaccard >=
-    threshold) with a lower-id document.  Smallest id per duplicate cluster
-    survives (transitively, via iterated min-propagation over the pair graph
-    — duplicate clusters are tiny, so 3 rounds of the small pair table
-    converge; the big table is touched once by the final anti-join)."""
+    """Near-dedup: build LSH candidate pairs (est Jaccard >= threshold), take
+    connected components over the pair graph, and keep only each component's
+    minimum-id document.  Survivorship is TRANSITIVE: in a duplicate chain
+    a~b~c only a survives, even when c never directly pairs with a — the
+    component labels come from fixpoint min propagation
+    (``min_label_components``), so chains of any depth resolve to the true
+    minimum, deterministically.  The corpus is touched once by the final
+    anti-join; all iteration happens on the sketch-sized pair list."""
     sigs = with_minhash(df, text_col, num_hashes, shingle_words)
     pairs = _materialize(
-        lsh_candidate_pairs(sigs, id_col).filter(
+        lsh_candidate_pairs(sigs, id_col, bands=bands).filter(
             F.col("est_jaccard") >= threshold
         )
     )
-    # min-label propagation on the (small) pair list
-    labels = pairs.select(
-        F.col("id_b").alias("node"), F.col("id_a").alias("root")
-    ).groupBy("node").agg(F.min("root").alias("root"))
-    labels = _materialize(labels)
-    for _ in range(3):
-        better = (
-            labels.alias("l")
-            .join(
-                labels.alias("r"), F.col("l.root") == F.col("r.node"), "left"
-            )
-            .select(
-                F.col("l.node").alias("node"),
-                F.least(
-                    F.col("l.root"), F.coalesce(F.col("r.root"), F.col("l.root"))
-                ).alias("root"),
-            )
-        )
-        labels = _materialize(
-            better.groupBy("node").agg(F.min("root").alias("root"))
-        )
-    doomed = labels.select(F.col("node").alias(id_col)).distinct()
+    labels = min_label_components(pairs)
+    doomed = labels.filter(F.col("node") != F.col("root")).select(
+        F.col("node").alias(id_col)
+    )
     return df.join(doomed, id_col, "left_anti")
 
 

@@ -86,6 +86,38 @@ def test_minhash_dedup_removes_higher_id(docs):
     assert {3, 4, 5} <= ids
 
 
+def test_min_label_components_valley_and_deep_chain(spark):
+    # Valley: chain 2—5—1 — node 2 only pairs with a HIGHER id, yet it is not
+    # the component min; edge-propagation must pull 1 across the valley.
+    # Deep chain: ids laid out so the min takes 4 hops to reach the far end
+    # (2—6—4—1—3—5), which a fixed 3-round loop mislabels.
+    pairs = spark.createDataFrame(
+        [(2, 5), (1, 5), (2, 6), (4, 6), (1, 4), (1, 3), (3, 5)],
+        ["id_a", "id_b"],
+    )
+    labels = {r["node"]: r["root"] for r in dd.min_label_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+
+
+def test_minhash_dedup_transitive_chain(spark):
+    # 6-doc near-dup chain via sliding 30-word windows (stride 5): adjacent
+    # docs share ~25/35 words (J well above 0.45), docs further apart fall
+    # off.  Ids are shuffled along the chain so the min sits mid-chain and
+    # several nodes pair only with higher ids — only the true component
+    # minimum may survive, transitively.
+    words = [f"w{i:02d}" for i in range(60)]
+    chain_ids = [2, 6, 4, 1, 3, 5]
+    rows = [
+        (doc_id, " ".join(words[pos * 5: pos * 5 + 30]))
+        for pos, doc_id in enumerate(chain_ids)
+    ] + [(9, "completely unrelated text about catalyst shuffles and parquet")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # bands=32 -> 2-row bands: detection prob for adjacent J~0.7 is ~1-(1-.49)^32
+    out = dd.minhash_dedup(df, "doc_id", "text", threshold=0.45, num_hashes=64,
+                           bands=32)
+    assert {r["doc_id"] for r in out.collect()} == {1, 9}
+
+
 def test_simhash_near_pairs(spark):
     # 16-bit-block blocking guarantees detection for hamming <= 3; long docs
     # with a one-token change land within that (short docs can exceed it and
