@@ -108,9 +108,87 @@ def wkt_point(x: Column, y: Column) -> Column:
     )
 
 
+# -- WGS84 / UTM (Transverse Mercator, Krüger flattening series) ------------
+# Public formulas (Karney 2011 / the standard UTM series).  Third-order in
+# n = f/(2-f) ~ 1.68e-3: truncation error O(n^4) is sub-millimetre over a UTM
+# zone — far inside the 1e-6-degree (~0.1 m) contract.  All JVM column math:
+# the transform stays inside whole-stage codegen, no Python in the path.
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_TM_N = _WGS84_F / (2.0 - _WGS84_F)
+_TM_E = math.sqrt(_WGS84_F * (2.0 - _WGS84_F))  # eccentricity; = 2*sqrt(n)/(1+n)
+_TM_A = _WGS84_A / (1.0 + _TM_N) * (1.0 + _TM_N**2 / 4.0 + _TM_N**4 / 64.0)
+_TM_ALPHA = (
+    _TM_N / 2.0 - 2.0 * _TM_N**2 / 3.0 + 5.0 * _TM_N**3 / 16.0,
+    13.0 * _TM_N**2 / 48.0 - 3.0 * _TM_N**3 / 5.0,
+    61.0 * _TM_N**3 / 240.0,
+)
+_TM_BETA = (
+    _TM_N / 2.0 - 2.0 * _TM_N**2 / 3.0 + 37.0 * _TM_N**3 / 96.0,
+    _TM_N**2 / 48.0 + _TM_N**3 / 15.0,
+    17.0 * _TM_N**3 / 480.0,
+)
+_TM_DELTA = (
+    2.0 * _TM_N - 2.0 * _TM_N**2 / 3.0 - 2.0 * _TM_N**3,
+    7.0 * _TM_N**2 / 3.0 - 8.0 * _TM_N**3 / 5.0,
+    56.0 * _TM_N**3 / 15.0,
+)
+_UTM_K0 = 0.9996
+_UTM_FALSE_E = 500000.0
+_UTM_FALSE_N_SOUTH = 10000000.0
+
+
+def utm_srid_params(srid: int) -> tuple[int, bool] | None:
+    """(zone, is_northern) for WGS84 UTM EPSG codes 32601-60 / 32701-60."""
+    if 32601 <= srid <= 32660:
+        return srid - 32600, True
+    if 32701 <= srid <= 32760:
+        return srid - 32700, False
+    return None
+
+
+def _utm_forward(lon: Column, lat: Column, zone: int, northern: bool):
+    lam0 = math.radians(zone * 6 - 183)
+    phi = F.radians(lat)
+    lam = F.radians(lon) - F.lit(lam0)
+    sphi = F.sin(phi)
+    t = F.sinh(F.atanh(sphi) - _TM_E * F.atanh(F.lit(_TM_E) * sphi))
+    xi_p = F.atan2(t, F.cos(lam))
+    eta_p = F.atanh(F.sin(lam) / F.sqrt(t * t + 1.0))
+    xi, eta = xi_p, eta_p
+    for j, a in enumerate(_TM_ALPHA, start=1):
+        xi = xi + a * F.sin(2.0 * j * xi_p) * F.cosh(2.0 * j * eta_p)
+        eta = eta + a * F.cos(2.0 * j * xi_p) * F.sinh(2.0 * j * eta_p)
+    easting = F.lit(_UTM_FALSE_E) + _UTM_K0 * _TM_A * eta
+    northing = _UTM_K0 * _TM_A * xi + (
+        F.lit(0.0) if northern else F.lit(_UTM_FALSE_N_SOUTH)
+    )
+    return easting, northing
+
+
+def _utm_inverse(easting: Column, northing: Column, zone: int, northern: bool):
+    lam0 = math.radians(zone * 6 - 183)
+    false_n = 0.0 if northern else _UTM_FALSE_N_SOUTH
+    xi = (northing - F.lit(false_n)) / (_UTM_K0 * _TM_A)
+    eta = (easting - F.lit(_UTM_FALSE_E)) / (_UTM_K0 * _TM_A)
+    xi_p, eta_p = xi, eta
+    for j, b in enumerate(_TM_BETA, start=1):
+        xi_p = xi_p - b * F.sin(2.0 * j * xi) * F.cosh(2.0 * j * eta)
+        eta_p = eta_p - b * F.cos(2.0 * j * xi) * F.sinh(2.0 * j * eta)
+    chi = F.asin(F.sin(xi_p) / F.cosh(eta_p))
+    phi = chi
+    for j, d in enumerate(_TM_DELTA, start=1):
+        phi = phi + d * F.sin(2.0 * j * chi)
+    lon = F.degrees(F.lit(lam0) + F.atan2(F.sinh(eta_p), F.cos(xi_p)))
+    lat = F.degrees(phi)
+    return lon, lat
+
+
 def transform_point(geom: Column, from_srid: int, to_srid: int) -> Column:
-    """SRID transform as column arithmetic.  Supports the identity and the
-    web-mercator pair; anything else needs a proj library and raises.
+    """SRID transform as column arithmetic.  Supports the identity, the
+    web-mercator pair, every WGS84 UTM zone (EPSG 326xx/327xx, Krüger series
+    above), and any composition of those through 4326 (UTM<->UTM,
+    UTM<->3857).  Other SRIDs need a proj library + datum shift and raise.
 
     Spherical-mercator math (public formulas):
       3857: x = R*radians(lon); y = R*ln(tan(pi/4 + radians(lat)/2))
@@ -128,10 +206,73 @@ def transform_point(geom: Column, from_srid: int, to_srid: int) -> Column:
             F.atan(F.sinh(y / _EARTH_RADIUS))
         )
         return point_struct(lon, lat, WGS84)
+    utm_to = utm_srid_params(to_srid)
+    if from_srid == WGS84 and utm_to is not None:
+        e, n = _utm_forward(x, y, *utm_to)
+        return point_struct(e, n, to_srid)
+    utm_from = utm_srid_params(from_srid)
+    if utm_from is not None and to_srid == WGS84:
+        lon, lat = _utm_inverse(x, y, *utm_from)
+        return point_struct(lon, lat, WGS84)
+    if _transform_legs(from_srid, to_srid) is not None:
+        # Both legs exist, but Column-level composition re-embeds the full
+        # upstream expression tree at every coordinate reference (the series
+        # terms reference coords ~30x each; squared across legs that is an
+        # analysis-time blow-up).  The DataFrame API stages each leg in its
+        # own projection and stays flat.
+        raise ValueError(
+            f"SRID transform {from_srid}->{to_srid} needs an intermediate "
+            "4326 leg: use transform_geom(df, ...) which stages legs as "
+            "separate projections"
+        )
     raise ValueError(
         f"unsupported SRID transform {from_srid}->{to_srid}; "
-        "v1 supports 4326<->3857 (reference default is 4326, etl/etl.py:21)"
+        "supported: 4326, 3857, WGS84 UTM zones (EPSG 326xx/327xx) "
+        "(reference default is 4326, etl/etl.py:21; other SRIDs need a proj "
+        "library and a datum shift)"
     )
+
+
+def _supported_srid(srid: int) -> bool:
+    return srid in (WGS84, WEB_MERCATOR) or utm_srid_params(srid) is not None
+
+
+def _transform_legs(from_srid: int, to_srid: int) -> list[tuple[int, int]] | None:
+    """Single- or two-leg path between supported SRIDs, None if unsupported."""
+    if not (_supported_srid(from_srid) and _supported_srid(to_srid)):
+        return None
+    if from_srid == to_srid:
+        return []
+    if WGS84 in (from_srid, to_srid):
+        return [(from_srid, to_srid)]
+    return [(from_srid, WGS84), (WGS84, to_srid)]
+
+
+def transform_geom(
+    df: DataFrame,
+    geom_col: str,
+    from_srid: int,
+    to_srid: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """SRID transform as a DataFrame operation: each supported leg (at most
+    from->4326->to) runs in its OWN projection, so expression trees stay flat
+    no matter how the legs compose — Column-level nesting duplicates the whole
+    upstream tree per coordinate reference.  Catalyst collapses adjacent
+    projections at the physical level while subexpression elimination keeps
+    each leg's series terms shared."""
+    legs = _transform_legs(from_srid, to_srid)
+    if legs is None:
+        raise ValueError(
+            f"unsupported SRID transform {from_srid}->{to_srid}; "
+            "supported: 4326, 3857, WGS84 UTM zones (EPSG 326xx/327xx)"
+        )
+    out_col = out_col or geom_col
+    tmp = f"__xf_{out_col}"
+    out = df.withColumn(tmp, F.col(geom_col))
+    for a, b in legs:
+        out = out.withColumn(tmp, transform_point(F.col(tmp), a, b))
+    return out.withColumn(out_col, F.col(tmp)).drop(tmp)
 
 
 def geom_expr(df: DataFrame, cfg: JobConfig) -> Column:
@@ -147,8 +288,18 @@ def geom_expr(df: DataFrame, cfg: JobConfig) -> Column:
             "struct<x:double,y:double,srid:int>"
         ).alias("the_geom")
     zero = cfg.compat_zero_coord_is_null
-    lon = validated_lon(coord_expr(df, cfg, cfg.x_column), zero_is_null=zero)
-    lat = validated_lat(coord_expr(df, cfg, cfg.y_column), zero_is_null=zero)
+    lon = coord_expr(df, cfg, cfg.x_column)
+    lat = coord_expr(df, cfg, cfg.y_column)
+    if cfg.srid == WGS84:
+        # The +/-180/90 bounds are DEGREE semantics.  The reference applies
+        # them for every srid (etl/etl.py:238-250), which silently nulls all
+        # real projected coordinates (UTM eastings are ~10^5 m) — a bug, not
+        # a contract; projected inputs skip the degree bounds here.
+        lon = validated_lon(lon, zero_is_null=zero)
+        lat = validated_lat(lat, zero_is_null=zero)
+    elif zero:
+        lon = F.when(lon == 0.0, F.lit(None)).otherwise(lon)
+        lat = F.when(lat == 0.0, F.lit(None)).otherwise(lat)
     pt = point_struct(lon, lat, cfg.srid)
     if cfg.srid != WGS84:
         pt = F.when(

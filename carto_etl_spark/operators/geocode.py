@@ -170,9 +170,13 @@ class CartoGeocodingJob:
         stem = Path(self.csv_path).stem
 
         def to_csv(df: DataFrame, cols: list[str]) -> str:
+            # toLocalIterator streams one partition at a time to the driver —
+            # peak driver memory is one partition, not the whole bucket.  The
+            # single-file zip member is inherently driver-written; for outputs
+            # that don't fit a zip, write the buckets as parquet sinks.
             out = io.StringIO()
             out.write(",".join(cols) + "\n")
-            for row in df.select(*cols).collect():
+            for row in df.select(*cols).toLocalIterator():
                 out.write(
                     ",".join("" if v is None else str(v) for v in row) + "\n"
                 )
@@ -193,12 +197,86 @@ class CartoGeocodingJob:
         return zip_path
 
 
+class HereJobError(RuntimeError):
+    """Job-creation rejection carrying the service's Details message
+    (reference error path, etl/geocoding.py:72-73)."""
+
+
+def _strip_ns(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_here_job_xml(xml_text: str) -> dict:
+    """Parse a HERE batch-geocoder job XML response (the format the reference
+    consumes with lxml xpath, etl/geocoding.py:68-74,86-87).
+
+    Returns ``{"request_id": ..., "status": ...}`` (either may be None when
+    absent).  A response with no RequestId but a Details element is the
+    service's rejection shape — raises :class:`HereJobError` with the detail
+    text, mirroring the reference's error branch.  Namespace-insensitive
+    (stdlib ElementTree; responses may carry an ns prefix)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+    found: dict[str, str] = {}
+    for el in root.iter():
+        tag = _strip_ns(el.tag)
+        if tag in ("RequestId", "Status", "Details") and tag not in found:
+            found[tag] = (el.text or "").strip()
+    if "RequestId" not in found and "Details" in found:
+        raise HereJobError(found["Details"])
+    return {
+        "request_id": found.get("RequestId"),
+        "status": found.get("Status"),
+    }
+
+
+class XmlHttpTransport:
+    """The reference's real REST flow (etl/geocoding.py:44-116) minus the
+    socket: submit posts the CSV and parses RequestId/Status from the XML
+    response, status polls and parses Status, result fetches the zip bytes.
+
+    ``http`` is an injectable ``(method, url, params, data) -> bytes`` —
+    the only piece this environment cannot exercise.  Everything above it
+    (parameterization, XML parsing, error mapping) is real and golden-tested
+    against response fixtures."""
+
+    def __init__(self, http, base_url: str, app_id: str = "", app_code: str = "",
+                 indelim: str = "|", outdelim: str = "|",
+                 outcols: str = "displayLatitude,displayLongitude",
+                 max_results: int = 1):
+        self.http = http
+        self.base_url = base_url.rstrip("/") + "/"
+        self.auth = {"app_id": app_id, "app_code": app_code}
+        self.submit_params = {
+            "action": "run", "gen": 9, "header": True,
+            "indelim": indelim, "outdelim": outdelim, "outcols": outcols,
+            "outputCombined": False, "maxresults": max_results,
+        }
+
+    def submit(self, csv_bytes: bytes) -> str:
+        params = {**self.submit_params, **self.auth}
+        body = self.http("POST", self.base_url, params, csv_bytes)
+        parsed = parse_here_job_xml(body.decode("utf-8"))
+        return parsed["request_id"]
+
+    def status(self, request_id: str) -> str:
+        params = {"action": "status", **self.auth}
+        body = self.http("GET", self.base_url + request_id, params, None)
+        return parse_here_job_xml(body.decode("utf-8"))["status"]
+
+    def result(self, request_id: str) -> bytes:
+        return self.http("GET", self.base_url + request_id + "/all", self.auth, None)
+
+
 class HereGeocodingJob:
     """HERE batch-geocode orchestration shape (etl/geocoding.py:24-116):
     start/refresh/download against an injectable transport.  The real REST
     transport is not available in this environment; any object with
     ``submit(csv_bytes) -> request_id``, ``status(request_id) -> str`` and
-    ``result(request_id) -> bytes (zip)`` slots in."""
+    ``result(request_id) -> bytes (zip)`` slots in —
+    :class:`XmlHttpTransport` provides the reference's actual
+    parameterization + XML parsing over any HTTP callable."""
 
     def __init__(self, csv_path: str, email: str, transport=None, **kwargs):
         self.cfg = JobConfig.from_kwargs(**kwargs)

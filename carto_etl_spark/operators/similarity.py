@@ -146,18 +146,32 @@ def ivf_index(
     n_lists: int = 16,
     seed: int = 42,
     out_col: str = "ivf_list",
+    train_rows: int = 100_000,
 ):
     """Build an IVF index: KMeans coarse quantizer assigns every vector to a
     list (cluster).  Returns (indexed_df, centers).  At scale you persist the
     indexed table partitioned by ``ivf_list`` so a probe-limited query prunes
-    entire files; the quantizer trains on a sample, not the full corpus."""
+    entire files.
+
+    The quantizer trains on a bounded SAMPLE (~``train_rows`` rows, seeded
+    deterministic), never the full corpus — coarse centroids need only a
+    representative sample, and full-corpus KMeans iterations over 100 TB would
+    dwarf the indexing job itself.  Assignment (transform) still covers every
+    row in one pass."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     with_vec = df.withColumn(
         "__vec", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    model = KMeans(k=n_lists, seed=seed, featuresCol="__vec").fit(with_vec)
+    total = with_vec.count()
+    if total > train_rows:
+        # over-sample slightly so the bound is met with high probability
+        fraction = min(1.0, 1.25 * train_rows / total)
+        train = with_vec.sample(fraction=fraction, seed=seed).limit(train_rows)
+    else:
+        train = with_vec
+    model = KMeans(k=n_lists, seed=seed, featuresCol="__vec").fit(train)
     indexed = (
         model.transform(with_vec)
         .withColumnRenamed("prediction", out_col)

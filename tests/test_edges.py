@@ -94,8 +94,69 @@ def test_transform_point_roundtrip(spark):
 
 
 def test_transform_point_unsupported_srid():
+    # 25830 is ETRS89/UTM — a different datum, which needs a proj shift
     with pytest.raises(ValueError, match="unsupported SRID"):
         transform_point(F.lit(None), 4326, 25830)
+
+
+def test_utm_roundtrip_and_known_values(spark):
+    from carto_etl_spark.functions.geom import transform_geom
+
+    df = spark.createDataFrame(
+        [("berlin", 13.4050, 52.5200), ("cntower", -79.387139, 43.642567),
+         ("sydney", 151.2153, -33.8568), ("cm", 15.0, 60.0)],
+        ["name", "lon", "lat"],
+    )
+    cases = {"berlin": 32633, "cntower": 32617, "sydney": 32756, "cm": 32633}
+    for name, srid in cases.items():
+        pt = point_struct(F.col("lon"), F.col("lat"), 4326)
+        fwd = transform_point(pt, 4326, srid)
+        back = transform_point(fwd, srid, 4326)
+        r = df.filter(F.col("name") == name).select(
+            st_x(fwd).alias("E"), st_y(fwd).alias("N"),
+            st_x(back).alias("lon2"), st_y(back).alias("lat2"), "lon", "lat",
+        ).first()
+        assert r["lon2"] == pytest.approx(r["lon"], abs=1e-6)
+        assert r["lat2"] == pytest.approx(r["lat"], abs=1e-6)
+        if name == "cntower":
+            # published UTM for the CN Tower: zone 17N 630084 E, 4833438 N
+            assert r["E"] == pytest.approx(630084, abs=1.0)
+            assert r["N"] == pytest.approx(4833438, abs=1.0)
+        if name == "cm":
+            # points on the central meridian sit exactly on the false easting
+            assert r["E"] == pytest.approx(500000.0, abs=1e-3)
+
+    # cross-zone transform must go through the DataFrame API (flat plans)
+    with pytest.raises(ValueError, match="transform_geom"):
+        transform_point(F.lit(None), 32633, 32634)
+    staged = transform_geom(
+        df.select(point_struct(F.col("lon"), F.col("lat"), 4326).alias("g"), "name"),
+        "g", 4326, 32633, out_col="utm",
+    )
+    two_leg = transform_geom(staged, "utm", 32633, 32756, out_col="utm2")
+    r = two_leg.filter("name='sydney'").select(
+        st_x("utm2").alias("E"), st_y("utm2").alias("N")
+    ).first()
+    direct = df.filter("name='sydney'").select(
+        st_x(transform_point(point_struct(F.col("lon"), F.col("lat"), 4326),
+                             4326, 32756)).alias("E")
+    ).first()
+    # two-leg path accumulates series truncation twice; centimetre agreement
+    assert r["E"] == pytest.approx(direct["E"], abs=1e-2)
+
+
+def test_insert_job_utm_srid_config(spark, tmp_path):
+    # config srid accepted end-to-end: x/y given as UTM 33N metres, stored
+    # geometry arrives in 4326 (Berlin)
+    df = spark.createDataFrame(
+        [("1", "391779.26", "5820072.16")], ["id", "lon", "lat"]
+    )
+    target = TargetTable(spark, tmp_path / "utm")
+    InsertJob(df, spark=spark, target=target, columns="id", srid=32633).run()
+    g = target.read().select("the_geom").first()["the_geom"]
+    assert g["x"] == pytest.approx(13.4050, abs=1e-4)
+    assert g["y"] == pytest.approx(52.5200, abs=1e-4)
+    assert g["srid"] == 4326
 
 
 def test_strptime_12_hour_clock(spark):

@@ -193,6 +193,25 @@ def test_ivf_topk_finds_query_direction(spark):
     assert top[0]["vec_id"] % 12 == 0  # an exact-direction vector wins
 
 
+def test_ivf_index_trains_on_sample(spark):
+    # With train_rows below the corpus size the quantizer fits on a seeded
+    # sample; probe-limited top-k recall on an easy fixture must be unchanged.
+    import math
+    rows = []
+    for i in range(200):
+        angle = (i % 8) * math.pi / 4
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.0, 0.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    indexed, centers = sim.ivf_index(df, n_lists=4, train_rows=50)
+    assert len(centers) == 4
+    # every row still gets assigned
+    assert indexed.count() == 200
+    out = sim.ivf_topk(indexed, centers, [1.0, 0.0, 0.0, 0.0], k=3, nprobe=2)
+    top = out.collect()
+    assert top and top[0]["cosine"] == pytest.approx(1.0)
+    assert top[0]["vec_id"] % 8 == 0
+
+
 def test_embedding_near_dup(vectors):
     pairs = sim.embedding_near_dup_pairs(vectors, threshold=0.95).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}

@@ -151,6 +151,87 @@ def test_geocode_with_client_batched(spark):
     assert out["3"]["status"] == "invalid"
 
 
+CREATE_XML = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<ns2:SearchBatch xmlns:ns2="http://www.navteq.com/lbsp/Search-Batch/1">
+  <Response>
+    <MetaInfo>
+      <RequestId>E2bc948zBsMCG4QclFKCpExFj3hcxOxk</RequestId>
+    </MetaInfo>
+    <Status>accepted</Status>
+    <TotalCount>0</TotalCount>
+    <ValidCount>0</ValidCount>
+    <InvalidCount>0</InvalidCount>
+  </Response>
+</ns2:SearchBatch>
+"""
+
+STATUS_XML = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<ns2:SearchBatch xmlns:ns2="http://www.navteq.com/lbsp/Search-Batch/1">
+  <Response>
+    <MetaInfo>
+      <RequestId>E2bc948zBsMCG4QclFKCpExFj3hcxOxk</RequestId>
+    </MetaInfo>
+    <Status>completed</Status>
+    <TotalCount>3</TotalCount>
+    <ValidCount>3</ValidCount>
+    <InvalidCount>0</InvalidCount>
+  </Response>
+</ns2:SearchBatch>
+"""
+
+ERROR_XML = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<ns2:SearchBatch xmlns:ns2="http://www.navteq.com/lbsp/Search-Batch/1">
+  <Response>
+    <Details>Invalid part of the request: mailto missing</Details>
+  </Response>
+</ns2:SearchBatch>
+"""
+
+
+def test_parse_here_job_xml_goldens():
+    from carto_etl_spark.operators.geocode import HereJobError, parse_here_job_xml
+
+    created = parse_here_job_xml(CREATE_XML)
+    assert created == {
+        "request_id": "E2bc948zBsMCG4QclFKCpExFj3hcxOxk",
+        "status": "accepted",
+    }
+    assert parse_here_job_xml(STATUS_XML)["status"] == "completed"
+    with pytest.raises(HereJobError, match="mailto missing"):
+        parse_here_job_xml(ERROR_XML)
+
+
+def test_xml_http_transport_flow(tmp_path):
+    from carto_etl_spark.operators.geocode import XmlHttpTransport
+
+    calls = []
+
+    def fake_http(method, url, params, data):
+        calls.append((method, url, dict(params), data))
+        if method == "POST":
+            return CREATE_XML.encode()
+        if url.endswith("/all"):
+            return b"zipbytes"
+        return STATUS_XML.encode()
+
+    t = XmlHttpTransport(fake_http, "https://example.invalid/6.2/jobs",
+                         app_id="A", app_code="C")
+    rid = t.submit(b"recId|searchText|country\n")
+    assert rid == "E2bc948zBsMCG4QclFKCpExFj3hcxOxk"
+    assert t.status(rid) == "completed"
+    assert t.result(rid) == b"zipbytes"
+    # submit carried the reference's run-action parameterization + auth
+    m, url, params, data = calls[0]
+    assert (m, data) == ("POST", b"recId|searchText|country\n")
+    assert params["action"] == "run" and params["app_id"] == "A"
+    assert params["outputCombined"] is False
+    # status poll hit <base>/<request_id> with action=status
+    assert calls[1][1].endswith("/" + rid)
+    assert calls[1][2]["action"] == "status"
+    # result hit <base>/<request_id>/all
+    assert calls[2][1].endswith(rid + "/all")
+
+
 def test_here_job_requires_transport(tmp_path):
     csv = tmp_path / "x.csv"
     csv.write_text("recId,searchText,country\n")
