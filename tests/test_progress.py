@@ -6,11 +6,19 @@ from carto_etl_spark.operators.progress import ProgressReporter
 
 
 def test_progress_reporter_emits_stage_progress(spark):
+    # The reporter samples the status tracker on an interval; whether a poll
+    # lands inside the job window depends on scheduling, so retry the job a
+    # few times rather than assuming one pass is slow enough (under heavy CPU
+    # contention a single window can be missed).
     events = []
-    with ProgressReporter(spark, events.append, interval_s=0.05):
-        spark.range(20_000_000).selectExpr(
-            "sum(cast(id as double) * id)"
-        ).collect()
+    for _ in range(3):
+        events.clear()
+        with ProgressReporter(spark, events.append, interval_s=0.05):
+            spark.range(20_000_000).selectExpr(
+                "sum(cast(id as double) * id)"
+            ).collect()
+        if any(e["type"] == "progress" and "tasks" in e["msg"] for e in events):
+            break
     assert events, "no progress events captured"
     assert all(set(e) == {"type", "msg"} for e in events)
     assert any(e["type"] == "progress" and "tasks" in e["msg"] for e in events)
