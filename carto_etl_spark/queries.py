@@ -437,6 +437,82 @@ FROM pts
 """
 
 
+def q_utm_transform(spark, sf_dir):
+    """Reference F5 generalized: WGS84 -> UTM zone 33N forward transform
+    (Krüger series, functions/geom.py) over synthesized coords spanning
+    lon [9,21) x lat [-60,60).  The oracle re-derives the identical series in
+    SQL (sinh/atanh spelled via exp/ln), so the hash check verifies the
+    projection math itself.  Both sides emit integer metres: the remaining
+    cross-engine libm noise (~1e-7 m) cannot flip an integer rounding."""
+    from carto_etl_spark.functions.geom import transform_geom
+
+    c = load(spark, sf_dir, "customer")
+    src = c.select(
+        "c_custkey",
+        (F.lit(9.0) + (F.col("c_custkey") * 13 % 1200) / F.lit(100.0)).alias("lon"),
+        (F.lit(-60.0) + (F.col("c_custkey") * 7 % 12000) / F.lit(100.0)).alias("lat"),
+    )
+    out = transform_geom(
+        src.withColumn("g", point_struct(F.col("lon"), F.col("lat"), 4326)),
+        "g", 4326, 32633, out_col="utm",
+    )
+    return out.select(
+        "c_custkey",
+        F.round(F.col("utm.x")).cast("long").alias("easting_m"),
+        F.round(F.col("utm.y")).cast("long").alias("northing_m"),
+    )
+
+
+# The same third-order Krüger series as functions/geom.py, constants at full
+# double precision; sinh/atanh composed from exp/ln (portable across engines).
+ORACLE_UTM = """
+WITH src AS (
+  SELECT c_custkey,
+         9.0  + (c_custkey * 13 % 1200)  / 100.0 AS lon,
+         -60.0 + (c_custkey * 7 % 12000) / 100.0 AS lat
+  FROM customer
+), base AS (
+  SELECT c_custkey,
+         radians(lat) AS phi,
+         radians(lon) - radians(15.0) AS lam
+  FROM src
+), conf AS (
+  SELECT c_custkey, lam,
+         -- t = sinh( atanh(sin phi) - e * atanh(e * sin phi) ), e = 0.08181919084262149
+         (exp(u) - exp(-u)) / 2.0 AS t
+  FROM (
+    SELECT c_custkey, lam,
+           0.5 * ln((1.0 + sin(phi)) / (1.0 - sin(phi)))
+           - 0.08181919084262149 * 0.5 * ln(
+               (1.0 + 0.08181919084262149 * sin(phi))
+               / (1.0 - 0.08181919084262149 * sin(phi))) AS u
+    FROM base)
+), prime AS (
+  SELECT c_custkey,
+         atan2(t, cos(lam)) AS xi_p,
+         0.5 * ln((1.0 + s) / (1.0 - s)) AS eta_p
+  FROM (SELECT c_custkey, t, lam, sin(lam) / sqrt(t * t + 1.0) AS s FROM conf)
+), series AS (
+  SELECT c_custkey,
+         xi_p
+           + 0.0008377318188192541  * sin(2.0 * xi_p) * (exp(2.0 * eta_p) + exp(-2.0 * eta_p)) / 2.0
+           + 7.608496958699166e-07  * sin(4.0 * xi_p) * (exp(4.0 * eta_p) + exp(-4.0 * eta_p)) / 2.0
+           + 1.2034877875966646e-09 * sin(6.0 * xi_p) * (exp(6.0 * eta_p) + exp(-6.0 * eta_p)) / 2.0
+           AS xi,
+         eta_p
+           + 0.0008377318188192541  * cos(2.0 * xi_p) * (exp(2.0 * eta_p) - exp(-2.0 * eta_p)) / 2.0
+           + 7.608496958699166e-07  * cos(4.0 * xi_p) * (exp(4.0 * eta_p) - exp(-4.0 * eta_p)) / 2.0
+           + 1.2034877875966646e-09 * cos(6.0 * xi_p) * (exp(6.0 * eta_p) - exp(-6.0 * eta_p)) / 2.0
+           AS eta
+  FROM prime
+)
+SELECT c_custkey,
+       cast(round(500000.0 + 6364902.166165086 * eta) AS bigint) AS easting_m,
+       cast(round(6364902.166165086 * xi) AS bigint) AS northing_m
+FROM series
+"""
+
+
 def q_overview_grid(spark, sf_dir):
     """Reference D5 (CDB_CreateOverviews): finest-zoom grid aggregate over
     web-mercator tiles (zoom 4)."""
@@ -1419,6 +1495,7 @@ QUERIES = {
     "row_range": q_row_range,
     "threeway_fanout": q_threeway_fanout,
     "geom_points": q_geom_points,
+    "utm_transform": q_utm_transform,
     "overview_grid": q_overview_grid,
     "overview_rollup": q_overview_rollup,
     "token_counts": q_token_counts,
@@ -1466,6 +1543,7 @@ ORACLES = {
     "row_range": ORACLE_ROW_RANGE,
     "threeway_fanout": ORACLE_FANOUT,
     "geom_points": ORACLE_GEOM_POINTS,
+    "utm_transform": ORACLE_UTM,
     "overview_grid": ORACLE_OVERVIEW_GRID,
     "overview_rollup": ORACLE_OVERVIEW_ROLLUP,
     "token_counts": ORACLE_TOKEN_COUNTS,
