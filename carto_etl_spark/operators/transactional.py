@@ -1,0 +1,189 @@
+"""Transactional parquet table: an atomic-commit, snapshot-isolated sink.
+
+The plain ``TargetTable`` (jobs.py) rewrites via tmp-dir swap: crash-narrowed
+but still a multi-step filesystem mutation, and a reader that lists the
+directory mid-swap can see a transient state.  At 100 TB you want what
+Delta/Iceberg provide — an append-only data area plus a commit log whose
+single atomic rename IS the transaction.  This module is that core, built
+from scratch on stdlib + Spark (same spirit, none of their formats):
+
+- data files live under ``<path>/data/<commit-uuid>/part-*.parquet`` and are
+  NEVER mutated or renamed after being written;
+- a commit is one manifest ``<path>/_log/<version 8-digit>.json`` holding the
+  FULL file list of the snapshot (like an Iceberg manifest list; fine at this
+  scale because files, not rows, bound its size);
+- publishing a commit is ``os.link(tmp, final)`` — atomic, and it FAILS if
+  the version already exists, which is exactly optimistic concurrency
+  control: on conflict re-read the latest snapshot and retry the commit
+  (appends compose; overwrites win-last like Delta's);
+- readers resolve the latest manifest once and read its file list —
+  snapshot isolation for the whole query plan, regardless of concurrent
+  commits or later vacuums;
+- ``vacuum()`` deletes data files unreferenced by the retained manifests.
+
+Append = write files + commit(old ∪ new).  Overwrite = write files +
+commit(new).  The keyed update/delete jobs compose: read() is a snapshot, the
+rewritten result lands as one overwrite commit, and a crash at ANY point
+leaves the previous snapshot fully readable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (retried internally)."""
+
+
+class TransactionalTable:
+    """Drop-in for ``TargetTable`` (same append/overwrite/read/exists surface)
+    with atomic commits and snapshot-isolated reads."""
+
+    def __init__(self, spark: SparkSession, path: str | Path,
+                 max_commit_retries: int = 10):
+        self.spark = spark
+        self.path = Path(path)
+        self.log_dir = self.path / "_log"
+        self.data_dir = self.path / "data"
+        self.max_commit_retries = max_commit_retries
+        # interface parity with TargetTable; hive-partitioned layout is the
+        # plain table's concern — here pruning comes from per-commit files
+        self.partition_by: list[str] = []
+
+    # -- log protocol --------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        if not self.log_dir.is_dir():
+            return []
+        out = []
+        for p in self.log_dir.iterdir():
+            if p.suffix == ".json" and p.stem.isdigit():
+                out.append(int(p.stem))
+        return sorted(out)
+
+    def version(self) -> int:
+        """Latest committed version, 0 when the table is empty/uncreated."""
+        vs = self._versions()
+        return vs[-1] if vs else 0
+
+    def _manifest_path(self, version: int) -> Path:
+        return self.log_dir / f"{version:08d}.json"
+
+    def _read_manifest(self, version: int) -> dict:
+        return json.loads(self._manifest_path(version).read_text())
+
+    def snapshot_files(self, version: int | None = None) -> list[str]:
+        """Absolute data-file paths of a snapshot (default: latest)."""
+        v = self.version() if version is None else version
+        if v == 0:
+            return []
+        return [str(self.path / f) for f in self._read_manifest(v)["files"]]
+
+    def _commit(self, files: list[str], base_version: int) -> int:
+        """Atomically publish ``files`` as version base+1; on a version
+        collision the caller re-reads state and retries (optimistic CC)."""
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        version = base_version + 1
+        manifest = {
+            "version": version,
+            "files": sorted(files),
+            "timestamp": time.time(),
+        }
+        tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}.json"
+        tmp.write_text(json.dumps(manifest))
+        try:
+            # link(2) is atomic and errors if the target exists: the first
+            # writer of this version wins, losers get CommitConflict
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError as exc:
+            raise CommitConflict(f"version {version} already committed") from exc
+        finally:
+            tmp.unlink(missing_ok=True)
+        return version
+
+    # -- data writes ---------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Write df as immutable parquet files, return table-relative paths."""
+        commit_id = uuid.uuid4().hex[:12]
+        out_dir = self.data_dir / commit_id
+        df.write.parquet(str(out_dir))
+        return [
+            str(p.relative_to(self.path))
+            for p in out_dir.iterdir()
+            if p.suffix == ".parquet"
+        ]
+
+    def _commit_with_retry(self, new_files: list[str], mode: str) -> int:
+        for _ in range(self.max_commit_retries):
+            base = self.version()
+            if mode == "append":
+                current = (
+                    self._read_manifest(base)["files"] if base else []
+                )
+                files = current + new_files
+            else:
+                files = new_files
+            try:
+                return self._commit(files, base)
+            except CommitConflict:
+                continue  # someone else committed; recompute against them
+        raise CommitConflict(
+            f"gave up after {self.max_commit_retries} commit attempts"
+        )
+
+    # -- TargetTable surface -------------------------------------------------
+
+    def exists(self) -> bool:
+        return self.version() > 0
+
+    def append(self, df: DataFrame) -> None:
+        self._commit_with_retry(self._write_files(df), "append")
+
+    def overwrite(self, df: DataFrame) -> None:
+        self._commit_with_retry(self._write_files(df), "overwrite")
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read: the plan pins the manifest's file list, so later
+        commits/vacuums of OTHER snapshots never change this DataFrame.
+        ``version`` time-travels to an older snapshot."""
+        files = self.snapshot_files(version)
+        if not files:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        return self.spark.read.parquet(*files)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Delete data files referenced by NO retained manifest (the newest
+        ``retain_versions`` snapshots survive, supporting their readers and
+        time travel).  Returns deleted paths."""
+        versions = self._versions()
+        keep_versions = versions[-retain_versions:] if versions else []
+        keep: set[str] = set()
+        for v in keep_versions:
+            keep.update(self._read_manifest(v)["files"])
+        deleted = []
+        if self.data_dir.is_dir():
+            for commit_dir in self.data_dir.iterdir():
+                for p in list(commit_dir.iterdir()):
+                    rel = str(p.relative_to(self.path))
+                    if p.suffix == ".parquet" and rel not in keep:
+                        p.unlink()
+                        deleted.append(rel)
+                if not any(commit_dir.iterdir()):
+                    commit_dir.rmdir()
+        for v in versions[:-retain_versions] if retain_versions else versions:
+            self._manifest_path(v).unlink(missing_ok=True)
+        return deleted
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)

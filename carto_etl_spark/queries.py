@@ -298,6 +298,56 @@ FROM customer
 """
 
 
+def q_transactional_lifecycle(spark, sf_dir):
+    """Transactional sink end-to-end (operators/transactional.py): two atomic
+    append commits, a copy-on-write merge overwrite, then vacuum — the final
+    snapshot read must equal the declarative merge the oracle computes.
+    Exercises the manifest protocol, snapshot reads, and file GC, not just
+    the query layer."""
+    import shutil
+    import tempfile
+
+    from carto_etl_spark.operators.transactional import TransactionalTable
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    workdir = tempfile.mkdtemp(prefix="txn-lifecycle-")
+    try:
+        t = TransactionalTable(spark, f"{workdir}/t")
+        t.append(c.filter(F.col("c_custkey") % 2 == 0))
+        t.append(c.filter(F.col("c_custkey") % 2 == 1))
+        snap = t.read()
+        merged = snap.select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, F.upper("c_name"))
+            .otherwise(F.col("c_name"))
+            .alias("c_name"),
+            F.round(
+                F.when(
+                    F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 1000.0
+                ).otherwise(F.col("c_acctbal")),
+                2,
+            ).alias("c_acctbal"),
+        )
+        t.overwrite(merged)
+        t.vacuum(retain_versions=1)
+        out = t.read()
+        # materialize before the workdir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_TXN_LIFECYCLE = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 10 = 0 THEN upper(c_name) ELSE c_name END AS c_name,
+       round(CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal, 2) + 1000.0
+                  ELSE round(c_acctbal, 2) END, 2) AS c_acctbal
+FROM customer
+"""
+
+
 def q_delete_antijoin(spark, sf_dir):
     """Reference D3 (keyed DELETE) as an anti-join: drop lineitems of 'F'
     orders, then aggregate survivors."""
@@ -1496,6 +1546,7 @@ QUERIES = {
     "threeway_fanout": q_threeway_fanout,
     "geom_points": q_geom_points,
     "utm_transform": q_utm_transform,
+    "transactional_lifecycle": q_transactional_lifecycle,
     "overview_grid": q_overview_grid,
     "overview_rollup": q_overview_rollup,
     "token_counts": q_token_counts,
@@ -1544,6 +1595,7 @@ ORACLES = {
     "threeway_fanout": ORACLE_FANOUT,
     "geom_points": ORACLE_GEOM_POINTS,
     "utm_transform": ORACLE_UTM,
+    "transactional_lifecycle": ORACLE_TXN_LIFECYCLE,
     "overview_grid": ORACLE_OVERVIEW_GRID,
     "overview_rollup": ORACLE_OVERVIEW_ROLLUP,
     "token_counts": ORACLE_TOKEN_COUNTS,

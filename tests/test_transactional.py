@@ -1,0 +1,98 @@
+"""TransactionalTable: atomic manifest commits, snapshot isolation, OCC,
+vacuum, and composition with the Insert/Update/Delete jobs."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from carto_etl_spark.operators.jobs import DeleteJob, InsertJob, UpdateJob
+from carto_etl_spark.operators.transactional import (
+    CommitConflict,
+    TransactionalTable,
+)
+
+
+def _rows(df):
+    return sorted((r[0], r[1]) for r in df.collect())
+
+
+def test_append_and_overwrite_versions(spark, tmp_path):
+    t = TransactionalTable(spark, tmp_path / "t")
+    assert not t.exists()
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.append(spark.createDataFrame([(2, "b")], ["id", "v"]))
+    assert t.version() == 2
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    t.overwrite(spark.createDataFrame([(3, "c")], ["id", "v"]))
+    assert t.version() == 3
+    assert _rows(t.read()) == [(3, "c")]
+    # time travel to the pre-overwrite snapshot
+    assert _rows(t.read(version=2)) == [(1, "a"), (2, "b")]
+
+
+def test_snapshot_isolation_across_overwrite_and_vacuum(spark, tmp_path):
+    t = TransactionalTable(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    pinned = t.read()  # plan pins version 1's files
+    t.overwrite(spark.createDataFrame([(2, "b")], ["id", "v"]))
+    # retain both snapshots: the pinned reader still sees version 1
+    t.vacuum(retain_versions=2)
+    assert _rows(pinned) == [(1, "a")]
+    # retaining only the latest deletes version 1's files
+    deleted = t.vacuum(retain_versions=1)
+    assert deleted, "old snapshot files should be removed"
+    assert _rows(t.read()) == [(2, "b")]
+
+
+def test_commit_conflict_retry(spark, tmp_path):
+    t = TransactionalTable(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    # simulate a concurrent writer landing version 2 first
+    clash = t._manifest_path(2)
+    clash.write_text(json.dumps({
+        "version": 2, "files": t._read_manifest(1)["files"], "timestamp": 0,
+    }))
+    t.append(spark.createDataFrame([(2, "b")], ["id", "v"]))
+    # our append retried onto version 3, preserving the interloper's files
+    assert t.version() == 3
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+
+
+def test_commit_conflict_exhaustion(spark, tmp_path):
+    t = TransactionalTable(spark, tmp_path / "t", max_commit_retries=0)
+    with pytest.raises(CommitConflict):
+        t._commit_with_retry([], "append")
+
+
+def test_crash_leftover_tmp_manifest_ignored(spark, tmp_path):
+    t = TransactionalTable(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    # a writer that died before publishing leaves only a .tmp- file
+    (t.log_dir / ".tmp-deadbeef.json").write_text("{}")
+    assert t.version() == 1
+    assert _rows(t.read()) == [(1, "a")]
+
+
+def test_jobs_compose_with_transactional_table(spark, tmp_path):
+    t = TransactionalTable(spark, tmp_path / "t")
+    base = spark.createDataFrame(
+        [("1", "a"), ("2", "b"), ("3", "c")], ["id", "v"]
+    )
+    InsertJob(base, spark=spark, target=t, columns="id,v",
+              force_no_geometry="true").run()
+    upd = tmp_path / "u.csv"
+    upd.write_text("id,v\n2,B\n")
+    UpdateJob("id", str(upd), spark=spark, target=t, columns="id,v",
+              force_no_geometry="true").run()
+    dl = tmp_path / "d.csv"
+    dl.write_text("id\n3\n")
+    DeleteJob("id", str(dl), spark=spark, target=t, columns="id",
+              force_no_geometry="true").run()
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {1.0: "a", 2.0: "B"}
+    # every step was one commit: insert, update-rewrite, delete-rewrite
+    assert t.version() == 3
+    # prior snapshots are still time-travelable until vacuumed
+    assert len(t.read(version=1).collect()) == 3
