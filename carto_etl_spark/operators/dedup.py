@@ -432,6 +432,120 @@ def simhash_near_pairs(
 # n-gram Jaccard (verification-grade similarity)
 # ---------------------------------------------------------------------------
 
+def _staged_shingles(df: DataFrame, id_col: str, text_col: str, n: int,
+                     use_chars: bool, shingle_chars: int) -> DataFrame:
+    """(__id, __sh, __size) with distinct shingles, empty sets dropped."""
+    if use_chars:
+        staged = df.withColumn("__pre", normalize_text_expr(text_col))
+        shingles = char_shingles_expr("__pre", shingle_chars, prenormalized=True)
+    else:
+        staged = df.withColumn(
+            "__pre", tokens_expr(normalize_text_expr(text_col))
+        )
+        shingles = word_shingles_expr("__pre", n, pretokenized=True)
+    return (
+        staged.select(F.col(id_col).alias("__id"), shingles.alias("__sh"))
+        .withColumn("__size", F.size("__sh"))
+        .filter(F.col("__size") > 0)
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    use_chars: bool = False,
+    shingle_chars: int = 5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs with AllPairs/PPJoin-style prefix filtering
+    (public algorithms: Bayardo et al. WWW'07, Xiao et al. WWW'08) — same
+    results as ``ngram_jaccard_pairs``, built to scale:
+
+    - shingles are canonically ordered RAREST-FIRST (ascending document
+      frequency): for Jaccard >= t two sets must share a shingle within their
+      first ``|S| - ceil(t*|S|) + 1`` elements, so only those prefixes are
+      exploded for candidate generation.  Hot shingles (the skew killers in
+      the naive self-join's shuffle) sort LAST and rarely enter a prefix;
+    - a symmetric length filter prunes candidates whose sizes cannot reach t;
+    - verification is one ``array_intersect`` per surviving candidate pair —
+      exact set arithmetic, no FP.
+
+    Output schema matches ngram_jaccard_pairs: (id_a, id_b, inter, union_sz,
+    jaccard)."""
+    base = _materialize(
+        _staged_shingles(df, id_col, text_col, n, use_chars, shingle_chars)
+    )
+    exploded = base.select("__id", F.explode("__sh").alias("__g"))
+    dfreq = exploded.groupBy("__g").agg(F.count(F.lit(1)).alias("__cnt"))
+    ordered = _materialize(
+        exploded.join(dfreq, "__g")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__cnt", "__g"))),
+                lambda s: s["__g"],
+            ).alias("__sh")
+        )
+        .withColumn("__size", F.size("__sh"))
+    )
+    # prefix length: |S| - ceil(t|S|) + 1; the 1e-9 guards FP ceil overshoot
+    prefix_len = (
+        F.col("__size")
+        - F.ceil(F.lit(min_jaccard) * F.col("__size") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    prefixes = _materialize(
+        ordered.select(
+            "__id",
+            "__size",
+            F.explode(F.slice("__sh", F.lit(1), prefix_len)).alias("__g"),
+        )
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    size_ok = F.least(F.col("a.__size"), F.col("b.__size")) >= F.ceil(
+        F.lit(min_jaccard)
+        * F.greatest(F.col("a.__size"), F.col("b.__size"))
+        - F.lit(1e-9)
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & size_ok,
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = (
+        cand.join(
+            ordered.select(
+                F.col("__id").alias("id_a"),
+                F.col("__sh").alias("__sh_a"),
+                F.col("__size").alias("size_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            ordered.select(
+                F.col("__id").alias("id_b"),
+                F.col("__sh").alias("__sh_b"),
+                F.col("__size").alias("size_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
+            "union_sz", F.col("size_a") + F.col("size_b") - F.col("inter")
+        )
+        .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return verified.select("id_a", "id_b", "inter", "union_sz", "jaccard")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

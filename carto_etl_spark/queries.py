@@ -1348,15 +1348,19 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard pairs over documents + planted near-copies
-    (verification-grade similarity; shuffle key = shingle)."""
+    """Exact word-3-gram Jaccard pairs over documents + planted near-copies,
+    via the PPJoin-style prefix-filtered join (rarest-first canonical order,
+    length filter, array_intersect verification) — exact results with a
+    skew-safe shuffle; the DuckDB oracle is the naive set arithmetic."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     near = d.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail marker")).alias("text"),
     )
     both = d.unionByName(near)
-    pairs = dd.ngram_jaccard_pairs(both, "doc_id", "text", n=3, min_jaccard=0.6)
+    pairs = dd.ngram_jaccard_pairs_prefix(
+        both, "doc_id", "text", n=3, min_jaccard=0.6
+    )
     # Emit the exact integer (intersection, union) pair instead of the rounded
     # ratio: identical set arithmetic in any engine, so the hash compare is
     # immune to FP rounding; jaccard = inter / union_sz for the reader. The

@@ -145,6 +145,37 @@ def test_ngram_jaccard(docs):
     assert 0.3 <= got[(1, 2)] <= 1.0
 
 
+def test_ngram_jaccard_prefix_matches_exact(spark):
+    # PPJoin-style prefix filtering is an exact algorithm: its pairs must be
+    # identical to the naive explode/self-join variant on a corpus with
+    # near-dups, exact dups, disjoint docs, and tiny docs.
+    words = [f"tok{i}" for i in range(40)]
+    rows = []
+    for i in range(30):
+        start = (i * 3) % 25
+        rows.append((i, " ".join(words[start:start + 12])))
+    rows += [
+        (100, rows[0][1]),                      # exact duplicate of doc 0
+        (101, rows[0][1] + " extra trailing"),  # near-dup of doc 0
+        (102, "completely different vocabulary entirely"),
+        (103, "one two"),                       # too short for 3-grams: dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.3, 0.6, 0.9):
+        exact = {
+            (r["id_a"], r["id_b"], r["inter"], r["union_sz"])
+            for r in dd.ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                            min_jaccard=t).collect()
+        }
+        fast = {
+            (r["id_a"], r["id_b"], r["inter"], r["union_sz"])
+            for r in dd.ngram_jaccard_pairs_prefix(df, "doc_id", "text", n=3,
+                                                   min_jaccard=t).collect()
+        }
+        assert fast == exact, f"mismatch at threshold {t}"
+        assert exact, f"fixture produced no pairs at threshold {t}"
+
+
 def test_exact_text_dedup_whitespace_insensitive(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "other")],
