@@ -87,7 +87,8 @@ class TransactionalTable:
             return []
         return [str(self.path / f) for f in self._read_manifest(v)["files"]]
 
-    def _commit(self, files: list[str], base_version: int) -> int:
+    def _commit(self, files: list[str], base_version: int,
+                idempotency_key: str | None = None) -> int:
         """Atomically publish ``files`` as version base+1; on a version
         collision the caller re-reads state and retries (optimistic CC)."""
         self.log_dir.mkdir(parents=True, exist_ok=True)
@@ -97,6 +98,8 @@ class TransactionalTable:
             "files": sorted(files),
             "timestamp": time.time(),
         }
+        if idempotency_key is not None:
+            manifest["idempotency_key"] = idempotency_key
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}.json"
         tmp.write_text(json.dumps(manifest))
         try:
@@ -122,9 +125,14 @@ class TransactionalTable:
             if p.suffix == ".parquet"
         ]
 
-    def _commit_with_retry(self, new_files: list[str], mode: str) -> int:
+    def _commit_with_retry(self, new_files: list[str], mode: str,
+                           idempotency_key: str | None = None) -> int:
         for _ in range(self.max_commit_retries):
             base = self.version()
+            if idempotency_key is not None and self._key_committed(
+                idempotency_key
+            ):
+                return base  # this unit of work already landed (e.g. retry)
             if mode == "append":
                 current = (
                     self._read_manifest(base)["files"] if base else []
@@ -133,11 +141,17 @@ class TransactionalTable:
             else:
                 files = new_files
             try:
-                return self._commit(files, base)
+                return self._commit(files, base, idempotency_key)
             except CommitConflict:
                 continue  # someone else committed; recompute against them
         raise CommitConflict(
             f"gave up after {self.max_commit_retries} commit attempts"
+        )
+
+    def _key_committed(self, key: str) -> bool:
+        return any(
+            self._read_manifest(v).get("idempotency_key") == key
+            for v in self._versions()
         )
 
     # -- TargetTable surface -------------------------------------------------
@@ -145,8 +159,19 @@ class TransactionalTable:
     def exists(self) -> bool:
         return self.version() > 0
 
-    def append(self, df: DataFrame) -> None:
-        self._commit_with_retry(self._write_files(df), "append")
+    def append(self, df: DataFrame, idempotency_key: str | None = None) -> None:
+        """Append one commit.  ``idempotency_key`` makes a retried unit of
+        work (a replayed streaming micro-batch, a re-run ingest chunk) a
+        no-op if a commit bearing the same key already exists — the basis of
+        the exactly-once streaming sink (streaming/jobs.py).  Keys are
+        checked against the full log; a sequential retrier (Structured
+        Streaming replays batches one at a time) therefore never
+        double-commits."""
+        if idempotency_key is not None and self._key_committed(idempotency_key):
+            return
+        self._commit_with_retry(
+            self._write_files(df), "append", idempotency_key
+        )
 
     def overwrite(self, df: DataFrame) -> None:
         self._commit_with_retry(self._write_files(df), "overwrite")
@@ -165,7 +190,12 @@ class TransactionalTable:
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data files referenced by NO retained manifest (the newest
         ``retain_versions`` snapshots survive, supporting their readers and
-        time travel).  Returns deleted paths."""
+        time travel).  Returns deleted paths.
+
+        Dropped manifests also drop their idempotency keys: keep
+        ``retain_versions`` at or above the streaming engine's replay horizon
+        (Structured Streaming replays at most the last uncommitted batch, so
+        anything >= 2 is safe there)."""
         versions = self._versions()
         keep_versions = versions[-retain_versions:] if versions else []
         keep: set[str] = set()

@@ -70,6 +70,35 @@ def insert_stream(
     return writer.start()
 
 
+def insert_stream_transactional(
+    stream_df: DataFrame,
+    table,
+    cfg: JobConfig | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Exactly-once streaming ingest: foreachBatch coerces each micro-batch
+    through the InsertJob expression path, then lands it as ONE atomic
+    TransactionalTable commit keyed by the batch id — a replayed batch (after
+    a crash between sink write and checkpoint advance, the classic
+    at-least-once hole) finds its idempotency key already committed and
+    becomes a no-op.  This is the manifest-log equivalent of Delta's
+    txn-version sink dedup."""
+    cfg = cfg or JobConfig()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        job = InsertJob(batch_df, spark=batch_df.sparkSession, config=cfg)
+        out = job.coerced_df(job.source_df())
+        table.append(out, idempotency_key=f"stream-batch-{batch_id}")
+
+    writer = stream_df.writeStream.foreachBatch(handle)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_counts(
     events: DataFrame,
     window: str = "5 minutes",

@@ -75,6 +75,46 @@ def test_crash_leftover_tmp_manifest_ignored(spark, tmp_path):
     assert _rows(t.read()) == [(1, "a")]
 
 
+def test_idempotent_append(spark, tmp_path):
+    t = TransactionalTable(spark, tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    t.append(df, idempotency_key="batch-0")
+    t.append(df, idempotency_key="batch-0")  # replay: must be a no-op
+    t.append(df, idempotency_key="batch-1")
+    assert t.version() == 2
+    assert len(t.read().collect()) == 2
+
+
+def test_streaming_exactly_once_sink(spark, tmp_path):
+    import shutil
+
+    from carto_etl_spark.streaming.jobs import (
+        insert_stream_transactional,
+        stream_csv_dir,
+    )
+    from carto_etl_spark.config import JobConfig
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "a.csv").write_text("id,v\n1,x\n2,y\n")
+    cfg = JobConfig(columns="id,v", force_no_geometry=True)
+    t = TransactionalTable(spark, tmp_path / "t")
+    ckpt = tmp_path / "ckpt"
+
+    stream = stream_csv_dir(spark, str(src), "id string, v string")
+    q = insert_stream_transactional(stream, t, cfg, checkpoint=str(ckpt))
+    q.awaitTermination(60)
+    assert len(t.read().collect()) == 2
+
+    # simulate the at-least-once hole: wipe the checkpoint so the engine
+    # replays batch 0 from scratch — the idempotency key must absorb it
+    shutil.rmtree(ckpt)
+    stream2 = stream_csv_dir(spark, str(src), "id string, v string")
+    q2 = insert_stream_transactional(stream2, t, cfg, checkpoint=str(ckpt))
+    q2.awaitTermination(60)
+    assert len(t.read().collect()) == 2, "replayed batch was double-committed"
+
+
 def test_jobs_compose_with_transactional_table(spark, tmp_path):
     t = TransactionalTable(spark, tmp_path / "t")
     base = spark.createDataFrame(
