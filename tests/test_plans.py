@@ -84,6 +84,34 @@ def test_read_partitions_prunes_at_partition_level(spark, tmp_path):
     assert "region" in part_section
 
 
+def test_utm_transform_prunes_to_key_column(spark):
+    # the whole Krüger series is column math off c_custkey; the scan must
+    # read nothing else and the plan must stay UDF-free
+    from carto_etl_spark.plans.inspect import explain_str
+
+    df = QUERIES["utm_transform"](spark, SF)
+    assert scan_columns(df) == {"c_custkey"}
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_prefix_join_no_nested_loop(spark):
+    # prefix-filtered Jaccard must never degrade to a cartesian/nested-loop
+    # product; candidate generation is an equi-join on the prefix shingle
+    from carto_etl_spark.operators.dedup import ngram_jaccard_pairs_prefix
+    from carto_etl_spark.plans.inspect import explain_str
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")],
+        ["doc_id", "text"],
+    )
+    plan = explain_str(
+        ngram_jaccard_pairs_prefix(df, "doc_id", "text", min_jaccard=0.5)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_token_counts_prunes_documents(spark):
     df = QUERIES["token_counts"](spark, SF)
     cols = scan_columns(df)
