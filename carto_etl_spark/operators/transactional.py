@@ -19,7 +19,11 @@ from scratch on stdlib + Spark (same spirit, none of their formats):
 - readers resolve the latest manifest once and read its file list —
   snapshot isolation for the whole query plan, regardless of concurrent
   commits or later vacuums;
-- ``vacuum()`` deletes data files unreferenced by the retained manifests.
+- ``vacuum()`` deletes data files unreferenced by the retained manifests;
+- manifests can carry per-file min/max stats for chosen columns
+  (``stats_columns``), collected in one Spark job per commit;
+  ``read_where`` prunes files against those ranges before Spark ever plans
+  the scan — Delta/Iceberg-style data skipping.
 
 Append = write files + commit(old ∪ new).  Overwrite = write files +
 commit(new).  The keyed update/delete jobs compose: read() is a snapshot, the
@@ -48,12 +52,15 @@ class TransactionalTable:
     with atomic commits and snapshot-isolated reads."""
 
     def __init__(self, spark: SparkSession, path: str | Path,
-                 max_commit_retries: int = 10):
+                 max_commit_retries: int = 10,
+                 stats_columns: list[str] | None = None):
         self.spark = spark
         self.path = Path(path)
         self.log_dir = self.path / "_log"
         self.data_dir = self.path / "data"
         self.max_commit_retries = max_commit_retries
+        #: columns whose per-file min/max land in the manifest (data skipping)
+        self.stats_columns = list(stats_columns or [])
         # interface parity with TargetTable; hive-partitioned layout is the
         # plain table's concern — here pruning comes from per-commit files
         self.partition_by: list[str] = []
@@ -88,7 +95,8 @@ class TransactionalTable:
         return [str(self.path / f) for f in self._read_manifest(v)["files"]]
 
     def _commit(self, files: list[str], base_version: int,
-                idempotency_key: str | None = None) -> int:
+                idempotency_key: str | None = None,
+                stats: dict | None = None) -> int:
         """Atomically publish ``files`` as version base+1; on a version
         collision the caller re-reads state and retries (optimistic CC)."""
         self.log_dir.mkdir(parents=True, exist_ok=True)
@@ -98,6 +106,8 @@ class TransactionalTable:
             "files": sorted(files),
             "timestamp": time.time(),
         }
+        if stats:
+            manifest["stats"] = stats
         if idempotency_key is not None:
             manifest["idempotency_key"] = idempotency_key
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}.json"
@@ -125,23 +135,64 @@ class TransactionalTable:
             if p.suffix == ".parquet"
         ]
 
+    def _collect_stats(self, rel_files: list[str]) -> dict:
+        """Per-file min/max for the tracked stat columns, computed in ONE
+        Spark job over the just-written files (grouped by input_file_name) —
+        never a job per file."""
+        if not self.stats_columns or not rel_files:
+            return {}
+        from pyspark.sql import functions as F
+
+        paths = [str(self.path / f) for f in rel_files]
+        df = self.spark.read.parquet(*paths)
+        json_safe = {"tinyint", "smallint", "int", "bigint", "float",
+                     "double", "string", "boolean"}
+        types = dict(df.dtypes)
+        cols = [
+            c for c in self.stats_columns
+            if types.get(c) in json_safe  # decimals/dates skipped (not JSON)
+        ]
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        rows = (
+            df.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
+        )
+        by_abs = {str(self.path / f): f for f in rel_files}
+        stats: dict = {}
+        for r in rows:
+            # input_file_name returns a URI; match on the path suffix
+            rel = next(
+                (v for k, v in by_abs.items() if r["__file"].endswith(k)), None
+            )
+            if rel is None:
+                continue
+            stats[rel] = {
+                c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols
+            }
+        return stats
+
     def _commit_with_retry(self, new_files: list[str], mode: str,
                            idempotency_key: str | None = None) -> int:
+        new_stats = self._collect_stats(new_files)
         for _ in range(self.max_commit_retries):
             base = self.version()
             if idempotency_key is not None and self._key_committed(
                 idempotency_key
             ):
                 return base  # this unit of work already landed (e.g. retry)
+            stats = dict(new_stats)
             if mode == "append":
-                current = (
-                    self._read_manifest(base)["files"] if base else []
-                )
-                files = current + new_files
+                current_manifest = self._read_manifest(base) if base else {}
+                files = current_manifest.get("files", []) + new_files
+                stats = {**current_manifest.get("stats", {}), **stats}
             else:
                 files = new_files
             try:
-                return self._commit(files, base, idempotency_key)
+                return self._commit(files, base, idempotency_key, stats)
             except CommitConflict:
                 continue  # someone else committed; recompute against them
         raise CommitConflict(
@@ -184,6 +235,43 @@ class TransactionalTable:
         if not files:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
         return self.spark.read.parquet(*files)
+
+    def read_where(self, column: str, lo=None, hi=None) -> DataFrame:
+        """Data-skipping read: files whose manifest [min,max] range for
+        ``column`` cannot intersect [lo, hi] are dropped BEFORE Spark plans
+        the scan — at 100 TB this is the difference between listing a few
+        files and scanning a table, exactly Delta/Iceberg file pruning.
+        Files without stats (untracked column, pre-stats commits, all-null)
+        are conservatively kept; the residual filter is applied either way,
+        so results are always exact."""
+        v = self.version()
+        if v == 0:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        manifest = self._read_manifest(v)
+        stats = manifest.get("stats", {})
+        kept = []
+        for rel in manifest["files"]:
+            rng = stats.get(rel, {}).get(column)
+            if rng is not None and rng[0] is not None:
+                fmin, fmax = rng
+                if lo is not None and fmax < lo:
+                    continue
+                if hi is not None and fmin > hi:
+                    continue
+            kept.append(str(self.path / rel))
+        from pyspark.sql import functions as F
+
+        if not kept:
+            # all files pruned: empty frame with the table schema
+            df = self.read().limit(0)
+        else:
+            df = self.spark.read.parquet(*kept)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(column) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(column) <= F.lit(hi))
+        return df.filter(cond)
 
     # -- maintenance ---------------------------------------------------------
 

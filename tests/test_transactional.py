@@ -75,6 +75,30 @@ def test_crash_leftover_tmp_manifest_ignored(spark, tmp_path):
     assert _rows(t.read()) == [(1, "a")]
 
 
+def test_data_skipping_read_where(spark, tmp_path):
+    t = TransactionalTable(spark, tmp_path / "t", stats_columns=["id"])
+    # three commits with disjoint id ranges -> three file sets
+    for lo in (0, 100, 200):
+        t.append(spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(10)], ["id", "v"]
+        ).coalesce(1))
+    all_files = set(t.read().inputFiles())
+    assert len(all_files) == 3
+
+    pruned = t.read_where("id", lo=100, hi=109)
+    # file-level pruning happened before the scan was planned
+    assert len(set(pruned.inputFiles())) == 1
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(100, 110))
+
+    # range matching nothing: zero files, empty result, schema intact
+    none = t.read_where("id", lo=10_000)
+    assert none.collect() == [] and none.columns == ["id", "v"]
+
+    # untracked column: no pruning, still exact
+    v_rows = t.read_where("v", lo="v100", hi="v100").collect()
+    assert [r["id"] for r in v_rows] == [100]
+
+
 def test_idempotent_append(spark, tmp_path):
     t = TransactionalTable(spark, tmp_path / "t")
     df = spark.createDataFrame([(1, "a")], ["id", "v"])
