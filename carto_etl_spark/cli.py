@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--end-chunk", type=int, default=None)
     p.add_argument("--max-zoom", type=int, default=8)
     p.add_argument("--master", default=None, help="spark master override")
+    p.add_argument(
+        "--transactional",
+        action="store_true",
+        help="use the manifest-commit table (atomic commits, snapshot "
+        "isolation, time travel) instead of the plain parquet directory",
+    )
     return p
 
 
@@ -66,7 +72,12 @@ def main(argv: list[str] | None = None) -> int:
         kwargs.pop(k, None)
 
     spark = get_spark(app_name=f"carto-etl-{args.action}", master=args.master)
-    target = TargetTable(spark, args.target)
+    if args.transactional:
+        from carto_etl_spark.operators.transactional import TransactionalTable
+
+        target = TransactionalTable(spark, args.target)
+    else:
+        target = TargetTable(spark, args.target)
 
     def observer(event: dict) -> None:
         logger.info("%s: %s", event["type"], event["msg"])

@@ -56,6 +56,21 @@ def test_cli_insert_then_delete(workspace, spark):
     assert {r["a"] for r in spark.read.parquet(target).collect()} == {"r1", "r2"}
 
 
+def test_cli_transactional_target(workspace, spark):
+    from carto_etl_spark.operators.transactional import TransactionalTable
+
+    target = str(workspace / "txn")
+    rc = main([
+        "insert", "--conf", str(workspace / "etl.conf"),
+        "--csv", str(workspace / "data.csv"), "--target", target,
+        "--transactional",
+    ])
+    assert rc == 0
+    t = TransactionalTable(spark, target)
+    assert t.version() == 1
+    assert t.read().count() == 3
+
+
 def test_cli_requires_id_column_for_update(workspace):
     rc = main([
         "update", "--conf", str(workspace / "etl.conf"),
