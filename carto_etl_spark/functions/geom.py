@@ -338,6 +338,25 @@ def render_geom_expr(df: DataFrame, cfg: JobConfig) -> Column:
 # Web-mercator tiling (the grid cell behind overview aggregation)
 # ---------------------------------------------------------------------------
 
+def morton_expr(tx: Column, ty: Column, zoom: int) -> Column:
+    """Morton (Z-order curve) code from tile indices: bit i of x lands at
+    position 2i, bit i of y at 2i+1.  Pure shift/and/or column math (OR never
+    overflows; 2*zoom <= 62 bits), so the clustering key is JVM-side and
+    codegen-friendly.  Spatially-near tiles share code prefixes, which is
+    what makes range-partitioned writes produce files with tight min/max
+    ranges — the layout half of file-level data skipping."""
+    if not 1 <= zoom <= 31:
+        raise ValueError("zoom must be in [1, 31]")
+    code = F.lit(0).cast("long")
+    for i in range(zoom):
+        xbit = F.shiftrightunsigned(tx.cast("long"), i).bitwiseAND(F.lit(1))
+        ybit = F.shiftrightunsigned(ty.cast("long"), i).bitwiseAND(F.lit(1))
+        code = code.bitwiseOR(F.shiftleft(xbit, 2 * i)).bitwiseOR(
+            F.shiftleft(ybit, 2 * i + 1)
+        )
+    return code
+
+
 def tile_x(lon: Column, zoom: int) -> Column:
     """Slippy-map tile X index at ``zoom`` (public OSM formula), clamped to the
     valid range so lon=180 lands in the last tile."""
