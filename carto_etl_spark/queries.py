@@ -599,6 +599,53 @@ FROM pts GROUP BY 1, 2
 """
 
 
+def q_morton_tiles(spark, sf_dir):
+    """Write-layout clustering key (operators/layout.py): Morton code over
+    zoom-6 mercator tiles, aggregated per code.  Oracle re-derives the bit
+    interleave with integer arithmetic — everything is exact ints after the
+    tile floor, so the hash check is FP-free."""
+    from carto_etl_spark.functions.geom import morton_expr
+
+    c = load(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") % 360 - 180 + F.lit(0.5)).cast("double")
+    lat = (F.col("c_custkey") % 160 - 80 + F.lit(0.5)).cast("double")
+    code = morton_expr(tile_x(lon, 6), tile_y(lat, 6), 6)
+    return (
+        c.select(code.alias("morton"), "c_custkey")
+        .groupBy("morton")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("c_custkey").alias("min_key"),
+        )
+    )
+
+
+ORACLE_MORTON = """
+WITH pts AS (
+  SELECT c_custkey,
+         cast(c_custkey % 360 - 180 + 0.5 AS double) AS lon,
+         cast(c_custkey % 160 - 80 + 0.5 AS double) AS lat
+  FROM customer
+), tiles AS (
+  SELECT c_custkey,
+         cast(least(greatest(floor((lon + 180) / 360 * 64), 0), 63) AS bigint) AS tx,
+         cast(least(greatest(floor((1 - ln(tan(radians(lat)) + 1 / cos(radians(lat))) / pi()) / 2 * 64), 0), 63) AS bigint) AS ty
+  FROM pts
+), codes AS (
+  SELECT c_custkey,
+         ((tx >> 0) & 1) * 1     + ((ty >> 0) & 1) * 2
+       + ((tx >> 1) & 1) * 4     + ((ty >> 1) & 1) * 8
+       + ((tx >> 2) & 1) * 16    + ((ty >> 2) & 1) * 32
+       + ((tx >> 3) & 1) * 64    + ((ty >> 3) & 1) * 128
+       + ((tx >> 4) & 1) * 256   + ((ty >> 4) & 1) * 512
+       + ((tx >> 5) & 1) * 1024  + ((ty >> 5) & 1) * 2048 AS morton
+  FROM tiles
+)
+SELECT morton, count(*) AS n_points, min(c_custkey) AS min_key
+FROM codes GROUP BY morton
+"""
+
+
 def q_overview_rollup(spark, sf_dir):
     """Hierarchical rollup: zoom-3 overview derived from the zoom-4 aggregate
     (parent tile = floor(child/2)) — the scale path that avoids re-scanning
@@ -1551,6 +1598,7 @@ QUERIES = {
     "geom_points": q_geom_points,
     "utm_transform": q_utm_transform,
     "transactional_lifecycle": q_transactional_lifecycle,
+    "morton_tiles": q_morton_tiles,
     "overview_grid": q_overview_grid,
     "overview_rollup": q_overview_rollup,
     "token_counts": q_token_counts,
@@ -1600,6 +1648,7 @@ ORACLES = {
     "geom_points": ORACLE_GEOM_POINTS,
     "utm_transform": ORACLE_UTM,
     "transactional_lifecycle": ORACLE_TXN_LIFECYCLE,
+    "morton_tiles": ORACLE_MORTON,
     "overview_grid": ORACLE_OVERVIEW_GRID,
     "overview_rollup": ORACLE_OVERVIEW_ROLLUP,
     "token_counts": ORACLE_TOKEN_COUNTS,

@@ -45,6 +45,20 @@ def test_csv_rfc4180_quote_unescape(spark, tmp_path):
     }
 
 
+def test_csv_unbounded_field_width(spark, tmp_path):
+    # Reference S5: csv.field_size_limit raised to the platform max
+    # (etl/etl.py:127-136).  Spark's univocity parser caps fields at 1M chars
+    # by default; read_csv sets maxCharsPerColumn=-1, so a multi-megabyte
+    # single cell must survive the scan intact.
+    from carto_etl_spark.sources.csv import read_csv
+
+    big = "x" * (2_500_000)
+    p = tmp_path / "wide.csv"
+    p.write_text(f"id,blob\n1,{big}\n2,small\n")
+    rows = {r["id"]: len(r["blob"]) for r in read_csv(spark, str(p)).collect()}
+    assert rows == {"1": 2_500_000, "2": 5}
+
+
 def test_update_dedup_on_cast_join_key(spark, tmp_path):
     # Distinct raw ids that cast equal ('5' vs '5.0') address the same target
     # row: last occurrence wins and the merge must not fan out the match.
