@@ -275,6 +275,27 @@ class TransactionalTable:
 
     # -- maintenance ---------------------------------------------------------
 
+    def compact(self, num_files: int | None = None,
+                zorder_by: list[str] | None = None) -> int:
+        """Rewrite the current snapshot as one fresh commit with
+        ``num_files`` output files (default: Spark decides), optionally
+        Z-order-clustered first — the many-small-commits answer (streaming
+        appends land one file set per micro-batch; compaction folds them into
+        scan-efficient files with tight stats).  Old snapshots stay
+        time-travelable until vacuumed.  Returns the new version."""
+        df = self.read()
+        if zorder_by:
+            from carto_etl_spark.operators.layout import cluster_by_zorder
+
+            df = cluster_by_zorder(
+                df, zorder_by, partitions=num_files or None
+            )
+        elif num_files:
+            df = df.repartition(num_files)
+        # materialize input rows before the commit replaces the file list the
+        # plan reads (read() pins files, but be explicit about ordering)
+        return self._commit_with_retry(self._write_files(df), "overwrite")
+
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data files referenced by NO retained manifest (the newest
         ``retain_versions`` snapshots survive, supporting their readers and

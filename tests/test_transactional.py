@@ -75,6 +75,23 @@ def test_crash_leftover_tmp_manifest_ignored(spark, tmp_path):
     assert _rows(t.read()) == [(1, "a")]
 
 
+def test_compact_folds_small_commits(spark, tmp_path):
+    t = TransactionalTable(spark, tmp_path / "t", stats_columns=["id"])
+    for i in range(5):
+        t.append(spark.createDataFrame(
+            [(i * 10 + j, "v") for j in range(10)], ["id", "v"]
+        ).coalesce(1))
+    assert len(t.read().inputFiles()) == 5
+    v = t.compact(num_files=1)
+    assert v == 6
+    assert len(t.read().inputFiles()) == 1
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(50))
+    # pre-compaction snapshot still time-travelable
+    assert len(t.read(version=5).inputFiles()) == 5
+    # compacted file re-collected stats: skipping still works
+    assert len(t.read_where("id", lo=0, hi=9).collect()) == 10
+
+
 def test_data_skipping_read_where(spark, tmp_path):
     t = TransactionalTable(spark, tmp_path / "t", stats_columns=["id"])
     # three commits with disjoint id ranges -> three file sets
