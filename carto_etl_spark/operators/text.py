@@ -152,10 +152,15 @@ def lang_id_expr(text: Column | str) -> Column:
 _compression_udf = None
 
 
-def compression_ratio_expr(text: Column | str) -> Column:
+def compression_ratio_expr(text: Column | str, min_bytes: int = 0) -> Column:
     """zlib compressed-size / raw-size (Gopher-style repetitiveness filter:
     boilerplate and repeated text compresses far below ~0.4).  Arrow-batched
-    pandas UDF — stdlib zlib, deterministic; NULL for empty text."""
+    pandas UDF — stdlib zlib, deterministic; NULL for empty text.
+
+    ``min_bytes``: texts shorter than this yield NULL instead of a ratio —
+    below a few dozen bytes the zlib header dominates (ratios > 1) and the
+    signal says nothing about repetitiveness, so quality pipelines should
+    treat short docs as "no evidence" rather than "not repetitive"."""
     global _compression_udf
     if _compression_udf is None:
         import zlib
@@ -170,7 +175,12 @@ def compression_ratio_expr(text: Column | str) -> Column:
             )
 
         _compression_udf = F.pandas_udf(ratio, "double")
-    return _compression_udf(_col(text))
+    out = _compression_udf(_col(text))
+    if min_bytes > 0:
+        out = F.when(
+            F.octet_length(_col(text)) >= min_bytes, out
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -249,6 +249,19 @@ def test_embedding_near_dup(vectors):
     assert (0, 1) in got
 
 
+def test_compression_ratio_min_bytes(spark):
+    long_text = "repeat " * 50
+    df = spark.createDataFrame([("hi",), (long_text,)], ["text"])
+    out = df.select(
+        tx.compression_ratio_expr("text", min_bytes=32).alias("r"),
+        tx.compression_ratio_expr("text").alias("r_all"),
+    ).collect()
+    by_len = sorted(out, key=lambda r: 0 if r["r"] is None else 1)
+    assert by_len[0]["r"] is None       # short doc: no evidence, not a ratio
+    assert by_len[0]["r_all"] is not None  # default keeps legacy behavior
+    assert by_len[1]["r"] < 0.4         # long repetitive doc compresses hard
+
+
 def test_text_exprs_edge_cases(spark):
     df = spark.createDataFrame(
         [("",), ("   ",), ("one two three.",)], ["text"]
