@@ -1,11 +1,14 @@
 """Multimodal columns: images/audio/video as opaque binary columns with typed
 metadata, processed by Arrow-batched pandas functions over ``mapInPandas``.
 
-The decode step needs media libraries that are not in this container, so the
-actual byte decoding is STUBBED: ``decode_image`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake (hash-derived
-dimensions + tiny feature vector) exercises the full Spark plumbing — schema,
-batching, partitioning — which is the part that has to be right at 100 TB.
+Decoding is REAL for the formats the standard library + numpy can parse —
+uncompressed BMP and binary PPM images (struct-level header parsing, per-
+channel mean features, nearest-neighbor resize) and PCM WAV audio (stdlib
+``wave``, RMS/duration features).  Compressed formats (JPEG/PNG/MP4...) need
+media libraries absent from this container: those payloads raise
+NotImplementedError at executor time, or a deterministic hash-derived fake
+(``fake=True``) exercises the full Spark plumbing — schema, batching,
+partitioning — which is the part that has to be right at 100 TB.
 
 Scale notes: binary payloads ride in their own column so column pruning keeps
 metadata-only queries off the bytes; `maxRecordsPerBatch` bounds Arrow batch
@@ -77,26 +80,108 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, 3, feats
 
 
+# -- real stdlib decoders ----------------------------------------------------
+
+def _decode_bmp(data: bytes):
+    """Uncompressed 24/32-bit BMP -> (width, height, channels, HxWxC uint8
+    array).  Pure struct parsing; rows are 4-byte aligned, bottom-up unless
+    height is negative."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    width = struct.unpack_from("<i", data, 18)[0]
+    raw_height = struct.unpack_from("<i", data, 22)[0]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    height = abs(raw_height)
+    channels = bpp // 8
+    stride = (width * channels + 3) // 4 * 4
+    rows = []
+    for r in range(height):
+        start = pixel_offset + r * stride
+        row = np.frombuffer(data, dtype=np.uint8, count=width * channels,
+                            offset=start).reshape(width, channels)
+        rows.append(row)
+    img = np.stack(rows)
+    if raw_height > 0:
+        img = img[::-1]  # bottom-up storage -> top-down array
+    return width, height, channels, img
+
+
+def _decode_ppm(data: bytes):
+    """Binary PPM (P6, maxval<=255) -> (width, height, 3, HxWx3 uint8)."""
+    import numpy as np
+
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <w> <h> <maxval> then one whitespace byte, then raw RGB;
+    # '#' comments allowed between tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            while pos < len(data) and data[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        tok = b""
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            tok += data[pos:pos + 1]
+            pos += 1
+        tokens.append(int(tok))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    img = np.frombuffer(
+        data, dtype=np.uint8, count=width * height * 3, offset=pos
+    ).reshape(height, width, 3)
+    return width, height, 3, img
+
+
+def _real_decode(payload: bytes):
+    """Dispatch on magic bytes; raises for formats that need media libs."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    raise NotImplementedError(
+        "only uncompressed BMP / binary PPM decode is available without "
+        "PIL/cv2 (not in this container); pass fake=True to exercise the "
+        "pipeline on other formats"
+    )
+
+
 def decode_image_features(
     df: DataFrame, *, fake: bool = False, batch_size_hint: int = 256
 ) -> DataFrame:
     """Image decode / feature-extract over ``mapInPandas`` (Arrow-batched).
 
-    Real decoding requires PIL/cv2 which are unavailable here — pass
-    ``fake=True`` for the deterministic stand-in, otherwise this raises
-    NotImplementedError *at executor time* the way the real thing would
-    surface import failures."""
+    Real decode for BMP/PPM (stdlib+numpy): dimensions, channel count, and
+    per-channel mean intensities as the feature vector.  Other formats raise
+    NotImplementedError *at executor time* (the way real import failures
+    surface) unless ``fake=True`` selects the deterministic stand-in for
+    every row."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decoding requires PIL/cv2 (not in this container); "
-                    "pass fake=True to exercise the pipeline"
-                )
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, c, feats = _fake_decode(bytes(content or b""))
+                payload = bytes(content or b"")
+                if fake:
+                    w, h, c, feats = _fake_decode(payload)
+                else:
+                    w, h, c, img = _real_decode(payload)
+                    feats = [
+                        float(m) / 255.0
+                        for m in img.reshape(-1, c).mean(axis=0)
+                    ]
                 rows.append((media_id, w, h, c, feats))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "n_channels", "feature"]
@@ -104,6 +189,112 @@ def decode_image_features(
 
     return df.select("media_id", "content").mapInPandas(
         run, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),  # re-encoded binary PPM
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Nearest-neighbor resize of BMP/PPM payloads, re-encoded as binary PPM
+    (the stdlib-writable interchange format).  The resample is index
+    arithmetic on the decoded array — numpy fancy indexing inside the Arrow
+    batch, no Python-per-pixel loop."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                w0, h0, c, img = _real_decode(bytes(content or b""))
+                if c > 3:
+                    img = img[:, :, :3]  # drop alpha for PPM
+                elif c == 1:
+                    img = np.repeat(img, 3, axis=2)
+                ys = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                xs = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                resized = img[ys][:, xs]
+                payload = (
+                    b"P6\n%d %d\n255\n" % (width, height)
+                    + resized.astype(np.uint8).tobytes()
+                )
+                rows.append((media_id, width, height, payload))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "content"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.ArrayType(T.FloatType())),  # per channel
+    ]
+)
+
+
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """PCM WAV decode via stdlib ``wave``: sample rate, channel count,
+    duration, and per-channel RMS (normalized to [0,1] full scale).  Non-WAV
+    payloads raise at executor time — compressed audio needs codecs this
+    container lacks."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                with wave.open(io.BytesIO(bytes(content or b""))) as w:
+                    rate, nch = w.getframerate(), w.getnchannels()
+                    n = w.getnframes()
+                    sampwidth = w.getsampwidth()
+                    raw = w.readframes(n)
+                if sampwidth == 2:
+                    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    full = 32768.0
+                elif sampwidth == 1:
+                    samples = (
+                        np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                        - 128.0
+                    )
+                    full = 128.0
+                else:
+                    raise NotImplementedError(
+                        f"{8 * sampwidth}-bit WAV unsupported (8/16-bit only)"
+                    )
+                per_ch = samples.reshape(-1, nch)
+                rms = [
+                    float(np.sqrt(np.mean((per_ch[:, i] / full) ** 2)))
+                    for i in range(nch)
+                ]
+                rows.append(
+                    (media_id, rate, nch, n, n / rate if rate else 0.0, rms)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_s", "rms",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
     )
 
 

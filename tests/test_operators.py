@@ -301,6 +301,75 @@ def test_multimodal_real_decode_raises(spark):
         decode_image_features(df, fake=False).collect()
 
 
+def _bmp_bytes(width, height, pixel_bgr):
+    """Minimal uncompressed 24-bit bottom-up BMP filled with one color."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    pixel_data = b"".join(
+        bytes(pixel_bgr) * width + b"\x00" * (stride - width * 3)
+        for _ in range(height)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    return header + info + pixel_data
+
+
+def _wav_bytes(rate, nch, samples):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_multimodal_real_bmp_ppm_decode(spark):
+    from carto_etl_spark.operators.multimodal import resize_images
+
+    bmp = _bmp_bytes(5, 3, (255, 0, 0))          # solid blue, BGR order
+    ppm = b"P6\n# c\n4 2\n255\n" + bytes([10, 200, 30]) * 8
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(ppm))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image_features(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_channels"]) == (5, 3, 3)
+    assert rows[1]["feature"][0] == pytest.approx(1.0)   # blue channel max
+    assert rows[1]["feature"][1] == pytest.approx(0.0)
+    assert (rows[2]["width"], rows[2]["height"]) == (4, 2)
+    assert rows[2]["feature"][1] == pytest.approx(200 / 255, abs=1e-6)
+
+    resized = {r["media_id"]: r for r in resize_images(df, 2, 2).collect()}
+    assert resized[1]["content"].startswith(b"P6\n2 2\n255\n")
+    # solid-color image stays solid through nearest-neighbor resize
+    body = bytes(resized[1]["content"]).split(b"255\n", 1)[1]
+    assert body == bytes([255, 0, 0]) * 4
+
+
+def test_multimodal_real_wav_decode(spark):
+    from carto_etl_spark.operators.multimodal import decode_audio_features
+
+    # 100 Hz of alternating full-scale square wave, mono 16-bit
+    wav = _wav_bytes(8000, 1, [32767, -32767] * 400)
+    df = spark.createDataFrame(
+        [(7, bytearray(wav))], "media_id long, content binary"
+    )
+    r = decode_audio_features(df).collect()[0]
+    assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+    assert r["n_samples"] == 800
+    assert r["duration_s"] == pytest.approx(0.1)
+    assert r["rms"][0] == pytest.approx(1.0, abs=1e-3)  # full-scale square
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"abc"))], "media_id long, content binary"
