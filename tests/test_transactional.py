@@ -66,6 +66,25 @@ def test_commit_conflict_exhaustion(spark, tmp_path):
         t._commit_with_retry([], "append")
 
 
+def test_concurrent_appends_all_land(spark, tmp_path):
+    # 6 threads race appends through the OCC loop: every commit must land
+    # (no lost updates), versions must be a contiguous 1..6, and the final
+    # snapshot must contain every thread's rows exactly once.
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = TransactionalTable(spark, tmp_path / "race", max_commit_retries=50)
+
+    def add(i):
+        t.append(spark.createDataFrame([(i, f"w{i}")], ["id", "v"]))
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        list(pool.map(add, range(6)))
+
+    assert t.version() == 6
+    assert t._versions() == [1, 2, 3, 4, 5, 6]
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(6))
+
+
 def test_crash_leftover_tmp_manifest_ignored(spark, tmp_path):
     t = TransactionalTable(spark, tmp_path / "t")
     t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
