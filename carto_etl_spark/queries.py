@@ -599,6 +599,45 @@ FROM pts GROUP BY 1, 2
 """
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew machinery under the oracle gate (operators/skew.py): lineitem
+    joined to nation-sized dim via the salted path + a two-stage exact
+    distinct count, vs the oracle's plain join/COUNT(DISTINCT).  Equivalence
+    of the salted plan to the declarative SQL IS the correctness claim."""
+    from carto_etl_spark.operators.skew import (
+        salted_join,
+        two_stage_count_distinct,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(
+        li, s.withColumnRenamed("s_suppkey", "l_suppkey"), on="l_suppkey"
+    )
+    per_nation = two_stage_count_distinct(joined, "s_nationkey", "l_orderkey")
+    qty = joined.groupBy("s_nationkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty")
+    )
+    return per_nation.join(qty, "s_nationkey").select(
+        "s_nationkey",
+        F.col("n_distinct_l_orderkey").alias("n_orders"),
+        "sum_qty",
+    )
+
+
+ORACLE_SALTED = """
+SELECT s_nationkey,
+       count(DISTINCT l_orderkey) AS n_orders,
+       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
 def q_morton_tiles(spark, sf_dir):
     """Write-layout clustering key (operators/layout.py): Morton code over
     zoom-6 mercator tiles, aggregated per code.  Oracle re-derives the bit
@@ -1599,6 +1638,7 @@ QUERIES = {
     "utm_transform": q_utm_transform,
     "transactional_lifecycle": q_transactional_lifecycle,
     "morton_tiles": q_morton_tiles,
+    "salted_join": q_salted_join,
     "overview_grid": q_overview_grid,
     "overview_rollup": q_overview_rollup,
     "token_counts": q_token_counts,
@@ -1649,6 +1689,7 @@ ORACLES = {
     "utm_transform": ORACLE_UTM,
     "transactional_lifecycle": ORACLE_TXN_LIFECYCLE,
     "morton_tiles": ORACLE_MORTON,
+    "salted_join": ORACLE_SALTED,
     "overview_grid": ORACLE_OVERVIEW_GRID,
     "overview_rollup": ORACLE_OVERVIEW_ROLLUP,
     "token_counts": ORACLE_TOKEN_COUNTS,
