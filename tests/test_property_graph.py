@@ -1,0 +1,72 @@
+"""Property tests: connected-components labeling vs a union-find reference,
+and Morton interleave vs plain Python bit arithmetic.  One hypothesis case
+drives a whole batch through Spark (a Spark job per example is too slow)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from carto_etl_spark.functions.geom import morton_expr
+from carto_etl_spark.operators.dedup import min_label_components
+
+
+def _union_find_roots(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # resolve to the component MINIMUM (paths fully compressed)
+    return {n: find(n) for n in parent}
+
+
+edge = st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(
+    lambda e: e[0] != e[1]
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(edge, min_size=1, max_size=60))
+def test_min_label_components_matches_union_find(spark, edges):
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["root"] for r in min_label_components(pairs).collect()
+    }
+    assert got == _union_find_roots(edges)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, (1 << 12) - 1), st.integers(0, (1 << 12) - 1)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_morton_matches_python_interleave(spark, points):
+    zoom = 12
+
+    def py_morton(x, y):
+        out = 0
+        for i in range(zoom):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame(points, ["x", "y"])
+    rows = df.select(
+        "x", "y", morton_expr(F.col("x"), F.col("y"), zoom).alias("m")
+    ).collect()
+    for r in rows:
+        assert r["m"] == py_morton(r["x"], r["y"])
