@@ -305,6 +305,10 @@ class TransactionalTable:
         ``retain_versions`` at or above the streaming engine's replay horizon
         (Structured Streaming replays at most the last uncommitted batch, so
         anything >= 2 is safe there)."""
+        if retain_versions < 1:
+            # versions[-0:] would keep EVERY manifest while the loop below
+            # deleted them all — refuse the footgun outright
+            raise ValueError("retain_versions must be >= 1")
         versions = self._versions()
         keep_versions = versions[-retain_versions:] if versions else []
         keep: set[str] = set()
@@ -320,7 +324,7 @@ class TransactionalTable:
                         deleted.append(rel)
                 if not any(commit_dir.iterdir()):
                     commit_dir.rmdir()
-        for v in versions[:-retain_versions] if retain_versions else versions:
+        for v in versions[:-retain_versions]:
             self._manifest_path(v).unlink(missing_ok=True)
         return deleted
 
