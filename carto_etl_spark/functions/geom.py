@@ -275,21 +275,9 @@ def transform_geom(
     return out.withColumn(out_col, F.col(tmp)).drop(tmp)
 
 
-def geom_expr(df: DataFrame, cfg: JobConfig) -> Column:
-    """Typed geometry column per the reference's ``create_geom_query`` decision
-    tree (etl/etl.py:175-192): force_the_geom passthrough > force_no_geometry
-    NULL > validated point from x/y columns (NULL if either coord invalid)."""
-    if cfg.force_the_geom:
-        if cfg.force_the_geom not in df.columns:
-            return F.lit(None).cast("string").alias("the_geom")
-        return F.col(cfg.force_the_geom).alias("the_geom")
-    if cfg.force_no_geometry:
-        return F.lit(None).cast(
-            "struct<x:double,y:double,srid:int>"
-        ).alias("the_geom")
+def _point_from_coords(lon: Column, lat: Column, cfg: JobConfig) -> Column:
+    """Validated point from already-parsed coordinate columns."""
     zero = cfg.compat_zero_coord_is_null
-    lon = coord_expr(df, cfg, cfg.x_column)
-    lat = coord_expr(df, cfg, cfg.y_column)
     if cfg.srid == WGS84:
         # The +/-180/90 bounds are DEGREE semantics.  The reference applies
         # them for every srid (etl/etl.py:238-250), which silently nulls all
@@ -305,7 +293,68 @@ def geom_expr(df: DataFrame, cfg: JobConfig) -> Column:
         pt = F.when(
             pt.isNotNull(), transform_point(pt, cfg.srid, WGS84)
         )
-    return pt.alias("the_geom")
+    return pt
+
+
+def geom_expr(df: DataFrame, cfg: JobConfig) -> Column:
+    """Typed geometry column per the reference's ``create_geom_query`` decision
+    tree (etl/etl.py:175-192): force_the_geom passthrough > force_no_geometry
+    NULL > validated point from x/y columns (NULL if either coord invalid).
+
+    Single-Column form: the coordinate parse tree is inlined at every
+    reference (validation + struct + downstream field extraction), which
+    multiplies the locale-float parse ~6x per coordinate — fine for one-row
+    goldens, wrong for the ingest hot path.  Jobs use ``staged_geom``, which
+    parses each coordinate exactly once."""
+    if cfg.force_the_geom:
+        if cfg.force_the_geom not in df.columns:
+            return F.lit(None).cast("string").alias("the_geom")
+        return F.col(cfg.force_the_geom).alias("the_geom")
+    if cfg.force_no_geometry:
+        return F.lit(None).cast(
+            "struct<x:double,y:double,srid:int>"
+        ).alias("the_geom")
+    lon = coord_expr(df, cfg, cfg.x_column)
+    lat = coord_expr(df, cfg, cfg.y_column)
+    return _point_from_coords(lon, lat, cfg).alias("the_geom")
+
+
+def staged_geom(
+    df: DataFrame, cfg: JobConfig, out_col: str = "the_geom"
+) -> DataFrame:
+    """``geom_expr`` as a DataFrame op with the coordinate parse STAGED in its
+    own projection.  Validation/struct-building then reference the parsed
+    value as a plain attribute, so the heavy locale-float parse (replace +
+    special-value CASE + try_cast) runs once per coordinate per row.  Catalyst's
+    CollapseProject keeps the stage separate — it refuses to inline non-cheap
+    producer expressions referenced more than once — and whole-stage codegen
+    gets a method small enough for the JIT (the inlined form fell out of
+    compiled execution and ran ~2x slower end-to-end at sf0.1)."""
+    if cfg.force_the_geom or cfg.force_no_geometry:
+        return df.withColumn(out_col, geom_expr(df, cfg))
+    px, py = f"__{out_col}_px", f"__{out_col}_py"
+    staged = df.withColumns(
+        {
+            px: coord_expr(df, cfg, cfg.x_column),
+            py: coord_expr(df, cfg, cfg.y_column),
+        }
+    )
+    lon, lat = F.col(px), F.col(py)
+    zero = cfg.compat_zero_coord_is_null
+    if cfg.srid == WGS84:
+        lon = validated_lon(lon, zero_is_null=zero)
+        lat = validated_lat(lat, zero_is_null=zero)
+    elif zero:
+        lon = F.when(lon == 0.0, F.lit(None)).otherwise(lon)
+        lat = F.when(lat == 0.0, F.lit(None)).otherwise(lat)
+    staged = staged.withColumn(
+        out_col, point_struct(lon, lat, cfg.srid)
+    ).drop(px, py)
+    if cfg.srid != WGS84:
+        # transform_geom stages each leg in its own projection; a NULL input
+        # struct propagates to a NULL output (all series math is null-strict)
+        staged = transform_geom(staged, out_col, cfg.srid, WGS84)
+    return staged
 
 
 def render_geom_expr(df: DataFrame, cfg: JobConfig) -> Column:

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from carto_etl_spark.config import JobConfig
 from carto_etl_spark.functions.coerce import float_expr, timestamp_expr
-from carto_etl_spark.functions.geom import geom_expr
+from carto_etl_spark.functions.geom import staged_geom
 from carto_etl_spark.sources.csv import (
     chunk_range_filter,
     normalize_headers,
@@ -217,7 +217,11 @@ class UploadJob:
             )
         exprs = []
         if include_geom:
-            exprs.append(geom_expr(df, self.cfg))
+            # staged: each coordinate parses once in its own projection
+            # (the single-Column geom_expr form re-inlines the float parse
+            # ~6x per coord and pushes codegen past the JIT's method limit)
+            df = staged_geom(df, self.cfg)
+            exprs.append(F.col("the_geom"))
         for c in cols:
             if c not in df.columns:
                 exprs.append(F.lit(None).cast("string").alias(c))
