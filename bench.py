@@ -3,7 +3,7 @@
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query is fully materialized on the driver (Arrow-batched toPandas — the
+Each query is fully materialized on the driver (Arrow-batched toArrow — the
 transfer path a real consumer of a large result would use; falls back to
 row collect if Arrow conversion is unsupported for a result type), timed
 wall-clock.  A small warmup query first so JVM/codegen startup is not billed
@@ -71,7 +71,7 @@ def main() -> None:
         fn = QUERIES[name]
         t0 = time.time()
         try:
-            rows = fn(spark, sf_dir).toPandas()
+            rows = fn(spark, sf_dir).toArrow()
         except Exception:
             rows = fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)

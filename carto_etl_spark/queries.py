@@ -54,6 +54,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition so CPU-heavy per-row work engages every core
+    when the file layout under-splits the scan (the local test tables are
+    single-row-group parquet: Spark plans byte-range splits but only the one
+    containing the row-group midpoint yields rows, so effective scan
+    parallelism is 1).  No-op whenever the scan already produces at least
+    one split per core — on a real cluster a large table yields orders of
+    magnitude more splits than ``defaultParallelism``, so this never inserts
+    a shuffle at scale.  Use only ahead of expression chains whose per-row
+    cost dwarfs one extra pass over the bytes (md5 shingles, locale parse)."""
+    parts = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parts:
+        return df
+    return df.repartition(parts)
+
+
 # ---------------------------------------------------------------------------
 # Relational core (the execution surface the reference delegates to PostgreSQL)
 # ---------------------------------------------------------------------------
@@ -209,7 +225,7 @@ FROM customer GROUP BY c_mktsegment
 
 def q_locale_float_coercion(spark, sf_dir):
     """Reference F2: locale float parse round-trip (decimal comma)."""
-    li = load(spark, sf_dir, "lineitem")
+    li = widen(load(spark, sf_dir, "lineitem"), spark)
     qty_str = F.replace(
         F.col("l_quantity").cast("string"), F.lit("."), F.lit(",")
     )
@@ -846,7 +862,7 @@ SELECT doc_id, lang, source FROM (
 def q_shingle_fingerprint(spark, sf_dir):
     """Winnowing-style near-dup fingerprint: bottom-4 sketch of char-8-gram
     md5 hashes (portable across engines)."""
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"), spark)
     normed = d.select("doc_id", tx.normalize_text_expr("text").alias("__norm"))
     return normed.select(
         "doc_id",
@@ -1163,6 +1179,9 @@ def q_ingest_coercion(spark, sf_dir):
     dates, geometry, NULL rules."""
     from carto_etl_spark.operators.jobs import UploadJob
 
+    # no widen() here: coerced_df runs a float-inference aggregate as its own
+    # job before the main query, so a repartition is paid twice (the shuffle
+    # is not reused across jobs) and measured slower than the narrow plan
     li = load(spark, sf_dir, "lineitem")
     src = li.select(
         F.col("l_orderkey").cast("string").alias("okey"),
@@ -1384,7 +1403,7 @@ def q_minhash_dedup(spark, sf_dir):
             F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
         )
     )
-    both = d.unionByName(near)
+    both = widen(d.unionByName(near), spark)
     out = dd.minhash_dedup(both, "doc_id", "text", threshold=0.5)
     return out.select("doc_id")
 
@@ -1399,7 +1418,7 @@ def q_simhash_pairs(spark, sf_dir):
             F.concat(F.col("text"), F.lit(" zz")).alias("text"),
         )
     )
-    both = d.unionByName(near)
+    both = widen(d.unionByName(near), spark)
     return dd.simhash_near_pairs(both, "doc_id", "text", max_hamming=6)
 
 
