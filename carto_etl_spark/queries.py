@@ -742,7 +742,7 @@ WITH pts AS (
 )
 SELECT cast(floor(tile_x / 2) AS bigint) AS tile_x,
        cast(floor(tile_y / 2) AS bigint) AS tile_y,
-       sum(n_features) AS n_features,
+       cast(sum(n_features) AS bigint) AS n_features,
        cast(sum(sum_acctbal) AS double) AS sum_acctbal
 FROM z4 GROUP BY 1, 2
 """
@@ -1320,7 +1320,7 @@ def q_json_extract(spark, sf_dir):
 
 ORACLE_JSON = """
 SELECT event_type, count(*) AS n,
-       sum(cast(json_extract(props, '$.k') AS int)) AS sum_k,
+       cast(sum(cast(json_extract(props, '$.k') AS int)) AS bigint) AS sum_k,
        min(cast(json_extract(props, '$.k') AS int)) AS min_k,
        max(cast(json_extract(props, '$.k') AS int)) AS max_k
 FROM events GROUP BY event_type
