@@ -216,6 +216,10 @@ class UploadJob:
                 self.cfg,
             )
         exprs = []
+        # membership checks below must see the SOURCE columns, not the staged
+        # frame: staging adds a generated 'the_geom', which a projected source
+        # column of the same name must not silently resolve to
+        src_cols = set(df.columns)
         if include_geom:
             # staged: each coordinate parses once in its own projection
             # (the single-Column geom_expr form re-inlines the float parse
@@ -223,7 +227,10 @@ class UploadJob:
             df = staged_geom(df, self.cfg)
             exprs.append(F.col("the_geom"))
         for c in cols:
-            if c not in df.columns:
+            if include_geom and c == "the_geom":
+                # the generated geometry already occupies this output slot
+                continue
+            if c not in src_cols:
                 exprs.append(F.lit(None).cast("string").alias(c))
             elif self.cfg.is_date_column(c) or declared.get(c) == "timestamp":
                 exprs.append(
@@ -370,20 +377,22 @@ class InsertJob(UploadJob):
                 # per-chunk progress events fire. The previous form ran one
                 # sequential filtered write per chunk — with chunk_size 1000
                 # that is millions of jobs at 100 TB.
-                chunk_ids = [
-                    r[0]
-                    for r in out.groupBy("chunk_id")
-                    .agg(F.count(F.lit(1)))
-                    .orderBy("chunk_id")
-                    .collect()
-                ]
+                # Chunk ids are contiguous by construction (with_chunk_id is
+                # floor(row_idx/chunk_size)+1 and chunk_range_filter keeps a
+                # contiguous band), so a single-row min/max agg replaces the
+                # former one-row-per-chunk collect (~10^8 rows at 100 TB with
+                # chunk_size 1000).
+                lo, hi = out.agg(
+                    F.min("chunk_id"), F.max("chunk_id")
+                ).first()
+                n_chunks = 0 if lo is None else int(hi) - int(lo) + 1
                 batch = out.repartitionByRange(
-                    max(len(chunk_ids), 1), "chunk_id"
+                    max(n_chunks, 1), "chunk_id"
                 ).drop("chunk_id")
                 if self.send(
                     self.target.append, batch, 0, notify_progress=False
                 ):
-                    for i in range(len(chunk_ids)):
+                    for i in range(n_chunks):
                         self.notify("progress", i + 1)
             else:
                 self.send(self.target.append, out.drop("chunk_id"), 0)
