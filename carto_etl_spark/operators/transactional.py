@@ -38,6 +38,7 @@ import os
 import shutil
 import time
 import uuid
+import warnings
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,7 +54,8 @@ class TransactionalTable:
 
     def __init__(self, spark: SparkSession, path: str | Path,
                  max_commit_retries: int = 10,
-                 stats_columns: list[str] | None = None):
+                 stats_columns: list[str] | None = None,
+                 manifest_warn_files: int = 100_000):
         self.spark = spark
         self.path = Path(path)
         self.log_dir = self.path / "_log"
@@ -61,6 +63,11 @@ class TransactionalTable:
         self.max_commit_retries = max_commit_retries
         #: columns whose per-file min/max land in the manifest (data skipping)
         self.stats_columns = list(stats_columns or [])
+        #: the JSON manifest (file list + per-file stats) lives in driver
+        #: memory; past this many files each commit warns to ``compact()``.
+        #: ~100k files x ~200 bytes/entry ~ 20 MB of manifest — the practical
+        #: driver ceiling before compaction is mandatory, not optional.
+        self.manifest_warn_files = manifest_warn_files
         # interface parity with TargetTable; hive-partitioned layout is the
         # plain table's concern — here pruning comes from per-commit files
         self.partition_by: list[str] = []
@@ -161,13 +168,18 @@ class TransactionalTable:
         rows = (
             df.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
         )
-        by_abs = {str(self.path / f): f for f in rel_files}
+        # input_file_name returns a URI (file://...); key both sides by the
+        # table-relative tail (commit_dir/filename) for an O(1) dict lookup —
+        # the former endswith scan over every known file was O(files^2) per
+        # commit, quadratic driver work at millions of files.
+        def _tail(p: str) -> tuple[str, str]:
+            parts = p.rstrip("/").split("/")
+            return (parts[-2], parts[-1]) if len(parts) >= 2 else ("", parts[-1])
+
+        by_tail = {_tail(f): f for f in rel_files}
         stats: dict = {}
         for r in rows:
-            # input_file_name returns a URI; match on the path suffix
-            rel = next(
-                (v for k, v in by_abs.items() if r["__file"].endswith(k)), None
-            )
+            rel = by_tail.get(_tail(r["__file"]))
             if rel is None:
                 continue
             stats[rel] = {
@@ -191,6 +203,15 @@ class TransactionalTable:
                 stats = {**current_manifest.get("stats", {}), **stats}
             else:
                 files = new_files
+            if len(files) > self.manifest_warn_files:
+                warnings.warn(
+                    f"manifest for {self.path} tracks {len(files)} files "
+                    f"(> {self.manifest_warn_files}); driver-side manifest "
+                    "work grows linearly with the file count — run "
+                    ".compact() to fold small commits",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
             try:
                 return self._commit(files, base, idempotency_key, stats)
             except CommitConflict:

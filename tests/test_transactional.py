@@ -196,3 +196,36 @@ def test_jobs_compose_with_transactional_table(spark, tmp_path):
     assert t.version() == 3
     # prior snapshots are still time-travelable until vacuumed
     assert len(t.read(version=1).collect()) == 3
+
+
+def test_stats_collected_for_many_files_in_one_commit(spark, tmp_path):
+    """A single commit landing ~1k data files must stats-match every file
+    (linear dict lookup on the path tail, not a quadratic endswith scan)."""
+    t = TransactionalTable(spark, tmp_path / "t", stats_columns=["id"])
+    n_files = 1000
+    df = (
+        spark.range(n_files)
+        .withColumnRenamed("id", "id")
+        .repartitionByRange(n_files, "id")
+    )
+    t.append(df)
+    manifest = json.loads(
+        (t.log_dir / "00000001.json").read_text()
+    )
+    stats = manifest["stats"]
+    # every non-empty parquet file got a stats entry keyed by its rel path
+    assert set(stats) <= set(manifest["files"])
+    covered = sum(1 for v in stats.values() if "id" in v)
+    assert covered >= 990  # range partitioning: ~every file non-empty
+    lo = min(v["id"][0] for v in stats.values())
+    hi = max(v["id"][1] for v in stats.values())
+    assert (lo, hi) == (0, n_files - 1)
+
+
+def test_manifest_size_warning_past_threshold(spark, tmp_path):
+    t = TransactionalTable(spark, tmp_path / "t", manifest_warn_files=3)
+    df = spark.range(8).repartitionByRange(8, "id")
+    with pytest.warns(RuntimeWarning, match="compact"):
+        t.append(df)
+    # warning is advisory: the commit still landed
+    assert t.read().count() == 8
