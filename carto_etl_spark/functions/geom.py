@@ -248,6 +248,15 @@ def _transform_legs(from_srid: int, to_srid: int) -> list[tuple[int, int]] | Non
     return [(from_srid, WGS84), (WGS84, to_srid)]
 
 
+def _fresh_name(df: DataFrame, base: str) -> str:
+    """A staging-column name absent from ``df`` — a source column that
+    happens to share an internal temp name must not be overwritten/dropped."""
+    name = base
+    while name in df.columns:
+        name += "_"
+    return name
+
+
 def transform_geom(
     df: DataFrame,
     geom_col: str,
@@ -268,7 +277,7 @@ def transform_geom(
             "supported: 4326, 3857, WGS84 UTM zones (EPSG 326xx/327xx)"
         )
     out_col = out_col or geom_col
-    tmp = f"__xf_{out_col}"
+    tmp = _fresh_name(df, f"__xf_{out_col}")
     out = df.withColumn(tmp, F.col(geom_col))
     for a, b in legs:
         out = out.withColumn(tmp, transform_point(F.col(tmp), a, b))
@@ -332,7 +341,7 @@ def staged_geom(
     compiled execution and ran ~2x slower end-to-end at sf0.1)."""
     if cfg.force_the_geom or cfg.force_no_geometry:
         return df.withColumn(out_col, geom_expr(df, cfg))
-    px, py = f"__{out_col}_px", f"__{out_col}_py"
+    px, py = _fresh_name(df, f"__{out_col}_px"), _fresh_name(df, f"__{out_col}_py")
     staged = df.withColumns(
         {
             px: coord_expr(df, cfg, cfg.x_column),

@@ -64,8 +64,13 @@ def widen(df: DataFrame, spark: SparkSession) -> DataFrame:
     magnitude more splits than ``defaultParallelism``, so this never inserts
     a shuffle at scale.  Use only ahead of expression chains whose per-row
     cost dwarfs one extra pass over the bytes (md5 shingles, locale parse)."""
-    parts = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parts:
+    try:
+        parts = spark.sparkContext.defaultParallelism
+        # df.rdd forces a plan conversion and is unsupported under Spark
+        # Connect; any failure here means "can't tell" -> leave df alone
+        if df.rdd.getNumPartitions() >= parts:
+            return df
+    except Exception:
         return df
     return df.repartition(parts)
 

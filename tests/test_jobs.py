@@ -246,3 +246,38 @@ def test_failed_batch_raises_and_dead_letters(spark, sample_csv, tmp_path):
     )
     job2.run()
     assert len(job2.dead_letters) == 1
+
+
+def test_source_column_named_the_geom_does_not_break_coercion(spark, tmp_path):
+    """A projected source column literally named 'the_geom' (without
+    force_the_geom) must not resolve to the generated geometry struct inside
+    the string-coercion branch — the generated geometry wins the output slot."""
+    df = spark.createDataFrame(
+        [("1.0", "2.0", "junk")], ["lon", "lat", "the_geom"]
+    )
+    target = TargetTable(spark, tmp_path / "t")
+    job = InsertJob(
+        df, target=target, columns="lon,lat,the_geom", srid="4326"
+    )
+    out = job.run()
+    row = out.collect()[0]
+    assert row["the_geom"] is not None
+    assert row["the_geom"]["x"] == 1.0  # generated struct, not 'junk'
+
+
+def test_staging_temp_names_survive_column_collision(spark):
+    """Source columns that collide with internal staging temp names must pass
+    through unscathed."""
+    from carto_etl_spark.config import JobConfig
+    from carto_etl_spark.functions.geom import staged_geom
+
+    df = spark.createDataFrame(
+        [("3.0", "4.0", "keepme", "metoo")],
+        ["lon", "lat", "__the_geom_px", "__xf_the_geom"],
+    )
+    cfg = JobConfig.from_kwargs(srid=32630)  # UTM: exercises transform_geom
+    out = staged_geom(df, cfg)
+    row = out.collect()[0]
+    assert row["__the_geom_px"] == "keepme"
+    assert row["__xf_the_geom"] == "metoo"
+    assert row["the_geom"] is not None
