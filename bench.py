@@ -8,12 +8,18 @@ transfer path a real consumer of a large result would use; falls back to
 row collect if Arrow conversion is unsupported for a result type), timed
 wall-clock.  A small warmup query first so JVM/codegen startup is not billed
 to the first benchmark entry.
+
+Methodology (stable since r2, commit 0213617): toArrow materialization.  Per
+query the reported number is the MEDIAN of $SPARK_GRAFT_BENCH_ITERS runs
+(default 3) — single-shot timings moved ±20% on scheduling noise alone
+(r2's simhash_pairs "regression" was exactly this).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -66,22 +72,29 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer reads
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.time()
-        try:
-            rows = fn(spark, sf_dir).toArrow()
-        except Exception:
-            rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
-        del rows
+        samples = []
+        for _ in range(iters):
+            t0 = time.time()
+            try:
+                rows = fn(spark, sf_dir).toArrow()
+            except Exception:
+                rows = fn(spark, sf_dir).collect()
+            samples.append(time.time() - t0)
+            del rows
+        timings[name] = round(statistics.median(samples), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
-                "metric": "total wall-clock of headline queries (full materialization)",
+                "metric": (
+                    "total wall-clock of headline queries "
+                    f"(full materialization, median of {iters})"
+                ),
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
