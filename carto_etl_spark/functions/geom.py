@@ -184,6 +184,225 @@ def _utm_inverse(easting: Column, northing: Column, zone: int, northern: bool):
     return lon, lat
 
 
+# -- Lambert families on GRS80 (public formulas: Snyder, "Map Projections —
+# A Working Manual", USGS PP 1395; the reference delegates ANY-srid
+# st_transform to PostGIS, etl/etl.py:190-192 — these absorb the two most
+# common European/French projected families natively).  ETRS89/RGF93 datum
+# vs WGS84 differs by well under a metre and is treated as identity, the
+# standard practice for non-geodetic analytics.  All JVM column math.
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
+_GRS80_E2 = _GRS80_F * (2.0 - _GRS80_F)
+_GRS80_E = math.sqrt(_GRS80_E2)
+
+#: srid -> (lat0_deg, lon0_deg, false_easting, false_northing)
+_LAEA_PARAMS = {
+    3035: (52.0, 10.0, 4321000.0, 3210000.0),  # ETRS89-extended / LAEA Europe
+}
+
+#: srid -> (lat0_deg, lon0_deg, sp1_deg, sp2_deg, false_e, false_n)
+_LCC_PARAMS = {
+    2154: (46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0),  # RGF93 / Lambert-93
+    3034: (52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0),  # ETRS89 / LCC Europe
+}
+
+
+def _authalic_q(sin_phi):
+    """Snyder eq. 3-12 (works for both Python floats and Columns)."""
+    e = _GRS80_E
+    if isinstance(sin_phi, float):
+        return (1.0 - _GRS80_E2) * (
+            sin_phi / (1.0 - _GRS80_E2 * sin_phi * sin_phi)
+            - (1.0 / (2.0 * e))
+            * math.log((1.0 - e * sin_phi) / (1.0 + e * sin_phi))
+        )
+    return (1.0 - _GRS80_E2) * (
+        sin_phi / (1.0 - _GRS80_E2 * sin_phi * sin_phi)
+        - F.lit(1.0 / (2.0 * e))
+        * F.log((1.0 - e * sin_phi) / (1.0 + e * sin_phi))
+    )
+
+
+def _laea_constants(srid: int):
+    lat0, lon0, fe, fn = _LAEA_PARAMS[srid]
+    phi1 = math.radians(lat0)
+    qp = _authalic_q(1.0)
+    q1 = _authalic_q(math.sin(phi1))
+    beta1 = math.asin(q1 / qp)
+    rq = _GRS80_A * math.sqrt(qp / 2.0)
+    m1 = math.cos(phi1) / math.sqrt(1.0 - _GRS80_E2 * math.sin(phi1) ** 2)
+    d = _GRS80_A * m1 / (rq * math.cos(beta1))
+    return lon0, fe, fn, qp, beta1, rq, d
+
+
+def _clamp1(c: Column) -> Column:
+    return F.least(F.greatest(c, F.lit(-1.0)), F.lit(1.0))
+
+
+def _let(fn, **named: Column) -> Column:
+    """Named let-binding for Column math: each value is computed once as a
+    higher-order-function lambda variable instead of being re-embedded at
+    every reference.  Column composition copies the full upstream expression
+    tree per reference, so an unrolled fixpoint that references its
+    accumulator ~10x per round grows exponentially and OOMs Catalyst during
+    analysis; lambda variables are leaves, keeping the tree linear."""
+    keys = list(named)
+    arr = F.array(F.struct(*[named[k].alias(k) for k in keys]))
+    return F.transform(arr, lambda v: fn(*[v[k] for k in keys]))[0]
+
+
+def _fixpoint(seed: Column, rounds: int, step) -> Column:
+    """Evaluate ``step`` ``rounds`` times starting from ``seed`` via
+    ``F.aggregate`` over a dummy array — the accumulator is a lambda
+    variable, so the iteration costs O(rounds) plan nodes, not
+    O(refs^rounds)."""
+    return F.aggregate(
+        F.array_repeat(F.lit(0), rounds),
+        seed.cast("double"),
+        lambda acc, _: step(acc),
+    )
+
+
+def _laea_forward(lon: Column, lat: Column, srid: int):
+    """Snyder eq. 24-27..24-34 (ellipsoidal LAEA, oblique aspect)."""
+    lon0, fe, fn, qp, beta1, rq, d = _laea_constants(srid)
+    sb1, cb1 = math.sin(beta1), math.cos(beta1)
+    beta = F.asin(_clamp1(_authalic_q(F.sin(F.radians(lat))) / qp))
+    lam = F.radians(lon - F.lit(lon0))
+    sb, cb = F.sin(beta), F.cos(beta)
+    b = rq * F.sqrt(2.0 / (1.0 + sb1 * sb + cb1 * cb * F.cos(lam)))
+    x = F.lit(fe) + b * d * cb * F.sin(lam)
+    y = F.lit(fn) + (b / d) * (F.lit(cb1) * sb - F.lit(sb1) * cb * F.cos(lam))
+    return x, y
+
+
+def _laea_inverse(x: Column, y: Column, srid: int):
+    """Snyder eq. 24-35..24-39 + the φ-from-q iteration (eq. 3-16), run 4
+    rounds — each round is quadratic-convergent, so 4 rounds land far below
+    the 1e-6-degree round-trip contract.  Intermediates are let-bound and
+    the iteration uses ``_fixpoint``: a naively-unrolled loop re-embeds its
+    ~10-reference accumulator tree per round and OOMs plan analysis."""
+    lon0, fe, fn, qp, beta1, rq, d = _laea_constants(srid)
+    sb1, cb1 = math.sin(beta1), math.cos(beta1)
+    e, e2 = _GRS80_E, _GRS80_E2
+    q_center = _authalic_q(math.sin(math.radians(_LAEA_PARAMS[srid][0])))
+
+    def phi_step(q):
+        def step(phi):
+            def body(sphi, cphi):
+                one = 1.0 - e2 * sphi * sphi
+                return (one * one) / (2.0 * cphi) * (
+                    q / (1.0 - e2)
+                    - sphi / one
+                    + F.lit(1.0 / (2.0 * e))
+                    * F.log((1.0 - e * sphi) / (1.0 + e * sphi))
+                )
+            return phi + _let(body, sphi=F.sin(phi), cphi=F.cos(phi))
+        return step
+
+    def with_rho_ce(xp, yp, rho, ce):
+        at_center = rho < 1e-9
+        q = F.when(at_center, F.lit(q_center)).otherwise(
+            qp * (F.cos(ce) * sb1 + yp * F.sin(ce) * cb1 / rho)
+        )
+        lon = F.when(at_center, F.lit(lon0)).otherwise(
+            F.lit(lon0)
+            + F.degrees(F.atan2(
+                xp * F.sin(ce),
+                rho * cb1 * F.cos(ce) - yp * sb1 * F.sin(ce),
+            ))
+        )
+
+        def finish(q, lon):
+            phi = _fixpoint(F.asin(_clamp1(q / qp)), 4, phi_step(q))
+            return F.struct(lon.alias("lon"), F.degrees(phi).alias("lat"))
+
+        return _let(finish, q=q, lon=lon)
+
+    def body(xp, yp):
+        rho = F.sqrt(xp * xp + yp * yp)
+
+        def inner(rho):
+            ce = 2.0 * F.asin(_clamp1(rho / (2.0 * rq)))
+            return _let(lambda ce: with_rho_ce(xp, yp, rho, ce), ce=ce)
+
+        return _let(inner, rho=rho)
+
+    out = _let(body, xp=(x - F.lit(fe)) / d, yp=(y - F.lit(fn)) * d)
+    return out["lon"], out["lat"]
+
+
+def _lcc_m(phi: float) -> float:
+    return math.cos(phi) / math.sqrt(1.0 - _GRS80_E2 * math.sin(phi) ** 2)
+
+
+def _lcc_t(phi: float) -> float:
+    e = _GRS80_E
+    return math.tan(math.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * math.sin(phi)) / (1.0 + e * math.sin(phi))
+    ) ** (e / 2.0)
+
+
+def _lcc_constants(srid: int):
+    lat0, lon0, sp1, sp2, fe, fn = _LCC_PARAMS[srid]
+    p0, p1, p2 = (math.radians(v) for v in (lat0, sp1, sp2))
+    m1, m2 = _lcc_m(p1), _lcc_m(p2)
+    t0, t1, t2 = _lcc_t(p0), _lcc_t(p1), _lcc_t(p2)
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    big_f = m1 / (n * t1**n)
+    rho0 = _GRS80_A * big_f * t0**n
+    return lon0, fe, fn, n, big_f, rho0
+
+
+def _lcc_t_col(phi: Column) -> Column:
+    e = _GRS80_E
+    return F.tan(F.lit(math.pi / 4.0) - phi / 2.0) / F.pow(
+        (1.0 - e * F.sin(phi)) / (1.0 + e * F.sin(phi)), F.lit(e / 2.0)
+    )
+
+
+def _lcc_forward(lon: Column, lat: Column, srid: int):
+    """Snyder eq. 15-1..15-10 (Lambert Conformal Conic, 2SP, ellipsoidal)."""
+    lon0, fe, fn, n, big_f, rho0 = _lcc_constants(srid)
+    t = _lcc_t_col(F.radians(lat))
+    rho = _GRS80_A * big_f * F.pow(t, F.lit(n))
+    theta = n * F.radians(lon - F.lit(lon0))
+    x = F.lit(fe) + rho * F.sin(theta)
+    y = F.lit(fn) + F.lit(rho0) - rho * F.cos(theta)
+    return x, y
+
+
+def _lcc_inverse(x: Column, y: Column, srid: int):
+    """Snyder eq. 15-11 + φ-from-t fixed point (eq. 7-9), 5 rounds via
+    ``_fixpoint`` (see _laea_inverse for why not an unrolled loop)."""
+    lon0, fe, fn, n, big_f, rho0 = _lcc_constants(srid)
+    e = _GRS80_E
+    sign = 1.0 if n >= 0 else -1.0
+
+    def body(xp, yp):
+        rho = sign * F.sqrt(xp * xp + yp * yp)
+        t = F.pow(rho / (_GRS80_A * big_f), F.lit(1.0 / n))
+        lon = F.lit(lon0) + F.degrees(F.atan2(sign * xp, sign * yp) / n)
+
+        def finish(t, lon):
+            phi = _fixpoint(
+                F.lit(math.pi / 2.0) - 2.0 * F.atan(t),
+                5,
+                lambda phi: F.lit(math.pi / 2.0) - 2.0 * F.atan(
+                    t * F.pow(
+                        (1.0 - e * F.sin(phi)) / (1.0 + e * F.sin(phi)),
+                        F.lit(e / 2.0),
+                    )
+                ),
+            )
+            return F.struct(lon.alias("lon"), F.degrees(phi).alias("lat"))
+
+        return _let(finish, t=t, lon=lon)
+
+    out = _let(body, xp=x - F.lit(fe), yp=F.lit(rho0) - (y - F.lit(fn)))
+    return out["lon"], out["lat"]
+
+
 def transform_point(geom: Column, from_srid: int, to_srid: int) -> Column:
     """SRID transform as column arithmetic.  Supports the identity, the
     web-mercator pair, every WGS84 UTM zone (EPSG 326xx/327xx, Krüger series
@@ -214,6 +433,18 @@ def transform_point(geom: Column, from_srid: int, to_srid: int) -> Column:
     if utm_from is not None and to_srid == WGS84:
         lon, lat = _utm_inverse(x, y, *utm_from)
         return point_struct(lon, lat, WGS84)
+    if from_srid == WGS84 and to_srid in _LAEA_PARAMS:
+        e, n = _laea_forward(x, y, to_srid)
+        return point_struct(e, n, to_srid)
+    if from_srid in _LAEA_PARAMS and to_srid == WGS84:
+        lon, lat = _laea_inverse(x, y, from_srid)
+        return point_struct(lon, lat, WGS84)
+    if from_srid == WGS84 and to_srid in _LCC_PARAMS:
+        e, n = _lcc_forward(x, y, to_srid)
+        return point_struct(e, n, to_srid)
+    if from_srid in _LCC_PARAMS and to_srid == WGS84:
+        lon, lat = _lcc_inverse(x, y, from_srid)
+        return point_struct(lon, lat, WGS84)
     if _transform_legs(from_srid, to_srid) is not None:
         # Both legs exist, but Column-level composition re-embeds the full
         # upstream expression tree at every coordinate reference (the series
@@ -227,14 +458,20 @@ def transform_point(geom: Column, from_srid: int, to_srid: int) -> Column:
         )
     raise ValueError(
         f"unsupported SRID transform {from_srid}->{to_srid}; "
-        "supported: 4326, 3857, WGS84 UTM zones (EPSG 326xx/327xx) "
+        "supported: 4326, 3857, WGS84 UTM zones (EPSG 326xx/327xx), "
+        "LAEA Europe (3035), Lambert conformal conic (2154, 3034) "
         "(reference default is 4326, etl/etl.py:21; other SRIDs need a proj "
         "library and a datum shift)"
     )
 
 
 def _supported_srid(srid: int) -> bool:
-    return srid in (WGS84, WEB_MERCATOR) or utm_srid_params(srid) is not None
+    return (
+        srid in (WGS84, WEB_MERCATOR)
+        or utm_srid_params(srid) is not None
+        or srid in _LAEA_PARAMS
+        or srid in _LCC_PARAMS
+    )
 
 
 def _transform_legs(from_srid: int, to_srid: int) -> list[tuple[int, int]] | None:
@@ -274,7 +511,8 @@ def transform_geom(
     if legs is None:
         raise ValueError(
             f"unsupported SRID transform {from_srid}->{to_srid}; "
-            "supported: 4326, 3857, WGS84 UTM zones (EPSG 326xx/327xx)"
+            "supported: 4326, 3857, WGS84 UTM zones (EPSG 326xx/327xx), "
+            "LAEA Europe (3035), Lambert conformal conic (2154, 3034)"
         )
     out_col = out_col or geom_col
     tmp = _fresh_name(df, f"__xf_{out_col}")

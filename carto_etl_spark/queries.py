@@ -584,6 +584,63 @@ FROM series
 """
 
 
+def q_lcc_transform(spark, sf_dir):
+    """Reference F5 generalized further: WGS84 -> RGF93/Lambert-93
+    (EPSG:2154, Lambert conformal conic 2SP, functions/geom.py) over
+    synthesized coords spanning the projection's service extent
+    (lon [-4.5,9.5) x lat [41.5,51)).  The forward LCC map is closed-form,
+    so the oracle re-derives it in portable SQL with the identical
+    full-precision projection constants; integer-metre output absorbs
+    cross-engine libm noise (~1e-6 m), as in ORACLE_UTM."""
+    from carto_etl_spark.functions.geom import transform_geom
+
+    c = load(spark, sf_dir, "customer")
+    src = c.select(
+        "c_custkey",
+        (F.lit(-4.5) + (F.col("c_custkey") * 13 % 1400) / F.lit(100.0)).alias("lon"),
+        (F.lit(41.5) + (F.col("c_custkey") * 7 % 950) / F.lit(100.0)).alias("lat"),
+    )
+    out = transform_geom(
+        src.withColumn("g", point_struct(F.col("lon"), F.col("lat"), 4326)),
+        "g", 4326, 2154, out_col="l93",
+    )
+    return out.select(
+        "c_custkey",
+        F.round(F.col("l93.x")).cast("long").alias("easting_m"),
+        F.round(F.col("l93.y")).cast("long").alias("northing_m"),
+    )
+
+
+# Same Snyder eq. 15-1..15-10 LCC(2SP) math as functions/geom.py with the
+# EPSG:2154 constants precomputed at full double precision:
+#   n = 0.72560776505326952, a*F = 11754255.426096004,
+#   rho0 = 6055612.0498759849, e = 0.081819191042815792 (GRS80)
+ORACLE_LCC = """
+WITH src AS (
+  SELECT c_custkey,
+         -4.5 + (c_custkey * 13 % 1400) / 100.0 AS lon,
+         41.5 + (c_custkey * 7  % 950)  / 100.0 AS lat
+  FROM customer
+), t AS (
+  SELECT c_custkey, lon,
+         tan(pi() / 4.0 - radians(lat) / 2.0)
+         / pow((1.0 - 0.081819191042815792 * sin(radians(lat)))
+               / (1.0 + 0.081819191042815792 * sin(radians(lat))),
+               0.081819191042815792 / 2.0) AS tval
+  FROM src
+), polar AS (
+  SELECT c_custkey,
+         11754255.426096004 * pow(tval, 0.72560776505326952) AS rho,
+         0.72560776505326952 * radians(lon - 3.0) AS theta
+  FROM t
+)
+SELECT c_custkey,
+       cast(round(700000.0 + rho * sin(theta)) AS bigint) AS easting_m,
+       cast(round(6600000.0 + 6055612.0498759849 - rho * cos(theta)) AS bigint) AS northing_m
+FROM polar
+"""
+
+
 def q_overview_grid(spark, sf_dir):
     """Reference D5 (CDB_CreateOverviews): finest-zoom grid aggregate over
     web-mercator tiles (zoom 4)."""
@@ -1660,6 +1717,7 @@ QUERIES = {
     "threeway_fanout": q_threeway_fanout,
     "geom_points": q_geom_points,
     "utm_transform": q_utm_transform,
+    "lcc_transform": q_lcc_transform,
     "transactional_lifecycle": q_transactional_lifecycle,
     "morton_tiles": q_morton_tiles,
     "salted_join": q_salted_join,
@@ -1711,6 +1769,7 @@ ORACLES = {
     "threeway_fanout": ORACLE_FANOUT,
     "geom_points": ORACLE_GEOM_POINTS,
     "utm_transform": ORACLE_UTM,
+    "lcc_transform": ORACLE_LCC,
     "transactional_lifecycle": ORACLE_TXN_LIFECYCLE,
     "morton_tiles": ORACLE_MORTON,
     "salted_join": ORACLE_SALTED,

@@ -1,0 +1,165 @@
+"""Lambert-family SRID transforms (functions/geom.py): LAEA Europe
+(EPSG:3035) and Lambert conformal conic 2SP (EPSG:2154 Lambert-93,
+EPSG:3034 LCC Europe).
+
+The reference delegates ANY-srid ``st_transform`` to PostGIS
+(/root/reference/etl/etl.py:190-192); these tests pin the natively-absorbed
+column math to (a) the projection-origin identities (false easting/northing
+exactly), (b) the published EPSG Guidance Note 7-2 worked example for LAEA,
+(c) <=1e-6-degree round trips over each projection's service extent, and
+(d) the projections' *defining properties* — conformal scale == 1 on the
+standard parallels, equal-area patches for LAEA — which are independent of
+the forward-formula implementation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from carto_etl_spark.functions.geom import (
+    point_struct,
+    st_x,
+    st_y,
+    transform_geom,
+    transform_point,
+)
+
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+GRS80_E2 = GRS80_F * (2.0 - GRS80_F)
+
+
+def _fwd(spark, lon, lat, srid):
+    df = spark.createDataFrame([(float(lon), float(lat))], ["lon", "lat"])
+    pt = point_struct(F.col("lon"), F.col("lat"), 4326)
+    out = transform_point(pt, 4326, srid)
+    r = df.select(st_x(out).alias("x"), st_y(out).alias("y")).first()
+    return r["x"], r["y"]
+
+
+def test_projection_origin_identities(spark):
+    # at (lat0, lon0) every family lands exactly on (false_e, false_n)
+    cases = {
+        3035: (10.0, 52.0, 4321000.0, 3210000.0),
+        2154: (3.0, 46.5, 700000.0, 6600000.0),
+        3034: (10.0, 52.0, 4000000.0, 2800000.0),
+    }
+    for srid, (lon0, lat0, fe, fn) in cases.items():
+        x, y = _fwd(spark, lon0, lat0, srid)
+        assert x == pytest.approx(fe, abs=1e-6), srid
+        assert y == pytest.approx(fn, abs=1e-6), srid
+
+
+def test_laea_epsg_worked_example(spark):
+    # IOGP Guidance Note 7-2, LAEA (ETRS89 / ETRS-LAEA) worked example:
+    # 50N 5E -> E 3962799.45, N 2999718.85
+    x, y = _fwd(spark, 5.0, 50.0, 3035)
+    assert x == pytest.approx(3962799.45, abs=0.01)
+    assert y == pytest.approx(2999718.85, abs=0.01)
+
+
+def test_lambert93_paris(spark):
+    # published RGF93/Lambert-93 coordinates for central Paris
+    x, y = _fwd(spark, 2.3522, 48.8566, 2154)
+    assert x == pytest.approx(652469.0, abs=1.0)
+    assert y == pytest.approx(6862035.3, abs=1.0)
+
+
+@pytest.mark.parametrize(
+    "srid, lon_rng, lat_rng",
+    [
+        (3035, (-10.0, 30.0), (35.0, 70.0)),
+        (2154, (-4.5, 9.5), (41.5, 51.0)),
+        (3034, (-10.0, 30.0), (35.0, 70.0)),
+    ],
+)
+def test_round_trip_grid(spark, srid, lon_rng, lat_rng):
+    # one DataFrame pass over a 9x9 grid spanning the service extent
+    pts = [
+        (lon_rng[0] + i * (lon_rng[1] - lon_rng[0]) / 8.0,
+         lat_rng[0] + j * (lat_rng[1] - lat_rng[0]) / 8.0)
+        for i in range(9) for j in range(9)
+    ]
+    df = spark.createDataFrame(pts, ["lon", "lat"])
+    fwd = transform_point(point_struct(F.col("lon"), F.col("lat"), 4326),
+                          4326, srid)
+    back = transform_point(fwd, srid, 4326)
+    bad = df.select(
+        "lon", "lat",
+        st_x(back).alias("lon2"), st_y(back).alias("lat2"),
+    ).where(
+        (F.abs(F.col("lon2") - F.col("lon")) > 1e-6)
+        | (F.abs(F.col("lat2") - F.col("lat")) > 1e-6)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def _scale_along_parallel(spark, srid, lon, lat):
+    """Projected-length / ellipsoid-length for a short east-west step;
+    implementation-independent probe of the conformal scale factor."""
+    dlon = 1e-4
+    (x1, y1), (x2, y2) = _fwd(spark, lon, lat, srid), _fwd(spark, lon + dlon, lat, srid)
+    proj = math.hypot(x2 - x1, y2 - y1)
+    phi = math.radians(lat)
+    nu = GRS80_A / math.sqrt(1.0 - GRS80_E2 * math.sin(phi) ** 2)
+    arc = math.radians(dlon) * nu * math.cos(phi)
+    return proj / arc
+
+
+@pytest.mark.parametrize(
+    "srid, lon0, sp1, sp2",
+    [(2154, 3.0, 44.0, 49.0), (3034, 10.0, 35.0, 65.0)],
+)
+def test_lcc_unit_scale_on_standard_parallels(spark, srid, lon0, sp1, sp2):
+    for sp in (sp1, sp2):
+        k = _scale_along_parallel(spark, srid, lon0, sp)
+        assert k == pytest.approx(1.0, abs=1e-6), (srid, sp)
+    # between the parallels the cone cuts below the ellipsoid: k < 1
+    mid = (sp1 + sp2) / 2.0
+    assert _scale_along_parallel(spark, srid, lon0, mid) < 1.0 - 1e-6
+    # outside them: k > 1
+    assert _scale_along_parallel(spark, srid, lon0, sp2 + 4.0) > 1.0 + 1e-6
+
+
+def test_laea_preserves_area(spark):
+    # project a small quad at an arbitrary off-center point and compare the
+    # shoelace area against the ellipsoidal patch area M*N*cos(phi)*dphi*dlam
+    lon, lat, d = 24.0, 61.0, 1e-3
+    corners = [(lon, lat), (lon + d, lat), (lon + d, lat + d), (lon, lat + d)]
+    xy = [_fwd(spark, lo, la, 3035) for lo, la in corners]
+    shoelace = 0.5 * abs(sum(
+        xy[i][0] * xy[(i + 1) % 4][1] - xy[(i + 1) % 4][0] * xy[i][1]
+        for i in range(4)
+    ))
+    phi = math.radians(lat + d / 2.0)
+    one = 1.0 - GRS80_E2 * math.sin(phi) ** 2
+    m_rad = GRS80_A * (1.0 - GRS80_E2) / one ** 1.5
+    n_rad = GRS80_A / math.sqrt(one)
+    ellip = m_rad * n_rad * math.cos(phi) * math.radians(d) ** 2
+    assert shoelace == pytest.approx(ellip, rel=1e-6)
+
+
+def test_cross_family_two_leg(spark):
+    # 2154 -> 3035 routes through WGS84 via transform_geom's staged legs
+    df = spark.createDataFrame([(2.3522, 48.8566)], ["lon", "lat"])
+    src = df.select(
+        point_struct(F.col("lon"), F.col("lat"), 4326).alias("g"), "lon", "lat"
+    )
+    in_l93 = transform_geom(src, "g", 4326, 2154, out_col="l93")
+    in_laea = transform_geom(in_l93, "l93", 2154, 3035, out_col="laea")
+    direct = transform_point(point_struct(F.col("lon"), F.col("lat"), 4326),
+                             4326, 3035)
+    r = in_laea.select(
+        st_x("laea").alias("x2"), st_y("laea").alias("y2"),
+        st_x(direct).alias("x1"), st_y(direct).alias("y1"),
+    ).first()
+    assert r["x2"] == pytest.approx(r["x1"], abs=1e-2)
+    assert r["y2"] == pytest.approx(r["y1"], abs=1e-2)
+
+
+def test_unsupported_srid_message_lists_families(spark):
+    with pytest.raises(ValueError, match="3035"):
+        transform_point(F.lit(None), 4326, 27700)  # OSGB needs a datum shift
