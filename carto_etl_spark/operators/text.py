@@ -183,6 +183,30 @@ def compression_ratio_expr(text: Column | str, min_bytes: int = 0) -> Column:
     return out
 
 
+_compressed_len_udf = None
+
+
+def compressed_len_expr(text: Column | str) -> Column:
+    """zlib compressed byte length of the UTF-8 text (NULL for empty text).
+
+    The integer form of ``compression_ratio_expr``: emitting exact byte
+    counts instead of a double ratio makes the signal oracle-checkable with
+    no FP rounding concerns (ratio = compressed_len / octet_length for the
+    reader).  Same Arrow-batched pandas UDF shape, stdlib zlib (level 6
+    default), deterministic."""
+    global _compressed_len_udf
+    if _compressed_len_udf is None:
+        import zlib
+
+        def clen(s):
+            return s.map(
+                lambda t: len(zlib.compress(t.encode("utf-8"))) if t else None
+            )
+
+        _compressed_len_udf = F.pandas_udf(clen, "long")
+    return _compressed_len_udf(_col(text))
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting
 # ---------------------------------------------------------------------------

@@ -18,6 +18,8 @@ Conventions (driver compare is column-name-sorted value hashing):
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1357,14 +1359,32 @@ WHERE s_acctbal = (
 
 def q_compression_ratio(spark, sf_dir):
     """Gopher-style compression-ratio quality signal: zlib bytes-out /
-    bytes-in per document (Arrow-batched pandas UDF; stdlib zlib is
-    deterministic, but no SQL oracle -> rows-only check)."""
-    from carto_etl_spark.operators.text import compression_ratio_expr
+    bytes-in per document (Arrow-batched pandas UDF; stdlib zlib).
+
+    Emits exact integer byte counts (ratio = compressed_len / orig_len for
+    the reader): integers hash identically across engines, and the oracle is
+    a precomputed golden table (tools/make_zlib_golden.py) keyed by
+    md5(text) — content-addressed, so one golden file covers every sf."""
+    from carto_etl_spark.operators.text import compressed_len_expr
 
     d = load(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", F.round(compression_ratio_expr("text"), 6).alias("compression_ratio")
+        "doc_id",
+        F.octet_length("text").cast("long").alias("orig_len"),
+        compressed_len_expr("text").alias("compressed_len"),
     )
+
+
+_ZLIB_GOLDEN = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "tests", "golden", "zlib_lens.parquet",
+)
+
+ORACLE_COMPRESSION = f"""
+SELECT d.doc_id, g.orig_len, g.compressed_len
+FROM documents d
+JOIN read_parquet('{_ZLIB_GOLDEN}') g ON md5(d.text) = g.md5
+"""
 
 
 def q_json_extract(spark, sf_dir):
@@ -1505,13 +1525,33 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via LSH bucket join."""
+    """Embedding-cosine near-duplicate pairs via LSH bucket join.
+
+    Emits id pairs only (no FP columns): the oracle recomputes the FULL
+    pairwise cosine in DuckDB, so a green row proves the LSH bucketing lost
+    no >=0.99 pair on this corpus (identical vectors always share a bucket;
+    the nearest natural pair sits at cosine ~0.37, far from the boundary)."""
     e = load(spark, sf_dir, "embeddings")
     dup = e.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
     )
     both = e.unionByName(dup)
-    return sim.embedding_near_dup_pairs(both, threshold=0.99)
+    return sim.embedding_near_dup_pairs(both, threshold=0.99).select(
+        "id_a", "id_b"
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+WITH both_v AS (
+  SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, cast(embedding AS double[]) AS v
+  FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM both_v a JOIN both_v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+"""
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1798,7 +1838,6 @@ ORACLES = {
     "quality_scores": ORACLE_QUALITY_SCORES,
     "approx_stats": ORACLE_APPROX_STATS,
     "multimodal_features": ORACLE_MULTIMODAL,
-    # compression_ratio: zlib-based -> rows-only check.
-    # minhash_dedup / simhash_pairs / ann_topk / ann_ivf /
-    # embedding_near_dup: xxhash64- or engine-side-LSH-based -> rows-only.
+    "compression_ratio": ORACLE_COMPRESSION,
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
 }
