@@ -201,6 +201,50 @@ def lsh_candidate_pairs(
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
+def verify_pairs_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard verification of candidate pairs: join each
+    (id_a, id_b) back to its shingle set, one ``array_intersect`` per pair.
+    Cost is bounded by the candidate count (LSH/SimHash keeps that ~linear),
+    never the corpus squared — the standard candidates-then-verify shape of a
+    production near-dedup pipeline.  Output: (id_a, id_b, inter, union_sz,
+    jaccard) for pairs meeting the threshold; the integer inter/union columns
+    are engine-exact (same set arithmetic anywhere)."""
+    sh = _staged_shingles(df, id_col, text_col, n, False, 5)
+    return (
+        pairs.select("id_a", "id_b")
+        .join(
+            sh.select(
+                F.col("__id").alias("id_a"),
+                F.col("__sh").alias("__sh_a"),
+                F.col("__size").alias("size_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("__id").alias("id_b"),
+                F.col("__sh").alias("__sh_b"),
+                F.col("__size").alias("size_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
+            "union_sz", F.col("size_a") + F.col("size_b") - F.col("inter")
+        )
+        .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "inter", "union_sz", "jaccard")
+    )
+
+
 def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Connected components over an undirected pair list (``id_a``/``id_b``)
     as (node, root) where root = the component's minimum id.
@@ -266,6 +310,7 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_words: int = 3,
+    verify_exact: bool = False,
 ) -> DataFrame:
     """Near-dedup: build LSH candidate pairs (est Jaccard >= threshold), take
     connected components over the pair graph, and keep only each component's
@@ -274,13 +319,24 @@ def minhash_dedup(
     component labels come from fixpoint min propagation
     (``min_label_components``), so chains of any depth resolve to the true
     minimum, deterministically.  The corpus is touched once by the final
-    anti-join; all iteration happens on the sketch-sized pair list."""
+    anti-join; all iteration happens on the sketch-sized pair list.
+
+    ``verify_exact=True`` replaces the signature-estimated Jaccard filter
+    with EXACT n-gram Jaccard verification of the LSH candidates
+    (``verify_pairs_jaccard``): no borderline pair is mis-kept or mis-dropped
+    by sketch noise, at the cost of one array_intersect per candidate.  With
+    exact verification the edge set is SQL-reproducible, which is how the
+    duckdb oracle checks this operator end to end."""
     sigs = with_minhash(df, text_col, num_hashes, shingle_words)
-    pairs = _materialize(
-        lsh_candidate_pairs(sigs, id_col, bands=bands).filter(
-            F.col("est_jaccard") >= threshold
+    cands = lsh_candidate_pairs(sigs, id_col, bands=bands)
+    if verify_exact:
+        pairs = _materialize(
+            verify_pairs_jaccard(
+                cands, df, id_col, text_col, shingle_words, threshold
+            )
         )
-    )
+    else:
+        pairs = _materialize(cands.filter(F.col("est_jaccard") >= threshold))
     labels = min_label_components(pairs)
     doomed = labels.filter(F.col("node") != F.col("root")).select(
         F.col("node").alias(id_col)

@@ -329,6 +329,15 @@ def infer_float_columns(
     return out
 
 
+#: Ceiling on ``per_chunk_writes`` output partitions / progress events.  The
+#: strict-parity path plans one output partition and one driver-side observer
+#: callback per chunk; past ~10^5 chunks the partition count and the callback
+#: loop are both driver-side scale-killers (at 100 TB with chunk_size=1000
+#: that would be ~10^8 of each).  The default path has no such ceiling — it
+#: plans ONE write job regardless of data size; use it, or raise chunk_size.
+MAX_PER_CHUNK_PARTITIONS = 100_000
+
+
 class InsertJob(UploadJob):
     """Bulk append (reference D1).  One distributed write; optional chunk-range
     resume offsets; optional per-chunk writes for strict observer parity."""
@@ -338,6 +347,7 @@ class InsertJob(UploadJob):
         start_chunk: int = 1,
         end_chunk: int | None = None,
         per_chunk_writes: bool = False,
+        max_chunk_partitions: int = MAX_PER_CHUNK_PARTITIONS,
     ) -> DataFrame:
         df = self.source_df()
         needs_chunks = per_chunk_writes or start_chunk != 1 or end_chunk is not None
@@ -386,6 +396,15 @@ class InsertJob(UploadJob):
                     F.min("chunk_id"), F.max("chunk_id")
                 ).first()
                 n_chunks = 0 if lo is None else int(hi) - int(lo) + 1
+                if n_chunks > max_chunk_partitions:
+                    raise ValueError(
+                        f"per_chunk_writes would plan {n_chunks} output "
+                        f"partitions and fire {n_chunks} observer callbacks "
+                        f"(cap: {max_chunk_partitions}). This opt-in parity "
+                        "path does not scale past the cap; raise chunk_size "
+                        f"(currently {self.cfg.chunk_size}) or use the "
+                        "default single-write path, which has no ceiling."
+                    )
                 batch = out.repartitionByRange(
                     max(n_chunks, 1), "chunk_id"
                 ).drop("chunk_id")

@@ -108,6 +108,40 @@ def with_lsh_buckets(
     return df.withColumn(out_col, signature_bits_expr(emb, planes))
 
 
+def query_signature(
+    query_vec: list[float], n_planes: int = 8, seed: int = 42
+) -> int:
+    """LSH signature of a query vector, computed driver-side with the same
+    left-to-right dot-product fold the executors use."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        d = 0.0
+        for a, b in zip(query_vec, plane):
+            d += float(a) * float(b)
+        if d >= 0:
+            qsig |= 1 << i
+    return qsig
+
+
+def ann_candidates(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    hamming_radius: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Rows whose LSH bucket is within ``hamming_radius`` of the query's
+    bucket — the pruned candidate set ann_topk scores."""
+    dim = len(query_vec)
+    bucketed = with_lsh_buckets(df, vec_col, n_planes, dim, seed)
+    qsig = query_signature(query_vec, n_planes, seed)
+    return bucketed.filter(
+        F.bit_count(F.col("lsh_bucket").bitwiseXOR(F.lit(qsig))) <= hamming_radius
+    )
+
+
 def ann_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -122,16 +156,8 @@ def ann_topk(
     ``hamming_radius`` of the query's bucket.  With 8 planes and radius 1 the
     scan touches ~(1+8)/256 of the data; the bucket predicate pushes into the
     scan when buckets are precomputed + partitioned."""
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, n_planes, seed)
-    bucketed = with_lsh_buckets(df, vec_col, n_planes, dim, seed)
-    qsig = 0
-    for i, plane in enumerate(planes):
-        d = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
-        if d >= 0:
-            qsig |= 1 << i
-    candidates = bucketed.filter(
-        F.bit_count(F.col("lsh_bucket").bitwiseXOR(F.lit(qsig))) <= hamming_radius
+    candidates = ann_candidates(
+        df, query_vec, vec_col, n_planes, hamming_radius, seed
     )
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
@@ -179,6 +205,105 @@ def ivf_index(
     )
     centers = [list(map(float, c)) for c in model.clusterCenters()]
     return indexed, centers
+
+
+def sampled_centroids(
+    df: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic pseudo-random centroid sample: the ``n_lists`` vectors
+    whose md5(id-as-string) sorts first.  A hash order is engine-portable
+    (any engine with md5 picks the same rows), which makes IVF assignment
+    fully reproducible in SQL — the property the KMeans quantizer can't
+    offer.  Coarse-quantizer quality barely moves between a random sample
+    and a few Lloyd iterations; recall is governed by nprobe either way.
+
+    Returns [(centroid_id, vector)] sorted by centroid_id; driver-side
+    collect of n_lists rows (tiny by construction)."""
+    rows = (
+        df.select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
+        .orderBy(F.md5(F.col("__cid").cast("string")), F.col("__cid"))
+        .limit(n_lists)
+        .collect()
+    )
+    return sorted((r["__cid"], [float(v) for v in r["__cv"]]) for r in rows)
+
+
+def assign_ivf_lists(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_list",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (euclidean; ties broken by
+    centroid id).  The centroid table is a literal expression — the argmin is
+    one ``array_min`` over (distance, id) structs, whole-stage codegen, no
+    join, no shuffle."""
+    emb = F.col(vec_col).cast("array<double>")
+
+    def dist(center: list[float]):
+        c = F.array(*[F.lit(float(v)) for v in center])
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(emb, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    choices = F.array(
+        *[
+            F.struct(dist(vec).alias("d"), F.lit(cid).alias("cid"))
+            for cid, vec in centroids
+        ]
+    )
+    return df.withColumn(out_col, F.array_min(choices)["cid"])
+
+
+def probe_lists(
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    nprobe: int,
+) -> list[int]:
+    """The ``nprobe`` centroid ids nearest the query (euclidean, id
+    tie-break) — driver-side over the tiny centroid list."""
+
+    def l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (float(x) - float(y)) ** 2
+        return acc ** 0.5
+
+    return [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (l2(c[1], query_vec), c[0])
+        )[:nprobe]
+    ]
+
+
+def ivf_sampled_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with the hash-sampled quantizer: assign, pick the ``nprobe``
+    centroids nearest the query (driver-side over the tiny centroid list),
+    score only those lists.  Every step is reproducible in portable SQL."""
+    centroids = sampled_centroids(df, n_lists, id_col, vec_col)
+    indexed = assign_ivf_lists(df, centroids, vec_col)
+    probes = probe_lists(centroids, query_vec, nprobe)
+    candidates = indexed.filter(F.col("ivf_list").isin(probes))
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
 def ivf_topk(

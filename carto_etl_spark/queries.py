@@ -1476,7 +1476,16 @@ FROM (
 
 def q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dedup over documents + a mutated near-copy of each
-    10th document (survivor set; xxhash64 signatures — no SQL oracle)."""
+    10th document: survivor set after exact-verified candidate pairs and
+    transitive (connected-component) survivorship.
+
+    Oracle-checkable end to end: with ``verify_exact`` the edge set is
+    {LSH candidates} ∩ {exact n-gram Jaccard >= t}, and bands=32 (2 rows per
+    band) puts LSH recall at J>=0.5 above 1 - 1e-4 per pair — so the graph
+    equals DuckDB's exact-Jaccard graph on this corpus, and the survivor set
+    matches a recursive-CTE connected-components oracle.  A green row proves
+    candidate recall, exact verification, AND the fixpoint min-label
+    propagation all at once."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     near = (
         d.filter(F.col("doc_id") % 10 == 0)
@@ -1486,12 +1495,65 @@ def q_minhash_dedup(spark, sf_dir):
         )
     )
     both = widen(d.unionByName(near), spark)
-    out = dd.minhash_dedup(both, "doc_id", "text", threshold=0.5)
+    out = dd.minhash_dedup(
+        both, "doc_id", "text", threshold=0.5, bands=32, verify_exact=True
+    )
     return out.select("doc_id")
 
 
+# Exact-Jaccard pair graph (same normalization/shingling as the engine) ->
+# transitive closure via recursive CTE -> survivors = nodes that reach no
+# smaller id.  Shingle construction mirrors ORACLE_NGRAM_JACCARD.
+ORACLE_MINHASH_DEDUP = r"""
+WITH RECURSIVE both_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra token' AS text
+  FROM documents WHERE doc_id % 10 = 0
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x != '') AS t
+  FROM both_docs
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS g FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.5
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), reach AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT doc_id FROM both_docs
+WHERE doc_id NOT IN (SELECT s FROM reach GROUP BY s HAVING min(d) < s)
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-pairs over documents + mutated near-copies (hamming<=6)."""
+    """SimHash near-pairs over documents + mutated near-copies at
+    hamming<=3, where the 16-bit-block candidate generation is
+    pigeonhole-COMPLETE (4 disjoint blocks guarantee any pair within
+    hamming 3 shares one) — so the result is exactly {pairs: hamming <= 3},
+    not an approximation of it.
+
+    The oracle joins a golden table of SimHash values computed by an
+    INDEPENDENT pure-Python xxHash64 implementation
+    (tools/xxhash64_ref.py, public spec) and enumerates all hamming<=3
+    pairs directly in SQL: a green row cross-checks the engine's xxhash64
+    signature math, the sign-counter packing, and the blocking completeness
+    in one shot."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     near = (
         d.filter(F.col("doc_id") % 10 == 0)
@@ -1501,27 +1563,135 @@ def q_simhash_pairs(spark, sf_dir):
         )
     )
     both = widen(d.unionByName(near), spark)
-    return dd.simhash_near_pairs(both, "doc_id", "text", max_hamming=6)
+    return dd.simhash_near_pairs(both, "doc_id", "text", max_hamming=3)
+
+
+_SIMHASH_GOLDEN = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "tests", "golden", "simhash.parquet",
+)
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH both_h AS (
+  SELECT d.doc_id, g.simhash AS h
+  FROM documents d JOIN read_parquet('{_SIMHASH_GOLDEN}') g ON md5(d.text) = g.md5
+  UNION ALL
+  SELECT d.doc_id + 1000000 AS doc_id, g.simhash_zz AS h
+  FROM documents d JOIN read_parquet('{_SIMHASH_GOLDEN}') g ON md5(d.text) = g.md5
+  WHERE d.doc_id % 10 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.h, b.h)) AS hamming
+FROM both_h a JOIN both_h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
 
 
 def q_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate top-5 for vec_id=0 (scale path of
-    q_cosine_topk)."""
+    q_cosine_topk).
+
+    Fully oracle-checkable: the hyperplanes are deterministic literals
+    (seeded LCG), so DuckDB reproduces the ENTIRE ANN semantics — signature,
+    hamming-radius candidate pruning, scored top-k — from the same plane
+    constants.  Ordering is on the rounded cosine + vec_id (the
+    q_cosine_topk convention) so the k boundary resolves identically."""
     e = load(spark, sf_dir, "embeddings")
-    query = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    out = sim.ann_topk(e, [float(v) for v in query], k=5, n_planes=8,
-                       hamming_radius=2)
-    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+    query = [float(v) for v in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cands = sim.ann_candidates(e, query, n_planes=8, hamming_radius=2)
+    emb = F.col("embedding").cast("array<double>")
+    q = F.array(*[F.lit(v) for v in query])
+    scored = cands.select(
+        "vec_id", F.round(sim.cosine_expr(emb, q), 6).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.col("vec_id")).limit(5)
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ",".join(repr(float(v)) for v in plane) + "]::DOUBLE[]"
+
+
+def _lsh_sig_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_sql(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _build_oracle_ann_topk() -> str:
+    from carto_etl_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim=64, n_planes=8, seed=42)
+    return f"""
+WITH q AS (SELECT cast(embedding AS double[]) AS v FROM embeddings WHERE vec_id = 0),
+qsig AS (SELECT {_lsh_sig_sql('q.v', planes)} AS sig FROM q),
+sigs AS (
+  SELECT vec_id, cast(embedding AS double[]) AS v,
+         {_lsh_sig_sql('cast(embedding AS double[])', planes)} AS sig
+  FROM embeddings
+)
+SELECT s.vec_id,
+       round(list_dot_product(s.v, q.v)
+             / nullif(sqrt(list_dot_product(s.v, s.v))
+                      * sqrt(list_dot_product(q.v, q.v)), 0), 6) AS cosine
+FROM sigs s, q, qsig
+WHERE bit_count(xor(s.sig, qsig.sig)) <= 2
+ORDER BY cosine DESC, s.vec_id LIMIT 5
+"""
+
+
+ORACLE_ANN_TOPK = _build_oracle_ann_topk()
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-partitioned approximate top-5 for vec_id=0 (coarse KMeans
-    quantizer + probe-limited scan; the file-pruning ANN scale path)."""
+    """IVF-partitioned approximate top-5 for vec_id=0 (coarse quantizer +
+    probe-limited scan; the file-pruning ANN scale path).
+
+    The catalog entry uses the hash-sampled quantizer (centroids = the
+    n_lists vectors whose md5(id) sorts first) instead of KMeans: identical
+    IVF structure — assign to nearest centroid, probe the nprobe nearest
+    lists — but every step is reproducible in portable SQL, so the oracle
+    recomputes the whole index, not just the final ranking.  The KMeans
+    quantizer (sim.ivf_index) stays the default for real corpora and is
+    pytest-covered."""
     e = load(spark, sf_dir, "embeddings")
-    query = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    indexed, centers = sim.ivf_index(e, n_lists=8)
-    out = sim.ivf_topk(indexed, centers, [float(v) for v in query], k=5, nprobe=3)
-    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+    query = [float(v) for v in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    centroids = sim.sampled_centroids(e, n_lists=8)
+    indexed = sim.assign_ivf_lists(e, centroids)
+    probes = sim.probe_lists(centroids, query, nprobe=3)
+    cands = indexed.filter(F.col("ivf_list").isin(probes))
+    emb = F.col("embedding").cast("array<double>")
+    q = F.array(*[F.lit(v) for v in query])
+    scored = cands.select(
+        "vec_id", F.round(sim.cosine_expr(emb, q), 6).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.col("vec_id")).limit(5)
+
+
+ORACLE_ANN_IVF = """
+WITH cents AS (
+  SELECT vec_id AS cid, cast(embedding AS double[]) AS cv FROM embeddings
+  ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 8
+), q AS (SELECT cast(embedding AS double[]) AS v FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM cents, q ORDER BY list_distance(cv, q.v), cid LIMIT 3
+), assigned AS (
+  SELECT e.vec_id, cast(e.embedding AS double[]) AS v,
+         (SELECT cid FROM cents
+          ORDER BY list_distance(cents.cv, cast(e.embedding AS double[])), cid
+          LIMIT 1) AS lst
+  FROM embeddings e
+)
+SELECT a.vec_id,
+       round(list_dot_product(a.v, q.v)
+             / nullif(sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(q.v, q.v)), 0), 6) AS cosine
+FROM assigned a, q
+WHERE a.lst IN (SELECT cid FROM probes)
+ORDER BY cosine DESC, a.vec_id LIMIT 5
+"""
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -1840,4 +2010,8 @@ ORACLES = {
     "multimodal_features": ORACLE_MULTIMODAL,
     "compression_ratio": ORACLE_COMPRESSION,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "ann_topk": ORACLE_ANN_TOPK,
+    "ann_ivf": ORACLE_ANN_IVF,
+    "minhash_dedup": ORACLE_MINHASH_DEDUP,
+    "simhash_pairs": ORACLE_SIMHASH_PAIRS,
 }

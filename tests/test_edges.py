@@ -25,6 +25,63 @@ def test_insert_per_chunk_writes(spark, tmp_path):
     assert [e["msg"] for e in events if e["type"] == "progress"] == ["1", "2", "3"]
 
 
+def test_per_chunk_writes_partition_cap(spark, tmp_path):
+    """The strict-parity path must refuse to plan more output partitions /
+    observer callbacks than the cap — at 100 TB with chunk_size=1000 it
+    would otherwise plan ~10^8 of each, both driver-side scale-killers."""
+    df = spark.createDataFrame([(f"r{i}",) for i in range(25)], ["a"])
+    target = TargetTable(spark, tmp_path / "capped")
+    job = InsertJob(
+        df, spark=spark, target=target, columns="a", chunk_size="2",
+        force_no_geometry="true",
+    )
+    with pytest.raises(ValueError, match="per_chunk_writes would plan"):
+        job.run(per_chunk_writes=True, max_chunk_partitions=5)
+    # under the cap the same job succeeds
+    InsertJob(
+        df, spark=spark, target=target, columns="a", chunk_size="2",
+        force_no_geometry="true",
+    ).run(per_chunk_writes=True, max_chunk_partitions=13)
+    assert target.read().count() == 25
+
+
+def test_default_insert_plans_one_write_job(spark, tmp_path, monkeypatch):
+    """Plan-count gate: the default path issues exactly ONE append (one
+    distributed write job) no matter how many chunks the data spans, and the
+    total Spark-job count does not scale with the chunk count."""
+    appends = []
+    orig_append = TargetTable.append
+
+    def counting_append(self, df):
+        appends.append(1)
+        return orig_append(self, df)
+
+    monkeypatch.setattr(TargetTable, "append", counting_append)
+
+    sc = spark.sparkContext
+
+    def run_insert(chunk_size, path):
+        df = spark.createDataFrame([(f"r{i}",) for i in range(60)], ["a"])
+        target = TargetTable(spark, path)
+        sc.setJobGroup(f"gate-{chunk_size}", "plan-count gate")
+        try:
+            InsertJob(
+                df, spark=spark, target=target, columns="a",
+                chunk_size=str(chunk_size), force_no_geometry="true",
+            ).run()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(f"gate-{chunk_size}"))
+
+    jobs_small_chunks = run_insert(2, tmp_path / "g2")    # 30 chunks
+    n_appends_small = len(appends)
+    jobs_large_chunks = run_insert(30, tmp_path / "g30")  # 2 chunks
+    assert n_appends_small == 1
+    assert len(appends) == 2  # one more append for the second run
+    # job count is a plan property: identical regardless of chunk count
+    assert jobs_small_chunks == jobs_large_chunks
+
+
 def test_csv_rfc4180_quote_unescape(spark, tmp_path):
     # The reference reads with csv.DictReader (doublequote=True, no backslash
     # escapes): "qu""ote" -> qu"ote, backslashes literal.  Spark's default
