@@ -161,39 +161,59 @@ class CartoGeocodingJob:
         src = read_csv(self.spark, self.csv_path, self.cfg)
         return geocode_with_lookup(src, self.lookup)
 
+    @staticmethod
+    def _lines_df(df: DataFrame, cols: list[str]) -> DataFrame:
+        """One pre-rendered CSV line per row, formatted ON THE EXECUTORS:
+        doubles through the Python-repr pandas UDF (so "1.5"/"1e+20" render
+        exactly as the driver's ``str(float)`` did), everything else a plain
+        string cast, NULL -> empty field."""
+        from carto_etl_spark.functions.coerce import _python_float_repr
+
+        types = dict(df.dtypes)
+        parts = []
+        for c in cols:
+            if types.get(c) in ("double", "float"):
+                rendered = _python_float_repr()(F.col(c))
+            else:
+                rendered = F.col(c).cast("string")
+            parts.append(F.coalesce(rendered, F.lit("")))
+        return df.select(F.concat_ws(",", *parts).alias("value"))
+
     def download(self, zip_path: str | Path) -> Path:
         """Write found/_err/_inv members like the reference's zip
-        (etl/geocoding.py:168-172).  Driver-side packaging step — results are
-        collected per bucket; for big outputs write parquet sinks instead."""
+        (etl/geocoding.py:168-172).
+
+        Egress is DISTRIBUTED: each bucket runs one ``write.text`` job
+        (executors format and write part files in parallel); the driver only
+        zip-merges the part files with ``copyfileobj`` — bounded memory, no
+        per-row driver loop.  A zip is still a single-writer artifact, so
+        the final merge is inherently driver-side; for outputs that don't
+        fit a zip, write the fan-out buckets as parquet sinks instead."""
+        import shutil
+        import tempfile
+
         zip_path = Path(zip_path)
         buckets = fanout(self.run())
         stem = Path(self.csv_path).stem
-
-        def to_csv(df: DataFrame, cols: list[str]) -> str:
-            # toLocalIterator streams one partition at a time to the driver —
-            # peak driver memory is one partition, not the whole bucket.  The
-            # single-file zip member is inherently driver-written; for outputs
-            # that don't fit a zip, write the buckets as parquet sinks.
-            out = io.StringIO()
-            out.write(",".join(cols) + "\n")
-            for row in df.select(*cols).toLocalIterator():
-                out.write(
-                    ",".join("" if v is None else str(v) for v in row) + "\n"
-                )
-            return out.getvalue()
-
+        members = [
+            (f"{stem}_out.txt", buckets["found"], FOUND_COLUMNS),
+            (f"{stem}_err.txt", buckets["not_found"],
+             ["recid", "searchtext", "country"]),
+            (f"{stem}_inv.txt", buckets["invalid"],
+             ["recid", "searchtext", "country"]),
+        ]
         with zipfile.ZipFile(zip_path, "w") as zf:
-            zf.writestr(
-                f"{stem}_out.txt", to_csv(buckets["found"], FOUND_COLUMNS)
-            )
-            zf.writestr(
-                f"{stem}_err.txt",
-                to_csv(buckets["not_found"], ["recid", "searchtext", "country"]),
-            )
-            zf.writestr(
-                f"{stem}_inv.txt",
-                to_csv(buckets["invalid"], ["recid", "searchtext", "country"]),
-            )
+            for name, df, cols in members:
+                tmpdir = tempfile.mkdtemp(prefix="geocode-egress-")
+                try:
+                    self._lines_df(df, cols).write.mode("overwrite").text(tmpdir)
+                    with zf.open(zipfile.ZipInfo(name), "w") as member:
+                        member.write((",".join(cols) + "\n").encode("utf-8"))
+                        for part in sorted(Path(tmpdir).glob("part-*")):
+                            with open(part, "rb") as fh:
+                                shutil.copyfileobj(fh, member)
+                finally:
+                    shutil.rmtree(tmpdir, ignore_errors=True)
         return zip_path
 
 

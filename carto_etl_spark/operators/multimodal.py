@@ -145,29 +145,73 @@ def _decode_ppm(data: bytes):
     return width, height, 3, img
 
 
-def _real_decode(payload: bytes):
-    """Dispatch on magic bytes; raises for formats that need media libs."""
+def _try_pil_decode(payload: bytes):
+    """Attempt a PIL decode AT EXECUTOR TIME (covers JPEG/PNG/WebP/... when
+    Pillow is installed on the cluster); returns None when PIL is absent so
+    the caller can fall through to the honest raise.  The import lives here,
+    not module-level, so driver environments without Pillow can still ship
+    this operator to executors that have it."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(payload)) as im:
+        if im.mode not in ("RGB", "RGBA", "L"):
+            im = im.convert("RGB")
+        arr = np.asarray(im)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    height, width, channels = arr.shape
+    return width, height, channels, arr
+
+
+def _real_decode(payload: bytes, decoder=None):
+    """Dispatch on magic bytes; stdlib formats first, then the injected
+    ``decoder`` hook, then PIL if importable, then the honest raise.
+
+    ``decoder``: optional ``payload -> (width, height, channels, HxWxC
+    uint8 array) | None`` callable (None = decline).  This is the pluggable
+    seam for compressed formats: pass a PIL/cv2/ffmpeg-backed callable in a
+    real deployment, or a deterministic fake in tests — the Spark plumbing
+    (Arrow batches, schema, partitioning) is identical either way."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if decoder is not None:
+        out = decoder(payload)
+        if out is not None:
+            return out
+    out = _try_pil_decode(payload)
+    if out is not None:
+        return out
     raise NotImplementedError(
         "only uncompressed BMP / binary PPM decode is available without "
-        "PIL/cv2 (not in this container); pass fake=True to exercise the "
-        "pipeline on other formats"
+        "PIL/cv2 (not in this container); install Pillow on the executors, "
+        "pass decoder=<callable> for other formats, or fake=True to "
+        "exercise the pipeline"
     )
 
 
 def decode_image_features(
-    df: DataFrame, *, fake: bool = False, batch_size_hint: int = 256
+    df: DataFrame,
+    *,
+    fake: bool = False,
+    decoder=None,
+    batch_size_hint: int = 256,
 ) -> DataFrame:
     """Image decode / feature-extract over ``mapInPandas`` (Arrow-batched).
 
     Real decode for BMP/PPM (stdlib+numpy): dimensions, channel count, and
-    per-channel mean intensities as the feature vector.  Other formats raise
-    NotImplementedError *at executor time* (the way real import failures
-    surface) unless ``fake=True`` selects the deterministic stand-in for
-    every row."""
+    per-channel mean intensities as the feature vector.  Compressed formats
+    go through the pluggable ``decoder`` hook, then PIL when the executors
+    have it; otherwise they raise NotImplementedError *at executor time*
+    (the way real import failures surface).  ``fake=True`` selects the
+    deterministic stand-in for every row (plumbing-only mode)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -177,7 +221,7 @@ def decode_image_features(
                 if fake:
                     w, h, c, feats = _fake_decode(payload)
                 else:
-                    w, h, c, img = _real_decode(payload)
+                    w, h, c, img = _real_decode(payload, decoder)
                     feats = [
                         float(m) / 255.0
                         for m in img.reshape(-1, c).mean(axis=0)
@@ -202,18 +246,21 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    df: DataFrame, width: int, height: int, *, decoder=None
+) -> DataFrame:
     """Nearest-neighbor resize of BMP/PPM payloads, re-encoded as binary PPM
     (the stdlib-writable interchange format).  The resample is index
     arithmetic on the decoded array — numpy fancy indexing inside the Arrow
-    batch, no Python-per-pixel loop."""
+    batch, no Python-per-pixel loop.  ``decoder``: same pluggable hook as
+    ``decode_image_features`` for compressed inputs."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                w0, h0, c, img = _real_decode(bytes(content or b""))
+                w0, h0, c, img = _real_decode(bytes(content or b""), decoder)
                 if c > 3:
                     img = img[:, :, :3]  # drop alpha for PPM
                 elif c == 1:

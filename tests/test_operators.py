@@ -301,6 +301,54 @@ def test_multimodal_real_decode_raises(spark):
         decode_image_features(df, fake=False).collect()
 
 
+def test_multimodal_injected_decoder_hook(spark):
+    """The pluggable decoder seam: a JPEG-magic payload decodes through the
+    injected callable (the PIL/cv2 stand-in), stdlib BMP/PPM formats still
+    take the built-in path, and a declining decoder (returns None) falls
+    through to the honest raise."""
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import resize_images
+
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"fakejpegbody"
+    bmp = _bmp_bytes(5, 3, (255, 0, 0))
+
+    def fake_jpeg_decoder(payload):
+        if payload[:2] != b"\xff\xd8":
+            return None  # decline -> built-in dispatch continues
+        img = np.full((2, 4, 3), 128, dtype=np.uint8)
+        return 4, 2, 3, img
+
+    df = spark.createDataFrame(
+        [(1, bytearray(jpeg_ish)), (2, bytearray(bmp))],
+        "media_id long, content binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_image_features(df, decoder=fake_jpeg_decoder).collect()
+    }
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_channels"]) == (4, 2, 3)
+    assert rows[1]["feature"][0] == pytest.approx(128 / 255, abs=1e-6)
+    # stdlib BMP path unchanged under an injected decoder
+    assert (rows[2]["width"], rows[2]["height"]) == (5, 3)
+
+    # resize accepts the same hook
+    resized = {
+        r["media_id"]: r
+        for r in resize_images(df, 2, 2, decoder=fake_jpeg_decoder).collect()
+    }
+    assert resized[1]["content"].startswith(b"P6\n2 2\n255\n")
+
+    # a decoder that declines everything -> executor-time raise (no PIL here)
+    def declining(payload):
+        return None
+
+    with pytest.raises(Exception, match="NotImplementedError|PIL|decoder"):
+        decode_image_features(
+            df.filter("media_id = 1"), decoder=declining
+        ).collect()
+
+
 def _bmp_bytes(width, height, pixel_bgr):
     """Minimal uncompressed 24-bit bottom-up BMP filled with one color."""
     import struct

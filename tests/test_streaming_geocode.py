@@ -127,6 +127,45 @@ def test_carto_geocoding_job_zip(spark, lookup, tmp_path):
         assert out_lines[1].startswith("1,-3.7")
 
 
+def test_carto_geocoding_zip_golden_bytes(spark, lookup, tmp_path):
+    """The distributed egress (executor-formatted text parts, driver
+    zip-merge) must produce byte-identical member content to the old
+    driver-serial str(v) loop — including Python float repr for coords."""
+    csv = tmp_path / "big.csv"
+    rows = ["recId,searchText,country"]
+    for i in range(50):
+        addr = "Calle Mayor 1" if i % 3 == 0 else f"Nope St {i}"
+        if i % 7 == 0:
+            addr = ""
+        rows.append(f"{i},{addr},es")
+    csv.write_text("\n".join(rows) + "\n")
+    job = CartoGeocodingJob(str(csv), lookup, spark=spark)
+
+    # reference rendering: the pre-distributed driver-serial loop
+    from carto_etl_spark.operators.geocode import FOUND_COLUMNS, fanout
+
+    buckets = fanout(job.run())
+    expected = {}
+    for name, df, cols in [
+        ("big_out.txt", buckets["found"], FOUND_COLUMNS),
+        ("big_err.txt", buckets["not_found"], ["recid", "searchtext", "country"]),
+        ("big_inv.txt", buckets["invalid"], ["recid", "searchtext", "country"]),
+    ]:
+        lines = [",".join(cols)]
+        for row in df.select(*cols).toLocalIterator():
+            lines.append(",".join("" if v is None else str(v) for v in row))
+        expected[name] = ("\n".join(lines) + "\n").encode()
+
+    zpath = job.download(tmp_path / "golden.zip")
+    with zipfile.ZipFile(zpath) as zf:
+        for name, want in expected.items():
+            got = zf.read(name)
+            assert sorted(got.splitlines()) == sorted(want.splitlines()), name
+            # found member carries float-rendered coords: check repr form
+        out_txt = zf.read("big_out.txt").decode()
+        assert ",-3.7," in out_txt
+
+
 def test_geocode_with_client_batched(spark):
     from carto_etl_spark.operators.geocode import geocode_with_client
 
