@@ -1243,10 +1243,14 @@ def q_ingest_coercion(spark, sf_dir):
     dates, geometry, NULL rules."""
     from carto_etl_spark.operators.jobs import UploadJob
 
-    # no widen() here: coerced_df runs a float-inference aggregate as its own
-    # job before the main query, so a repartition is paid twice (the shuffle
-    # is not reused across jobs) and measured slower than the narrow plan
-    li = load(spark, sf_dir, "lineitem")
+    # widen the RAW table, before the CSV-shaped string projection: the
+    # shuffle then moves only narrow source columns, while the expensive
+    # string prep + coercion run core-parallel in BOTH passes (inference
+    # job and main job).  Measured at sf0.1 (interleaved, warm, median of
+    # 5): raw-first 4.6 s vs prep-first 5.7 s vs no widen 7.1 s — the
+    # earlier "repartition double-pays" finding applied only to the
+    # widened-after-prep plan.
+    li = widen(load(spark, sf_dir, "lineitem"), spark)
     src = li.select(
         F.col("l_orderkey").cast("string").alias("okey"),
         F.col("l_linenumber").cast("string").alias("line"),
