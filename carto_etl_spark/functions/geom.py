@@ -200,10 +200,26 @@ _LAEA_PARAMS = {
     3035: (52.0, 10.0, 4321000.0, 3210000.0),  # ETRS89-extended / LAEA Europe
 }
 
-#: srid -> (lat0_deg, lon0_deg, sp1_deg, sp2_deg, false_e, false_n)
+#: ellipsoid registry: name -> (semi-major axis a, eccentricity^2).
+#: NAD83 uses GRS80 — identical to the European entries; Clarke 1866 is
+#: carried for NAD27-era LCC definitions and for validating the generalized
+#: machinery against Snyder's published Clarke-1866 worked example.
+_ELLIPSOIDS = {
+    "GRS80": (_GRS80_A, _GRS80_E2),
+    "WGS84": (6378137.0, 0.00669437999014132),
+    "INTL1924": (6378388.0, (1.0 / 297.0) * (2.0 - 1.0 / 297.0)),
+    "CLARKE1866": (6378206.4, 0.00676865799729),
+}
+
+#: srid -> (lat0_deg, lon0_deg, sp1_deg, sp2_deg, false_e, false_n, ellipsoid)
 _LCC_PARAMS = {
-    2154: (46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0),  # RGF93 / Lambert-93
-    3034: (52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0),  # ETRS89 / LCC Europe
+    2154: (46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0, "GRS80"),  # RGF93 / Lambert-93
+    3034: (52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0, "GRS80"),  # ETRS89 / LCC Europe
+    # NAD83 / Texas South Central (SPCS83 zone 4204, metres): sp 28°23' /
+    # 30°17', origin 27°50'N 99°00'W, FE 600 km, FN 4000 km.  NAD83<->WGS84
+    # differs by well under a metre (like ETRS89) and is treated as identity.
+    32140: (27.0 + 50.0 / 60.0, -99.0, 28.0 + 23.0 / 60.0,
+            30.0 + 17.0 / 60.0, 600000.0, 4000000.0, "GRS80"),
 }
 
 
@@ -332,40 +348,41 @@ def _laea_inverse(x: Column, y: Column, srid: int):
     return out["lon"], out["lat"]
 
 
-def _lcc_m(phi: float) -> float:
-    return math.cos(phi) / math.sqrt(1.0 - _GRS80_E2 * math.sin(phi) ** 2)
+def _lcc_m(phi: float, e2: float) -> float:
+    return math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
 
 
-def _lcc_t(phi: float) -> float:
-    e = _GRS80_E
+def _lcc_t(phi: float, e: float) -> float:
     return math.tan(math.pi / 4.0 - phi / 2.0) / (
         (1.0 - e * math.sin(phi)) / (1.0 + e * math.sin(phi))
     ) ** (e / 2.0)
 
 
 def _lcc_constants(srid: int):
-    lat0, lon0, sp1, sp2, fe, fn = _LCC_PARAMS[srid]
+    lat0, lon0, sp1, sp2, fe, fn, ell = _LCC_PARAMS[srid]
+    a, e2 = _ELLIPSOIDS[ell]
+    e = math.sqrt(e2)
     p0, p1, p2 = (math.radians(v) for v in (lat0, sp1, sp2))
-    m1, m2 = _lcc_m(p1), _lcc_m(p2)
-    t0, t1, t2 = _lcc_t(p0), _lcc_t(p1), _lcc_t(p2)
+    m1, m2 = _lcc_m(p1, e2), _lcc_m(p2, e2)
+    t0, t1, t2 = _lcc_t(p0, e), _lcc_t(p1, e), _lcc_t(p2, e)
     n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
     big_f = m1 / (n * t1**n)
-    rho0 = _GRS80_A * big_f * t0**n
-    return lon0, fe, fn, n, big_f, rho0
+    rho0 = a * big_f * t0**n
+    return lon0, fe, fn, n, big_f, rho0, a, e
 
 
-def _lcc_t_col(phi: Column) -> Column:
-    e = _GRS80_E
+def _lcc_t_col(phi: Column, e: float) -> Column:
     return F.tan(F.lit(math.pi / 4.0) - phi / 2.0) / F.pow(
         (1.0 - e * F.sin(phi)) / (1.0 + e * F.sin(phi)), F.lit(e / 2.0)
     )
 
 
 def _lcc_forward(lon: Column, lat: Column, srid: int):
-    """Snyder eq. 15-1..15-10 (Lambert Conformal Conic, 2SP, ellipsoidal)."""
-    lon0, fe, fn, n, big_f, rho0 = _lcc_constants(srid)
-    t = _lcc_t_col(F.radians(lat))
-    rho = _GRS80_A * big_f * F.pow(t, F.lit(n))
+    """Snyder eq. 15-1..15-10 (Lambert Conformal Conic, 2SP, ellipsoidal;
+    ellipsoid per _LCC_PARAMS)."""
+    lon0, fe, fn, n, big_f, rho0, a, e = _lcc_constants(srid)
+    t = _lcc_t_col(F.radians(lat), e)
+    rho = a * big_f * F.pow(t, F.lit(n))
     theta = n * F.radians(lon - F.lit(lon0))
     x = F.lit(fe) + rho * F.sin(theta)
     y = F.lit(fn) + F.lit(rho0) - rho * F.cos(theta)
@@ -375,13 +392,12 @@ def _lcc_forward(lon: Column, lat: Column, srid: int):
 def _lcc_inverse(x: Column, y: Column, srid: int):
     """Snyder eq. 15-11 + φ-from-t fixed point (eq. 7-9), 5 rounds via
     ``_fixpoint`` (see _laea_inverse for why not an unrolled loop)."""
-    lon0, fe, fn, n, big_f, rho0 = _lcc_constants(srid)
-    e = _GRS80_E
+    lon0, fe, fn, n, big_f, rho0, a, e = _lcc_constants(srid)
     sign = 1.0 if n >= 0 else -1.0
 
     def body(xp, yp):
         rho = sign * F.sqrt(xp * xp + yp * yp)
-        t = F.pow(rho / (_GRS80_A * big_f), F.lit(1.0 / n))
+        t = F.pow(rho / (a * big_f), F.lit(1.0 / n))
         lon = F.lit(lon0) + F.degrees(F.atan2(sign * xp, sign * yp) / n)
 
         def finish(t, lon):
@@ -400,6 +416,105 @@ def _lcc_inverse(x: Column, y: Column, srid: int):
         return _let(finish, t=t, lon=lon)
 
     out = _let(body, xp=x - F.lit(fe), yp=F.lit(rho0) - (y - F.lit(fn)))
+    return out["lon"], out["lat"]
+
+
+# -- 7-parameter Helmert datum shift (position-vector convention; public
+# formulas: EPSG Guidance Note 7-2 §4.3.3).  Geographic coords go through
+# geocentric cartesian (ECEF): geodetic->XYZ closed form, the small-angle
+# rotation + scale + translation, then XYZ->geodetic via Bowring's one-shot
+# formula (sub-mm at h=0).  All JVM column math, _let-staged.
+
+#: geographic-CRS registry: srid -> (ellipsoid, 7-param Helmert TO WGS84:
+#: dx_m, dy_m, dz_m, rx_arcsec, ry_arcsec, rz_arcsec, scale_ppm)
+_GEOGRAPHIC_DATUMS = {
+    # ED50 (International 1924): EPSG transformation 1133 (ED50->WGS84 (1),
+    # European mean, 3-parameter)
+    4230: ("INTL1924", (-87.0, -96.0, -120.0, 0.0, 0.0, 0.0, 0.0)),
+}
+
+
+def _geodetic_to_ecef(lon: Column, lat: Column, a: float, e2: float):
+    phi, lam = F.radians(lat), F.radians(lon)
+
+    def body(sphi, cphi):
+        nrad = F.lit(a) / F.sqrt(1.0 - F.lit(e2) * sphi * sphi)
+
+        def inner(nrad):
+            return F.struct(
+                (nrad * cphi * F.cos(lam)).alias("x"),
+                (nrad * cphi * F.sin(lam)).alias("y"),
+                (nrad * (1.0 - e2) * sphi).alias("z"),
+            )
+
+        return _let(inner, nrad=nrad)
+
+    return _let(body, sphi=F.sin(phi), cphi=F.cos(phi))
+
+
+def _ecef_to_geodetic(xyz: Column, a: float, e2: float):
+    """Bowring (1976) one-shot inverse; exact longitude, sub-mm latitude for
+    points near the ellipsoid surface (our case: h = 0 inputs)."""
+    b = a * math.sqrt(1.0 - e2)
+    ep2 = e2 / (1.0 - e2)
+
+    def body(x, y, z):
+        p = F.sqrt(x * x + y * y)
+
+        def inner(p):
+            theta = F.atan2(z * a, p * b)
+
+            def finish(theta):
+                st, ct = F.sin(theta), F.cos(theta)
+                phi = F.atan2(
+                    z + F.lit(ep2 * b) * st * st * st,
+                    p - F.lit(e2 * a) * ct * ct * ct,
+                )
+                return F.struct(
+                    F.degrees(F.atan2(y, x)).alias("lon"),
+                    F.degrees(phi).alias("lat"),
+                )
+
+            return _let(finish, theta=theta)
+
+        return _let(inner, p=p)
+
+    return _let(body, x=xyz["x"], y=xyz["y"], z=xyz["z"])
+
+
+def helmert_shift_expr(
+    lon: Column,
+    lat: Column,
+    params: tuple,
+    from_ellipsoid: str,
+    to_ellipsoid: str,
+    inverse: bool = False,
+):
+    """Apply a 7-parameter Helmert transform to geographic coordinates
+    (h = 0).  ``inverse=True`` negates the parameters — exact to first order,
+    the standard convention for small-angle datum shifts."""
+    dx, dy, dz, rx, ry, rz, ppm = params
+    if inverse:
+        dx, dy, dz, rx, ry, rz, ppm = (-v for v in params)
+        from_ellipsoid, to_ellipsoid = to_ellipsoid, from_ellipsoid
+    arc = math.pi / (180.0 * 3600.0)
+    rxr, ryr, rzr = rx * arc, ry * arc, rz * arc
+    scale = 1.0 + ppm * 1e-6
+    a_from, e2_from = _ELLIPSOIDS[from_ellipsoid]
+    a_to, e2_to = _ELLIPSOIDS[to_ellipsoid]
+    src = _geodetic_to_ecef(lon, lat, a_from, e2_from)
+
+    def shift(x, y, z):
+        return F.struct(
+            (F.lit(dx) + scale * (x - rzr * y + ryr * z)).alias("x"),
+            (F.lit(dy) + scale * (rzr * x + y - rxr * z)).alias("y"),
+            (F.lit(dz) + scale * (-ryr * x + rxr * y + z)).alias("z"),
+        )
+
+    shifted = _let(
+        lambda s: shift(s["x"], s["y"], s["z"]), s=src
+    )
+    out = _ecef_to_geodetic(shifted, a_to, e2_to)
     return out["lon"], out["lat"]
 
 
@@ -445,6 +560,14 @@ def transform_point(geom: Column, from_srid: int, to_srid: int) -> Column:
     if from_srid in _LCC_PARAMS and to_srid == WGS84:
         lon, lat = _lcc_inverse(x, y, from_srid)
         return point_struct(lon, lat, WGS84)
+    if from_srid in _GEOGRAPHIC_DATUMS and to_srid == WGS84:
+        ell, params = _GEOGRAPHIC_DATUMS[from_srid]
+        lon, lat = helmert_shift_expr(x, y, params, ell, "WGS84")
+        return point_struct(lon, lat, WGS84)
+    if from_srid == WGS84 and to_srid in _GEOGRAPHIC_DATUMS:
+        ell, params = _GEOGRAPHIC_DATUMS[to_srid]
+        lon, lat = helmert_shift_expr(x, y, params, ell, "WGS84", inverse=True)
+        return point_struct(lon, lat, to_srid)
     if _transform_legs(from_srid, to_srid) is not None:
         # Both legs exist, but Column-level composition re-embeds the full
         # upstream expression tree at every coordinate reference (the series
@@ -459,9 +582,10 @@ def transform_point(geom: Column, from_srid: int, to_srid: int) -> Column:
     raise ValueError(
         f"unsupported SRID transform {from_srid}->{to_srid}; "
         "supported: 4326, 3857, WGS84 UTM zones (EPSG 326xx/327xx), "
-        "LAEA Europe (3035), Lambert conformal conic (2154, 3034) "
+        "LAEA Europe (3035), Lambert conformal conic (2154, 3034, 32140), "
+        "Helmert-shifted geographic datums (4230) "
         "(reference default is 4326, etl/etl.py:21; other SRIDs need a proj "
-        "library and a datum shift)"
+        "library)"
     )
 
 
@@ -471,6 +595,7 @@ def _supported_srid(srid: int) -> bool:
         or utm_srid_params(srid) is not None
         or srid in _LAEA_PARAMS
         or srid in _LCC_PARAMS
+        or srid in _GEOGRAPHIC_DATUMS
     )
 
 
@@ -512,7 +637,8 @@ def transform_geom(
         raise ValueError(
             f"unsupported SRID transform {from_srid}->{to_srid}; "
             "supported: 4326, 3857, WGS84 UTM zones (EPSG 326xx/327xx), "
-            "LAEA Europe (3035), Lambert conformal conic (2154, 3034)"
+            "LAEA Europe (3035), Lambert conformal conic (2154, 3034, "
+            "32140), Helmert-shifted geographic datums (4230)"
         )
     out_col = out_col or geom_col
     tmp = _fresh_name(df, f"__xf_{out_col}")

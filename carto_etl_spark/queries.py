@@ -643,6 +643,136 @@ FROM polar
 """
 
 
+def q_stateplane_transform(spark, sf_dir):
+    """Reference F5, NAD83 state-plane family: WGS84 -> NAD83 / Texas South
+    Central (EPSG:32140, LCC 2SP on GRS80; NAD83<->WGS84 treated as identity
+    like ETRS89) over synthesized coords spanning the zone
+    (lon [-100.2,-93.8) x lat [28,30.7)).  Same oracle strategy as
+    ORACLE_LCC: closed-form forward re-derived in portable SQL with the
+    identical full-precision constants; integer-metre output absorbs libm
+    noise."""
+    from carto_etl_spark.functions.geom import transform_geom
+
+    c = load(spark, sf_dir, "customer")
+    src = c.select(
+        "c_custkey",
+        (F.lit(-100.2) + (F.col("c_custkey") * 13 % 640) / F.lit(100.0)).alias("lon"),
+        (F.lit(28.0) + (F.col("c_custkey") * 7 % 270) / F.lit(100.0)).alias("lat"),
+    )
+    out = transform_geom(
+        src.withColumn("g", point_struct(F.col("lon"), F.col("lat"), 4326)),
+        "g", 4326, 32140, out_col="sp",
+    )
+    return out.select(
+        "c_custkey",
+        F.round(F.col("sp.x")).cast("long").alias("easting_m"),
+        F.round(F.col("sp.y")).cast("long").alias("northing_m"),
+    )
+
+
+def _build_oracle_stateplane() -> str:
+    from carto_etl_spark.functions.geom import _lcc_constants
+
+    lon0, fe, fn, n, big_f, rho0, a, e = _lcc_constants(32140)
+    return f"""
+WITH src AS (
+  SELECT c_custkey,
+         -100.2 + (c_custkey * 13 % 640) / 100.0 AS lon,
+         28.0 + (c_custkey * 7 % 270) / 100.0 AS lat
+  FROM customer
+), t AS (
+  SELECT c_custkey, lon,
+         tan(pi() / 4.0 - radians(lat) / 2.0)
+         / pow((1.0 - {e!r} * sin(radians(lat)))
+               / (1.0 + {e!r} * sin(radians(lat))), {e!r} / 2.0) AS tval
+  FROM src
+), polar AS (
+  SELECT c_custkey,
+         {a * big_f!r} * pow(tval, {n!r}) AS rho,
+         {n!r} * radians(lon - {lon0!r}) AS theta
+  FROM t
+)
+SELECT c_custkey,
+       cast(round({fe!r} + rho * sin(theta)) AS bigint) AS easting_m,
+       cast(round({fn!r} + {rho0!r} - rho * cos(theta)) AS bigint) AS northing_m
+FROM polar
+"""
+
+
+ORACLE_STATEPLANE = _build_oracle_stateplane()
+
+
+def q_datum_shift(spark, sf_dir):
+    """Reference F5, non-identity datums: WGS84 -> ED50 (EPSG:4230) via the
+    7-parameter Helmert hook (EPSG tfm 1133 parameters, inverse direction)
+    over synthesized European coords.  The whole chain — geodetic->ECEF,
+    small-angle rotation+scale+translation, Bowring inverse on International
+    1924 — is closed-form, so the oracle re-derives it in portable SQL;
+    integer micro-degree output (~0.1 m grid) absorbs libm noise."""
+    from carto_etl_spark.functions.geom import transform_geom
+
+    c = load(spark, sf_dir, "customer")
+    src = c.select(
+        "c_custkey",
+        (F.lit(-5.0) + (F.col("c_custkey") * 13 % 2500) / F.lit(100.0)).alias("lon"),
+        (F.lit(36.0) + (F.col("c_custkey") * 7 % 1900) / F.lit(100.0)).alias("lat"),
+    )
+    out = transform_geom(
+        src.withColumn("g", point_struct(F.col("lon"), F.col("lat"), 4326)),
+        "g", 4326, 4230, out_col="ed50",
+    )
+    return out.select(
+        "c_custkey",
+        F.round(F.col("ed50.x") * 1e6).cast("long").alias("ed50_lon_udeg"),
+        F.round(F.col("ed50.y") * 1e6).cast("long").alias("ed50_lat_udeg"),
+    )
+
+
+def _build_oracle_datum_shift() -> str:
+    from carto_etl_spark.functions.geom import _ELLIPSOIDS, _GEOGRAPHIC_DATUMS
+    import math as _m
+
+    ell, params = _GEOGRAPHIC_DATUMS[4230]
+    # inverse direction (WGS84 -> ED50): negate, swap ellipsoids
+    dx, dy, dz = (-v for v in params[:3])
+    a_from, e2_from = _ELLIPSOIDS["WGS84"]
+    a_to, e2_to = _ELLIPSOIDS[ell]
+    b_to = a_to * _m.sqrt(1.0 - e2_to)
+    ep2_to = e2_to / (1.0 - e2_to)
+    return f"""
+WITH src AS (
+  SELECT c_custkey,
+         radians(-5.0 + (c_custkey * 13 % 2500) / 100.0) AS lam,
+         radians(36.0 + (c_custkey * 7 % 1900) / 100.0) AS phi
+  FROM customer
+), ecef AS (
+  SELECT c_custkey,
+         {dx!r} + ({a_from!r} / sqrt(1.0 - {e2_from!r} * sin(phi) * sin(phi)))
+           * cos(phi) * cos(lam) AS x,
+         {dy!r} + ({a_from!r} / sqrt(1.0 - {e2_from!r} * sin(phi) * sin(phi)))
+           * cos(phi) * sin(lam) AS y,
+         {dz!r} + ({a_from!r} / sqrt(1.0 - {e2_from!r} * sin(phi) * sin(phi)))
+           * (1.0 - {e2_from!r}) * sin(phi) AS z
+  FROM src
+), bowring AS (
+  SELECT c_custkey, x, y, z,
+         atan2(z * {a_to!r}, sqrt(x*x + y*y) * {b_to!r}) AS theta,
+         sqrt(x*x + y*y) AS p
+  FROM ecef
+)
+SELECT c_custkey,
+       cast(round(degrees(atan2(y, x)) * 1e6) AS bigint) AS ed50_lon_udeg,
+       cast(round(degrees(atan2(
+              z + {ep2_to * b_to!r} * sin(theta) * sin(theta) * sin(theta),
+              p - {e2_to * a_to!r} * cos(theta) * cos(theta) * cos(theta)
+            )) * 1e6) AS bigint) AS ed50_lat_udeg
+FROM bowring
+"""
+
+
+ORACLE_DATUM_SHIFT = _build_oracle_datum_shift()
+
+
 def q_overview_grid(spark, sf_dir):
     """Reference D5 (CDB_CreateOverviews): finest-zoom grid aggregate over
     web-mercator tiles (zoom 4)."""
@@ -1932,6 +2062,8 @@ QUERIES = {
     "geom_points": q_geom_points,
     "utm_transform": q_utm_transform,
     "lcc_transform": q_lcc_transform,
+    "stateplane_transform": q_stateplane_transform,
+    "datum_shift": q_datum_shift,
     "transactional_lifecycle": q_transactional_lifecycle,
     "morton_tiles": q_morton_tiles,
     "salted_join": q_salted_join,
@@ -1984,6 +2116,8 @@ ORACLES = {
     "geom_points": ORACLE_GEOM_POINTS,
     "utm_transform": ORACLE_UTM,
     "lcc_transform": ORACLE_LCC,
+    "stateplane_transform": ORACLE_STATEPLANE,
+    "datum_shift": ORACLE_DATUM_SHIFT,
     "transactional_lifecycle": ORACLE_TXN_LIFECYCLE,
     "morton_tiles": ORACLE_MORTON,
     "salted_join": ORACLE_SALTED,

@@ -163,3 +163,95 @@ def test_cross_family_two_leg(spark):
 def test_unsupported_srid_message_lists_families(spark):
     with pytest.raises(ValueError, match="3035"):
         transform_point(F.lit(None), 4326, 27700)  # OSGB needs a datum shift
+
+
+def test_lcc_generalized_ellipsoid_snyder_example(spark):
+    """Snyder PP 1395 p. 296-297 worked example for ellipsoidal LCC 2SP on
+    Clarke 1866 (sp 33/45 N, origin 23 N 96 W; point 35 N 75 W ->
+    x = 1,894,410.9 m, y = 1,564,649.5 m).  Validates the generalized
+    (ellipsoid-parameterized) machinery against independently published
+    numbers — the same code path the NAD83/GRS80 zones use."""
+    from carto_etl_spark.functions import geom as G
+
+    G._LCC_PARAMS[99901] = (23.0, -96.0, 33.0, 45.0, 0.0, 0.0, "CLARKE1866")
+    try:
+        x, y = _fwd(spark, -75.0, 35.0, 99901)
+        assert x == pytest.approx(1894410.9, abs=1.0)
+        assert y == pytest.approx(1564649.5, abs=1.0)
+    finally:
+        del G._LCC_PARAMS[99901]
+
+
+def test_nad83_texas_south_central(spark):
+    # origin identity: (lat0, lon0) -> exactly (FE, FN)
+    x, y = _fwd(spark, -99.0, 27.0 + 50.0 / 60.0, 32140)
+    assert x == pytest.approx(600000.0, abs=1e-6)
+    assert y == pytest.approx(4000000.0, abs=1e-6)
+    # round trip over the zone's service extent
+    df = spark.createDataFrame(
+        [(lon / 10.0, lat / 10.0)
+         for lon in range(-1000, -935, 13) for lat in range(280, 300, 7)],
+        ["lon", "lat"],
+    )
+    src = df.select(point_struct(F.col("lon"), F.col("lat"), 4326).alias("g"),
+                    "lon", "lat")
+    fwd = transform_geom(src, "g", 4326, 32140, out_col="sp")
+    back = transform_geom(fwd, "sp", 32140, 4326, out_col="g2")
+    bad = back.filter(
+        (F.abs(st_x("g2") - F.col("lon")) > 1e-6)
+        | (F.abs(st_y("g2") - F.col("lat")) > 1e-6)
+    ).count()
+    assert bad == 0
+
+
+def test_nad83_texas_scale_one_on_standard_parallels(spark):
+    # defining property of LCC 2SP: scale factor == 1 along both standard
+    # parallels (independent of the forward-formula implementation)
+    for sp in (28.0 + 23.0 / 60.0, 30.0 + 17.0 / 60.0):
+        d = 0.01
+        x1, y1 = _fwd(spark, -98.0, sp, 32140)
+        x2, y2 = _fwd(spark, -98.0 + d, sp, 32140)
+        chord = math.hypot(x2 - x1, y2 - y1)
+        phi = math.radians(sp)
+        n_rad = GRS80_A / math.sqrt(1.0 - GRS80_E2 * math.sin(phi) ** 2)
+        arc = n_rad * math.cos(phi) * math.radians(d)
+        assert chord == pytest.approx(arc, rel=1e-6)
+
+
+def test_helmert_ed50_round_trip_and_magnitude(spark):
+    """ED50 (EPSG:4230) <-> WGS84 via the 7-parameter Helmert hook: the
+    forward/inverse round trip closes below 5e-8 deg (~5 mm; Bowring's
+    one-shot inverse is the ~1e-8-deg term), and the
+    shift magnitude over Europe is the well-known ~100-250 m (a pure
+    identity or a wrong-sign shift would fail both bounds)."""
+    pts = [(2.3522, 48.8566), (12.5, 41.9), (-3.7, 40.4), (19.0, 52.2)]
+    df = spark.createDataFrame(pts, ["lon", "lat"])
+    src = df.select(point_struct(F.col("lon"), F.col("lat"), 4326).alias("g"),
+                    "lon", "lat")
+    to_ed50 = transform_geom(src, "g", 4326, 4230, out_col="ed50")
+    back = transform_geom(to_ed50, "ed50", 4230, 4326, out_col="g2")
+    rows = back.select(
+        "lon", "lat",
+        st_x("ed50").alias("elon"), st_y("ed50").alias("elat"),
+        st_x("g2").alias("blon"), st_y("g2").alias("blat"),
+    ).collect()
+    for r in rows:
+        assert r["blon"] == pytest.approx(r["lon"], abs=5e-8)
+        assert r["blat"] == pytest.approx(r["lat"], abs=5e-8)
+        dlat_m = abs(r["elat"] - r["lat"]) * 111_000
+        dlon_m = abs(r["elon"] - r["lon"]) * 111_000 * math.cos(
+            math.radians(r["lat"])
+        )
+        shift = math.hypot(dlat_m, dlon_m)
+        assert 80 < shift < 300, shift
+
+
+def test_helmert_composes_through_projections(spark):
+    # ED50 -> UTM 31N routes through the 4326 leg machinery
+    df = spark.createDataFrame([(2.3522, 48.8566)], ["lon", "lat"])
+    src = df.select(point_struct(F.col("lon"), F.col("lat"), 4230).alias("g"))
+    out = transform_geom(src, "g", 4230, 32631, out_col="utm")
+    r = out.select(st_x("utm").alias("x"), st_y("utm").alias("y")).first()
+    # Paris in UTM31N is ~(452000, 5411000); the datum shift moves it ~100 m
+    assert r["x"] == pytest.approx(452000, abs=2000)
+    assert r["y"] == pytest.approx(5411000, abs=2000)
