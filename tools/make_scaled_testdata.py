@@ -1,0 +1,84 @@
+"""Tile the sf0.1 test tables K-fold into a scratch dir for scaling runs.
+
+The driver generates sf<=0.1 only; the 100 TB posture claim needs at least
+one measured scale-up datapoint.  This tool replicates every table K times
+with per-replica key offsets (joins stay consistent within a replica; dims
+nation/region are shared), perturbs document text with a replica token so
+the dedup corpus does not degenerate into K exact copies of itself, and
+writes MULTI-FILE parquet (32 files per table) so scans split the way they
+would on a real cluster — the driver's single-row-group files cap scan
+parallelism at 1, which would understate every scan-bound query.
+
+Usage: python tools/make_scaled_testdata.py [K] [out_dir]
+       (defaults: K=10, out_dir=/tmp/carto-sfx10)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from carto_etl_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+
+#: key columns shifted per replica (offset = replica * 10^9)
+KEY_SHIFTS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+}
+SHARED_DIMS = ["region", "nation"]
+OFFSET = 1_000_000_000
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/carto-sfx10"
+    spark = get_spark("make-scaled-testdata")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out, exist_ok=True)
+
+    for name in SHARED_DIMS:
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+        print(f"{name}: copied {df.count()} rows")
+
+    for name, keys in KEY_SHIFTS.items():
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        cols = df.columns
+        replicas = []
+        for i in range(k):
+            rep = df
+            for key in keys:
+                if key in cols:
+                    rep = rep.withColumn(
+                        key, (F.col(key) + F.lit(i * OFFSET)).cast("long")
+                    )
+            if name == "documents" and i > 0:
+                rep = rep.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
+                )
+            replicas.append(rep.select(*cols))
+        union = replicas[0]
+        for rep in replicas[1:]:
+            union = union.unionByName(rep)
+        union.repartition(32).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+        print(f"{name}: {k}x tiled")
+    spark.stop()
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
