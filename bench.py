@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "ingest_coercion",
     "simhash_pairs",
     "minhash_dedup",
+    # new r4 operators (per-query numbers are the comparable unit across
+    # rounds; the total includes these from r4 on)
+    "ngram_jaccard",
+    "stateplane_transform",
+    "datum_shift",
+    "audio_features",
 ]
 
 

@@ -289,6 +289,27 @@ class XmlHttpTransport:
         return self.http("GET", self.base_url + request_id + "/all", self.auth, None)
 
 
+def urllib_http(method: str, url: str, params: dict | None, data: bytes | None,
+                timeout: float = 60.0) -> bytes:
+    """Real stdlib HTTP callable for :class:`XmlHttpTransport` — the piece
+    the reference does with `requests` (etl/geocoding.py:44-116).  Query
+    params are URL-encoded, the body is sent raw (the HERE batch API takes
+    the CSV as the POST body).  Raises ``urllib.error.HTTPError`` on non-2xx,
+    which callers surface as-is.  Exercised in tests against a local
+    ``http.server`` double; points at the real endpoint in production."""
+    import urllib.parse
+    import urllib.request
+
+    if params:
+        sep = "&" if "?" in url else "?"
+        url = url + sep + urllib.parse.urlencode(params)
+    req = urllib.request.Request(url, data=data, method=method)
+    if data is not None:
+        req.add_header("Content-Type", "text/plain; charset=utf-8")
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.read()
+
+
 class HereGeocodingJob:
     """HERE batch-geocode orchestration shape (etl/geocoding.py:24-116):
     start/refresh/download against an injectable transport.  The real REST

@@ -280,6 +280,44 @@ def resize_images(
     return df.select("media_id", "content").mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+_synth_wav_udf = None
+
+
+def synth_square_wav_expr(n_frames, sample_rate: int = 8000,
+                          amplitude: int = 16384):
+    """Deterministic PCM WAV synthesizer (mono 16-bit alternating-sign square
+    wave) as an Arrow-batched pandas UDF over a frame-count column.  A
+    constant-|amplitude| square wave has exactly rms = amplitude/32768 — a
+    dyadic rational, bit-identical in any IEEE engine — which makes the
+    decode operator oracle-checkable end to end: the oracle predicts every
+    output field from the synthesis arithmetic alone."""
+    global _synth_wav_udf
+    if _synth_wav_udf is None:
+        import io
+        import struct
+        import wave
+
+        def synth(frames):
+            def one(n):
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(
+                        b"".join(
+                            struct.pack("<h", amplitude if i % 2 == 0 else -amplitude)
+                            for i in range(int(n))
+                        )
+                    )
+                return buf.getvalue()
+
+            return frames.map(one)
+
+        _synth_wav_udf = F.pandas_udf(synth, "binary")
+    return _synth_wav_udf(n_frames)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -2042,6 +2042,45 @@ FROM b
 """
 
 
+def q_audio_features(spark, sf_dir):
+    """Multimodal audio under the oracle gate: synthesize a deterministic
+    PCM WAV per document (mono 16-bit square wave, frame count from doc_id),
+    decode with the REAL stdlib ``wave`` operator, emit the derived
+    features.  A constant-|amplitude| square wave has exactly
+    rms = 16384/32768 = 0.5 (dyadic), and duration is the same two-integer
+    division in both engines, so every field is engine-exact."""
+    from carto_etl_spark.operators.multimodal import (
+        decode_audio_features,
+        synth_square_wav_expr,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (400 * (1 + F.col("doc_id") % 5)).cast("long").alias("__frames"),
+    )
+    src = d.withColumn("content", synth_square_wav_expr(F.col("__frames")))
+    feats = decode_audio_features(src)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round(F.col("rms")[0], 6).alias("rms0"),
+    )
+
+
+ORACLE_AUDIO = """
+SELECT doc_id AS media_id,
+       cast(8000 AS int) AS sample_rate,
+       cast(1 AS int) AS n_channels,
+       cast(400 * (1 + doc_id % 5) AS bigint) AS n_samples,
+       round(cast(400 * (1 + doc_id % 5) AS double) / 8000.0, 6) AS duration_s,
+       cast(0.5 AS double) AS rms0
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2098,6 +2137,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
+    "audio_features": q_audio_features,
 }
 
 ORACLES = {
@@ -2146,6 +2186,7 @@ ORACLES = {
     "quality_scores": ORACLE_QUALITY_SCORES,
     "approx_stats": ORACLE_APPROX_STATS,
     "multimodal_features": ORACLE_MULTIMODAL,
+    "audio_features": ORACLE_AUDIO,
     "compression_ratio": ORACLE_COMPRESSION,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "ann_topk": ORACLE_ANN_TOPK,

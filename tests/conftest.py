@@ -4,8 +4,44 @@ as a one-row DataFrame (all CSV-string columns plus one non-string cell)."""
 
 from __future__ import annotations
 
+import importlib.metadata
+import os
+import subprocess
+import sys
+
 import pytest
 from pyspark.sql import types as T
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def pytest_configure(config):
+    """Installability gate: the suite must run against the INSTALLED package,
+    not a cwd-import accident.  If the distribution is missing, install it
+    editable, offline (`pip install -e . --no-build-isolation`; falls back to
+    `setup.py develop` in environments without the `wheel` package, which
+    PEP 660 editables require)."""
+    try:
+        importlib.metadata.distribution("carto-etl-spark")
+        return
+    except importlib.metadata.PackageNotFoundError:
+        pass
+    done = subprocess.run(
+        [sys.executable, "-m", "pip", "install", "-e", ".",
+         "--no-build-isolation", "--quiet"],
+        cwd=_REPO_ROOT, capture_output=True, text=True,
+    )
+    if done.returncode != 0:
+        done = subprocess.run(
+            [sys.executable, "setup.py", "develop"],
+            cwd=_REPO_ROOT, capture_output=True, text=True,
+        )
+    if done.returncode != 0:
+        raise RuntimeError(
+            f"editable install failed:\n{done.stdout}\n{done.stderr}"
+        )
+    importlib.metadata.distribution("carto-etl-spark")  # must resolve now
+
 
 from carto_etl_spark.config import JobConfig
 from carto_etl_spark.session import get_spark

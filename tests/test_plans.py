@@ -117,3 +117,28 @@ def test_token_counts_prunes_documents(spark):
     cols = scan_columns(df)
     assert "lang" not in cols and "source" not in cols
     assert {"doc_id", "text"} <= cols
+
+
+def test_shingle_expressions_stay_out_of_scan_filters(spark):
+    """Regression gate for the r4 pathology: a `size(shingles) > 0`-style
+    filter that predicate-pushdown alias-substitutes into the parquet scan
+    re-evaluates the whole tokenize+shingle chain inside scan tasks, which
+    cannot split below a row group — the most expensive computation in the
+    dedup plan serialized onto one core (measured 6x at sf0.1).  The scans
+    feeding the exact-verify path must carry only cheap key filters."""
+    from pyspark.sql import functions as F
+
+    from carto_etl_spark.operators import dedup as dd
+    from carto_etl_spark.plans.inspect import explain_str
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], ["id_a", "id_b"]
+    )
+    ver = dd.verify_pairs_jaccard(pairs, d, "doc_id", "text", 3, 0.5)
+    plan = explain_str(ver)
+    for line in plan.splitlines():
+        if "DataFilters" in line:
+            assert "array_distinct" not in line and "transform(" not in line, line
+    # and the pair list, not the shingle-array table, is the broadcast side
+    assert "BroadcastExchange" in plan

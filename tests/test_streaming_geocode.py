@@ -299,3 +299,75 @@ def test_here_job_with_fake_transport(tmp_path):
     assert job.refresh() == "completed"
     out = job.download(tmp_path / "res.zip")
     assert out.read_bytes() == b"zipbytes"
+
+
+def test_here_job_over_real_http(tmp_path):
+    """Full HERE batch flow over REAL sockets: stdlib urllib transport
+    (urllib_http) against a local http.server double that speaks the
+    service's XML/zip protocol — submit POST (CSV body, URL-encoded params),
+    status poll, zip download.  Only the hostname differs from production."""
+    import http.server
+    import io
+    import threading
+    import urllib.parse
+
+    from carto_etl_spark.operators.geocode import (
+        HereGeocodingJob,
+        XmlHttpTransport,
+        urllib_http,
+    )
+
+    seen = {}
+
+    class Double(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, body, ctype="text/xml"):
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            seen["submit_params"] = q
+            seen["body"] = self.rfile.read(int(self.headers["Content-Length"]))
+            self._send(b"<ns2:SearchBatch xmlns:ns2='x'><Response>"
+                       b"<MetaInfo><RequestId>req-77</RequestId></MetaInfo>"
+                       b"<Status>accepted</Status></Response></ns2:SearchBatch>")
+
+        def do_GET(self):
+            path = urllib.parse.urlparse(self.path).path
+            if path.endswith("/all"):
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr("result_20240101_out.txt",
+                                "recId|displayLatitude|displayLongitude\n"
+                                "1|40.4|-3.7\n")
+                self._send(buf.getvalue(), "application/zip")
+            else:
+                seen["polled"] = path
+                self._send(b"<Response><Status>completed</Status></Response>")
+
+    server = http.server.HTTPServer(("127.0.0.1", 0), Double)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{server.server_port}/jobs"
+        csv = tmp_path / "addrs.csv"
+        csv.write_text("recId|searchText|country\n1|Calle Mayor 1|ESP\n")
+        transport = XmlHttpTransport(
+            urllib_http, base, app_id="id1", app_code="code1"
+        )
+        job = HereGeocodingJob(str(csv), "a@b.c", transport=transport)
+        assert job.start() == "req-77"
+        assert seen["submit_params"]["app_id"] == ["id1"]
+        assert seen["submit_params"]["action"] == ["run"]
+        assert b"Calle Mayor 1" in seen["body"]
+        assert job.refresh() == "completed"
+        assert seen["polled"].endswith("/req-77")
+        out = job.download(tmp_path / "res.zip")
+        with zipfile.ZipFile(out) as zf:
+            assert any(n.endswith("_out.txt") for n in zf.namelist())
+    finally:
+        server.shutdown()
