@@ -21,11 +21,21 @@ def pytest_configure(config):
     editable, offline (`pip install -e . --no-build-isolation`; falls back to
     `setup.py develop` in environments without the `wheel` package, which
     PEP 660 editables require)."""
-    try:
-        importlib.metadata.distribution("carto-etl-spark")
+    # Metadata presence is NOT proof: running pytest from the repo root puts
+    # the repo's own carto_etl_spark.egg-info on the scan path, so
+    # importlib.metadata resolves the distribution even when site-packages has
+    # no install (fresh environment, stale egg-info).  The ground truth is a
+    # clean-subprocess import with the repo root stripped from sys.path.
+    probe = (
+        "import sys, os\n"
+        "sys.path = [p for p in sys.path if p not in ('', os.getcwd())]\n"
+        "import carto_etl_spark\n"
+    )
+    if subprocess.run(
+        [sys.executable, "-c", probe], cwd=_REPO_ROOT,
+        capture_output=True, text=True,
+    ).returncode == 0:
         return
-    except importlib.metadata.PackageNotFoundError:
-        pass
     done = subprocess.run(
         [sys.executable, "-m", "pip", "install", "-e", ".",
          "--no-build-isolation", "--quiet"],
