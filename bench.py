@@ -64,6 +64,12 @@ BENCH_QUERIES = [
     "stateplane_transform",
     "datum_shift",
     "audio_features",
+    "stratified_sample",
+    "group_sample",
+    "pack_sequences",
+    "decontam",
+    "pii_scrub",
+    "repetition",
 ]
 
 

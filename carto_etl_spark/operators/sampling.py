@@ -1,0 +1,205 @@
+"""Deterministic sampling and sequence-packing operators for training-data
+pipelines: portable hash sampling, per-stratum rates, exact k-per-group
+sampling, and token-budget sequence packing.
+
+Not in the reference (its scope ends at SQL-text DML,
+/root/reference/etl/etl.py); mandated by the engine's north star as
+first-class 100 TB-scale operators.  A training pipeline needs *deterministic*
+sampling — `df.sample()` is seed-stable only for a fixed partitioning, which
+no 100 TB pipeline has — so everything here derives from a pure-arithmetic
+hash of a key column:
+
+* re-running the pipeline reproduces the same sample bit-for-bit;
+* adding data never flips the keep/drop decision of an existing row;
+* the decision is a scan-stage filter (no shuffle, no state).
+
+The hash is the Lehmer / Park–Miller multiplicative congruential generator
+(`(key mod M) * 48271 mod M`, M = 2^31-1, a public-domain classic).  Chosen
+over xxhash64 deliberately: its arithmetic is expressible in ANSI SQL, so the
+duckdb oracle can verify every sampling decision value-for-value.  Swapping in
+`F.xxhash64` for production corpora is a one-line change to ``hash_expr``;
+every operator below is parameterized on the hash column, not the function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Park–Miller constants: multiplier and modulus (2^31 - 1, prime).
+LEHMER_A = 48271
+LEHMER_M = 2147483647
+
+
+def _col(c: Column | str) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+def hash_expr(key: Column | str, salt: int = 0) -> Column:
+    """Deterministic uniform hash of an integer key into [0, M).
+
+    Three Lehmer multiply rounds with xor-shift steps between them.  Both
+    pieces are load-bearing:
+
+    * one multiply round is just ``k * 48271`` for keys below M/A (~44k) —
+      no modular wrap, so sequential ids map to an increasing sequence and
+      every rate filter degenerates to a prefix (measured: rate=0.25 kept
+      100% of ids 0..499);
+    * iterated multiplies alone stay LINEAR (three rounds ≡ one round with
+      multiplier A³ mod M), so h(k+1) − h(k) is a global constant and
+      keep-decisions of neighboring keys — hence of neighboring salts, which
+      fold into the key — are lockstep-correlated (measured: two salts gave
+      ZERO sample overlap where independence predicts 30%).
+
+    The xor-shifts break the linearity; measured on 100k sequential keys:
+    decile occupancy uniform to ±1%, salt-to-salt overlap 30.3% at rate 0.3
+    (independence predicts 30%), consecutive-key co-keeps at chance level.
+    All intermediates fit in int64: (M-1) * 48271 < 2^47.
+    """
+    x = F.pmod(_col(key).cast("long") + F.lit(salt), F.lit(LEHMER_M))
+    x = F.pmod(x * F.lit(LEHMER_A), F.lit(LEHMER_M))
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    x = F.pmod(x * F.lit(LEHMER_A), F.lit(LEHMER_M))
+    x = x.bitwiseXOR(F.shiftright(x, 13))
+    return F.pmod(x * F.lit(LEHMER_A), F.lit(LEHMER_M))
+
+
+def hash_sql(key_sql: str, salt: int = 0) -> str:
+    """DuckDB-SQL twin of ``hash_expr`` (same rounds, same constants), for
+    oracle construction — kept beside the Spark expression so the two can
+    never drift independently.  The xor steps textually duplicate their
+    operand (SQL has no let-binding); DuckDB's CSE collapses them."""
+    x = f"(({key_sql} + {salt}) % {LEHMER_M})"
+    x = f"(({x} * {LEHMER_A}) % {LEHMER_M})"
+    x = f"xor({x}, {x} >> 16)"
+    x = f"(({x} * {LEHMER_A}) % {LEHMER_M})"
+    x = f"xor({x}, {x} >> 13)"
+    return f"(({x} * {LEHMER_A}) % {LEHMER_M})"
+
+
+def hash_sample(
+    df: DataFrame, key: Column | str, rate: float, salt: int = 0
+) -> DataFrame:
+    """Keep ~``rate`` of rows, decided per-row by ``hash_expr(key) < rate*M``.
+
+    A pure scan-stage filter: no shuffle, no sort, no driver state; the same
+    row is kept or dropped identically on any cluster size or partitioning.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return df.where(hash_expr(key, salt) < int(rate * LEHMER_M))
+
+
+def stratum_rate_expr(
+    strata: Column | str, rates: dict[str, float], default_rate: float
+) -> Column:
+    """Per-stratum keep-threshold as a CASE expression (threshold in hash
+    units, i.e. rate * M)."""
+    out = F.lit(int(default_rate * LEHMER_M))
+    for value, rate in sorted(rates.items()):
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {value!r} must be in [0,1], got {rate}")
+        out = F.when(_col(strata) == value, F.lit(int(rate * LEHMER_M))).otherwise(out)
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column | str,
+    strata: Column | str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (e.g. keep 10% of English, all
+    of everything else — the standard language-rebalancing step).
+
+    Still a single scan-stage filter: the stratum only changes the threshold
+    the row's hash is compared against.  No shuffle, no per-group state, no
+    skew sensitivity — a hot stratum costs the same as a cold one.
+    """
+    return df.where(
+        hash_expr(key, salt) < stratum_rate_expr(strata, rates, default_rate)
+    )
+
+
+def group_sample(
+    df: DataFrame,
+    group: Column | str | list,
+    key: Column | str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """EXACTLY min(k, group size) rows per group, chosen uniformly by hash
+    order (rate-based sampling can't hit an exact per-group quota).
+
+    One hash-partition shuffle on the group key + a row_number window —
+    the minimum possible for an exact quota.  Ties in the hash are broken by
+    the key itself so the result is total-order deterministic.  For skewed
+    groups at 100 TB prefer ``stratified_sample`` (no shuffle) unless the
+    exact-k contract is required.
+    """
+    groups = group if isinstance(group, list) else [group]
+    groups = [_col(g) for g in groups]
+    h = hash_expr(key, salt)
+    w = Window.partitionBy(*groups).orderBy(h.asc(), _col(key).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens: Column | str,
+    order: Column | str,
+    budget: int,
+    partition: Column | str | None = None,
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """Assign each document to a training sequence under a token budget:
+    documents are taken in ``order`` and a new sequence starts whenever the
+    running token total crosses a multiple of ``budget``.
+
+    Semantics (deliberately window-expressible, hence oracle-checkable):
+    ``seq_id = floor(exclusive_running_sum(tokens) / budget)`` — the classic
+    "greedy boundary-crossing" packing where a sequence may overflow by at
+    most one document (the overflowing document opens the next sequence's
+    budget accounting).  This is the packing used when documents are later
+    split at token granularity; for strict no-overflow bin packing you need a
+    sequential pass, which does not distribute.
+
+    Scale posture: with ``partition`` set (e.g. source shard), packing is a
+    window per partition — one hash shuffle, arbitrary corpus size, sequences
+    never span shards (which real pipelines want anyway: shard-local packing
+    keeps data lineage and lets shards pack in parallel).  Without
+    ``partition`` the window is global: correct, but a single-reducer sort —
+    only for small corpora.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    parts = [] if partition is None else [_col(partition)]
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(_col(order).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(_col(tokens)).over(w), F.lit(0))
+    return df.withColumn(seq_col, F.floor(before / F.lit(budget)))
+
+
+def pack_stats(
+    packed: DataFrame,
+    tokens: Column | str,
+    partition: Column | str | None = None,
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """Per-sequence roll-up of a ``pack_sequences`` result: document count,
+    token total, and budget utilization inputs.  Partial-aggregates map-side;
+    the shuffle is one row per sequence."""
+    keys = ([] if partition is None else [_col(partition)]) + [F.col(seq_col)]
+    return packed.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_col(tokens)).cast("long").alias("total_tokens"),
+    )

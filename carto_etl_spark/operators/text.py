@@ -36,6 +36,35 @@ def token_count_expr(text: Column | str) -> Column:
     return F.size(tokens_expr(text))
 
 
+def word_ngrams_expr(text: Column | str, n: int) -> Column:
+    """Array of space-joined word n-grams over whitespace tokens (empty array
+    when the document has fewer than ``n`` tokens).  Pure JVM array
+    expressions — tokens → sliding slice → concat_ws."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens_expr(text)
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def dup_ngram_fraction_expr(text: Column | str, n: int) -> Column:
+    """Within-document repetitiveness (Gopher-style repetition filter):
+    fraction of word n-gram OCCURRENCES whose n-gram also occurs elsewhere in
+    the same document, ``1 - distinct/total``; NULL when the document has no
+    n-grams.  Pure array arithmetic — no shuffle, no UDF; heavily boilerplated
+    documents score near 1, natural text near 0."""
+    grams = word_ngrams_expr(text, n)
+    total = F.size(grams)
+    return F.lit(1.0) - F.size(F.array_distinct(grams)) / F.nullif(
+        total.cast("double"), F.lit(0.0)
+    )
+
+
 #: BPE-ish lexer: word pieces or single non-space punctuation — the classic
 #: pre-tokenization regex shape used by BPE vocabularies.
 BPE_TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"

@@ -33,8 +33,11 @@ from carto_etl_spark.functions.geom import (
     validated_lon,
     wkt_point,
 )
+from carto_etl_spark.operators import decontam as dc
 from carto_etl_spark.operators import dedup as dd
 from carto_etl_spark.operators import overviews as ov
+from carto_etl_spark.operators import sampling as smp
+from carto_etl_spark.operators import scrub as sc
 from carto_etl_spark.operators import similarity as sim
 from carto_etl_spark.operators import text as tx
 
@@ -2085,6 +2088,232 @@ FROM documents
 # Catalog
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Training-pipeline operators: deterministic sampling, packing, decontamination,
+# PII scrubbing, repetition stats (operators/sampling.py, decontam.py, scrub.py)
+# ---------------------------------------------------------------------------
+
+# Oracle twin of sampling.hash_expr, generated by its sibling hash_sql so the
+# Spark and SQL forms cannot drift (xor-shifted Lehmer rounds; see
+# sampling.hash_expr for why plain iterated multiplies are not enough).
+def _lehmer_sql(salt: int) -> str:
+    return smp.hash_sql("doc_id", salt)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling: keep 25% of English, 50% of
+    Chinese, everything else whole — the standard corpus-rebalancing step,
+    as a single scan-stage filter (operators/sampling.py)."""
+    d = load(spark, sf_dir, "documents")
+    kept = smp.stratified_sample(
+        d, "doc_id", "lang", {"en": 0.25, "zh": 0.5}, default_rate=1.0, salt=7
+    )
+    return kept.select("doc_id", "lang", smp.hash_expr("doc_id", 7).alias("draw"))
+
+
+ORACLE_STRATIFIED = f"""
+SELECT doc_id, lang, {_lehmer_sql(7)} AS draw
+FROM documents
+WHERE {_lehmer_sql(7)} <
+      CASE lang WHEN 'en' THEN {int(0.25 * 2147483647)}
+                WHEN 'zh' THEN {int(0.5 * 2147483647)}
+                ELSE 2147483647 END
+"""
+
+
+def q_group_sample(spark, sf_dir):
+    """Exact 10-docs-per-source uniform sample (hash order, doc_id
+    tie-break) — the fixed-quota variant rate sampling can't provide."""
+    d = load(spark, sf_dir, "documents")
+    return smp.group_sample(d, "source", "doc_id", k=10, salt=3).select(
+        "doc_id", "source"
+    )
+
+
+ORACLE_GROUP_SAMPLE = f"""
+SELECT doc_id, source
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY source
+    ORDER BY {_lehmer_sql(3)}, doc_id) <= 10
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing, shard-local (partition=source): greedy
+    boundary-crossing bins of 512 whitespace tokens, rolled up to per-sequence
+    stats (operators/sampling.py:pack_sequences)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", tx.token_count_expr("text").alias("n_tokens")
+    )
+    packed = smp.pack_sequences(
+        d, "n_tokens", "doc_id", budget=512, partition="source"
+    )
+    return smp.pack_stats(packed, "n_tokens", partition="source")
+
+
+ORACLE_PACK = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''))
+             AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
+           AS BIGINT) AS seq_id
+  FROM toks
+)
+SELECT source, seq_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM packed GROUP BY source, seq_id
+"""
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination report: 5-gram overlap of every document
+    against the doc_id%97==0 slice standing in for an eval set
+    (operators/decontam.py — broadcast benchmark n-gram set, no corpus
+    shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return dc.contamination(d, bench, n=5)
+
+
+ORACLE_DECONTAM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(t) - 3),
+                                  i -> array_to_string(t[i:i+4], ' '))
+         END AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(g) AS ngram FROM grams WHERE doc_id % 97 = 0
+), docg AS (
+  SELECT doc_id, unnest(list_distinct(g)) AS ngram FROM grams
+), ov AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM docg JOIN bench USING (ngram) GROUP BY doc_id
+)
+SELECT grams.doc_id,
+       len(list_distinct(g)) AS n_ngrams,
+       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(n_overlap, 0) > 0 AS contaminated
+FROM grams LEFT JOIN ov ON grams.doc_id = ov.doc_id
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over deterministically injected emails/URLs/IPs/phones
+    (the corpus is synthetic, so the PII is synthesized too — the injection
+    arithmetic is replayed by the oracle).  Emits per-category counts and the
+    md5 of the scrubbed text (operators/scrub.py, regex-only, no UDF)."""
+    d = load(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com visit https://ex.org/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" from 10.2."), F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+            F.lit(".7 call +1 555 01"), F.pmod(F.col("doc_id"), F.lit(10)).cast("string"),
+            F.lit("23"),
+        ).alias("text"),
+    )
+    out = sc.scrub(injected, "text")
+    return out.select(
+        "doc_id", "n_url", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.col("text")).alias("scrub_md5"),
+    )
+
+
+ORACLE_PII = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@mail.example.com visit https://ex.org/p/' || doc_id ||
+         ' from 10.2.' || (doc_id % 250) || '.7 call +1 555 01' ||
+         (doc_id % 10) || '23' AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+         regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS text
+  FROM injected
+), s2 AS (
+  SELECT doc_id, n_url,
+         len(regexp_extract_all(text,
+             '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b')) AS n_email,
+         regexp_replace(text,
+             '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b',
+             '<EMAIL>', 'g') AS text
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_url, n_email,
+         len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+         regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '<IP>', 'g') AS text
+  FROM s2
+), s4 AS (
+  SELECT doc_id, n_url, n_email, n_ipv4,
+         len(regexp_extract_all(text, '\+\d[\d \-]{6,}\d\b')) AS n_phone,
+         regexp_replace(text, '\+\d[\d \-]{6,}\d\b', '<PHONE>', 'g') AS text
+  FROM s3
+)
+SELECT doc_id, n_url, n_email, n_ipv4, n_phone, md5(text) AS scrub_md5
+FROM s4
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """Within-document repetition counts (Gopher-style repetition filter
+    inputs): distinct-vs-total word occurrences and 3-gram occurrences.
+    Integer counts, not the ratio, so the hash is FP-safe; the ratio reader
+    is dup_ngram_fraction_expr (operators/text.py)."""
+    d = load(spark, sf_dir, "documents")
+    w = tx.word_ngrams_expr("text", 1)
+    g3 = tx.word_ngrams_expr("text", 3)
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct_words"),
+        F.size(g3).alias("n_3grams"),
+        F.size(F.array_distinct(g3)).alias("n_distinct_3grams"),
+    )
+
+
+ORACLE_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(t[i:i+2], ' '))
+         END AS g3
+  FROM toks
+)
+SELECT doc_id,
+       len(t) AS n_words,
+       len(list_distinct(t)) AS n_distinct_words,
+       len(g3) AS n_3grams,
+       len(list_distinct(g3)) AS n_distinct_3grams
+FROM grams
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -2138,6 +2367,12 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
+    "stratified_sample": q_stratified_sample,
+    "group_sample": q_group_sample,
+    "pack_sequences": q_pack_sequences,
+    "decontam": q_decontam,
+    "pii_scrub": q_pii_scrub,
+    "repetition": q_repetition,
 }
 
 ORACLES = {
@@ -2193,4 +2428,10 @@ ORACLES = {
     "ann_ivf": ORACLE_ANN_IVF,
     "minhash_dedup": ORACLE_MINHASH_DEDUP,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
+    "stratified_sample": ORACLE_STRATIFIED,
+    "group_sample": ORACLE_GROUP_SAMPLE,
+    "pack_sequences": ORACLE_PACK,
+    "decontam": ORACLE_DECONTAM,
+    "pii_scrub": ORACLE_PII,
+    "repetition": ORACLE_REPETITION,
 }

@@ -1,0 +1,255 @@
+"""Training-pipeline operators: deterministic sampling / packing
+(operators/sampling.py), benchmark decontamination (operators/decontam.py),
+PII scrubbing (operators/scrub.py), and repetition stats (operators/text.py).
+
+Semantics on hand-built frames plus the plan-shape properties that make each
+operator survive a 100x scale-up (sampling must stay a scan filter, packing
+must shuffle once, decontamination must broadcast the benchmark side)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from carto_etl_spark.operators import decontam as dc
+from carto_etl_spark.operators import sampling as smp
+from carto_etl_spark.operators import scrub as sc
+from carto_etl_spark.operators import text as tx
+from carto_etl_spark.plans.inspect import explain_str, shuffle_count
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = {r.k for r in smp.hash_sample(df, "k", 0.3, salt=1).collect()}
+    b = {r.k for r in smp.hash_sample(df.repartition(13), "k", 0.3, salt=1).collect()}
+    assert a == b  # keep/drop is a pure function of the key
+    # ... and the realized rate is near the nominal one (3-round Lehmer mixes
+    # sequential ids; a one-round hash kept 100% here)
+    assert 0.27 < len(a) / 5000 < 0.33
+
+
+def test_hash_sample_salt_decorrelates(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = {r.k for r in smp.hash_sample(df, "k", 0.3, salt=1).collect()}
+    b = {r.k for r in smp.hash_sample(df, "k", 0.3, salt=2).collect()}
+    overlap = len(a & b) / len(a)
+    assert 0.15 < overlap < 0.45  # independent draws would overlap ~30%
+
+
+def test_hash_sample_monotone_rates(spark):
+    # a row kept at rate r stays kept at any higher rate (threshold semantics)
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    low = {r.k for r in smp.hash_sample(df, "k", 0.2).collect()}
+    high = {r.k for r in smp.hash_sample(df, "k", 0.6).collect()}
+    assert low <= high
+
+
+def test_hash_sample_rejects_bad_rate(spark):
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        smp.hash_sample(df, "k", 1.5)
+
+
+def test_stratified_sample_rates_per_stratum(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    out = smp.stratified_sample(df, "k", "lang", {"en": 0.1}, default_rate=1.0)
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert by_lang["de"] == 2000          # untouched stratum keeps everything
+    assert 140 < by_lang["en"] < 260      # ~10% of 2000
+
+
+def test_stratified_sample_is_scan_stage_filter(spark):
+    # the scale contract: no Exchange anywhere — sampling must not shuffle
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    out = smp.stratified_sample(df, "doc_id", "lang", {"en": 0.5})
+    assert shuffle_count(out) == 0
+
+
+def test_group_sample_exact_quota_and_determinism(spark):
+    rows = [(i, f"g{i % 7}") for i in range(700)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    out1 = smp.group_sample(df, "g", "k", k=5).collect()
+    out2 = smp.group_sample(df.repartition(11), "g", "k", k=5).collect()
+    assert sorted((r.k, r.g) for r in out1) == sorted((r.k, r.g) for r in out2)
+    counts = {r["g"]: r["n"] for r in smp.group_sample(df, "g", "k", k=5)
+              .groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert set(counts.values()) == {5}
+
+
+def test_group_sample_small_group_keeps_all(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["k", "g"])
+    out = smp.group_sample(df, "g", "k", k=10)
+    assert out.count() == 3
+    assert "__rn" not in out.columns
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_boundary_semantics(spark):
+    # budget 10; cumulative-before: 0,6,12,15,24 -> seq 0,0,1,1,2
+    rows = [(1, 6), (2, 6), (3, 3), (4, 9), (5, 2)]
+    df = spark.createDataFrame(rows, ["k", "nt"])
+    out = {r.k: r.seq_id for r in
+           smp.pack_sequences(df, "nt", "k", budget=10).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+
+
+def test_pack_sequences_partition_local(spark):
+    # identical token streams in two shards pack identically and independently
+    rows = [(i, s, 4) for s in ("a", "b") for i in range(6)]
+    df = spark.createDataFrame(rows, ["k", "src", "nt"])
+    packed = smp.pack_sequences(df, "nt", "k", budget=8, partition="src")
+    stats = smp.pack_stats(packed, "nt", partition="src")
+    got = {(r.src, r.seq_id): (r.n_docs, r.total_tokens) for r in stats.collect()}
+    assert got == {(s, q): (2, 8) for s in ("a", "b") for q in (0, 1, 2)}
+
+
+def test_pack_sequences_overflow_by_one_doc_max(spark):
+    # a document larger than the budget occupies its own sequence and the
+    # boundary accounting continues (greedy boundary-crossing contract)
+    rows = [(1, 3), (2, 25), (3, 3)]
+    df = spark.createDataFrame(rows, ["k", "nt"])
+    out = {r.k: r.seq_id for r in
+           smp.pack_sequences(df, "nt", "k", budget=10).collect()}
+    assert out == {1: 0, 2: 0, 3: 2}  # 3+25=28 before doc 3 -> floor(28/10)=2
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, 1)], ["k", "nt"])
+    with pytest.raises(ValueError):
+        smp.pack_sequences(df, "nt", "k", budget=0)
+
+
+def test_pack_sequences_single_shuffle(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", tx.token_count_expr("text").alias("nt"))
+    packed = smp.pack_sequences(df, "nt", "doc_id", budget=256, partition="source")
+    assert shuffle_count(packed) == 1  # one hash partition on source, no sort-
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about spark plans"),
+            (3, "quick brown fox jumps over nothing special here"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_contamination_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps over everything")],
+        ["doc_id", "text"],
+    )
+    rep = {r.doc_id: r for r in
+           dc.contamination(_corpus(spark), bench, n=5).collect()}
+    assert rep[1].contaminated and rep[1].n_overlap == 2
+    # doc 3 shares 'quick brown fox jumps over' (5-gram) with the benchmark
+    assert rep[3].contaminated and rep[3].n_overlap == 1
+    assert not rep[2].contaminated and rep[2].n_overlap == 0
+    assert rep[4].n_ngrams == 0 and not rep[4].contaminated
+
+
+def test_decontaminate_drops_and_preserves_schema(spark):
+    corpus = _corpus(spark)
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over it")], ["doc_id", "text"])
+    out = dc.decontaminate(corpus, bench, n=5)
+    assert out.columns == corpus.columns
+    # doc 1 shares 'the quick brown fox jumps'/'quick brown fox jumps over';
+    # doc 3 shares the latter too — both must go
+    assert {r.doc_id for r in out.collect()} == {2, 4}
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    plan = explain_str(dc.contamination(docs, bench, n=5))
+    assert "BroadcastExchange" in plan
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",)], ["text"])
+    row = df.select(tx.word_ngrams_expr("text", 3).alias("g")).first()
+    assert row.g == []
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+def test_scrub_all_categories(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.org or call +1 555 0123 456, "
+             "host 10.0.255.3, see https://x.io/p?q=1 end")],
+        ["doc_id", "text"],
+    )
+    row = sc.scrub(df).first()
+    assert row.text == ("mail <EMAIL> or call <PHONE>, host <IP>, "
+                        "see <URL> end")
+    assert (row.n_email, row.n_phone, row.n_ipv4, row.n_url) == (1, 1, 1, 1)
+
+
+def test_scrub_url_wins_over_embedded_email(spark):
+    df = spark.createDataFrame(
+        [(1, "see https://x.io/mail/a@b.co now")], ["doc_id", "text"])
+    row = sc.scrub(df).first()
+    assert row.text == "see <URL> now"
+    assert row.n_url == 1 and row.n_email == 0
+
+
+def test_scrub_counts_multiple(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.co c@d.org and 1.2.3.4 5.6.7.8")], ["doc_id", "text"])
+    row = sc.scrub(df).first()
+    assert row.n_email == 2 and row.n_ipv4 == 2
+    assert row.text == "<EMAIL> <EMAIL> and <IP> <IP>"
+
+
+def test_scrub_leaves_clean_text_alone(spark):
+    df = spark.createDataFrame([(1, "nothing sensitive here")],
+                               ["doc_id", "text"])
+    row = sc.scrub(df).first()
+    assert row.text == "nothing sensitive here"
+    assert row.n_email == row.n_url == row.n_ipv4 == row.n_phone == 0
+
+
+def test_scrub_no_shuffle_no_udf(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = explain_str(sc.scrub(docs))
+    assert shuffle_count(sc.scrub(docs)) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats
+# ---------------------------------------------------------------------------
+
+def test_dup_ngram_fraction(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "all words here differ"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.f for r in df.select(
+        "doc_id", tx.dup_ngram_fraction_expr("text", 1).alias("f")).collect()}
+    assert out[1] == pytest.approx(1 - 2 / 6)
+    assert out[2] == 0.0
+    assert out[3] is None
