@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "decontam",
     "pii_scrub",
     "repetition",
+    "dataset_split",
+    "bloom_dedup",
 ]
 
 

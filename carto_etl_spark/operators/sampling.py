@@ -123,6 +123,65 @@ def stratified_sample(
     )
 
 
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative hash-unit thresholds for ``dataset_split``.  Weight order is
+    the dict's insertion order (part of the determinism contract: the same
+    weights dict always yields the same assignment).  The last threshold is
+    pinned to M so rounding can never leave a row unassigned."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative with positive sum: {weights}")
+    out: list[tuple[str, int]] = []
+    cum = 0.0
+    for name, w in weights.items():
+        cum += w / total
+        out.append((name, int(cum * LEHMER_M)))
+    out[-1] = (out[-1][0], LEHMER_M)
+    return out
+
+
+def split_expr(
+    key: Column | str, weights: dict[str, float], salt: int = 0
+) -> Column:
+    """Deterministic dataset-split label (train/valid/test/...) for a row.
+
+    The standard contract a training pipeline needs from its split and that
+    ``df.randomSplit`` cannot give: re-running reproduces the same assignment
+    bit-for-bit on any partitioning, and appending new data NEVER moves an
+    existing row between splits (its hash doesn't change).  A pure scan-stage
+    expression — no shuffle, no state."""
+    thresholds = split_thresholds(weights)
+    h = hash_expr(key, salt)
+    expr = F.lit(thresholds[-1][0])
+    for name, t in reversed(thresholds[:-1]):
+        expr = F.when(h < t, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def dataset_split(
+    df: DataFrame,
+    key: Column | str,
+    weights: dict[str, float],
+    salt: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic split-assignment column (see ``split_expr``)."""
+    return df.withColumn(split_col, split_expr(key, weights, salt))
+
+
+def split_sql(key_sql: str, weights: dict[str, float], salt: int = 0) -> str:
+    """DuckDB-SQL twin of ``split_expr`` (same thresholds, same hash), kept
+    beside it so the two can never drift independently."""
+    thresholds = split_thresholds(weights)
+    h = hash_sql(key_sql, salt)
+    whens = " ".join(
+        f"WHEN ({h}) < {t} THEN '{name}'" for name, t in thresholds[:-1]
+    )
+    return f"CASE {whens} ELSE '{thresholds[-1][0]}' END"
+
+
 def group_sample(
     df: DataFrame,
     group: Column | str | list,

@@ -34,6 +34,7 @@ from carto_etl_spark.functions.geom import (
     wkt_point,
 )
 from carto_etl_spark.operators import decontam as dc
+from carto_etl_spark.operators.bloom import bloom_anti_join
 from carto_etl_spark.operators import dedup as dd
 from carto_etl_spark.operators import overviews as ov
 from carto_etl_spark.operators import sampling as smp
@@ -2314,6 +2315,60 @@ FROM grams
 """
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment (80/10/10) by doc_id hash
+    (operators/sampling.py:dataset_split).  Unlike df.randomSplit, re-running
+    reproduces the assignment bit-for-bit on any partitioning, and appending
+    data never moves an existing row between splits."""
+    d = load(spark, sf_dir, "documents")
+    out = smp.dataset_split(
+        d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, salt=11
+    )
+    return out.select("doc_id", "split")
+
+
+ORACLE_DATASET_SPLIT = f"""
+SELECT doc_id,
+       {smp.split_sql("doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, salt=11)}
+           AS split
+FROM documents
+"""
+
+
+def q_bloom_dedup(spark, sf_dir):
+    """Content-hash dedup of a corpus against a reference shard via
+    Bloom-prefiltered anti-join (operators/bloom.py): the doc_id%3==0 slice
+    stands in for an already-ingested corpus; survivors are documents whose
+    content key is absent from it.  Only the bloom-hit sliver of the corpus
+    enters the exact verify join, so the corpus side stays map-only — the
+    result is still EXACTLY the plain anti-join, which is what the oracle
+    checks."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    keyed = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("content_key"),
+    )
+    ref = keyed.where(F.col("doc_id") % 3 == 0).select("content_key")
+    kept = bloom_anti_join(
+        keyed, ref, on="content_key", expected_ref_keys=4096
+    )
+    return kept.select("doc_id", "content_key")
+
+
+ORACLE_BLOOM_DEDUP = """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS content_key
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, content_key FROM keyed
+WHERE content_key NOT IN
+      (SELECT content_key FROM keyed WHERE doc_id % 3 = 0)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -2373,6 +2428,8 @@ QUERIES = {
     "decontam": q_decontam,
     "pii_scrub": q_pii_scrub,
     "repetition": q_repetition,
+    "dataset_split": q_dataset_split,
+    "bloom_dedup": q_bloom_dedup,
 }
 
 ORACLES = {
@@ -2434,4 +2491,6 @@ ORACLES = {
     "decontam": ORACLE_DECONTAM,
     "pii_scrub": ORACLE_PII,
     "repetition": ORACLE_REPETITION,
+    "dataset_split": ORACLE_DATASET_SPLIT,
+    "bloom_dedup": ORACLE_BLOOM_DEDUP,
 }

@@ -1,0 +1,100 @@
+"""Bloom-prefiltered anti-join (operators/bloom.py): exact equivalence with
+the plain anti-join, no false negatives, null-key routing, prefilter
+effectiveness, and the plan shapes that make it scale (distributed bitmap
+build with map-side partial aggregation; the verify join sees only the
+bloom-hit sliver)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from carto_etl_spark.operators.bloom import (
+    _BLOOM_COL,
+    bloom_anti_join,
+    build_bloom,
+    might_contain,
+    suggest_num_bits,
+)
+from carto_etl_spark.plans.inspect import explain_str
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=str)
+
+
+def test_equivalence_with_plain_anti_join(spark):
+    big = spark.range(0, 20000).select(
+        (F.col("id") % 7000).alias("k"), F.col("id").alias("v")
+    )
+    ref = spark.range(0, 3000).select((F.col("id") * 3).alias("k"))
+    expect = big.join(ref, on="k", how="left_anti")
+    got = bloom_anti_join(big, ref, on="k", expected_ref_keys=3000)
+    assert _rows(got) == _rows(expect)
+
+
+def test_equivalence_across_sizings(spark):
+    # tiny bitmap (high fp rate) still EXACT — false positives only grow the
+    # verify-join input, never the answer
+    big = spark.range(0, 5000).select((F.col("id") % 911).alias("k"))
+    ref = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    expect = _rows(big.join(ref, on="k", how="left_anti"))
+    for num_bits, num_hashes in [(1024, 1), (1024, 3), (1 << 16, 2)]:
+        got = bloom_anti_join(
+            big, ref, on="k", num_bits=num_bits, num_hashes=num_hashes
+        )
+        assert _rows(got) == expect
+
+
+def test_null_keys_survive_like_plain_anti_join(spark):
+    big = spark.range(0, 100).select(F.col("id").alias("k")).unionByName(
+        spark.sql("SELECT CAST(NULL AS LONG) AS k")
+    )
+    ref = spark.range(0, 50).select(F.col("id").alias("k"))
+    expect = _rows(big.join(ref, on="k", how="left_anti"))
+    got = _rows(bloom_anti_join(big, ref, on="k", expected_ref_keys=50))
+    assert got == expect
+    assert any(r[0] is None for r in got)  # NULL key kept, as in left_anti
+
+
+def test_empty_reference_keeps_everything(spark):
+    big = spark.range(0, 200).select(F.col("id").alias("k"))
+    ref = spark.range(0, 1).select(F.col("id").alias("k")).where("k < 0")
+    got = bloom_anti_join(big, ref, on="k", expected_ref_keys=1)
+    assert got.count() == 200
+
+
+def test_no_false_negatives_and_low_fp(spark):
+    # every true member hits the bloom; non-members hit at ~1% (10 bits/key)
+    big = spark.range(0, 20000).select((F.col("id") % 7000).alias("k"))
+    ref = spark.range(0, 3000).select((F.col("id") * 3).alias("k"))
+    nb = suggest_num_bits(3000)
+    bloom = build_bloom(ref, "k", nb)
+    tagged = big.join(F.broadcast(bloom), how="cross")
+    hit = tagged.where(might_contain(F.col("k"), F.col(_BLOOM_COL), nb))
+    hits = hit.count()
+    true_hits = big.join(ref, "k", "left_semi").count()
+    assert hits >= true_hits  # no false negatives (guaranteed, spot-checked)
+    assert (hits - true_hits) / 20000 < 0.05  # fp sliver, not the corpus
+
+
+def test_bitmap_build_is_distributed_partial_agg(spark):
+    # the reference side aggregates (word_idx, partial bit_or) map-side before
+    # the shuffle — per-partition shuffle volume is bounded by num_bits/64,
+    # not by reference row count
+    ref = spark.range(0, 10000).select(F.col("id").alias("k"))
+    plan = explain_str(build_bloom(ref, "k", 1 << 15))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "CollectLimit" not in plan  # never materialized on the driver
+
+
+def test_verify_join_input_is_filtered(spark):
+    # the only join over the corpus side takes the bloom-filtered sliver as
+    # input: the plan's anti-join sits above a Filter containing the getbit
+    # membership test, and the definite-absent branch has no join at all
+    big = spark.range(0, 1000).select(F.col("id").alias("k"))
+    ref = spark.range(0, 100).select(F.col("id").alias("k"))
+    out = bloom_anti_join(big, ref, on="k", num_bits=1 << 14)
+    plan = explain_str(out)
+    assert plan.count("Join type: LeftAnti") == 1  # exactly one verify join
+    assert "getbit" in plan  # membership test compiled to column math
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

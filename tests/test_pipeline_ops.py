@@ -253,3 +253,49 @@ def test_dup_ngram_fraction(spark):
     assert out[1] == pytest.approx(1 - 2 / 6)
     assert out[2] == 0.0
     assert out[3] is None
+
+
+# ---------------------------------------------------------------------------
+# Dataset split
+# ---------------------------------------------------------------------------
+
+def test_dataset_split_covers_all_rows_and_is_stable(spark):
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    w = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    a = {r.k: r.split for r in smp.dataset_split(df, "k", w, salt=11).collect()}
+    b = {r.k: r.split for r in
+         smp.dataset_split(df.repartition(17), "k", w, salt=11).collect()}
+    assert a == b  # partition-invariant
+    assert set(a.values()) <= {"train", "valid", "test"}
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s in w}
+    assert 0.77 < frac["train"] < 0.83
+    assert 0.07 < frac["valid"] < 0.13
+    assert 0.07 < frac["test"] < 0.13
+
+
+def test_dataset_split_append_never_reassigns(spark):
+    # the contract randomSplit can't give: growing the table leaves every
+    # existing row's assignment untouched
+    w = {"train": 0.5, "test": 0.5}
+    small = spark.range(0, 1000).withColumnRenamed("id", "k")
+    big = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = {r.k: r.split for r in smp.dataset_split(small, "k", w).collect()}
+    b = {r.k: r.split for r in smp.dataset_split(big, "k", w).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_dataset_split_is_scan_stage(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    out = smp.dataset_split(df, "k", {"a": 0.5, "b": 0.5})
+    assert shuffle_count(out) == 0
+
+
+def test_dataset_split_rejects_bad_weights(spark):
+    df = spark.range(0, 10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        smp.dataset_split(df, "k", {})
+    with pytest.raises(ValueError):
+        smp.dataset_split(df, "k", {"a": -0.1, "b": 1.1})
+    with pytest.raises(ValueError):
+        smp.dataset_split(df, "k", {"a": 0.0})
