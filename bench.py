@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "repetition",
     "dataset_split",
     "bloom_dedup",
+    "line_dedup",
 ]
 
 

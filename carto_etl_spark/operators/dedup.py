@@ -704,3 +704,112 @@ def ngram_jaccard_pairs(
         (F.col("size_a") + F.col("size_b") - F.col("inter")).alias("union_sz"),
         jac.alias("jaccard"),
     ).filter(F.col("jaccard") >= min_jaccard)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line/paragraph dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def doc_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per (doc, position, line) — position preserves reassembly
+    order.  NULL texts produce no rows (handled by the caller's left join)."""
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+
+
+def repeated_lines(
+    lines: DataFrame,
+    max_occurrences: int = 1,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Lines whose corpus-wide occurrence count exceeds ``max_occurrences``,
+    restricted to lines of at least ``min_line_chars`` non-space characters
+    (short/blank lines are structural, not boilerplate, and are never
+    dropped — matching the CCNet practice of deduping substantive lines
+    only).
+
+    groupBy, not a count-window, on purpose: partial aggregation collapses a
+    hot boilerplate line ("All rights reserved.") map-side, so a line with a
+    billion occurrences shuffles one row per input partition, where a
+    count-over-window would funnel all billion rows into one reducer."""
+    return (
+        lines.where(F.length(F.trim(F.col("line"))) >= min_line_chars)
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_occurrences)
+        .select("line")
+    )
+
+
+def drop_repeated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_occurrences: int = 1,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """CCNet-style cross-document line dedup: remove every occurrence of any
+    substantive line that appears more than ``max_occurrences`` times in the
+    corpus (navigation chrome, cookie banners, license boilerplate), then
+    reassemble documents in original line order.
+
+    Output = input schema with ``text_col`` rewritten, plus ``n_lines_kept``
+    / ``n_lines_dropped``.  Documents whose every line is dropped survive
+    with empty text (a downstream length filter decides their fate);
+    NULL-text documents pass through unchanged.
+
+    Scale: two inherent shuffles (line-count groupBy with map-side collapse;
+    doc_id regroup for reassembly) plus the anti-join of lines against the
+    repeated set, which AQE skew-splits if a hot line dominates.  Nothing
+    driver-side, no UDFs."""
+    lines = doc_lines(df, text_col, id_col)
+    boiler = repeated_lines(lines, max_occurrences, min_line_chars)
+    kept = lines.withColumn(
+        "__eligible", F.length(F.trim(F.col("line"))) >= min_line_chars
+    )
+    # short/blank lines never enter the anti-join — they are kept verbatim
+    survivors = (
+        kept.where(F.col("__eligible"))
+        .join(boiler, on="line", how="left_anti")
+        .unionByName(kept.where(~F.col("__eligible")))
+    )
+    rebuilt = (
+        survivors.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("__clean"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+    )
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    out = (
+        df.join(rebuilt, on=id_col, how="left")
+        .withColumn(
+            "n_lines_kept",
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+            .otherwise(F.coalesce(F.col("n_lines_kept"), F.lit(0))),
+        )
+        .withColumn(
+            "n_lines_dropped",
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+            .otherwise(n_lines - F.col("n_lines_kept")),
+        )
+        .withColumn(
+            "__final",
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("__clean"), F.lit(""))),
+        )
+        .drop("__clean")
+        .drop(text_col)
+        .withColumnRenamed("__final", text_col)
+    )
+    return out

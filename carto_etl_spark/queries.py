@@ -2369,6 +2369,63 @@ WHERE content_key NOT IN
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style cross-document line dedup (operators/dedup.py:
+    drop_repeated_lines).  The corpus is reflowed deterministically into
+    4-line pages — a near-unique lead (80-char text prefix), a cookie banner
+    shared by every page, a per-source footer, and a short structural line —
+    so the operator must drop exactly the corpus-repeated substantive lines
+    and reassemble the rest in order."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 80),
+            F.lit("This site uses cookies to improve your experience"),
+            F.concat(F.lit("Footer for "), F.col("source")),
+            F.lit("ok"),
+        ).alias("text"),
+    )
+    out = dd.drop_repeated_lines(
+        pages, max_occurrences=1, min_line_chars=10
+    )
+    return out.select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+
+
+ORACLE_LINE_DEDUP = r"""
+WITH pages AS (
+  SELECT doc_id,
+         substr(text, 1, 80) || chr(10) ||
+         'This site uses cookies to improve your experience' || chr(10) ||
+         'Footer for ' || source || chr(10) || 'ok' AS text
+  FROM documents WHERE text IS NOT NULL
+), lines AS (
+  SELECT doc_id, CAST(u.l[2] AS BIGINT) AS pos, u.l[1] AS line
+  FROM pages, unnest(list_zip(string_split(text, chr(10)),
+                     range(0, len(string_split(text, chr(10)))))) AS u(l)
+), boiler AS (
+  SELECT line FROM lines
+  WHERE len(trim(line)) >= 10
+  GROUP BY line HAVING count(*) > 1
+), survivors AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE len(trim(line)) < 10
+     OR line NOT IN (SELECT line FROM boiler)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+         count(*) AS n_kept
+  FROM survivors GROUP BY doc_id
+)
+SELECT p.doc_id,
+       coalesce(r.clean, '') AS text,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(len(string_split(p.text, chr(10))) - coalesce(r.n_kept, 0)
+            AS BIGINT) AS n_lines_dropped
+FROM pages p LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -2430,6 +2487,7 @@ QUERIES = {
     "repetition": q_repetition,
     "dataset_split": q_dataset_split,
     "bloom_dedup": q_bloom_dedup,
+    "line_dedup": q_line_dedup,
 }
 
 ORACLES = {
@@ -2493,4 +2551,5 @@ ORACLES = {
     "repetition": ORACLE_REPETITION,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "bloom_dedup": ORACLE_BLOOM_DEDUP,
+    "line_dedup": ORACLE_LINE_DEDUP,
 }

@@ -425,3 +425,70 @@ def test_frame_sample_plan(spark):
     frames = frame_sample_plan(df, every_n_seconds=0.5, fake=True).collect()
     assert frames and frames[0]["frame_idx"] == 0
     assert frames[1]["ts_seconds"] == 0.5 if len(frames) > 1 else True
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup (dedup.py:drop_repeated_lines)
+# ---------------------------------------------------------------------------
+
+def _line_dedup_fixture(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Unique opening paragraph here\nAll rights reserved worldwide\nshort\nAnother unique line of text"),
+            (2, "All rights reserved worldwide\nSecond doc distinctive content"),
+            (3, "All rights reserved worldwide"),
+            (4, None),
+            (5, "a\n\nb"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_drop_repeated_lines_semantics(spark):
+    out = {
+        r.doc_id: r
+        for r in dd.drop_repeated_lines(
+            _line_dedup_fixture(spark), max_occurrences=1, min_line_chars=10
+        ).collect()
+    }
+    # boilerplate removed everywhere, order preserved, short lines kept
+    assert out[1].text == "Unique opening paragraph here\nshort\nAnother unique line of text"
+    assert (out[1].n_lines_kept, out[1].n_lines_dropped) == (3, 1)
+    assert out[2].text == "Second doc distinctive content"
+    # all-boilerplate doc survives with empty text, not a dropped row
+    assert out[3].text == "" and out[3].n_lines_kept == 0
+    # NULL text passes through as NULL
+    assert out[4].text is None and out[4].n_lines_kept is None
+    # short + blank lines are structural: never dropped, reassembly is exact
+    assert out[5].text == "a\n\nb" and out[5].n_lines_dropped == 0
+
+
+def test_drop_repeated_lines_identity_when_no_repeats(spark):
+    df = spark.createDataFrame(
+        [(1, "first long unique line of text\nsecond long unique line of text")],
+        ["doc_id", "text"],
+    )
+    r = dd.drop_repeated_lines(df).collect()[0]
+    assert r.text == "first long unique line of text\nsecond long unique line of text"
+    assert r.n_lines_dropped == 0
+
+
+def test_drop_repeated_lines_max_occurrences_threshold(spark):
+    df = spark.createDataFrame(
+        [(i, "tolerated repeated sentence") for i in range(3)], ["doc_id", "text"]
+    )
+    # allowed up to 3 occurrences -> kept; up to 2 -> dropped
+    keep = dd.drop_repeated_lines(df, max_occurrences=3).collect()
+    drop = dd.drop_repeated_lines(df, max_occurrences=2).collect()
+    assert all(r.text == "tolerated repeated sentence" for r in keep)
+    assert all(r.text == "" for r in drop)
+
+
+def test_repeated_lines_count_is_partial_agg_no_udf(spark):
+    from carto_etl_spark.plans.inspect import explain_str
+
+    lines = dd.doc_lines(_line_dedup_fixture(spark))
+    plan = explain_str(dd.repeated_lines(lines))
+    # map-side collapse of hot boilerplate lines before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
