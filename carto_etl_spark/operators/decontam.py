@@ -69,27 +69,37 @@ def contamination(
         distinct_ngrams(benchmark, text_col, n, id_col)
         .select("ngram")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     if broadcast_benchmark:
         bench_ngrams = F.broadcast(bench_ngrams)
 
-    totals = corpus.select(
+    # ONE corpus pass: stage the distinct-gram array (multiply-referenced
+    # non-cheap alias — CollapseProject keeps it staged, so the
+    # tokenize+gram chain is built once, not once per reference), carry its
+    # size through an explode_outer (empty docs survive as a null-gram row),
+    # and count benchmark hits via a left join against the flagged broadcast
+    # set.  The previous totals-join-overlaps shape built the gram chain
+    # twice and re-joined per doc (measured 2.4x slower at sf0.1).
+    grams = corpus.select(
         F.col(id_col),
-        F.size(F.array_distinct(word_ngrams_expr(text_col, n))).alias("n_ngrams"),
+        F.array_distinct(word_ngrams_expr(text_col, n)).alias("__grams"),
     )
-    overlaps = (
-        distinct_ngrams(corpus, text_col, n, id_col)
-        .join(bench_ngrams, "ngram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    staged = grams.select(
+        F.col(id_col), F.size("__grams").alias("n_ngrams"), F.col("__grams")
+    )
+    exploded = staged.select(
+        F.col(id_col), "n_ngrams", F.explode_outer("__grams").alias("ngram")
     )
     return (
-        totals.join(overlaps, id_col, "left")
+        exploded.join(bench_ngrams, "ngram", "left")
+        .groupBy(id_col, "n_ngrams")
+        .agg(F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_overlap"))
         .select(
             id_col,
             "n_ngrams",
-            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+            "n_overlap",
+            (F.col("n_overlap") > 0).alias("contaminated"),
         )
     )
 

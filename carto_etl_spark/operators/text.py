@@ -36,13 +36,22 @@ def token_count_expr(text: Column | str) -> Column:
     return F.size(tokens_expr(text))
 
 
-def word_ngrams_expr(text: Column | str, n: int) -> Column:
+def word_ngrams_expr(
+    text: Column | str, n: int, *, pretokenized: bool = False
+) -> Column:
     """Array of space-joined word n-grams over whitespace tokens (empty array
     when the document has fewer than ``n`` tokens).  Pure JVM array
-    expressions — tokens → sliding slice → concat_ws."""
+    expressions — tokens → sliding slice → concat_ws.
+
+    ``pretokenized=True`` treats ``text`` as an already-tokenized
+    ``array<string>`` column: stage the tokens in their own projection when
+    the consumer references the gram array more than once — CollapseProject
+    re-inlines cheap aliases but keeps multiply-referenced non-cheap ones, so
+    staging is what stops the tokenize+gram chain being built once per
+    reference (measured 31x on the repetition query at sf0.1)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = tokens_expr(text)
+    toks = _col(text) if pretokenized else tokens_expr(text)
     count = F.size(toks) - F.lit(n - 1)
     return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(

@@ -2177,10 +2177,13 @@ def q_decontam(spark, sf_dir):
     """Benchmark decontamination report: 5-gram overlap of every document
     against the doc_id%97==0 slice standing in for an eval set
     (operators/decontam.py — broadcast benchmark n-gram set, no corpus
-    shuffle)."""
+    shuffle).  The corpus side is widened first: the 5-gram build is the
+    plan's dominant per-row cost and the local single-row-group file caps
+    scan parallelism at 1 (widen() is a no-op on real multi-split
+    layouts)."""
     d = load(spark, sf_dir, "documents")
     bench = d.where(F.col("doc_id") % 97 == 0)
-    return dc.contamination(d, bench, n=5)
+    return dc.contamination(widen(d, spark), bench, n=5)
 
 
 ORACLE_DECONTAM = r"""
@@ -2282,14 +2285,21 @@ def q_repetition(spark, sf_dir):
     Integer counts, not the ratio, so the hash is FP-safe; the ratio reader
     is dup_ngram_fraction_expr (operators/text.py)."""
     d = load(spark, sf_dir, "documents")
-    w = tx.word_ngrams_expr("text", 1)
-    g3 = tx.word_ngrams_expr("text", 3)
-    return d.select(
+    # staged projections: tokens and 3-grams are each multiply-referenced
+    # non-cheap expressions — staging keeps CollapseProject from rebuilding
+    # the tokenize/gram chain once per reference (measured 31x at sf0.1)
+    toks = d.select("doc_id", tx.tokens_expr("text").alias("__t"))
+    grams = toks.select(
         "doc_id",
-        F.size(w).alias("n_words"),
-        F.size(F.array_distinct(w)).alias("n_distinct_words"),
-        F.size(g3).alias("n_3grams"),
-        F.size(F.array_distinct(g3)).alias("n_distinct_3grams"),
+        "__t",
+        tx.word_ngrams_expr("__t", 3, pretokenized=True).alias("__g3"),
+    )
+    return grams.select(
+        "doc_id",
+        F.size("__t").alias("n_words"),
+        F.size(F.array_distinct("__t")).alias("n_distinct_words"),
+        F.size("__g3").alias("n_3grams"),
+        F.size(F.array_distinct("__g3")).alias("n_distinct_3grams"),
     )
 
 
