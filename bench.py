@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "dataset_split",
     "bloom_dedup",
     "line_dedup",
+    "tfidf_terms",
 ]
 
 

@@ -2436,6 +2436,34 @@ FROM pages p LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 most distinctive terms per document by tf/(1+df) — linear-idf
+    TF-IDF ranking (operators/text.py:tfidf_topk; docstring explains why the
+    score avoids ln: JVM Math.log and libm disagree in the last ulp, a
+    single IEEE division does not)."""
+    d = load(spark, sf_dir, "documents")
+    return tx.tfidf_topk(d, "text", "doc_id", k=3)
+
+
+ORACLE_TFIDF = r"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x != '')) AS term
+    FROM documents
+  ) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, term, tf, df, tf / (1.0 + df) AS score
+FROM tf JOIN dfreq USING (term)
+QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY tf / (1.0 + df) DESC, term ASC) <= 3
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -2498,6 +2526,7 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "bloom_dedup": q_bloom_dedup,
     "line_dedup": q_line_dedup,
+    "tfidf_terms": q_tfidf_terms,
 }
 
 ORACLES = {
@@ -2562,4 +2591,5 @@ ORACLES = {
     "dataset_split": ORACLE_DATASET_SPLIT,
     "bloom_dedup": ORACLE_BLOOM_DEDUP,
     "line_dedup": ORACLE_LINE_DEDUP,
+    "tfidf_terms": ORACLE_TFIDF,
 }

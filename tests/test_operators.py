@@ -492,3 +492,44 @@ def test_repeated_lines_count_is_partial_agg_no_udf(spark):
     # map-side collapse of hot boilerplate lines before the shuffle
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF distinctive terms (text.py:tfidf_topk)
+# ---------------------------------------------------------------------------
+
+def test_tfidf_topk_ranks_rare_terms_above_common(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple zebra the the the"),
+            (2, "the banana zebra"),
+            (3, "the the cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tx.tfidf_topk(df, "text", "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=2 df=1 -> 1.0 beats the tf=3 df=3 -> 0.75 and zebra 2/3
+    top1 = by_doc[1][0]
+    assert (top1.term, top1.tf, top1.df) == ("apple", 2, 1)
+    assert top1.score == pytest.approx(2 / 2)
+    # 'the' appears in every doc -> heavily discounted
+    assert all(r.term != "the" for r in by_doc[2])
+    # k respected
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_tfidf_topk_tie_breaks_by_term(spark):
+    df = spark.createDataFrame([(1, "bb aa")], ["doc_id", "text"])
+    out = tx.tfidf_topk(df, "text", "doc_id", k=2).collect()
+    assert [r.term for r in out] == ["aa", "bb"]  # equal scores -> term asc
+
+
+def test_tfidf_topk_no_udf(spark):
+    from carto_etl_spark.plans.inspect import explain_str
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = explain_str(tx.tfidf_topk(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
