@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StringType
 
 from carto_etl_spark.operators.sampling import hash_expr, hash_sql
 
@@ -43,6 +44,20 @@ _BLOOM_COL = "__bloom_words"
 
 def _col(c: Column | str) -> Column:
     return c if isinstance(c, Column) else F.col(c)
+
+
+def numeric_key_expr(df: DataFrame, on: str) -> Column:
+    """Numeric hash-input key for a column of any type.  Integral columns
+    cast directly; string/binary keys (content hashes, URLs — the common
+    case) derive a 60-bit integer from an md5 prefix, since a bare
+    ``cast("long")`` THROWS under ANSI mode for non-numeric text.  An md5
+    collision between two distinct keys only merges their bloom bits — one
+    more false positive for the exact verify join to discard — so
+    correctness is unaffected."""
+    col = F.col(on)
+    if isinstance(df.schema[on].dataType, (StringType, BinaryType)):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return col.cast("long")
 
 
 def suggest_num_bits(expected_keys: int, bits_per_key: int = 10) -> int:
@@ -148,10 +163,12 @@ def bloom_anti_join(
     # lazy localCheckpoint: both union branches reference the SAME
     # materialized one-row bitmap, so the reference side is scanned once for
     # the bitmap build instead of once per branch
-    bloom = build_bloom(ref, on, num_bits, num_hashes).localCheckpoint(eager=False)
+    bloom = build_bloom(
+        ref, numeric_key_expr(ref, on), num_bits, num_hashes
+    ).localCheckpoint(eager=False)
     tagged = big.join(F.broadcast(bloom), how="cross")
     maybe = _col(on).isNull() | might_contain(
-        _col(on), F.col(_BLOOM_COL), num_bits, num_hashes
+        numeric_key_expr(big, on), F.col(_BLOOM_COL), num_bits, num_hashes
     )
     definite_absent = tagged.where(~maybe).drop(_BLOOM_COL)
     candidates = (

@@ -98,3 +98,33 @@ def test_verify_join_input_is_filtered(spark):
     assert plan.count("Join type: LeftAnti") == 1  # exactly one verify join
     assert "getbit" in plan  # membership test compiled to column math
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_string_keys_first_class(spark):
+    # string keys must NOT go through cast("long") — ANSI mode throws on
+    # non-numeric text; the md5-derived 60-bit key keeps everything exact
+    words = ["apple", "pear", "kiwi", "plum", "fig", "mango", "grape"]
+    big = spark.createDataFrame([(w,) for w in words], ["k"])
+    ref = spark.createDataFrame([("pear",), ("fig",), ("absent",)], ["k"])
+    expect = _rows(big.join(ref, on="k", how="left_anti"))
+    got = _rows(bloom_anti_join(big, ref, on="k", expected_ref_keys=3))
+    assert got == expect
+    assert {r[0] for r in got} == {"apple", "kiwi", "plum", "mango", "grape"}
+
+
+def test_string_key_bloom_actually_filters(spark):
+    # the md5 key must feed the bloom: non-members of a large string corpus
+    # should mostly miss (i.e. the prefilter does real work, not pass-all)
+    big = spark.range(0, 5000).selectExpr("concat('doc-', id) AS k")
+    ref = spark.range(0, 500).selectExpr("concat('doc-', id * 7) AS k")
+    nb = suggest_num_bits(500)
+    from carto_etl_spark.operators.bloom import numeric_key_expr
+
+    bloom = build_bloom(ref, numeric_key_expr(ref, "k"), nb)
+    tagged = big.join(F.broadcast(bloom), how="cross")
+    hits = tagged.where(
+        might_contain(numeric_key_expr(big, "k"), F.col(_BLOOM_COL), nb)
+    ).count()
+    true_hits = big.join(ref, "k", "left_semi").count()
+    assert hits >= true_hits
+    assert hits < true_hits + 0.05 * 5000  # fp sliver, not pass-all
