@@ -3,10 +3,12 @@ metadata, processed by Arrow-batched pandas functions over ``mapInPandas``.
 
 Decoding is REAL for the formats the standard library + numpy can parse —
 uncompressed BMP and binary PPM images (struct-level header parsing, per-
-channel mean features, nearest-neighbor resize) and PCM WAV audio (stdlib
-``wave``, RMS/duration features).  Compressed formats (JPEG/PNG/MP4...) need
-media libraries absent from this container: those payloads raise
-NotImplementedError at executor time, or a deterministic hash-derived fake
+channel mean features, nearest-neighbor resize), PNG (stdlib ``zlib``
+inflate + full scanline unfiltering, 8-bit gray/RGB/RGBA/palette), and PCM
+WAV audio (stdlib ``wave``, RMS/duration features).  Formats needing media
+libraries absent from this container (JPEG/MP4/...) raise
+NotImplementedError at executor time, decode through the pluggable
+``decoder`` hook / PIL when present, or a deterministic hash-derived fake
 (``fake=True``) exercises the full Spark plumbing — schema, batching,
 partitioning — which is the part that has to be right at 100 TB.
 
@@ -145,6 +147,100 @@ def _decode_ppm(data: bytes):
     return width, height, 3, img
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(data: bytes):
+    """Real PNG decode with stdlib ``zlib`` + numpy only (no PIL): 8-bit
+    grayscale / RGB / RGBA / palette / gray+alpha, non-interlaced, all five
+    scanline filters.  Sub/Up unfilter vectorize through uint8 wraparound
+    ``np.add.accumulate``; Average/Paeth carry a left-neighbor dependency and
+    run per pixel-group.  16-bit depth and Adam7 interlacing raise honestly.
+
+    Returns (width, height, channels, HxWxC uint8)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    width = height = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
+        length, ctag = struct.unpack_from(">I4s", data, pos)
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + tag + payload + CRC
+        if ctag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", chunk)
+            )
+        elif ctag == b"PLTE":
+            plte = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctag == b"IDAT":
+            idat.append(chunk)
+        elif ctag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:
+            recon = line
+        elif ftype == 1:  # Sub: cumulative along x per channel lane
+            recon = np.add.accumulate(
+                line.reshape(width, nch), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ftype == 2:  # Up
+            recon = line + prev
+        elif ftype in (3, 4):  # Average / Paeth: left-dependency, per group
+            recon = np.zeros(stride, dtype=np.uint8)
+            for x in range(width):
+                s = x * nch
+                left = recon[s - nch:s] if x else np.zeros(nch, np.uint8)
+                up = prev[s:s + nch]
+                if ftype == 3:
+                    pred = ((left.astype(np.int16) + up) // 2).astype(np.uint8)
+                else:
+                    ul = (
+                        prev[s - nch:s] if x else np.zeros(nch, np.uint8)
+                    ).astype(np.int16)
+                    a, b = left.astype(np.int16), up.astype(np.int16)
+                    p = a + b - ul
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, ul)
+                    ).astype(np.uint8)
+                recon[s:s + nch] = line[s:s + nch] + pred
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[r] = recon
+        prev = recon
+    img = out.reshape(height, width, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = plte[img[:, :, 0]]
+        nch = 3
+    return width, height, nch, img
+
+
 def _try_pil_decode(payload: bytes):
     """Attempt a PIL decode AT EXECUTOR TIME (covers JPEG/PNG/WebP/... when
     Pillow is installed on the cluster); returns None when PIL is absent so
@@ -182,6 +278,8 @@ def _real_decode(payload: bytes, decoder=None):
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[:8] == PNG_MAGIC:
+        return _decode_png(payload)
     if decoder is not None:
         out = decoder(payload)
         if out is not None:
@@ -190,7 +288,7 @@ def _real_decode(payload: bytes, decoder=None):
     if out is not None:
         return out
     raise NotImplementedError(
-        "only uncompressed BMP / binary PPM decode is available without "
+        "only BMP / binary PPM / PNG decode is available without "
         "PIL/cv2 (not in this container); install Pillow on the executors, "
         "pass decoder=<callable> for other formats, or fake=True to "
         "exercise the pipeline"

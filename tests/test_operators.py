@@ -533,3 +533,136 @@ def test_tfidf_topk_no_udf(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     plan = explain_str(tx.tfidf_topk(df))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PNG decode (multimodal.py:_decode_png — stdlib zlib + numpy, no PIL)
+# ---------------------------------------------------------------------------
+
+def _encode_png(img, ctype, row_filters, palette=None):
+    """Independent forward PNG encoder for round-trip tests: applies the
+    given per-row filter types (uint8 wraparound subtraction) and assembles
+    IHDR/PLTE/IDAT/IEND with real CRCs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.uint8)
+    out = []
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        f = row_filters[r % len(row_filters)]
+        line = flat[r]
+        if f == 0:
+            enc = line
+        elif f == 1:
+            left = np.zeros_like(line)
+            left[c:] = line[:-c]
+            enc = line - left
+        elif f == 2:
+            enc = line - prev
+        elif f in (3, 4):
+            enc = np.zeros_like(line)
+            for x in range(w):
+                s = x * c
+                left = line[s - c:s].astype(np.int16) if x else np.zeros(c, np.int16)
+                up = prev[s:s + c].astype(np.int16)
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = (prev[s - c:s].astype(np.int16) if x else np.zeros(c, np.int16))
+                    p = left + up - ul
+                    pa, pb, pc2 = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where((pa <= pb) & (pa <= pc2), left,
+                                    np.where(pb <= pc2, up, ul))
+                enc[s:s + c] = (line[s:s + c].astype(np.int16) - pred) % 256
+        out.append(bytes([f]) + enc.tobytes())
+        prev = line
+    raw = zlib.compress(b"".join(out))
+
+    def chunk(tag, payload):
+        body = tag + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        parts.append(chunk(b"PLTE", palette.astype("uint8").tobytes()))
+    parts += [chunk(b"IDAT", raw), chunk(b"IEND", b"")]
+    return b"".join(parts)
+
+
+def test_png_roundtrip_all_filters_rgb(spark):
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import _decode_png
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (13, 9, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        data = _encode_png(img, ctype=2, row_filters=filters)
+        w, h, c, arr = _decode_png(data)
+        assert (w, h, c) == (9, 13, 3)
+        assert (arr == img).all(), f"filters {filters}"
+
+
+def test_png_gray_rgba_palette(spark):
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import _decode_png
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, (5, 7, 1), dtype=np.uint8)
+    w, h, c, arr = _decode_png(_encode_png(gray, 0, [0, 2]))
+    assert (c, (arr == gray).all()) == (1, True)
+
+    rgba = rng.randint(0, 256, (6, 4, 4), dtype=np.uint8)
+    w, h, c, arr = _decode_png(_encode_png(rgba, 6, [1, 4]))
+    assert (c, (arr == rgba).all()) == (4, True)
+
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (8, 8, 1), dtype=np.uint8)
+    w, h, c, arr = _decode_png(_encode_png(idx, 3, [0], palette=pal))
+    assert c == 3 and (arr == pal[idx[:, :, 0]]).all()
+
+
+def test_png_through_spark_decode_pipeline(spark):
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import decode_image_features
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (10, 10, 3), dtype=np.uint8)
+    payload = _encode_png(img, 2, [0, 1, 2, 3, 4])
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, content binary"
+    )
+    row = decode_image_features(df).collect()[0]
+    assert (row.width, row.height, row.n_channels) == (10, 10, 3)
+    exp = [float(img[:, :, i].mean() / 255.0) for i in range(3)]
+    assert list(row.feature)[:3] == pytest.approx(exp, abs=1e-6)
+
+
+def test_png_interlaced_and_16bit_raise(spark):
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import _decode_png
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = bytearray(_encode_png(img, 2, [0]))
+    # IHDR payload starts at offset 16; depth byte at +8, interlace at +12
+    for offset, val in ((16 + 8, 16), (16 + 12, 1)):
+        bad = bytearray(good)
+        bad[offset] = val
+        ihdr_body = bytes(bad[12:12 + 4 + 13])
+        bad[12 + 4 + 13:12 + 4 + 13 + 4] = struct.pack(
+            ">I", zlib.crc32(ihdr_body) & 0xFFFFFFFF)
+        with pytest.raises((NotImplementedError,)):
+            _decode_png(bytes(bad))
