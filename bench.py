@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "bloom_dedup",
     "line_dedup",
     "tfidf_terms",
+    "image_features",
 ]
 
 

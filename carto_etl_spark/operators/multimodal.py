@@ -416,6 +416,77 @@ def synth_square_wav_expr(n_frames, sample_rate: int = 8000,
     return _synth_wav_udf(n_frames)
 
 
+_synth_png_udf = None
+
+
+def synth_gradient_png_expr(media_id, width: int = 16, height: int = 8):
+    """Deterministic RGB PNG synthesizer as an Arrow-batched pandas UDF over
+    an id column: pixel (r, x) of channel c is ``(id*7 + c*31 + r*width + x)
+    % 256``, and the scanline filter type cycles ``id % 3`` over
+    None/Sub/Up.  Because r*width+x sweeps 0..width*height-1 consecutively,
+    each channel's decoded mean is an integer-arithmetic sum an oracle can
+    recompute exactly — putting the REAL PNG decode chain (chunk walk, zlib
+    inflate, unfiltering) under the value-level correctness gate."""
+    global _synth_png_udf
+    if _synth_png_udf is None:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def encode(img, ftype):
+            h, w, c = img.shape
+            stride = w * c
+            flat = img.reshape(h, stride)
+            prev = np.zeros(stride, dtype=np.uint8)
+            lines = []
+            for r in range(h):
+                line = flat[r]
+                if ftype == 1:
+                    left = np.zeros_like(line)
+                    left[c:] = line[:-c]
+                    enc = line - left
+                elif ftype == 2:
+                    enc = line - prev
+                else:
+                    enc = line
+                lines.append(bytes([ftype]) + enc.tobytes())
+                prev = line
+            raw = zlib.compress(b"".join(lines))
+
+            def chunk(tag, payload):
+                body = tag + payload
+                return (
+                    struct.pack(">I", len(payload))
+                    + body
+                    + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                PNG_MAGIC
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", raw)
+                + chunk(b"IEND", b"")
+            )
+
+        def synth(ids):
+            def one(i):
+                i = int(i)
+                k = np.arange(width * height, dtype=np.int64).reshape(
+                    height, width
+                )
+                img = np.stack(
+                    [(i * 7 + c * 31 + k) % 256 for c in range(3)], axis=2
+                ).astype(np.uint8)
+                return encode(img, i % 3)
+
+            return ids.map(one)
+
+        _synth_png_udf = F.pandas_udf(synth, "binary")
+    return _synth_png_udf(media_id)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -2436,6 +2436,56 @@ FROM pages p LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_image_features(spark, sf_dir):
+    """Real PNG decode under the oracle gate: synthesize a deterministic
+    gradient PNG per document (multimodal.py:synth_gradient_png_expr —
+    filter type cycles None/Sub/Up with doc_id), decode with the stdlib
+    zlib+numpy PNG operator, emit per-channel means.  Pixel values sweep
+    (id*7 + c*31 + k) % 256 for k = 0..127, so each mean is an integer sum
+    the oracle recomputes exactly; the float32 feature slot is re-created
+    with a REAL cast on the oracle side (single rounding on both engines)."""
+    from carto_etl_spark.operators.multimodal import (
+        decode_image_features,
+        synth_gradient_png_expr,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    src = d.withColumn("content", synth_gradient_png_expr(F.col("media_id")))
+    feats = decode_image_features(src)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        F.element_at("feature", 1).cast("double").alias("r_mean"),
+        F.element_at("feature", 2).cast("double").alias("g_mean"),
+        F.element_at("feature", 3).cast("double").alias("b_mean"),
+    )
+
+
+ORACLE_IMAGE = """
+WITH means AS (
+  SELECT d.doc_id AS media_id, c.c AS c,
+         CAST(CAST(
+             CAST(SUM((d.doc_id * 7 + c.c * 31 + px.k) % 256) AS DOUBLE)
+             / 128.0 / 255.0
+         AS REAL) AS DOUBLE) AS m
+  FROM documents d, (VALUES (0), (1), (2)) c(c), range(0, 128) px(k)
+  GROUP BY d.doc_id, c.c
+)
+SELECT media_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       MAX(CASE WHEN c = 0 THEN m END) AS r_mean,
+       MAX(CASE WHEN c = 1 THEN m END) AS g_mean,
+       MAX(CASE WHEN c = 2 THEN m END) AS b_mean
+FROM means GROUP BY media_id
+"""
+
+
 def q_tfidf_terms(spark, sf_dir):
     """Top-3 most distinctive terms per document by tf/(1+df) — linear-idf
     TF-IDF ranking (operators/text.py:tfidf_topk; docstring explains why the
@@ -2527,6 +2577,7 @@ QUERIES = {
     "bloom_dedup": q_bloom_dedup,
     "line_dedup": q_line_dedup,
     "tfidf_terms": q_tfidf_terms,
+    "image_features": q_image_features,
 }
 
 ORACLES = {
@@ -2592,4 +2643,5 @@ ORACLES = {
     "bloom_dedup": ORACLE_BLOOM_DEDUP,
     "line_dedup": ORACLE_LINE_DEDUP,
     "tfidf_terms": ORACLE_TFIDF,
+    "image_features": ORACLE_IMAGE,
 }
