@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "line_dedup",
     "tfidf_terms",
     "image_features",
+    "nation_trade_volume",
+    "returned_revenue",
+    "promo_share",
+    "idle_rich_customers",
 ]
 
 

@@ -2514,6 +2514,194 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional trade volume between two nations by
+    ship year.  Fact-side joins stay sort-merge; the two nation dims
+    broadcast; the pair filter collapses the join output before the
+    aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ))
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(n1, s.s_nationkey == F.col("s_nk"))
+        .join(n2, c.c_nationkey == F.col("c_nk"))
+        .where(pair_ok)
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+ORACLE_Q7 = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by lost revenue on returned items in
+    a one-year window; deterministic ordering via (rounded revenue desc,
+    custkey)."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: promotional revenue share over a ship-date window —
+    conditional aggregation after a part-dim broadcast join."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = F.broadcast(load(spark, sf_dir, "part"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+            / F.sum(vol),
+            6,
+        ).alias("promo_share")
+    )
+
+
+ORACLE_Q14 = """
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: per-nation count and balance of customers whose
+    account balance beats the positive-balance average but who have placed no
+    order since 2000-06-01 (the driver corpus gives every customer SOME
+    order, so dormancy, not absence, is the discriminating predicate).
+    Decorrelated: the scalar average broadcasts as a one-row cross join; the
+    no-recent-orders predicate is an anti-join.  All money math runs in
+    exact integer cents (floored integer-cent threshold) so the cut is
+    bit-identical in any engine — a double average's partial-agg ordering is
+    not."""
+    c = load(spark, sf_dir, "customer").withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-06-01"
+    )
+    # floor() on the double quotient on BOTH sides: DuckDB's double->bigint
+    # cast rounds to nearest while Spark's truncates, so the cast alone
+    # would disagree whenever the average is fractional
+    thr = c.where(F.col("cents") > 0).agg(
+        F.floor(F.sum("cents") / F.count(F.lit(1))).cast("long").alias("thr_cents")
+    )
+    rich = c.join(F.broadcast(thr), how="cross").where(F.col("cents") > F.col("thr_cents"))
+    idle = rich.join(
+        o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        on="c_custkey",
+        how="left_anti",
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
+ORACLE_Q22 = """
+WITH c AS (
+  SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer
+), thr AS (
+  SELECT CAST(floor(sum(cents) / count(*)) AS BIGINT) AS thr_cents
+  FROM c WHERE cents > 0
+)
+SELECT c_nationkey, count(*) AS numcust, sum(cents) AS total_cents
+FROM c, thr
+WHERE cents > thr_cents
+  AND c_custkey NOT IN
+      (SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -2578,6 +2766,10 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "tfidf_terms": q_tfidf_terms,
     "image_features": q_image_features,
+    "nation_trade_volume": q_nation_trade_volume,
+    "returned_revenue": q_returned_revenue,
+    "promo_share": q_promo_share,
+    "idle_rich_customers": q_idle_rich_customers,
 }
 
 ORACLES = {
@@ -2644,4 +2836,8 @@ ORACLES = {
     "line_dedup": ORACLE_LINE_DEDUP,
     "tfidf_terms": ORACLE_TFIDF,
     "image_features": ORACLE_IMAGE,
+    "nation_trade_volume": ORACLE_Q7,
+    "returned_revenue": ORACLE_Q10,
+    "promo_share": ORACLE_Q14,
+    "idle_rich_customers": ORACLE_Q22,
 }
