@@ -142,3 +142,36 @@ def test_shingle_expressions_stay_out_of_scan_filters(spark):
             assert "array_distinct" not in line and "transform(" not in line, line
     # and the pair list, not the shingle-array table, is the broadcast side
     assert "BroadcastExchange" in plan
+
+
+def test_nation_trade_volume_broadcasts_and_pushes(spark):
+    df = QUERIES["nation_trade_volume"](spark, SF)
+    assert has_broadcast_join(df)  # nation/supplier dims off the shuffle path
+    # the big fact tables must not read money columns they don't use
+    cols = scan_columns(df)
+    assert "l_tax" not in cols and "o_totalprice" not in cols
+
+
+def test_returned_revenue_pushes_flag_and_window(spark):
+    df = QUERIES["returned_revenue"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_returnflag" in pushed  # reached the lineitem scan
+    assert "o_orderdate" in pushed  # window reached the orders scan
+    assert has_broadcast_join(df)
+
+
+def test_promo_share_pushes_shipdate(spark):
+    df = QUERIES["promo_share"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed
+    assert has_broadcast_join(df)  # part dim
+
+
+def test_idle_rich_customers_anti_join_no_cartesian(spark):
+    from carto_etl_spark.plans.inspect import explain_str
+
+    df = QUERIES["idle_rich_customers"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("Join type: LeftAnti") == 1
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed  # dormancy cutoff reached the orders scan
