@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "returned_revenue",
     "promo_share",
     "idle_rich_customers",
+    "funnel",
 ]
 
 

@@ -2702,6 +2702,41 @@ GROUP BY c_nationkey
 """
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered view->click->purchase funnel over events: per-user earliest
+    step-completion times (each step strictly after the previous) rolled up
+    to per-step conversion counts (operators/funnel.py — one shuffle for the
+    whole N-step window chain)."""
+    from carto_etl_spark.operators.funnel import funnel_report
+
+    e = load(spark, sf_dir, "events")
+    return funnel_report(e, ["view", "click", "purchase"])
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                OVER (PARTITION BY user_id) AS t1
+  FROM events
+), s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                OVER (PARTITION BY user_id) AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                OVER (PARTITION BY user_id) AS t3
+  FROM s2
+), u AS (
+  SELECT DISTINCT user_id, t1, t2, t3 FROM s3
+)
+SELECT 1 AS step, 'view' AS event_type, count(t1) AS n_users FROM u
+UNION ALL
+SELECT 2, 'click', count(t2) FROM u
+UNION ALL
+SELECT 3, 'purchase', count(t3) FROM u
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -2770,6 +2805,7 @@ QUERIES = {
     "returned_revenue": q_returned_revenue,
     "promo_share": q_promo_share,
     "idle_rich_customers": q_idle_rich_customers,
+    "funnel": q_funnel,
 }
 
 ORACLES = {
@@ -2840,4 +2876,5 @@ ORACLES = {
     "returned_revenue": ORACLE_Q10,
     "promo_share": ORACLE_Q14,
     "idle_rich_customers": ORACLE_Q22,
+    "funnel": ORACLE_FUNNEL,
 }
