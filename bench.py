@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "promo_share",
     "idle_rich_customers",
     "funnel",
+    "cohort_retention",
 ]
 
 

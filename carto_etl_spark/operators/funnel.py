@@ -87,3 +87,29 @@ def funnel_report(
         for i, step in enumerate(steps)
     ]
     return agg_row.select(F.explode(F.array(*entries)).alias("r")).select("r.*")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their FIRST
+    event, counted distinctly in each subsequent activity week.
+
+    Returns (cohort_week, week_offset, n_users).  Two inherent shuffles: the
+    first-event window on the user partitioning, then the distinct-count
+    aggregate on (cohort, offset) — countDistinct's expand handles the
+    dedup, no driver state."""
+    w = Window.partitionBy(_col(user_col))
+    cohort = F.date_trunc("week", F.min(_col(ts_col)).over(w))
+    activity = F.date_trunc("week", _col(ts_col))
+    staged = df.select(
+        _col(user_col).alias("__user"),
+        F.date_format(cohort, "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff(activity, cohort) / 7).cast("int").alias("week_offset"),
+    )
+    return (
+        staged.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("__user").alias("n_users"))
+    )

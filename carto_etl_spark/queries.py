@@ -2737,6 +2737,30 @@ SELECT 3, 'purchase', count(t3) FROM u
 """
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over events: distinct users per (first-event
+    week, activity-week offset) — operators/funnel.py:cohort_retention."""
+    from carto_etl_spark.operators.funnel import cohort_retention
+
+    e = load(spark, sf_dir, "events")
+    return cohort_retention(e)
+
+
+ORACLE_COHORT = """
+WITH f AS (
+  SELECT *, min(ts) OVER (PARTITION BY user_id) AS first_ts FROM events
+), s AS (
+  SELECT user_id,
+         strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week,
+         CAST(datediff('day', date_trunc('week', first_ts),
+                       date_trunc('week', ts)) / 7 AS INTEGER) AS week_offset
+  FROM f
+)
+SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+FROM s GROUP BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -2806,6 +2830,7 @@ QUERIES = {
     "promo_share": q_promo_share,
     "idle_rich_customers": q_idle_rich_customers,
     "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLES = {
@@ -2877,4 +2902,5 @@ ORACLES = {
     "promo_share": ORACLE_Q14,
     "idle_rich_customers": ORACLE_Q22,
     "funnel": ORACLE_FUNNEL,
+    "cohort_retention": ORACLE_COHORT,
 }

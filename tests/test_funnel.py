@@ -69,3 +69,23 @@ def test_funnel_rejects_empty_steps(spark):
     df = _events(spark, [(1, 0, "view")])
     with pytest.raises(ValueError):
         funnel_times(df, [])
+
+
+def test_cohort_retention_semantics(spark):
+    from carto_etl_spark.operators.funnel import cohort_retention
+
+    # 2024-01-01 is a Monday: week boundaries are unambiguous
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 9)),   # w0, w+1
+            (2, datetime(2024, 1, 2)), (2, datetime(2024, 1, 3)),   # w0 twice
+            (3, datetime(2024, 1, 10)),                             # cohort w1
+        ],
+        ["user_id", "ts"],
+    )
+    out = {(r.cohort_week, r.week_offset): r.n_users
+           for r in cohort_retention(df).collect()}
+    assert out[("2024-01-01", 0)] == 2      # users 1+2 active in their week 0
+    assert out[("2024-01-01", 1)] == 1      # only user 1 returns next week
+    assert out[("2024-01-08", 0)] == 1      # user 3's own cohort
+    assert len(out) == 3
