@@ -186,3 +186,55 @@ def bloom_positions_sql(key_sql: str, num_bits: int, num_hashes: int = 3) -> lis
         f"(({hash_sql(key_sql, salt=1000003 * (i + 1))}) % {num_bits})"
         for i in range(num_hashes)
     ]
+
+
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bitwise OR of two bitmaps built with the SAME (num_bits, num_hashes):
+    the bloom of the union of their key sets.  This is what makes the filter
+    incrementally maintainable — ingest batch N's bitmap merges into the
+    corpus bitmap in O(num_bits) without revisiting old data."""
+    aw = a.select(F.col(_BLOOM_COL).alias("__a"))
+    bw = b.select(F.col(_BLOOM_COL).alias("__b"))
+    return aw.crossJoin(bw).select(
+        F.zip_with("__a", "__b", lambda x, y: x.bitwiseOR(y)).alias(_BLOOM_COL)
+    )
+
+
+def save_bloom(bloom: DataFrame, path: str) -> None:
+    """Persist a bitmap as a one-row parquet — the durable dedup state a
+    streaming/batch ingest keeps between runs."""
+    bloom.write.mode("overwrite").parquet(path)
+
+
+def load_bloom(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    ref: DataFrame,
+    on: str,
+    num_bits: int | None = None,
+    num_hashes: int = 3,
+    expected_ref_keys: int | None = None,
+) -> DataFrame:
+    """EXACT ``big.join(ref, on, "left_semi")`` (whitelist filtering) with the
+    same prefilter structure as ``bloom_anti_join``: bloom misses are
+    provably absent and drop map-side; only hits reach the exact semi join.
+    NULL keys are dropped up front, matching left_semi's null semantics."""
+    if num_bits is None:
+        num_bits = suggest_num_bits(
+            expected_ref_keys if expected_ref_keys is not None else 1 << 16
+        )
+    bloom = build_bloom(
+        ref, numeric_key_expr(ref, on), num_bits, num_hashes
+    ).localCheckpoint(eager=False)
+    tagged = big.join(F.broadcast(bloom), how="cross")
+    maybe = might_contain(
+        numeric_key_expr(big, on), F.col(_BLOOM_COL), num_bits, num_hashes
+    )
+    return (
+        tagged.where(F.col(on).isNotNull() & maybe)
+        .drop(_BLOOM_COL)
+        .join(ref.select(on).distinct(), on=on, how="left_semi")
+    )

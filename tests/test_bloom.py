@@ -128,3 +128,38 @@ def test_string_key_bloom_actually_filters(spark):
     true_hits = big.join(ref, "k", "left_semi").count()
     assert hits >= true_hits
     assert hits < true_hits + 0.05 * 5000  # fp sliver, not pass-all
+
+
+def test_merge_blooms_equals_union_bloom(spark):
+    from carto_etl_spark.operators.bloom import merge_blooms
+
+    a = spark.range(0, 300).select(F.col("id").alias("k"))
+    b = spark.range(300, 600).select(F.col("id").alias("k"))
+    nb = 1 << 13
+    merged = merge_blooms(build_bloom(a, "k", nb), build_bloom(b, "k", nb))
+    direct = build_bloom(a.unionByName(b), "k", nb)
+    assert merged.collect()[0][0] == direct.collect()[0][0]
+
+
+def test_bloom_roundtrips_through_parquet(spark, tmp_path):
+    from carto_etl_spark.operators.bloom import load_bloom, save_bloom
+
+    ref = spark.range(0, 500).select(F.col("id").alias("k"))
+    nb = 1 << 13
+    bloom = build_bloom(ref, "k", nb)
+    save_bloom(bloom, str(tmp_path / "bloom"))
+    loaded = load_bloom(spark, str(tmp_path / "bloom"))
+    assert loaded.collect()[0][0] == bloom.collect()[0][0]
+
+
+def test_bloom_semi_join_equivalence(spark):
+    from carto_etl_spark.operators.bloom import bloom_semi_join
+
+    big = spark.range(0, 5000).select((F.col("id") % 911).alias("k")).unionByName(
+        spark.sql("SELECT CAST(NULL AS LONG) AS k")
+    )
+    ref = spark.range(0, 300).select((F.col("id") * 5).alias("k"))
+    expect = _rows(big.join(ref, on="k", how="left_semi"))
+    got = _rows(bloom_semi_join(big, ref, on="k", expected_ref_keys=300))
+    assert got == expect
+    assert all(r[0] is not None for r in got)  # null dropped, as in left_semi
