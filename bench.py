@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "idle_rich_customers",
     "funnel",
     "cohort_retention",
+    "frequent_ngrams",
 ]
 
 

@@ -2761,6 +2761,38 @@ FROM s GROUP BY cohort_week, week_offset
 """
 
 
+def q_frequent_ngrams(spark, sf_dir):
+    """Corpus-frequency top-20 word 3-grams (boilerplate mining / stop-phrase
+    discovery input): explode → partial-agg count → global top-k with a
+    deterministic (count desc, ngram asc) order."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        F.explode(tx.word_ngrams_expr("text", 3)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(20)
+    )
+
+
+ORACLE_FREQ_NGRAMS = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+  FROM documents
+), grams AS (
+  SELECT unnest(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                     ELSE list_transform(range(1, len(t) - 1),
+                                         i -> array_to_string(t[i:i+2], ' '))
+                END) AS ngram
+  FROM toks
+)
+SELECT ngram, count(*) AS n FROM grams
+GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -2831,6 +2863,7 @@ QUERIES = {
     "idle_rich_customers": q_idle_rich_customers,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
+    "frequent_ngrams": q_frequent_ngrams,
 }
 
 ORACLES = {
@@ -2903,4 +2936,5 @@ ORACLES = {
     "idle_rich_customers": ORACLE_Q22,
     "funnel": ORACLE_FUNNEL,
     "cohort_retention": ORACLE_COHORT,
+    "frequent_ngrams": ORACLE_FREQ_NGRAMS,
 }

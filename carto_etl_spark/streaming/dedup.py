@@ -109,3 +109,27 @@ def insert_stream_deduped(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_keys_state(spark, state_dir: str, target_files: int = 8) -> int:
+    """Rewrite the append-only keys parquet into ``target_files`` files.
+
+    Every micro-batch appends one small file; over thousands of batches the
+    key table becomes a small-files swamp whose open/footer overhead
+    dominates the exact-verify reads.  Run this periodically (it is safe
+    between streaming runs — state is only read inside foreachBatch).
+    Returns the compacted key count.  The rewrite lands in a temp dir and is
+    promoted by rename, so a crash never loses keys."""
+    import os
+    import shutil
+
+    keys_path = os.path.join(state_dir, "keys")
+    df = spark.read.parquet(keys_path)
+    n = df.count()
+    tmp = keys_path + ".tmp"
+    df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+    old = keys_path + ".old"
+    os.rename(keys_path, old)
+    os.rename(tmp, keys_path)
+    shutil.rmtree(old)
+    return n

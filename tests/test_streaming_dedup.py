@@ -91,3 +91,25 @@ def test_bloom_state_actually_prefilters(spark, tmp_path):
     # all 50 known keys hit; the 150 novel keys mostly miss
     assert hits >= 50
     assert hits < 50 + 0.1 * 150
+
+
+def test_compact_keys_state_preserves_keys(spark, tmp_path):
+    from carto_etl_spark.streaming.dedup import compact_keys_state
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    target = TargetTable(spark, str(tmp_path / "target"))
+    _write_batch(spark, src, "b1", [(1, "ka", "a"), (2, "kb", "b")])
+    _run(spark, src, target, state, str(tmp_path / "c1"))
+    _write_batch(spark, src, "b2", [(3, "kc", "c")])
+    _run(spark, src, target, state, str(tmp_path / "c2"))
+
+    n = compact_keys_state(spark, state, target_files=1)
+    assert n == 3
+    keys = spark.read.parquet(os.path.join(state, "keys"))
+    assert sorted(r.key for r in keys.collect()) == ["ka", "kb", "kc"]
+    # dedup still works against the compacted state
+    _write_batch(spark, src, "b3", [(4, "ka", "dup"), (5, "kd", "new")])
+    _run(spark, src, target, state, str(tmp_path / "c3"))
+    out = spark.read.parquet(str(tmp_path / "target"))
+    assert sorted(r.key for r in out.collect()) == ["ka", "kb", "kc", "kd"]
