@@ -4,8 +4,9 @@ metadata, processed by Arrow-batched pandas functions over ``mapInPandas``.
 Decoding is REAL for the formats the standard library + numpy can parse —
 uncompressed BMP and binary PPM images (struct-level header parsing, per-
 channel mean features, nearest-neighbor resize), PNG (stdlib ``zlib``
-inflate + full scanline unfiltering, 8-bit gray/RGB/RGBA/palette), and PCM
-WAV audio (stdlib ``wave``, RMS/duration features).  Formats needing media
+inflate + full scanline unfiltering, 8-bit gray/RGB/RGBA/palette), GIF
+(stdlib LZW decode incl. interlace, first frame), and PCM WAV audio (stdlib
+``wave``, RMS/duration features).  Formats needing media
 libraries absent from this container (JPEG/MP4/...) raise
 NotImplementedError at executor time, decode through the pluggable
 ``decoder`` hook / PIL when present, or a deterministic hash-derived fake
@@ -241,6 +242,110 @@ def _decode_png(data: bytes):
     return width, height, nch, img
 
 
+def _decode_gif(data: bytes):
+    """Real GIF decode with the standard library only: header/LSD parsing,
+    palette handling, and the GIF-variant LZW decompressor (variable code
+    width, clear/EOI codes).  First frame only; interlaced frames are
+    de-interlaced.  Returns (width, height, 3, HxWx3 uint8).
+
+    The LZW inner loop is per-code Python — appropriate for thumbnails and
+    test fixtures; route large GIF corpora through the ``decoder`` hook with
+    a native library.  (GIF87a/GIF89a, public W3C/CompuServe spec.)"""
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    width, height, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            pal = global_pal
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF frame has no palette")
+            min_code_size = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos] != 0:
+                ln = data[pos]
+                chunks.append(data[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            stream = b"".join(chunks)
+            # --- GIF-LZW decode (LSB-first bit packing) ---
+            clear = 1 << min_code_size
+            eoi = clear + 1
+            code_size = min_code_size + 1
+            dict_base = [bytes([i]) for i in range(clear)] + [b"", b""]
+            table = list(dict_base)
+            out = bytearray()
+            acc = nbits = 0
+            prev = None
+            for byte in stream:
+                acc |= byte << nbits
+                nbits += 8
+                while nbits >= code_size:
+                    code = acc & ((1 << code_size) - 1)
+                    acc >>= code_size
+                    nbits -= code_size
+                    if code == clear:
+                        table = list(dict_base)
+                        code_size = min_code_size + 1
+                        prev = None
+                        continue
+                    if code == eoi:
+                        prev = "done"
+                        break
+                    if prev is None or prev == "done":
+                        entry = table[code]
+                    elif code < len(table):
+                        entry = table[code]
+                        table.append(table[prev] + entry[:1])
+                    else:  # the KwKwK case
+                        entry = table[prev] + table[prev][:1]
+                        table.append(entry)
+                    out += entry
+                    prev = code
+                    if len(table) == (1 << code_size) and code_size < 12:
+                        code_size += 1
+                if prev == "done":
+                    break
+            idx = np.frombuffer(bytes(out[: iw * ih]), np.uint8).reshape(ih, iw)
+            if iflags & 0x40:  # Adam-less GIF interlace: 4 passes
+                deinterlaced = np.zeros_like(idx)
+                rows = (
+                    list(range(0, ih, 8)) + list(range(4, ih, 8))
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                )
+                for src_r, dst_r in enumerate(rows):
+                    deinterlaced[dst_r] = idx[src_r]
+                idx = deinterlaced
+            img = pal[idx]
+            return iw, ih, 3, img
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def _try_pil_decode(payload: bytes):
     """Attempt a PIL decode AT EXECUTOR TIME (covers JPEG/PNG/WebP/... when
     Pillow is installed on the cluster); returns None when PIL is absent so
@@ -280,6 +385,8 @@ def _real_decode(payload: bytes, decoder=None):
         return _decode_ppm(payload)
     if payload[:8] == PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if decoder is not None:
         out = decoder(payload)
         if out is not None:
@@ -288,7 +395,7 @@ def _real_decode(payload: bytes, decoder=None):
     if out is not None:
         return out
     raise NotImplementedError(
-        "only BMP / binary PPM / PNG decode is available without "
+        "only BMP / binary PPM / PNG / GIF decode is available without "
         "PIL/cv2 (not in this container); install Pillow on the executors, "
         "pass decoder=<callable> for other formats, or fake=True to "
         "exercise the pipeline"

@@ -666,3 +666,137 @@ def test_png_interlaced_and_16bit_raise(spark):
             ">I", zlib.crc32(ihdr_body) & 0xFFFFFFFF)
         with pytest.raises((NotImplementedError,)):
             _decode_png(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# GIF decode (multimodal.py:_decode_gif — stdlib LZW)
+# ---------------------------------------------------------------------------
+
+def _gif_bytes(idx, palette, *, compress, interlace=False):
+    """Independent GIF89a encoder for round-trip tests.  compress=False emits
+    a CLEAR before every literal (no dictionary growth); compress=True runs
+    real LZW (dictionary growth, code-width bumps, KwKwK reachable)."""
+    import struct
+
+    import numpy as np
+
+    h, w = idx.shape
+    n_colors = palette.shape[0]
+    min_code = max(2, int(np.ceil(np.log2(n_colors))))
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    bits = []  # (code, width) pairs
+
+    if not compress:
+        width = min_code + 1
+        source = idx.copy()
+        if interlace:
+            rows = (list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2)))
+            source = idx[rows]
+        bits.append((clear, width))
+        for v in source.flatten():
+            bits.append((int(v), width))
+            bits.append((clear, width))
+        bits.append((eoi, width))
+    else:
+        width = min_code + 1
+        table = {bytes([i]): i for i in range(1 << min_code)}
+        next_code = eoi + 1
+        bits.append((clear, width))
+        buf = b""
+        for v in idx.flatten():
+            nxt = buf + bytes([int(v)])
+            if nxt in table:
+                buf = nxt
+            else:
+                bits.append((table[buf], width))
+                table[nxt] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << width) and width < 12:
+                    width += 1
+                buf = bytes([int(v)])
+        if buf:
+            bits.append((table[buf], width))
+        bits.append((eoi, width))
+
+    # LSB-first pack
+    acc = nbits = 0
+    packed = bytearray()
+    for code, cw in bits:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+
+    pal = bytearray(palette.astype("uint8").tobytes())
+    pal_bits = max(1, int(np.ceil(np.log2(n_colors))))
+    pal_size = 2 ** pal_bits
+    pal += b"\x00" * (pal_size * 3 - len(pal))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+    out += pal
+    iflags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    out += bytes([min_code])
+    for i in range(0, len(packed), 255):
+        chunk = packed[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip_literal_and_lzw(spark):
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import _decode_gif
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (11, 7), dtype=np.uint8)
+    for compress in (False, True):
+        w, h, c, arr = _decode_gif(_gif_bytes(idx, pal, compress=compress))
+        assert (w, h, c) == (7, 11, 3)
+        assert (arr == pal[idx]).all(), f"compress={compress}"
+
+
+def test_gif_lzw_repetitive_data_exercises_dict_growth(spark):
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import _decode_gif
+
+    pal = np.array([[0, 0, 0], [255, 255, 255], [10, 20, 30], [7, 7, 7]],
+                   dtype=np.uint8)
+    # long runs force KwKwK and code-width increases in real LZW
+    idx = np.tile(np.array([[0, 0, 0, 1, 1, 2, 2, 2]], dtype=np.uint8), (32, 4))
+    w, h, c, arr = _decode_gif(_gif_bytes(idx, pal, compress=True))
+    assert (arr == pal[idx]).all()
+
+
+def test_gif_interlaced(spark):
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import _decode_gif
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, (13, 5), dtype=np.uint8)
+    w, h, c, arr = _decode_gif(
+        _gif_bytes(idx, pal, compress=False, interlace=True))
+    assert (arr == pal[idx]).all()
+
+
+def test_gif_through_real_decode_dispatch(spark):
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import _real_decode
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    idx = np.zeros((3, 3), dtype=np.uint8)
+    idx[1, 1] = 1
+    w, h, c, arr = _real_decode(_gif_bytes(idx, pal, compress=True))
+    assert (w, h, c) == (3, 3, 3) and (arr == pal[idx]).all()
