@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "funnel",
     "cohort_retention",
     "frequent_ngrams",
+    "gif_features",
 ]
 
 

@@ -529,8 +529,9 @@ _synth_png_udf = None
 def synth_gradient_png_expr(media_id, width: int = 16, height: int = 8):
     """Deterministic RGB PNG synthesizer as an Arrow-batched pandas UDF over
     an id column: pixel (r, x) of channel c is ``(id*7 + c*31 + r*width + x)
-    % 256``, and the scanline filter type cycles ``id % 3`` over
-    None/Sub/Up.  Because r*width+x sweeps 0..width*height-1 consecutively,
+    % 256``, and the scanline filter type cycles ``id % 5`` over all five
+    PNG filters (None/Sub/Up/Average/Paeth), so every unfilter path sits
+    under the oracle.  Because r*width+x sweeps 0..width*height-1 consecutively,
     each channel's decoded mean is an integer-arithmetic sum an oracle can
     recompute exactly — putting the REAL PNG decode chain (chunk walk, zlib
     inflate, unfiltering) under the value-level correctness gate."""
@@ -555,6 +556,33 @@ def synth_gradient_png_expr(media_id, width: int = 16, height: int = 8):
                     enc = line - left
                 elif ftype == 2:
                     enc = line - prev
+                elif ftype in (3, 4):
+                    enc = np.zeros_like(line)
+                    for x in range(w):
+                        s = x * c
+                        left = (
+                            line[s - c:s].astype(np.int16)
+                            if x else np.zeros(c, np.int16)
+                        )
+                        up = prev[s:s + c].astype(np.int16)
+                        if ftype == 3:
+                            pred = (left + up) // 2
+                        else:
+                            ul = (
+                                prev[s - c:s].astype(np.int16)
+                                if x else np.zeros(c, np.int16)
+                            )
+                            p = left + up - ul
+                            pa = np.abs(p - left)
+                            pb = np.abs(p - up)
+                            pc = np.abs(p - ul)
+                            pred = np.where(
+                                (pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, up, ul),
+                            )
+                        enc[s:s + c] = (
+                            line[s:s + c].astype(np.int16) - pred
+                        ) % 256
                 else:
                     enc = line
                 lines.append(bytes([ftype]) + enc.tobytes())
@@ -586,12 +614,70 @@ def synth_gradient_png_expr(media_id, width: int = 16, height: int = 8):
                 img = np.stack(
                     [(i * 7 + c * 31 + k) % 256 for c in range(3)], axis=2
                 ).astype(np.uint8)
-                return encode(img, i % 3)
+                return encode(img, i % 5)
 
             return ids.map(one)
 
         _synth_png_udf = F.pandas_udf(synth, "binary")
     return _synth_png_udf(media_id)
+
+
+_synth_gif_udf = None
+
+
+def synth_palette_gif_expr(media_id, width: int = 12, height: int = 10):
+    """Deterministic palette GIF synthesizer (pandas UDF over an id column):
+    16-color palette with channel value ``(j*37 + c*11) % 256`` and pixel k
+    indexing ``(id + k) % 16``.  The LZW stream is the literal encoding
+    (CLEAR before every pixel code — valid GIF, zero dictionary reliance),
+    so a decoded image proves header/palette parsing plus the LZW code loop;
+    every channel mean is integer arithmetic an oracle recomputes exactly."""
+    global _synth_gif_udf
+    if _synth_gif_udf is None:
+        import struct
+
+        def one(i):
+            i = int(i)
+            n_px = width * height
+            min_code = 4
+            clear, eoi = 16, 17
+            cw = 5
+            codes = [clear]
+            for k in range(n_px):
+                codes.append((i + k) % 16)
+                codes.append(clear)
+            codes.append(eoi)
+            acc = nbits = 0
+            packed = bytearray()
+            for code in codes:
+                acc |= code << nbits
+                nbits += cw
+                while nbits >= 8:
+                    packed.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+            if nbits:
+                packed.append(acc & 0xFF)
+            pal = bytearray()
+            for j in range(16):
+                for c in range(3):
+                    pal.append((j * 37 + c * 11) % 256)
+            out = bytearray(b"GIF89a")
+            out += struct.pack("<HHBBB", width, height, 0x80 | 3, 0, 0)
+            out += pal
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+            out += bytes([min_code])
+            for s in range(0, len(packed), 255):
+                chunk = packed[s:s + 255]
+                out += bytes([len(chunk)]) + chunk
+            out += b"\x00\x3b"
+            return bytes(out)
+
+        def synth(ids):
+            return ids.map(one)
+
+        _synth_gif_udf = F.pandas_udf(synth, "binary")
+    return _synth_gif_udf(media_id)
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(

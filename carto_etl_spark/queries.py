@@ -2486,6 +2486,54 @@ FROM means GROUP BY media_id
 """
 
 
+def q_gif_features(spark, sf_dir):
+    """Real GIF decode under the oracle gate: a deterministic 16-color
+    palette GIF per document (multimodal.py:synth_palette_gif_expr), decoded
+    by the stdlib LZW operator; pixel index (id+k)%16 and palette value
+    (j*37+c*11)%256 make every channel mean an integer sum the oracle
+    recomputes exactly."""
+    from carto_etl_spark.operators.multimodal import (
+        decode_image_features,
+        synth_palette_gif_expr,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    src = d.withColumn("content", synth_palette_gif_expr(F.col("media_id")))
+    feats = decode_image_features(src)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        F.element_at("feature", 1).cast("double").alias("r_mean"),
+        F.element_at("feature", 2).cast("double").alias("g_mean"),
+        F.element_at("feature", 3).cast("double").alias("b_mean"),
+    )
+
+
+ORACLE_GIF = """
+WITH means AS (
+  SELECT d.doc_id AS media_id, c.c AS c,
+         CAST(CAST(
+             CAST(SUM((((d.doc_id + px.k) % 16) * 37 + c.c * 11) % 256)
+                  AS DOUBLE) / 120.0 / 255.0
+         AS REAL) AS DOUBLE) AS m
+  FROM documents d, (VALUES (0), (1), (2)) c(c), range(0, 120) px(k)
+  GROUP BY d.doc_id, c.c
+)
+SELECT media_id,
+       CAST(12 AS INTEGER) AS width,
+       CAST(10 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       MAX(CASE WHEN c = 0 THEN m END) AS r_mean,
+       MAX(CASE WHEN c = 1 THEN m END) AS g_mean,
+       MAX(CASE WHEN c = 2 THEN m END) AS b_mean
+FROM means GROUP BY media_id
+"""
+
+
 def q_tfidf_terms(spark, sf_dir):
     """Top-3 most distinctive terms per document by tf/(1+df) — linear-idf
     TF-IDF ranking (operators/text.py:tfidf_topk; docstring explains why the
@@ -2864,6 +2912,7 @@ QUERIES = {
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "frequent_ngrams": q_frequent_ngrams,
+    "gif_features": q_gif_features,
 }
 
 ORACLES = {
@@ -2937,4 +2986,5 @@ ORACLES = {
     "funnel": ORACLE_FUNNEL,
     "cohort_retention": ORACLE_COHORT,
     "frequent_ngrams": ORACLE_FREQ_NGRAMS,
+    "gif_features": ORACLE_GIF,
 }
