@@ -800,3 +800,30 @@ def test_gif_through_real_decode_dispatch(spark):
     idx[1, 1] = 1
     w, h, c, arr = _real_decode(_gif_bytes(idx, pal, compress=True))
     assert (w, h, c) == (3, 3, 3) and (arr == pal[idx]).all()
+
+
+def test_png_gif_roundtrip_property(spark):
+    """Property check over random shapes/contents/filters: decode(encode(x))
+    == x for both codecs.  Pure-Python, no Spark round-trips — cheap enough
+    to sweep many cases."""
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import _decode_gif, _decode_png
+
+    rng = np.random.RandomState(42)
+    for trial in range(25):
+        h = int(rng.randint(1, 20))
+        w = int(rng.randint(1, 20))
+        # PNG: random color type and per-row filter mix
+        ctype, nch = [(0, 1), (2, 3), (6, 4)][trial % 3]
+        img = rng.randint(0, 256, (h, w, nch), dtype=np.uint8)
+        filters = [int(f) for f in rng.randint(0, 5, size=max(1, h))]
+        _, _, c, arr = _decode_png(_encode_png(img, ctype, filters))
+        assert c == nch and (arr == img).all(), f"png trial {trial} {h}x{w}"
+        # GIF: random palette size and compression mode
+        n_colors = int(rng.randint(2, 64))
+        pal = rng.randint(0, 256, (n_colors, 3), dtype=np.uint8)
+        idx = rng.randint(0, n_colors, (h, w), dtype=np.uint8)
+        data = _gif_bytes(idx, pal, compress=bool(trial % 2))
+        _, _, _, arr = _decode_gif(data)
+        assert (arr == pal[idx]).all(), f"gif trial {trial} {h}x{w}"
