@@ -44,6 +44,11 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+class SchemaEvolutionError(ValueError):
+    """An append's schema conflicts with the table's (same column, different
+    type).  Adding columns is allowed; changing a column's type is not."""
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed this version first (retried internally)."""
 
@@ -103,7 +108,8 @@ class TransactionalTable:
 
     def _commit(self, files: list[str], base_version: int,
                 idempotency_key: str | None = None,
-                stats: dict | None = None) -> int:
+                stats: dict | None = None,
+                schema_json: str | None = None) -> int:
         """Atomically publish ``files`` as version base+1; on a version
         collision the caller re-reads state and retries (optimistic CC)."""
         self.log_dir.mkdir(parents=True, exist_ok=True)
@@ -115,6 +121,8 @@ class TransactionalTable:
         }
         if stats:
             manifest["stats"] = stats
+        if schema_json is not None:
+            manifest["schema"] = schema_json
         if idempotency_key is not None:
             manifest["idempotency_key"] = idempotency_key
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}.json"
@@ -187,8 +195,36 @@ class TransactionalTable:
             }
         return stats
 
+    def _merge_schema_json(self, base_json: str | None, new_json: str | None) -> str | None:
+        """Add-column schema evolution: the union of table and commit fields
+        in table order, new fields appended in commit order.  A field present
+        in both with a DIFFERENT type raises — silent coercion at 100 TB is
+        how tables rot.  (Delta's additive default, without its type
+        widening.)"""
+        if new_json is None:
+            return base_json
+        if base_json is None:
+            return new_json
+        from pyspark.sql.types import StructType
+
+        base = StructType.fromJson(json.loads(base_json))
+        new = StructType.fromJson(json.loads(new_json))
+        by_name = {f.name.lower(): f for f in base.fields}
+        merged = list(base.fields)
+        for f in new.fields:
+            prev = by_name.get(f.name.lower())
+            if prev is None:
+                merged.append(f)
+            elif prev.dataType != f.dataType:
+                raise SchemaEvolutionError(
+                    f"column {f.name!r}: table has {prev.dataType.simpleString()}, "
+                    f"append has {f.dataType.simpleString()}"
+                )
+        return StructType(merged).json()
+
     def _commit_with_retry(self, new_files: list[str], mode: str,
-                           idempotency_key: str | None = None) -> int:
+                           idempotency_key: str | None = None,
+                           schema_json: str | None = None) -> int:
         new_stats = self._collect_stats(new_files)
         for _ in range(self.max_commit_retries):
             base = self.version()
@@ -197,10 +233,14 @@ class TransactionalTable:
             ):
                 return base  # this unit of work already landed (e.g. retry)
             stats = dict(new_stats)
+            schema = schema_json
             if mode == "append":
                 current_manifest = self._read_manifest(base) if base else {}
                 files = current_manifest.get("files", []) + new_files
                 stats = {**current_manifest.get("stats", {}), **stats}
+                schema = self._merge_schema_json(
+                    current_manifest.get("schema"), schema_json
+                )
             else:
                 files = new_files
             if len(files) > self.manifest_warn_files:
@@ -213,7 +253,7 @@ class TransactionalTable:
                     stacklevel=3,
                 )
             try:
-                return self._commit(files, base, idempotency_key, stats)
+                return self._commit(files, base, idempotency_key, stats, schema)
             except CommitConflict:
                 continue  # someone else committed; recompute against them
         raise CommitConflict(
@@ -242,20 +282,36 @@ class TransactionalTable:
         if idempotency_key is not None and self._key_committed(idempotency_key):
             return
         self._commit_with_retry(
-            self._write_files(df), "append", idempotency_key
+            self._write_files(df), "append", idempotency_key,
+            schema_json=df.schema.json(),
         )
 
     def overwrite(self, df: DataFrame) -> None:
-        self._commit_with_retry(self._write_files(df), "overwrite")
+        self._commit_with_retry(
+            self._write_files(df), "overwrite", schema_json=df.schema.json()
+        )
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: the plan pins the manifest's file list, so later
         commits/vacuums of OTHER snapshots never change this DataFrame.
-        ``version`` time-travels to an older snapshot."""
+        ``version`` time-travels to an older snapshot.
+
+        The scan is pinned to the MANIFEST's schema (the running union of
+        committed schemas): files from commits predating an added column
+        null-fill it, and no mergeSchema footer sweep is needed — the log
+        already knows the answer, which is the Delta/Iceberg read path."""
         files = self.snapshot_files(version)
         if not files:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
-        return self.spark.read.parquet(*files)
+        schema_json = self._read_manifest(
+            version if version is not None else self.version()
+        ).get("schema")
+        reader = self.spark.read
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        return reader.parquet(*files)
 
     def read_where(self, column: str, lo=None, hi=None) -> DataFrame:
         """Data-skipping read: files whose manifest [min,max] range for
@@ -286,7 +342,15 @@ class TransactionalTable:
             # all files pruned: empty frame with the table schema
             df = self.read().limit(0)
         else:
-            df = self.spark.read.parquet(*kept)
+            reader = self.spark.read
+            schema_json = manifest.get("schema")
+            if schema_json is not None:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(schema_json))
+                )
+            df = reader.parquet(*kept)
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (F.col(column) >= F.lit(lo))
@@ -315,7 +379,9 @@ class TransactionalTable:
             df = df.repartition(num_files)
         # materialize input rows before the commit replaces the file list the
         # plan reads (read() pins files, but be explicit about ordering)
-        return self._commit_with_retry(self._write_files(df), "overwrite")
+        return self._commit_with_retry(
+            self._write_files(df), "overwrite", schema_json=df.schema.json()
+        )
 
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data files referenced by NO retained manifest (the newest

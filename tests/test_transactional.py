@@ -229,3 +229,52 @@ def test_manifest_size_warning_past_threshold(spark, tmp_path):
         t.append(df)
     # warning is advisory: the commit still landed
     assert t.read().count() == 8
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution
+# ---------------------------------------------------------------------------
+
+def test_append_new_column_null_fills_old_files(spark, tmp_path):
+    from carto_etl_spark.operators.transactional import TransactionalTable
+
+    t = TransactionalTable(spark, tmp_path / "evo")
+    t.append(spark.createDataFrame([(1, "a")], ["id", "name"]))
+    t.append(spark.createDataFrame([(2, "b", 9.5)], ["id", "name", "score"]))
+    out = t.read()
+    assert set(out.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].score is None          # pre-evolution file null-fills
+    assert rows[2].score == 9.5
+    # time travel reads the OLD schema, not the evolved one
+    assert set(t.read(version=1).columns) == {"id", "name"}
+
+
+def test_append_type_conflict_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    from carto_etl_spark.operators.transactional import (
+        SchemaEvolutionError,
+        TransactionalTable,
+    )
+
+    t = TransactionalTable(spark, tmp_path / "evo2")
+    t.append(spark.createDataFrame([(1, "a")], ["id", "name"]))
+    bad = spark.createDataFrame([(2, 3)], "id long, name long")
+    with _pytest.raises(SchemaEvolutionError, match="name"):
+        t.append(bad)
+
+
+def test_evolved_schema_survives_compact_and_skipping(spark, tmp_path):
+    from carto_etl_spark.operators.transactional import TransactionalTable
+
+    t = TransactionalTable(spark, tmp_path / "evo3")
+    t.append(spark.createDataFrame([(i, f"n{i}") for i in range(5)], ["id", "name"]))
+    t.append(spark.createDataFrame([(9, "x", 1.5)], ["id", "name", "score"]))
+    t.compact(num_files=1)
+    out = t.read()
+    assert set(out.columns) == {"id", "name", "score"}
+    assert out.count() == 6
+    skipped = t.read_where("id", lo=9)
+    assert set(skipped.columns) == {"id", "name", "score"}
+    assert skipped.collect()[0].score == 1.5
