@@ -358,6 +358,69 @@ class TransactionalTable:
             cond = cond & (F.col(column) <= F.lit(hi))
         return df.filter(cond)
 
+    def delete_where(self, column: str, lo=None, hi=None) -> int:
+        """Copy-on-write range delete: rows with ``lo <= column <= hi`` are
+        removed by REWRITING only the files whose manifest stats can contain
+        them; every other file carries into the new snapshot untouched.  At
+        100 TB a delete touching one day of data rewrites that day, not the
+        table.  NULLs never match a range, so they always survive.  One
+        atomic commit (OCC-retried); old snapshots stay time-travelable.
+        Returns the new version.
+
+        Pruning needs ``column`` in ``stats_columns``; without stats every
+        file is conservatively rewritten (still correct, just COW over the
+        full snapshot)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        for _ in range(self.max_commit_retries):
+            base = self.version()
+            if base == 0:
+                raise FileNotFoundError(f"no committed snapshot at {self.path}")
+            manifest = self._read_manifest(base)
+            stats = manifest.get("stats", {})
+            touched, untouched = [], []
+            for rel in manifest["files"]:
+                rng = stats.get(rel, {}).get(column)
+                if rng is not None and rng[0] is not None:
+                    fmin, fmax = rng
+                    if (lo is not None and fmax < lo) or (
+                        hi is not None and fmin > hi
+                    ):
+                        untouched.append(rel)
+                        continue
+                touched.append(rel)
+            if not touched:
+                return base  # nothing can match: zero rewrite, zero commit
+            reader = self.spark.read
+            schema_json = manifest.get("schema")
+            if schema_json is not None:
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(schema_json))
+                )
+            df = reader.parquet(*[str(self.path / r) for r in touched])
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(column) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(column) <= F.lit(hi))
+            survivors = df.filter(~F.coalesce(cond, F.lit(False)))
+            new_files = self._write_files(survivors)
+            new_stats = self._collect_stats(new_files)
+            files = untouched + new_files
+            kept_stats = {
+                rel: s for rel, s in stats.items() if rel in set(untouched)
+            }
+            try:
+                return self._commit(
+                    files, base, None, {**kept_stats, **new_stats}, schema_json
+                )
+            except CommitConflict:
+                continue  # a concurrent commit landed: recompute against it
+        raise CommitConflict(
+            f"gave up after {self.max_commit_retries} delete attempts"
+        )
+
     # -- maintenance ---------------------------------------------------------
 
     def compact(self, num_files: int | None = None,
