@@ -421,6 +421,76 @@ class TransactionalTable:
             f"gave up after {self.max_commit_retries} delete attempts"
         )
 
+    def upsert(self, updates: DataFrame, key: str) -> int:
+        """Copy-on-write MERGE keyed on ``key``: existing rows with a
+        matching key are replaced, unmatched update rows are inserted, and
+        only files whose manifest ``key`` stats intersect the updates' key
+        range are rewritten — everything else carries into the new snapshot
+        verbatim.  Update rows are last-wins deduplicated on the key first;
+        NULL-key update rows are pure inserts (nothing to match).  One
+        OCC-retried atomic commit; additive schema evolution applies (an
+        update set may add columns).  Returns the new version."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        updates = updates.dropDuplicates([key])
+        bounds = updates.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        for _ in range(self.max_commit_retries):
+            base = self.version()
+            manifest = self._read_manifest(base) if base else {}
+            stats = manifest.get("stats", {})
+            touched, untouched = [], []
+            for rel in manifest.get("files", []):
+                rng = stats.get(rel, {}).get(key)
+                if rng is not None and rng[0] is not None and lo is not None:
+                    fmin, fmax = rng
+                    if fmax < lo or fmin > hi:
+                        untouched.append(rel)
+                        continue
+                touched.append(rel)
+            schema_json = self._merge_schema_json(
+                manifest.get("schema"), updates.schema.json()
+            )
+            target_schema = StructType.fromJson(json.loads(schema_json))
+            aligned_updates = updates.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in updates.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target_schema.fields
+                ]
+            )
+            if touched:
+                old = self.spark.read.schema(target_schema).parquet(
+                    *[str(self.path / r) for r in touched]
+                )
+                survivors = old.join(
+                    updates.select(key).where(F.col(key).isNotNull()),
+                    on=key,
+                    how="left_anti",
+                )
+                combined = survivors.unionByName(aligned_updates)
+            else:
+                combined = aligned_updates
+            new_files = self._write_files(combined)
+            new_stats = self._collect_stats(new_files)
+            files = untouched + new_files
+            kept_stats = {
+                rel: s for rel, s in stats.items() if rel in set(untouched)
+            }
+            try:
+                return self._commit(
+                    files, base, None, {**kept_stats, **new_stats}, schema_json
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"gave up after {self.max_commit_retries} upsert attempts"
+        )
+
     # -- maintenance ---------------------------------------------------------
 
     def compact(self, num_files: int | None = None,

@@ -323,3 +323,51 @@ def test_delete_where_nulls_survive(spark, tmp_path):
     t.delete_where("score", lo=4.0, hi=6.0)
     rows = {r.id: r.score for r in t.read().collect()}
     assert rows == {2: None, 3: 9.0}  # null never matches a range
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write upsert (MERGE)
+# ---------------------------------------------------------------------------
+
+def test_upsert_updates_inserts_and_prunes(spark, tmp_path):
+    from carto_etl_spark.operators.transactional import TransactionalTable
+
+    t = TransactionalTable(spark, tmp_path / "ups", stats_columns=["id"])
+    t.append(spark.createDataFrame([(i, f"a{i}") for i in range(0, 10)],
+                                   ["id", "name"]).coalesce(1))
+    t.append(spark.createDataFrame([(i, f"b{i}") for i in range(100, 110)],
+                                   ["id", "name"]).coalesce(1))
+    files_before = set(t.snapshot_files())
+    # touches only the 0..9 file; 100..109 carries over untouched
+    ups = spark.createDataFrame([(3, "NEW3"), (50, "INS50")],
+                                ["id", "name"]).coalesce(1)
+    v = t.upsert(ups, key="id")
+    rows = {r.id: r.name for r in t.read().collect()}
+    assert rows[3] == "NEW3"            # matched row replaced
+    assert rows[50] == "INS50"          # unmatched row inserted
+    assert rows[0] == "a0" and rows[105] == "b105"
+    assert len(rows) == 21
+    assert any(f in set(t.snapshot_files()) for f in files_before)
+    assert t.read(version=v - 1).count() == 20  # time travel pre-merge
+
+
+def test_upsert_last_wins_and_empty_table(spark, tmp_path):
+    from carto_etl_spark.operators.transactional import TransactionalTable
+
+    t = TransactionalTable(spark, tmp_path / "ups2", stats_columns=["id"])
+    # duplicate keys inside the update set collapse before merging
+    ups = spark.createDataFrame([(1, "x"), (1, "y")], ["id", "name"])
+    t.upsert(ups, key="id")
+    assert t.read().count() == 1  # upsert into empty table == insert
+
+
+def test_upsert_evolves_schema(spark, tmp_path):
+    from carto_etl_spark.operators.transactional import TransactionalTable
+
+    t = TransactionalTable(spark, tmp_path / "ups3", stats_columns=["id"])
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]).coalesce(1))
+    ups = spark.createDataFrame([(2, "B", 7.5)], ["id", "name", "score"]).coalesce(1)
+    t.upsert(ups, key="id")
+    rows = {r.id: r for r in t.read().collect()}
+    assert rows[2].score == 7.5
+    assert rows[1].score is None  # survivor from pre-evolution file
