@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "frequent_ngrams",
     "gif_features",
+    "cow_dml",
 ]
 
 

@@ -2841,6 +2841,65 @@ GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20
 """
 
 
+def q_cow_dml(spark, sf_dir):
+    """Copy-on-write DML end-to-end (operators/transactional.py): append two
+    stats-tracked commits, UPSERT a keyed update set (matched customers
+    renamed + rebalanced, a synthetic key inserted), then range-DELETE a
+    c_custkey band — the final snapshot must equal the declarative
+    insert→merge→delete the oracle computes.  Exercises stats-pruned file
+    rewrite, additive merge semantics, and null-range survival, not just the
+    query layer."""
+    import shutil
+    import tempfile
+
+    from carto_etl_spark.operators.transactional import TransactionalTable
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    workdir = tempfile.mkdtemp(prefix="cow-dml-")
+    try:
+        t = TransactionalTable(
+            spark, f"{workdir}/t", stats_columns=["c_custkey"]
+        )
+        t.append(c.filter(F.col("c_custkey") % 2 == 0))
+        t.append(c.filter(F.col("c_custkey") % 2 == 1))
+        updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey",
+            F.concat(F.lit("UPD_"), F.col("c_name")).alias("c_name"),
+            F.round(F.col("c_acctbal") + 500.0, 2).alias("c_acctbal"),
+        ).unionByName(
+            spark.sql(
+                "SELECT CAST(9000001 AS BIGINT) c_custkey, "
+                "'INSERTED' c_name, CAST(1.23 AS DOUBLE) c_acctbal"
+            )
+        )
+        t.upsert(updates, key="c_custkey")
+        t.delete_where("c_custkey", lo=100, hi=199)
+        out = t.read()
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_COW_DML = """
+WITH base AS (
+  SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal FROM customer
+), merged AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'UPD_' || c_name ELSE c_name END
+             AS c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN round(round(c_acctbal, 2) + 500.0, 2)
+              ELSE round(c_acctbal, 2) END AS c_acctbal
+  FROM base
+  UNION ALL
+  SELECT 9000001, 'INSERTED', 1.23
+)
+SELECT * FROM merged
+WHERE c_custkey < 100 OR c_custkey > 199
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -2913,6 +2972,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "frequent_ngrams": q_frequent_ngrams,
     "gif_features": q_gif_features,
+    "cow_dml": q_cow_dml,
 }
 
 ORACLES = {
@@ -2987,4 +3047,5 @@ ORACLES = {
     "cohort_retention": ORACLE_COHORT,
     "frequent_ngrams": ORACLE_FREQ_NGRAMS,
     "gif_features": ORACLE_GIF,
+    "cow_dml": ORACLE_COW_DML,
 }
