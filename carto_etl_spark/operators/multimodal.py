@@ -557,32 +557,27 @@ def synth_gradient_png_expr(media_id, width: int = 16, height: int = 8):
                 elif ftype == 2:
                     enc = line - prev
                 elif ftype in (3, 4):
-                    enc = np.zeros_like(line)
-                    for x in range(w):
-                        s = x * c
-                        left = (
-                            line[s - c:s].astype(np.int16)
-                            if x else np.zeros(c, np.int16)
+                    # encoding has NO sequential dependency (the left
+                    # neighbor is the ORIGINAL pixel, unlike decode): whole
+                    # rows vectorize as shifted int16 arrays
+                    li = line.astype(np.int16)
+                    left = np.zeros_like(li)
+                    left[c:] = li[:-c]
+                    up = prev.astype(np.int16)
+                    if ftype == 3:
+                        pred = (left + up) // 2
+                    else:
+                        ul = np.zeros_like(up)
+                        ul[c:] = up[:-c]
+                        p = left + up - ul
+                        pa, pb, pc = (
+                            np.abs(p - left), np.abs(p - up), np.abs(p - ul)
                         )
-                        up = prev[s:s + c].astype(np.int16)
-                        if ftype == 3:
-                            pred = (left + up) // 2
-                        else:
-                            ul = (
-                                prev[s - c:s].astype(np.int16)
-                                if x else np.zeros(c, np.int16)
-                            )
-                            p = left + up - ul
-                            pa = np.abs(p - left)
-                            pb = np.abs(p - up)
-                            pc = np.abs(p - ul)
-                            pred = np.where(
-                                (pa <= pb) & (pa <= pc), left,
-                                np.where(pb <= pc, up, ul),
-                            )
-                        enc[s:s + c] = (
-                            line[s:s + c].astype(np.int16) - pred
-                        ) % 256
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up, ul),
+                        )
+                    enc = ((li - pred) % 256).astype(np.uint8)
                 else:
                     enc = line
                 lines.append(bytes([ftype]) + enc.tobytes())

@@ -2058,7 +2058,7 @@ def q_audio_features(spark, sf_dir):
         synth_square_wav_expr,
     )
 
-    d = load(spark, sf_dir, "documents").select(
+    d = widen(load(spark, sf_dir, "documents"), spark).select(
         F.col("doc_id").alias("media_id"),
         (400 * (1 + F.col("doc_id") % 5)).cast("long").alias("__frames"),
     )
@@ -2449,7 +2449,7 @@ def q_image_features(spark, sf_dir):
         synth_gradient_png_expr,
     )
 
-    d = load(spark, sf_dir, "documents").select(
+    d = widen(load(spark, sf_dir, "documents"), spark).select(
         F.col("doc_id").alias("media_id")
     )
     src = d.withColumn("content", synth_gradient_png_expr(F.col("media_id")))
@@ -2497,7 +2497,7 @@ def q_gif_features(spark, sf_dir):
         synth_palette_gif_expr,
     )
 
-    d = load(spark, sf_dir, "documents").select(
+    d = widen(load(spark, sf_dir, "documents"), spark).select(
         F.col("doc_id").alias("media_id")
     )
     src = d.withColumn("content", synth_palette_gif_expr(F.col("media_id")))
@@ -2813,7 +2813,7 @@ def q_frequent_ngrams(spark, sf_dir):
     """Corpus-frequency top-20 word 3-grams (boilerplate mining / stop-phrase
     discovery input): explode → partial-agg count → global top-k with a
     deterministic (count desc, ngram asc) order."""
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"), spark)
     grams = d.select(
         F.explode(tx.word_ngrams_expr("text", 3)).alias("ngram")
     )
