@@ -175,3 +175,26 @@ def test_idle_rich_customers_anti_join_no_cartesian(spark):
     assert plan.count("Join type: LeftAnti") == 1
     pushed = " ".join(pushed_filters(df))
     assert "o_orderdate" in pushed  # dormancy cutoff reached the orders scan
+
+
+def test_catalog_wide_plan_hygiene(spark):
+    """Every catalog entry's physical plan must be free of the two
+    unconditional scale-killers: row-at-a-time Python UDFs (BatchEvalPython;
+    Arrow-batched pandas UDFs are the sanctioned slow path) and cartesian
+    products (CartesianProduct; one-row broadcast cross joins plan as
+    BroadcastNestedLoopJoin and are fine)."""
+    from carto_etl_spark.plans.inspect import explain_str
+    from carto_etl_spark.queries import QUERIES
+
+    bad = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF)
+        plan = explain_str(df)
+        problems = [
+            marker
+            for marker in ("BatchEvalPython", "CartesianProduct")
+            if marker in plan
+        ]
+        if problems:
+            bad[name] = problems
+    assert not bad, f"plan pathologies: {bad}"
