@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "frequent_ngrams",
     "gif_features",
     "cow_dml",
+    "range_join",
 ]
 
 

@@ -2900,6 +2900,44 @@ WHERE c_custkey < 100 OR c_custkey > 199
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Interval-containment join via the bucketed equi-join operator
+    (operators/joins.py:range_join): 40 price bands of width 5000 against
+    order total prices — Catalyst plans a hash join on the bucket key
+    instead of a nested loop, then the exact containment filter applies.
+    Emits per-band counts plus min/max order keys for value-level
+    coverage."""
+    from carto_etl_spark.operators.joins import range_join
+
+    bands = spark.range(0, 40).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 5000).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 5000).cast("double").alias("hi"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = range_join(
+        bands, o, start="lo", end="hi", point="o_totalprice", bucket_width=5000
+    )
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT b.range AS band_id, count(*) AS n_orders,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM range(0, 40) b
+JOIN orders ON o_totalprice >= b.range * 5000.0
+           AND o_totalprice < (b.range + 1) * 5000.0
+GROUP BY b.range
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -2973,6 +3011,7 @@ QUERIES = {
     "frequent_ngrams": q_frequent_ngrams,
     "gif_features": q_gif_features,
     "cow_dml": q_cow_dml,
+    "range_join": q_range_join,
 }
 
 ORACLES = {
@@ -3048,4 +3087,5 @@ ORACLES = {
     "frequent_ngrams": ORACLE_FREQ_NGRAMS,
     "gif_features": ORACLE_GIF,
     "cow_dml": ORACLE_COW_DML,
+    "range_join": ORACLE_RANGE_JOIN,
 }
