@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "gif_features",
     "cow_dml",
     "range_join",
+    "forecast_revenue",
+    "order_count_distribution",
+    "large_volume_customers",
 ]
 
 

@@ -2938,6 +2938,105 @@ GROUP BY b.range
 """
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: single-table filtered aggregate — the canonical
+    predicate-pushdown + partial-agg benchmark.  One row out."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+ORACLE_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count, including
+    zero-order customers via a left outer join — then a second aggregation
+    over the first's output (the classic two-level group-by)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+ORACLE_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a threshold
+    (HAVING over a fact aggregate), joined back to customer detail — the
+    aggregate-then-semi-join decorrelation pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+ORACLE_Q18 = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150
+)
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -3012,6 +3111,9 @@ QUERIES = {
     "gif_features": q_gif_features,
     "cow_dml": q_cow_dml,
     "range_join": q_range_join,
+    "forecast_revenue": q_forecast_revenue,
+    "order_count_distribution": q_order_count_distribution,
+    "large_volume_customers": q_large_volume_customers,
 }
 
 ORACLES = {
@@ -3088,4 +3190,7 @@ ORACLES = {
     "gif_features": ORACLE_GIF,
     "cow_dml": ORACLE_COW_DML,
     "range_join": ORACLE_RANGE_JOIN,
+    "forecast_revenue": ORACLE_Q6,
+    "order_count_distribution": ORACLE_Q13,
+    "large_volume_customers": ORACLE_Q18,
 }
