@@ -5,9 +5,11 @@ Decoding is REAL for the formats the standard library + numpy can parse —
 uncompressed BMP and binary PPM images (struct-level header parsing, per-
 channel mean features, nearest-neighbor resize), PNG (stdlib ``zlib``
 inflate + full scanline unfiltering, 8-bit gray/RGB/RGBA/palette), GIF
-(stdlib LZW decode incl. interlace, first frame), and PCM WAV audio (stdlib
-``wave``, RMS/duration features).  Formats needing media
-libraries absent from this container (JPEG/MP4/...) raise
+(stdlib LZW decode incl. interlace, first frame), baseline JPEG (marker
+walk, canonical Huffman, dequant + IDCT, 4:4:4/4:2:0, restart markers,
+YCbCr->RGB), and PCM WAV audio (stdlib ``wave``, RMS/duration features).
+Formats needing media libraries absent from this container
+(progressive JPEG/MP4/...) raise
 NotImplementedError at executor time, decode through the pluggable
 ``decoder`` hook / PIL when present, or a deterministic hash-derived fake
 (``fake=True``) exercises the full Spark plumbing — schema, batching,
@@ -346,6 +348,251 @@ def _decode_gif(data: bytes):
     raise ValueError("GIF contains no image data")
 
 
+def _decode_jpeg(data: bytes):
+    """Baseline JPEG (ITU-T T.81) decode with stdlib + numpy only: marker
+    walk, DQT/DHT table build (general canonical Huffman, any valid tables),
+    interleaved-MCU entropy decode with byte-stuffing and restart markers,
+    dequant + de-zigzag + separable float IDCT, component assembly for
+    4:4:4 / 4:2:2 / 4:2:0 sampling, JFIF YCbCr->RGB.  Progressive (SOF2),
+    12-bit, and arithmetic-coded streams raise honestly.
+
+    Returns (width, height, channels, HxWxC uint8)."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+
+    ZIGZAG = np.array([
+        0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ])
+    # separable IDCT basis: B[u, x] = C(u)/2 * cos((2x+1)u*pi/16)
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    B = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    B[0] *= 1 / np.sqrt(2)
+
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode tables
+    frame = None
+    restart_interval = 0
+    pos = 2
+
+    def build_huffman(bits, vals):
+        # canonical JPEG code assignment (T.81 C.2): returns per-length
+        # {first_code, first_index} for the fast range decode
+        codes, code, idx = {}, 0, 0
+        for ln in range(1, 17):
+            n = bits[ln - 1]
+            if n:
+                codes[ln] = (code, idx)
+                code += n
+                idx += n
+            code <<= 1
+        return {"codes": codes, "bits": bits, "vals": vals}
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack_from(">H", data, pos + 2)[0]
+        seg = data[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qt[tq] = np.frombuffer(seg, np.uint8, 64, s + 1).astype(
+                    np.float64
+                )
+                s += 65
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 0xF
+                bits = list(seg[s + 1:s + 17])
+                n = sum(bits)
+                vals = list(seg[s + 17:s + 17 + n])
+                huff[(tc, th)] = build_huffman(bits, vals)
+                s += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scomp = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomp.append({"id": cs, "dc": tt >> 4, "ac": tt & 0xF})
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    else:
+        raise ValueError("JPEG truncated before SOS")
+    if frame is None:
+        raise ValueError("JPEG missing SOF")
+
+    # de-stuffed entropy bytes up to the next non-RST marker; remember RST cuts
+    ent = bytearray()
+    rst_byte_positions = []
+    p = pos
+    while p < len(data) - 1:
+        b = data[p]
+        if b == 0xFF:
+            nxt = data[p + 1]
+            if nxt == 0x00:
+                ent.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # restart marker
+                rst_byte_positions.append(len(ent))
+                p += 2
+                continue
+            break  # EOI or next segment
+        ent.append(b)
+        p += 1
+    ent = bytes(ent)
+
+    class BitReader:
+        def __init__(self, buf):
+            self.buf = buf
+            self.bytepos = 0
+            self.bitpos = 0
+
+        def read_bit(self):
+            byte = self.buf[self.bytepos]
+            bit = (byte >> (7 - self.bitpos)) & 1
+            self.bitpos += 1
+            if self.bitpos == 8:
+                self.bitpos = 0
+                self.bytepos += 1
+            return bit
+
+        def read_bits(self, n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read_bit()
+            return v
+
+        def align_to(self, byte_offset):
+            self.bytepos = byte_offset
+            self.bitpos = 0
+
+    def huff_decode(r, table):
+        code, ln = 0, 0
+        codes = table["codes"]
+        while ln < 16:
+            code = (code << 1) | r.read_bit()
+            ln += 1
+            entry = codes.get(ln)
+            if entry is not None:
+                first_code, first_idx = entry
+                if code - first_code < table["bits"][ln - 1]:
+                    return table["vals"][first_idx + (code - first_code)]
+        raise ValueError("invalid Huffman code")
+
+    def extend(v, size):
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
+    ]
+    sc_by_id = {s["id"]: s for s in scomp}
+    reader = BitReader(ent)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                if rst_idx < len(rst_byte_positions):
+                    reader.align_to(rst_byte_positions[rst_idx])
+                    rst_idx += 1
+                    preds = [0] * len(comps)
+            for ci, comp in enumerate(comps):
+                sel = sc_by_id[comp["id"]]
+                dct_t = huff[(0, sel["dc"])]
+                act_t = huff[(1, sel["ac"])]
+                q = qt[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64)
+                        size = huff_decode(reader, dct_t)
+                        diff = (
+                            extend(reader.read_bits(size), size) if size else 0
+                        )
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = huff_decode(reader, act_t)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            zz[k] = extend(reader.read_bits(size), size)
+                            k += 1
+                        block = np.zeros(64)
+                        block[ZIGZAG] = zz * q
+                        spatial = B.T @ block.reshape(8, 8) @ B
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial + 128.0
+            mcu_count += 1
+
+    h, w = frame["h"], frame["w"]
+    out_planes = []
+    for ci, comp in enumerate(comps):
+        plane = planes[ci]
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:  # nearest-neighbor chroma upsample
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        img = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, img[:, :, None]
+    Y, Cb, Cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = Y + 1.402 * Cr
+    g = Y - 0.344136 * Cb - 0.714136 * Cr
+    b = Y + 1.772 * Cb
+    img = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
+        np.uint8
+    )
+    return w, h, 3, img
+
+
 def _try_pil_decode(payload: bytes):
     """Attempt a PIL decode AT EXECUTOR TIME (covers JPEG/PNG/WebP/... when
     Pillow is installed on the cluster); returns None when PIL is absent so
@@ -387,6 +634,8 @@ def _real_decode(payload: bytes, decoder=None):
         return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     if decoder is not None:
         out = decoder(payload)
         if out is not None:
@@ -395,7 +644,7 @@ def _real_decode(payload: bytes, decoder=None):
     if out is not None:
         return out
     raise NotImplementedError(
-        "only BMP / binary PPM / PNG / GIF decode is available without "
+        "only BMP / PPM / PNG / GIF / baseline-JPEG decode is available without "
         "PIL/cv2 (not in this container); install Pillow on the executors, "
         "pass decoder=<callable> for other formats, or fake=True to "
         "exercise the pipeline"

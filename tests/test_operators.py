@@ -827,3 +827,96 @@ def test_png_gif_roundtrip_property(spark):
         data = _gif_bytes(idx, pal, compress=bool(trial % 2))
         _, _, _, arr = _decode_gif(data)
         assert (arr == pal[idx]).all(), f"gif trial {trial} {h}x{w}"
+
+
+# ---------------------------------------------------------------------------
+# JPEG decode (multimodal.py:_decode_jpeg — stdlib+numpy baseline codec)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_constant_color_roundtrips_exactly(spark):
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import _decode_jpeg
+    from helpers_jpeg import jpeg_bytes
+
+    # a constant block has only a DC coefficient, which unit quantization
+    # preserves exactly — decode must be bit-perfect
+    img = np.full((16, 16, 3), 77, dtype=np.uint8)
+    w, h, c, arr = _decode_jpeg(jpeg_bytes(img))
+    assert (w, h, c) == (16, 16, 3) and (arr == img).all()
+
+
+def test_jpeg_random_and_gray_within_quant_error(spark):
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import _decode_jpeg
+    from helpers_jpeg import jpeg_bytes
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (24, 17, 3), dtype=np.uint8)  # non-8-multiple
+    w, h, c, arr = _decode_jpeg(jpeg_bytes(img))
+    assert (w, h, c) == (17, 24, 3)
+    assert np.abs(arr.astype(int) - img.astype(int)).max() <= 3
+
+    g = rng.randint(0, 256, (9, 13, 1), dtype=np.uint8)
+    w, h, c, arr = _decode_jpeg(jpeg_bytes(g))
+    assert (w, h, c) == (13, 9, 1)
+    assert np.abs(arr.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_420_subsampling_and_restart_markers(spark):
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import _decode_jpeg
+    from helpers_jpeg import jpeg_bytes
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.stack(
+        [(yy * 3 + xx) % 256, (yy + xx * 2) % 256, (yy * 2 + xx * 2) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    w, h, c, arr = _decode_jpeg(jpeg_bytes(img, subsample="420"))
+    assert np.abs(arr.astype(int) - img.astype(int)).max() <= 3
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    arr = _decode_jpeg(jpeg_bytes(img, restart_interval=2))[3]
+    assert np.abs(arr.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_quantization_degrades_gracefully(spark):
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import _decode_jpeg
+    from helpers_jpeg import jpeg_bytes
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack([(yy * 8) % 256] * 3, axis=2).astype(np.uint8)
+    arr = _decode_jpeg(jpeg_bytes(img, quant=8))[3]
+    # coarse quantization: still recognizably close, scaled by table step
+    assert np.abs(arr.astype(int) - img.astype(int)).max() <= 24
+
+
+def test_jpeg_progressive_raises(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from carto_etl_spark.operators.multimodal import _decode_jpeg
+    from helpers_jpeg import jpeg_bytes
+
+    data = bytearray(jpeg_bytes(np.zeros((8, 8, 3), dtype=np.uint8)))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with _pytest.raises(NotImplementedError, match="SOF2"):
+        _decode_jpeg(bytes(data))
+
+
+def test_jpeg_through_real_decode_dispatch(spark):
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import _real_decode
+    from helpers_jpeg import jpeg_bytes
+
+    img = np.full((8, 8, 3), 200, dtype=np.uint8)
+    w, h, c, arr = _real_decode(jpeg_bytes(img))
+    assert (w, h, c) == (8, 8, 3) and (arr == img).all()
