@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "forecast_revenue",
     "order_count_distribution",
     "large_volume_customers",
+    "jpeg_features",
 ]
 
 

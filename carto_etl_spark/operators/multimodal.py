@@ -924,6 +924,93 @@ def synth_palette_gif_expr(media_id, width: int = 12, height: int = 10):
     return _synth_gif_udf(media_id)
 
 
+_synth_jpeg_udf = None
+
+
+def synth_const_jpeg_expr(media_id):
+    """Deterministic constant-color 8x8 baseline JPEG per id (pandas UDF):
+    RGB = (id*7, id*13, id*29) mod 256, unit quantization, one MCU, DC-only
+    blocks (a constant block's AC coefficients are zero, so the stream is
+    DC + EOB per component with minimal canonical tables).  Because every
+    stage of the decode — DC dequant, single-product IDCT, YCbCr->RGB,
+    half-even rounding, clipping — is closed-form arithmetic on ONE value
+    per channel, a SQL oracle can recompute the decoded means exactly,
+    putting the real JPEG decode chain under the value-level gate."""
+    global _synth_jpeg_udf
+    if _synth_jpeg_udf is None:
+        import struct
+
+        def one(i):
+            i = int(i)
+            R, G, Bv = (i * 7) % 256, (i * 13) % 256, (i * 29) % 256
+            Y = 0.299 * R + 0.587 * G + 0.114 * Bv
+            Cb = -0.168736 * R - 0.331264 * G + 0.5 * Bv + 128.0
+            Cr = 0.5 * R - 0.418688 * G - 0.081312 * Bv + 128.0
+            # DC-only "DCT" of a constant block; numpy/python round is
+            # half-even, matched by the oracle's round_even
+            import numpy as np
+
+            dcs = [int(np.round(8.0 * (v - 128.0))) for v in (Y, Cb, Cr)]
+
+            out = bytearray(b"\xff\xd8")
+
+            def seg(marker, payload):
+                return (
+                    bytes([0xFF, marker])
+                    + struct.pack(">H", len(payload) + 2)
+                    + payload
+                )
+
+            out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+            sof = struct.pack(">BHHB", 8, 8, 8, 3)
+            for ci in range(3):
+                sof += bytes([ci + 1, 0x11, 0])
+            out += seg(0xC0, sof)
+            # DC: 12 size categories at code length 5; AC: EOB alone at length 1
+            dc_bits = [0, 0, 0, 0, 12] + [0] * 11
+            out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(range(12)))
+            ac_bits = [1] + [0] * 15
+            out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x00]))
+            sos = bytes([3])
+            for ci in range(3):
+                sos += bytes([ci + 1, 0x00])
+            sos += bytes([0, 63, 0])
+            out += seg(0xDA, sos)
+
+            acc, nbits, ent = 0, 0, bytearray()
+
+            def put(code, ln):
+                nonlocal acc, nbits
+                for b in range(ln - 1, -1, -1):
+                    acc = (acc << 1) | ((code >> b) & 1)
+                    nbits += 1
+                    if nbits == 8:
+                        ent.append(acc)
+                        if acc == 0xFF:
+                            ent.append(0x00)
+                        acc = 0
+                        nbits = 0
+
+            # canonical codes: DC size s -> code s at length 5; AC EOB -> 0@1
+            for dc in dcs:  # predictors start at 0; diff == dc per component
+                size = abs(dc).bit_length()
+                put(size, 5)
+                if size:
+                    bits = dc if dc > 0 else dc + (1 << size) - 1
+                    put(bits, size)
+                put(0, 1)  # EOB
+            while nbits:
+                put(1, 1)
+            out += ent + b"\xff\xd9"
+            return bytes(out)
+
+        def synth(ids):
+            return ids.map(one)
+
+        _synth_jpeg_udf = F.pandas_udf(synth, "binary")
+    return _synth_jpeg_udf(media_id)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -2534,6 +2534,74 @@ FROM means GROUP BY media_id
 """
 
 
+def q_jpeg_features(spark, sf_dir):
+    """Real baseline-JPEG decode under the oracle gate: a constant-color
+    8x8 JPEG per document (multimodal.py:synth_const_jpeg_expr — DC-only
+    blocks, unit quantization), decoded by the stdlib+numpy codec.  Every
+    decode stage collapses to closed-form arithmetic on one value per
+    channel — DC dequant, single-product IDCT (b0*DC*b0 with
+    b0=0.5/sqrt(2)), the +128/-128 storage round-trip, YCbCr->RGB, and
+    HALF-EVEN rounding (numpy's round; DuckDB mirrors with round_even) —
+    so the oracle recomputes the decoded channel means exactly."""
+    from carto_etl_spark.operators.multimodal import (
+        decode_image_features,
+        synth_const_jpeg_expr,
+    )
+
+    d = widen(load(spark, sf_dir, "documents"), spark).select(
+        F.col("doc_id").alias("media_id")
+    )
+    src = d.withColumn("content", synth_const_jpeg_expr(F.col("media_id")))
+    feats = decode_image_features(src)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        F.element_at("feature", 1).cast("double").alias("r_mean"),
+        F.element_at("feature", 2).cast("double").alias("g_mean"),
+        F.element_at("feature", 3).cast("double").alias("b_mean"),
+    )
+
+
+ORACLE_JPEG = """
+WITH rgb AS (
+  SELECT doc_id, (doc_id * 7) % 256 AS r0, (doc_id * 13) % 256 AS g0,
+         (doc_id * 29) % 256 AS b0i
+  FROM documents
+), yc AS (
+  SELECT *, 0.299 * r0 + 0.587 * g0 + 0.114 * b0i AS y,
+         -0.168736 * r0 - 0.331264 * g0 + 0.5 * b0i + 128.0 AS cb,
+         0.5 * r0 - 0.418688 * g0 - 0.081312 * b0i + 128.0 AS cr
+  FROM rgb
+), rec AS (
+  SELECT doc_id,
+    ((0.5 * (1.0 / sqrt(2.0))) * round_even(8.0 * (y - 128.0), 0))
+        * (0.5 * (1.0 / sqrt(2.0))) + 128.0 AS yp,
+    (((0.5 * (1.0 / sqrt(2.0))) * round_even(8.0 * (cb - 128.0), 0))
+        * (0.5 * (1.0 / sqrt(2.0))) + 128.0) - 128.0 AS cbp,
+    (((0.5 * (1.0 / sqrt(2.0))) * round_even(8.0 * (cr - 128.0), 0))
+        * (0.5 * (1.0 / sqrt(2.0))) + 128.0) - 128.0 AS crp
+  FROM yc
+), px AS (
+  SELECT doc_id,
+    LEAST(255.0, GREATEST(0.0, round_even(yp + 1.402 * crp, 0))) AS rr,
+    LEAST(255.0, GREATEST(0.0,
+        round_even(yp - 0.344136 * cbp - 0.714136 * crp, 0))) AS gg,
+    LEAST(255.0, GREATEST(0.0, round_even(yp + 1.772 * cbp, 0))) AS bb
+  FROM rec
+)
+SELECT doc_id AS media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(CAST(rr / 255.0 AS REAL) AS DOUBLE) AS r_mean,
+       CAST(CAST(gg / 255.0 AS REAL) AS DOUBLE) AS g_mean,
+       CAST(CAST(bb / 255.0 AS REAL) AS DOUBLE) AS b_mean
+FROM px
+"""
+
+
 def q_tfidf_terms(spark, sf_dir):
     """Top-3 most distinctive terms per document by tf/(1+df) — linear-idf
     TF-IDF ranking (operators/text.py:tfidf_topk; docstring explains why the
@@ -3114,6 +3182,7 @@ QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "order_count_distribution": q_order_count_distribution,
     "large_volume_customers": q_large_volume_customers,
+    "jpeg_features": q_jpeg_features,
 }
 
 ORACLES = {
@@ -3193,4 +3262,5 @@ ORACLES = {
     "forecast_revenue": ORACLE_Q6,
     "order_count_distribution": ORACLE_Q13,
     "large_volume_customers": ORACLE_Q18,
+    "jpeg_features": ORACLE_JPEG,
 }
