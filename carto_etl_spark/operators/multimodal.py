@@ -618,24 +618,34 @@ def _try_pil_decode(payload: bytes):
 
 
 def _real_decode(payload: bytes, decoder=None):
-    """Dispatch on magic bytes; stdlib formats first, then the injected
-    ``decoder`` hook, then PIL if importable, then the honest raise.
+    """Dispatch on magic bytes; built-in decoders first, then — for unknown
+    formats OR streams a built-in cannot handle (truncated file, progressive
+    JPEG, 16-bit PNG) — the injected ``decoder`` hook, then PIL if
+    importable, then the original error / honest raise.
 
     ``decoder``: optional ``payload -> (width, height, channels, HxWxC
     uint8 array) | None`` callable (None = decline).  This is the pluggable
-    seam for compressed formats: pass a PIL/cv2/ffmpeg-backed callable in a
-    real deployment, or a deterministic fake in tests — the Spark plumbing
-    (Arrow batches, schema, partitioning) is identical either way."""
+    seam for formats and variants beyond the built-ins: pass a
+    PIL/cv2/ffmpeg-backed callable in a real deployment, or a deterministic
+    fake in tests — the Spark plumbing (Arrow batches, schema, partitioning)
+    is identical either way."""
+    builtin = None
     if payload[:2] == b"BM":
-        return _decode_bmp(payload)
-    if payload[:2] == b"P6":
-        return _decode_ppm(payload)
-    if payload[:8] == PNG_MAGIC:
-        return _decode_png(payload)
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return _decode_gif(payload)
-    if payload[:2] == b"\xff\xd8":
-        return _decode_jpeg(payload)
+        builtin = _decode_bmp
+    elif payload[:2] == b"P6":
+        builtin = _decode_ppm
+    elif payload[:8] == PNG_MAGIC:
+        builtin = _decode_png
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        builtin = _decode_gif
+    elif payload[:2] == b"\xff\xd8":
+        builtin = _decode_jpeg
+    builtin_err = None
+    if builtin is not None:
+        try:
+            return builtin(payload)
+        except Exception as exc:  # fall through to hook/PIL for variants
+            builtin_err = exc
     if decoder is not None:
         out = decoder(payload)
         if out is not None:
@@ -643,6 +653,8 @@ def _real_decode(payload: bytes, decoder=None):
     out = _try_pil_decode(payload)
     if out is not None:
         return out
+    if builtin_err is not None:
+        raise builtin_err
     raise NotImplementedError(
         "only BMP / PPM / PNG / GIF / baseline-JPEG decode is available without "
         "PIL/cv2 (not in this container); install Pillow on the executors, "
