@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "order_count_distribution",
     "large_volume_customers",
     "jpeg_features",
+    "sliding_windows",
 ]
 
 

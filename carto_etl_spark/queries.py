@@ -3105,6 +3105,46 @@ JOIN customer ON c_custkey = o_custkey
 """
 
 
+def q_sliding_windows(spark, sf_dir):
+    """Sliding-window aggregation (10-minute windows every 5 minutes): each
+    event contributes to exactly two overlapping windows via F.window —
+    the batch twin of the streaming sliding aggregate.  The oracle expands
+    each event into its two window starts explicitly."""
+    e = load(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SLIDING = """
+WITH starts AS (
+  SELECT event_type, value,
+         CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS s1
+  FROM events
+), expanded AS (
+  SELECT event_type, value, s1 AS s FROM starts
+  UNION ALL
+  SELECT event_type, value, s1 - 300 FROM starts
+)
+SELECT strftime(to_timestamp(s), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM expanded GROUP BY s, event_type
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -3183,6 +3223,7 @@ QUERIES = {
     "order_count_distribution": q_order_count_distribution,
     "large_volume_customers": q_large_volume_customers,
     "jpeg_features": q_jpeg_features,
+    "sliding_windows": q_sliding_windows,
 }
 
 ORACLES = {
@@ -3263,4 +3304,5 @@ ORACLES = {
     "order_count_distribution": ORACLE_Q13,
     "large_volume_customers": ORACLE_Q18,
     "jpeg_features": ORACLE_JPEG,
+    "sliding_windows": ORACLE_SLIDING,
 }
