@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "large_volume_customers",
     "jpeg_features",
     "sliding_windows",
+    "market_share",
+    "priority_with_big_lines",
 ]
 
 

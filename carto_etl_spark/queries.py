@@ -3145,6 +3145,91 @@ FROM expanded GROUP BY s, event_type
 """
 
 
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's share of STANDARD-part revenue sold into EUROPE, by order year — the widest join in the catalog (lineitem ⋈
+    orders ⋈ customer ⋈ supplier ⋈ part ⋈ nation×2 ⋈ region) with a
+    conditional-share aggregate on top."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    n1 = F.broadcast(n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    # customer nations restricted to the target region
+    n2r = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "EUROPE")
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n2r, c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(n1, s.s_nationkey == F.col("s_nk"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                9,
+            ).alias("mkt_share")
+        )
+    )
+
+
+ORACLE_Q8 = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 9) AS mkt_share
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n2.n_regionkey AND r_name = 'EUROPE'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+GROUP BY year(o_orderdate)
+"""
+
+
+def q_priority_with_big_lines(spark, sf_dir):
+    """TPC-H Q4 shape: order-priority counts for orders with at least one
+    high-quantity line in a quarter — EXISTS decorrelated to a left-semi
+    join on the fact table."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        o.join(li.select("l_orderkey"), o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -3224,6 +3309,8 @@ QUERIES = {
     "large_volume_customers": q_large_volume_customers,
     "jpeg_features": q_jpeg_features,
     "sliding_windows": q_sliding_windows,
+    "market_share": q_market_share,
+    "priority_with_big_lines": q_priority_with_big_lines,
 }
 
 ORACLES = {
@@ -3305,4 +3392,6 @@ ORACLES = {
     "large_volume_customers": ORACLE_Q18,
     "jpeg_features": ORACLE_JPEG,
     "sliding_windows": ORACLE_SLIDING,
+    "market_share": ORACLE_Q8,
+    "priority_with_big_lines": ORACLE_Q4,
 }
