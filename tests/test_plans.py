@@ -198,3 +198,17 @@ def test_catalog_wide_plan_hygiene(spark):
         if problems:
             bad[name] = problems
     assert not bad, f"plan pathologies: {bad}"
+
+
+def test_market_share_widest_join_is_all_broadcast_dims(spark):
+    df = QUERIES["market_share"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "p_type" in pushed  # part filter reached its scan
+    assert "r_name" in pushed  # region filter reached its scan
+    assert has_broadcast_join(df)
+    from carto_etl_spark.plans.inspect import explain_str
+
+    plan = explain_str(df)
+    # the only sort-merge-eligible joins are fact-to-fact; every dim
+    # (part, supplier, nation x2, region-restricted nations) broadcasts
+    assert plan.count("BroadcastHashJoin") >= 4
