@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "sliding_windows",
     "market_share",
     "priority_with_big_lines",
+    "top_supplier",
+    "small_qty_revenue",
 ]
 
 

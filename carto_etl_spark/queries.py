@@ -3230,6 +3230,71 @@ GROUP BY o_orderpriority
 """
 
 
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    the revenue 'view' is a fact aggregate, and the max-selection is a
+    window over it (no second scan, no correlated subquery)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    w = Window.partitionBy()
+    best = rev.withColumn("__mx", F.max("total_revenue").over(w)).where(
+        F.col("total_revenue") == F.col("__mx")
+    )
+    return best.join(s, best.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+ORACLE_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+             AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: average yearly revenue loss from small-quantity
+    orders of STANDARD parts — the correlated per-part average decorrelates
+    into a window over the part key (one shuffle, no self-join)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    )
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    w = Window.partitionBy("p_partkey")
+    flagged = joined.withColumn("__avg_qty", F.avg("l_quantity").over(w))
+    return flagged.where(
+        F.col("l_quantity") < 0.5 * F.col("__avg_qty")
+    ).agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+ORACLE_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+WHERE l_quantity < 0.5 * (
+  SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -3311,6 +3376,8 @@ QUERIES = {
     "sliding_windows": q_sliding_windows,
     "market_share": q_market_share,
     "priority_with_big_lines": q_priority_with_big_lines,
+    "top_supplier": q_top_supplier,
+    "small_qty_revenue": q_small_qty_revenue,
 }
 
 ORACLES = {
@@ -3394,4 +3461,6 @@ ORACLES = {
     "sliding_windows": ORACLE_SLIDING,
     "market_share": ORACLE_Q8,
     "priority_with_big_lines": ORACLE_Q4,
+    "top_supplier": ORACLE_Q15,
+    "small_qty_revenue": ORACLE_Q17,
 }
