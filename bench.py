@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "priority_with_big_lines",
     "top_supplier",
     "small_qty_revenue",
+    "table_profile",
 ]
 
 

@@ -3295,6 +3295,53 @@ WHERE l_quantity < 0.5 * (
 """
 
 
+def q_table_profile(spark, sf_dir):
+    """One-pass table profiling (operators/stats.py:profile) over orders:
+    per-column row/null/distinct counts and string-rendered min/max.  The
+    double column is rounded to cents first so both engines print the same
+    decimal text."""
+    from carto_etl_spark.operators.stats import profile
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.round("o_totalprice", 2)
+    )
+    return profile(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    )
+
+
+ORACLE_PROFILE = """
+SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+       count(*) - count(o_orderkey) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+       count(DISTINCT round(o_totalprice, 2)),
+       CAST(min(round(o_totalprice, 2)) AS VARCHAR),
+       CAST(max(round(o_totalprice, 2)) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -3378,6 +3425,7 @@ QUERIES = {
     "priority_with_big_lines": q_priority_with_big_lines,
     "top_supplier": q_top_supplier,
     "small_qty_revenue": q_small_qty_revenue,
+    "table_profile": q_table_profile,
 }
 
 ORACLES = {
@@ -3463,4 +3511,5 @@ ORACLES = {
     "priority_with_big_lines": ORACLE_Q4,
     "top_supplier": ORACLE_Q15,
     "small_qty_revenue": ORACLE_Q17,
+    "table_profile": ORACLE_PROFILE,
 }

@@ -299,3 +299,35 @@ def test_dataset_split_rejects_bad_weights(spark):
         smp.dataset_split(df, "k", {"a": -0.1, "b": 1.1})
     with pytest.raises(ValueError):
         smp.dataset_split(df, "k", {"a": 0.0})
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+def test_profile_counts_nulls_and_distincts(spark):
+    from carto_etl_spark.operators.stats import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0), (3, None, 5.0), (4, "b", None)],
+        "id long, name string, score double",
+    )
+    out = {r.col_name: r for r in profile(df).collect()}
+    assert out["id"].n_rows == 4 and out["id"].n_nulls == 0
+    assert out["id"].n_distinct == 4
+    assert (out["id"].min_value, out["id"].max_value) == ("1", "4")
+    assert out["name"].n_nulls == 1 and out["name"].n_distinct == 2
+    assert out["score"].n_nulls == 2 and out["score"].n_distinct == 1
+    assert out["score"].min_value == "5.0"
+
+
+def test_profile_is_single_scan(spark):
+    from carto_etl_spark.operators.stats import profile
+    from carto_etl_spark.plans.inspect import explain_str
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = explain_str(profile(docs, ["doc_id", "lang", "source"]))
+    # one pass over the bytes no matter how many columns are profiled
+    # (the formatted plan mentions each node once in the tree and once in
+    # the details section)
+    assert plan.count("+- Scan parquet") == 1
