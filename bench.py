@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     "top_supplier",
     "small_qty_revenue",
     "table_profile",
+    "ship_delay_priority",
+    "disjunctive_revenue",
+    "waiting_suppliers",
 ]
 
 

@@ -3342,6 +3342,161 @@ FROM orders
 """
 
 
+def q_ship_delay_priority(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: the schema has no ``l_shipmode`` or
+    commit/receipt dates, so the grouping key is a ship-delay class derived
+    from ``l_shipdate - o_orderdate``): per delay class, how many lines
+    belong to critical-priority orders vs the rest.  The orders side
+    projects only (key, date, priority) so the scan is three columns; the
+    conditional counts are one partial-aggregable pass."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    delay_class = F.when(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.lit("LATE"),
+    ).otherwise(F.lit("ON-TIME"))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.select(
+            delay_class.alias("ship_delay_class"),
+            F.col("o_orderpriority"),
+        )
+        .groupBy("ship_delay_class")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+            THEN 'LATE' ELSE 'ON-TIME' END AS ship_delay_class,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue from three OR-ed brand/size/quantity
+    conjunctions.  The part side is pre-filtered to the UNION of the
+    brand+size envelopes (a pushable scan predicate) and broadcast; the
+    full disjunction — which ties ``l_quantity`` to the matching brand —
+    is the join condition, so no lineitem row survives that any branch
+    doesn't accept."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        (
+            (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+        )
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15))
+    ).select("p_partkey", "p_brand", "p_size")
+    cond = (li.l_partkey == p.p_partkey) & (
+        (
+            (p.p_brand == "Brand#12")
+            & p.p_size.between(1, 5)
+            & li.l_quantity.between(1, 11)
+        )
+        | (
+            (p.p_brand == "Brand#23")
+            & p.p_size.between(1, 10)
+            & li.l_quantity.between(10, 20)
+        )
+        | (
+            (p.p_brand == "Brand#3")
+            & p.p_size.between(1, 15)
+            & li.l_quantity.between(20, 30)
+        )
+    )
+    return li.join(F.broadcast(p), cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+ORACLE_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: no commit/receipt dates, so "kept the
+    order waiting" means the supplier's line shipped strictly later than
+    every OTHER supplier's line in a multi-supplier order).  The classic
+    formulation is an EXISTS plus a NOT EXISTS against the same fact table
+    (two correlated self-joins); here both decorrelate into window
+    aggregates over one ``l_orderkey`` partitioning — a single exchange of
+    the fact table, no self-join at all.  A supplier wins an order iff its
+    best line equals the order's max ship date and no other supplier
+    attains that max; per-order supplier/at-max-supplier distinct counts
+    are tiny ``collect_set`` states (bounded by lines-per-order)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_orderkey")
+    marked = li.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn("max_ship", F.max("l_shipdate").over(w))
+    marked = marked.withColumn(
+        "n_last",
+        F.size(
+            F.collect_set(
+                F.when(
+                    F.col("l_shipdate") == F.col("max_ship"), F.col("l_suppkey")
+                )
+            ).over(w)
+        ),
+    )
+    winners = marked.where(
+        (F.col("n_supp") > 1)
+        & (F.col("l_shipdate") == F.col("max_ship"))
+        & (F.col("n_last") == 1)
+    )
+    counts = winners.groupBy("l_suppkey").agg(
+        F.countDistinct("l_orderkey").alias("numwait")
+    )
+    return (
+        counts.join(F.broadcast(s), counts.l_suppkey == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+ORACLE_Q21 = """
+SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM lineitem l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate >= l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -3426,6 +3581,9 @@ QUERIES = {
     "top_supplier": q_top_supplier,
     "small_qty_revenue": q_small_qty_revenue,
     "table_profile": q_table_profile,
+    "ship_delay_priority": q_ship_delay_priority,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
 }
 
 ORACLES = {
@@ -3512,4 +3670,7 @@ ORACLES = {
     "top_supplier": ORACLE_Q15,
     "small_qty_revenue": ORACLE_Q17,
     "table_profile": ORACLE_PROFILE,
+    "ship_delay_priority": ORACLE_Q12,
+    "disjunctive_revenue": ORACLE_Q19,
+    "waiting_suppliers": ORACLE_Q21,
 }

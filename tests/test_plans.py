@@ -212,3 +212,32 @@ def test_market_share_widest_join_is_all_broadcast_dims(spark):
     # the only sort-merge-eligible joins are fact-to-fact; every dim
     # (part, supplier, nation x2, region-restricted nations) broadcasts
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_ship_delay_priority_scans_only_needed_columns(spark):
+    df = QUERIES["ship_delay_priority"](spark, SF)
+    cols = scan_columns(df)
+    # lineitem contributes key+date, orders key+date+priority; no money cols
+    assert "l_extendedprice" not in cols and "o_totalprice" not in cols
+
+
+def test_disjunctive_revenue_pushes_brand_envelope_and_broadcasts(spark):
+    df = QUERIES["disjunctive_revenue"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    # the OR-of-brands envelope is a pushable part-scan predicate
+    assert "p_brand" in pushed or "p_size" in pushed
+    assert has_broadcast_join(df)
+
+
+def test_waiting_suppliers_single_fact_exchange_no_self_join(spark):
+    from carto_etl_spark.plans.inspect import explain_str
+
+    df = QUERIES["waiting_suppliers"](spark, SF)
+    plan = explain_str(df)
+    # the classic EXISTS/NOT-EXISTS pair would self-join lineitem twice;
+    # the decorrelated form scans it once and windows over one partitioning
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scans) <= 2, scans  # lineitem + supplier only
+    assert plan.count("hashpartitioning(l_orderkey") <= 1
