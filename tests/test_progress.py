@@ -11,10 +11,10 @@ def test_progress_reporter_emits_stage_progress(spark):
     # few times rather than assuming one pass is slow enough (under heavy CPU
     # contention a single window can be missed).
     events = []
-    for _ in range(3):
+    for attempt in range(5):
         events.clear()
         with ProgressReporter(spark, events.append, interval_s=0.05):
-            spark.range(20_000_000).selectExpr(
+            spark.range(20_000_000 * (attempt + 1)).selectExpr(
                 "sum(cast(id as double) * id)"
             ).collect()
         if any(e["type"] == "progress" and "tasks" in e["msg"] for e in events):
