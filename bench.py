@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "ship_delay_priority",
     "disjunctive_revenue",
     "waiting_suppliers",
+    "chunk_documents",
 ]
 
 

@@ -334,3 +334,60 @@ def tfidf_topk(
         .where(F.col("__rn") <= k)
         .select(id_col, "term", "tf", "df", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap — the
+    context-window chunking step every pretraining/RAG pipeline runs before
+    embedding or packing.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + window)``; the chunk
+    count is ``1 + ceil((n - window)/stride)`` (one chunk when ``n <=
+    window``), so the tail never emits a window that the previous one already
+    fully covers.  Everything is array arithmetic on the whitespace
+    tokenization — ``sequence`` + ``explode`` + ``slice`` inside whole-stage
+    codegen, no UDF and no shuffle: chunking is a map-side operation whatever
+    the corpus size, and downstream repartitioning is the caller's choice.
+
+    Emits one row per chunk: id columns, ``chunk_idx``, ``chunk_text``, and
+    ``chunk_tokens`` (tail chunks may be shorter than ``window``).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    if stride > window:
+        raise ValueError("stride > window would drop tokens between chunks")
+    ids = id_cols or ["doc_id"]
+    toks = tokens_expr(text_col)
+    staged = (
+        df.withColumn("__toks", toks)
+        .withColumn("__n_tok", F.size(F.col("__toks")))
+        .where(F.col("__n_tok") > 0)
+        .withColumn(
+            "__n_chunks",
+            F.when(F.col("__n_tok") <= window, F.lit(1)).otherwise(
+                F.lit(1)
+                + F.expr(f"(__n_tok - {window} + {stride - 1}) div {stride}")
+            ),
+        )
+        .withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0), F.col("__n_chunks") - 1)),
+        )
+    )
+    piece = F.expr(f"slice(__toks, chunk_idx * {stride} + 1, {window})")
+    return staged.select(
+        *ids,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("chunk_tokens"),
+    )

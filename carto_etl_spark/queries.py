@@ -3497,6 +3497,35 @@ LIMIT 20
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (operators/text.py:chunk_documents): 64-token
+    windows with stride 48 over the whitespace tokenization — map-side only
+    (sequence/explode/slice, no shuffle, no UDF)."""
+    from carto_etl_spark.operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", ["doc_id"], window=64, stride=48)
+
+
+ORACLE_CHUNK_DOCS = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n_tok,
+         CASE WHEN len(toks) <= 64 THEN 1
+              ELSE 1 + (len(toks) - 64 + 47) // 48 END AS n_chunks
+  FROM base WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text,
+       len(toks[i*48+1 : i*48+64]) AS chunk_tokens
+FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -3584,6 +3613,7 @@ QUERIES = {
     "ship_delay_priority": q_ship_delay_priority,
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_suppliers": q_waiting_suppliers,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLES = {
@@ -3673,4 +3703,5 @@ ORACLES = {
     "ship_delay_priority": ORACLE_Q12,
     "disjunctive_revenue": ORACLE_Q19,
     "waiting_suppliers": ORACLE_Q21,
+    "chunk_documents": ORACLE_CHUNK_DOCS,
 }

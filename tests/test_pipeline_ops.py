@@ -331,3 +331,60 @@ def test_profile_is_single_scan(spark):
     # (the formatted plan mentions each node once in the tree and once in
     # the details section)
     assert plan.count("+- Scan parquet") == 1
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking
+# ---------------------------------------------------------------------------
+
+def _chunk_rows(spark, texts, **kw):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    return tx.chunk_documents(df, "text", ["doc_id"], **kw).collect()
+
+
+def test_chunk_short_doc_is_one_chunk(spark):
+    rows = _chunk_rows(spark, ["a b c"], window=4, stride=2)
+    assert len(rows) == 1
+    assert rows[0]["chunk_idx"] == 0
+    assert rows[0]["chunk_text"] == "a b c"
+    assert rows[0]["chunk_tokens"] == 3
+
+
+def test_chunk_exact_window_boundary(spark):
+    # n == window -> exactly one chunk, no redundant tail
+    rows = _chunk_rows(spark, ["a b c d"], window=4, stride=2)
+    assert len(rows) == 1
+
+
+def test_chunk_overlap_and_tail_coverage(spark):
+    toks = [f"t{i}" for i in range(10)]
+    rows = _chunk_rows(spark, [" ".join(toks)], window=4, stride=3)
+    # starts 0,3,6 cover t0..t9; 1 + ceil((10-4)/3) = 3 chunks
+    assert [r["chunk_idx"] for r in sorted(rows, key=lambda r: r["chunk_idx"])] == [0, 1, 2]
+    chunks = {r["chunk_idx"]: r["chunk_text"].split() for r in rows}
+    assert chunks[0] == ["t0", "t1", "t2", "t3"]
+    assert chunks[1] == ["t3", "t4", "t5", "t6"]
+    assert chunks[2] == ["t6", "t7", "t8", "t9"]
+    # every token appears in some chunk
+    assert set(toks) == {t for c in chunks.values() for t in c}
+
+
+def test_chunk_blank_docs_dropped_and_whitespace_collapsed(spark):
+    rows = _chunk_rows(spark, ["", "   ", "a  \t b"], window=4, stride=2)
+    assert len(rows) == 1 and rows[0]["chunk_text"] == "a b"
+
+
+def test_chunk_rejects_gapping_stride(spark):
+    df = None
+    with pytest.raises(ValueError):
+        tx.chunk_documents(df, "text", window=4, stride=5)
+
+
+def test_chunk_is_map_side_only(spark):
+    from carto_etl_spark.plans.inspect import explain_str
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    plan = explain_str(tx.chunk_documents(df, "text", ["doc_id"]))
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
