@@ -3526,6 +3526,88 @@ FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
 """
 
 
+def q_data_quality(spark, sf_dir):
+    """Data-quality constraint suite (operators/checks.py): seven
+    expectations over orders — key not-null + uniqueness, price range,
+    status domain, priority shape, order-date epoch, and o_custkey
+    referential integrity against customer.  All six scalar constraints
+    share ONE aggregate over ONE scan; the FK check broadcasts the distinct
+    customer-key domain."""
+    from carto_etl_spark.operators import checks as ck
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    rep = ck.run_checks(
+        o,
+        [
+            ck.not_null("o_orderkey"),
+            ck.unique("o_orderkey"),
+            ck.in_range("o_totalprice", lo=0.0),
+            ck.in_set("o_orderstatus", ["O", "F", "P"]),
+            ck.matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+            ck.satisfies(
+                "orderdate_in_epoch",
+                "o_orderdate >= TIMESTAMP'1992-01-01' "
+                "AND o_orderdate < TIMESTAMP'2002-01-01'",
+            ),
+            ck.foreign_key("o_custkey", "customer", "c_custkey"),
+        ],
+        refs={"customer": c},
+    )
+    return rep.orderBy("check")
+
+
+ORACLE_DATA_QUALITY = """
+WITH n AS (SELECT count(*) AS n_rows FROM orders),
+rep AS (
+  SELECT 'not_null(o_orderkey)' AS "check", 'o_orderkey' AS target, n_rows,
+         CAST((SELECT count(*) - count(o_orderkey) FROM orders) AS BIGINT)
+           AS violations
+  FROM n
+  UNION ALL
+  SELECT 'unique(o_orderkey)', 'o_orderkey', n_rows,
+         CAST((SELECT count(o_orderkey) - count(DISTINCT o_orderkey)
+               FROM orders) AS BIGINT)
+  FROM n
+  UNION ALL
+  SELECT 'in_range(o_totalprice)', 'o_totalprice', n_rows,
+         CAST((SELECT count(*) FROM orders
+               WHERE o_totalprice IS NOT NULL AND o_totalprice < 0) AS BIGINT)
+  FROM n
+  UNION ALL
+  SELECT 'in_set(o_orderstatus)', 'o_orderstatus', n_rows,
+         CAST((SELECT count(*) FROM orders
+               WHERE o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+  FROM n
+  UNION ALL
+  SELECT 'matches(o_orderpriority)', 'o_orderpriority', n_rows,
+         CAST((SELECT count(*) FROM orders
+               WHERE o_orderpriority IS NOT NULL
+                 AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$'))
+              AS BIGINT)
+  FROM n
+  UNION ALL
+  SELECT 'orderdate_in_epoch', 'orderdate_in_epoch', n_rows,
+         CAST((SELECT count(*) FROM orders
+               WHERE NOT coalesce(o_orderdate >= TIMESTAMP '1992-01-01'
+                                  AND o_orderdate < TIMESTAMP '2002-01-01',
+                                  FALSE)) AS BIGINT)
+  FROM n
+  UNION ALL
+  SELECT 'foreign_key(o_custkey->customer.c_custkey)', 'o_custkey', n_rows,
+         CAST((SELECT count(*) FROM orders o
+               WHERE o.o_custkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+  FROM n
+)
+SELECT "check", target, n_rows, violations, violations = 0 AS passed
+FROM rep
+ORDER BY "check"
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -3614,6 +3696,7 @@ QUERIES = {
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_suppliers": q_waiting_suppliers,
     "chunk_documents": q_chunk_documents,
+    "data_quality": q_data_quality,
 }
 
 ORACLES = {
@@ -3704,4 +3787,5 @@ ORACLES = {
     "disjunctive_revenue": ORACLE_Q19,
     "waiting_suppliers": ORACLE_Q21,
     "chunk_documents": ORACLE_CHUNK_DOCS,
+    "data_quality": ORACLE_DATA_QUALITY,
 }
