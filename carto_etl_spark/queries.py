@@ -3608,6 +3608,67 @@ ORDER BY "check"
 """
 
 
+def q_resample_fill(spark, sf_dir):
+    """Time-series resampling (operators/timeseries.py): hourly buckets per
+    50-way user cohort, densified to every hour between each cohort's first
+    and last event, gap rows flagged and forward-filled.  The raw stream is
+    scanned once; densify/fill run over the keys x buckets aggregate."""
+    from carto_etl_spark.operators.timeseries import resample_filled
+
+    e = load(spark, sf_dir, "events")
+    e = e.withColumn("cohort", (F.col("user_id") % 50).cast("long"))
+    out = resample_filled(
+        e,
+        "ts",
+        3600,
+        ["cohort"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum("value"), 2),
+        },
+        fill_cols=["sum_value"],
+    )
+    return out.select(
+        "cohort",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "sum_value",
+        "filled",
+    )
+
+
+ORACLE_RESAMPLE = """
+WITH b AS (
+  SELECT user_id % 50 AS cohort,
+         cast(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
+         count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT cohort, min(bucket_s) AS mn, max(bucket_s) AS mx FROM b GROUP BY 1
+), grid AS (
+  SELECT cohort, unnest(generate_series(mn, mx, 3600)) AS bucket_s FROM bounds
+), j AS (
+  SELECT g.cohort, g.bucket_s, b.n_events, b.sum_value
+  FROM grid g LEFT JOIN b ON b.cohort = g.cohort AND b.bucket_s = g.bucket_s
+)
+SELECT cohort,
+       strftime(to_timestamp(bucket_s), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       -- carrier semantics, exactly: a gap cell takes the most recent
+       -- OCCUPIED bucket's value (even if that value is NULL); an occupied
+       -- bucket always keeps its own.  The struct wrapper is non-NULL on
+       -- every occupied row, so IGNORE NULLS lands on the carrier itself
+       -- rather than reaching back past a NULL aggregate.
+       (last_value(CASE WHEN n_events IS NOT NULL
+                        THEN struct_pack(s := sum_value) END IGNORE NULLS)
+          OVER (PARTITION BY cohort ORDER BY bucket_s
+                ROWS UNBOUNDED PRECEDING)).s AS sum_value,
+       n_events IS NULL AS filled
+FROM j
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -3697,6 +3758,7 @@ QUERIES = {
     "waiting_suppliers": q_waiting_suppliers,
     "chunk_documents": q_chunk_documents,
     "data_quality": q_data_quality,
+    "resample_fill": q_resample_fill,
 }
 
 ORACLES = {
@@ -3788,4 +3850,5 @@ ORACLES = {
     "waiting_suppliers": ORACLE_Q21,
     "chunk_documents": ORACLE_CHUNK_DOCS,
     "data_quality": ORACLE_DATA_QUALITY,
+    "resample_fill": ORACLE_RESAMPLE,
 }
