@@ -262,3 +262,113 @@ def pack_stats(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(_col(tokens)).cast("long").alias("total_tokens"),
     )
+
+
+def with_running_weight(
+    df: DataFrame,
+    weight: Column | str,
+    order: Column | str,
+    cum_col: str = "cum_weight",
+) -> tuple[DataFrame, int]:
+    """Exclusive global prefix sum of ``weight`` in ``order`` order, without
+    a single-reducer sort: range-partition on the order key, per-partition
+    subtotals (one tiny job, one row per partition) become driver-side
+    offsets broadcast back, and each partition windows only its own rows —
+    the zipWithIndex design ``sources/csv.py:with_row_index`` established,
+    generalized from counts to sums.  Returns (df + cum_col, total_weight).
+
+    ``order`` must be globally unique for the prefix sum to be well-defined
+    (ties make "the rows before me" ambiguous across engines)."""
+    ranged = df.repartitionByRange(_col(order)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    sums = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(_col(weight)).cast("long").alias("__s"))
+        .orderBy("__pid")
+        .collect()
+    )
+    offsets, running = [], 0
+    for r in sums:
+        offsets.append((r["__pid"], running))
+        running += r["__s"] or 0
+    spark = df.sparkSession
+    odf = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    local = (
+        Window.partitionBy("__pid")
+        .orderBy(_col(order))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        ranged.join(F.broadcast(odf), "__pid")
+        .withColumn(
+            cum_col,
+            F.col("__off")
+            + F.coalesce(F.sum(_col(weight)).over(local), F.lit(0)),
+        )
+        .drop("__pid", "__off")
+    )
+    return out, running
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    weight: Column | str,
+    k: int,
+    order: Column | str,
+    picks_col: str = "n_picks",
+) -> DataFrame:
+    """Exact, deterministic weighted sampling of ``k`` picks: systematic
+    (grid) selection over the cumulative weight axis.  Thresholds sit at
+    t_j = (2j+1)·W / 2k for j = 0..k-1; a row is picked once per threshold
+    falling inside its weight interval [C, C+w), so a heavy row can be
+    picked multiple times (``picks_col`` carries the multiplicity — the
+    standard PPS-systematic estimator's behavior).  All comparisons are
+    integer arithmetic: reproducible bit-for-bit on any engine, no floats,
+    no RNG.  Rows with NULL or non-positive weight are excluded.
+
+    Weights must be integers (pre-scale fractional weights).  Guard:
+    2·k·W must fit in int64 — at extreme scale pre-scale weights down
+    (the sampling distribution only depends on weight ratios)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = _col(weight)
+    pos = df.where(w.isNotNull() & (w > 0))
+    cum, total = with_running_weight(pos, weight, order, "__cum")
+    if total == 0:
+        return cum.drop("__cum").withColumn(
+            picks_col, F.lit(0).cast("long")
+        ).where(F.lit(False))
+    if 2 * k * (total + 1) > 2**63 - 1:
+        raise ValueError(
+            f"2*k*W = {2 * k * total} overflows int64; pre-scale weights "
+            "(only ratios matter) or lower k"
+        )
+    two_kc = 2 * k * F.col("__cum")
+    two_kcw = 2 * k * (F.col("__cum") + w.cast("long"))
+    big_w = F.lit(total).cast("long")
+
+    def _ceil_div(num: Column, den: Column) -> Column:
+        # exact positive-ceiling division: long/long would promote to double
+        # (2^53 exactness cliff), so divide as decimal(38,0) and floor
+        q = (num + den - 1).cast("decimal(38,0)") / den.cast("decimal(38,0)")
+        return F.floor(q).cast("long")
+
+    # smallest j with (2j+1)W >= 2kC, clamped at 0: ceil((2kC - W) / 2W);
+    # the numerator is kept non-negative so ceil-by-offset is exact
+    num_lo = two_kc - big_w
+    j_min = F.when(num_lo <= 0, F.lit(0).cast("long")).otherwise(
+        _ceil_div(num_lo, 2 * big_w)
+    )
+    # largest j with (2j+1)W < 2k(C+w): ceil((2k(C+w) - W) / 2W) - 1
+    num_hi = two_kcw - big_w
+    j_max = F.when(num_hi <= 0, F.lit(-1).cast("long")).otherwise(
+        _ceil_div(num_hi, 2 * big_w) - 1
+    )
+    j_max = F.least(j_max, F.lit(k - 1).cast("long"))
+    picks = F.greatest(j_max - j_min + 1, F.lit(0).cast("long"))
+    return (
+        cum.withColumn(picks_col, picks)
+        .where(F.col(picks_col) > 0)
+        .drop("__cum")
+    )

@@ -3669,6 +3669,54 @@ FROM j
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (operators/sampling.py:
+    weighted_systematic_sample): 500 PPS-systematic picks over documents
+    weighted by whitespace token count.  Thresholds are integer grid points
+    on the cumulative-weight axis — every selection decision is integer
+    arithmetic over a distributed prefix sum, bit-reproducible on any
+    engine, no RNG."""
+    from carto_etl_spark.operators.text import token_count_expr
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr(F.col("text")).cast("long").alias("wt")
+    )
+    out = smp.weighted_systematic_sample(docs, "wt", 500, "doc_id")
+    return out.select("doc_id", "wt", "n_picks")
+
+
+ORACLE_WEIGHTED_SAMPLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x != '')) AS BIGINT) AS wt
+  FROM documents
+), p AS (
+  SELECT doc_id, wt FROM w WHERE wt > 0
+), c AS (
+  SELECT doc_id, wt,
+         CAST(coalesce(sum(wt) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum
+  FROM p
+), t AS (
+  SELECT CAST(sum(wt) AS BIGINT) AS tw FROM p
+)
+SELECT doc_id, wt, n_picks FROM (
+  SELECT doc_id, wt,
+         CAST(greatest(
+           least(CASE WHEN 1000 * (cum + wt) - tw <= 0 THEN -1
+                      ELSE (1000 * (cum + wt) - tw + 2 * tw - 1) // (2 * tw) - 1
+                 END, 499)
+           - CASE WHEN 1000 * cum - tw <= 0 THEN 0
+                  ELSE (1000 * cum - tw + 2 * tw - 1) // (2 * tw)
+             END + 1, 0) AS BIGINT) AS n_picks
+  FROM c, t
+)
+WHERE n_picks > 0
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -3759,6 +3807,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "data_quality": q_data_quality,
     "resample_fill": q_resample_fill,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLES = {
@@ -3851,4 +3900,5 @@ ORACLES = {
     "chunk_documents": ORACLE_CHUNK_DOCS,
     "data_quality": ORACLE_DATA_QUALITY,
     "resample_fill": ORACLE_RESAMPLE,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
 }

@@ -388,3 +388,73 @@ def test_chunk_is_map_side_only(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
     plan = explain_str(tx.chunk_documents(df, "text", ["doc_id"]))
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Weighted systematic sampling (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+def test_running_weight_matches_serial_prefix_sum(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w")
+    )
+    out, total = smp.with_running_weight(df.repartition(8), "w", "k")
+    rows = sorted((r["k"], r["cum_weight"]) for r in out.collect())
+    expect, run = [], 0
+    for k in range(1000):
+        expect.append((k, run))
+        run += k % 7 + 1
+    assert rows == expect and total == run
+
+
+def test_weighted_sample_pick_count_is_exact(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 13 + 1).alias("w")
+    )
+    for k in (1, 7, 100, 499):
+        out = smp.weighted_systematic_sample(df, "w", k, "k")
+        assert out.agg(F.sum("n_picks")).collect()[0][0] == k
+
+
+def test_weighted_sample_heavy_row_multiplicity(spark):
+    # one row carries ~all the weight -> it takes nearly every threshold
+    df = spark.createDataFrame([(1, 1), (2, 10_000), (3, 1)], "k long, w long")
+    out = {r["k"]: r["n_picks"] for r in
+           smp.weighted_systematic_sample(df, "w", 10, "k").collect()}
+    assert out.get(2, 0) >= 9
+    assert sum(out.values()) == 10
+
+
+def test_weighted_sample_partition_invariant_and_deterministic(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 31 + 1).alias("w")
+    )
+    a = sorted((r["k"], r["n_picks"]) for r in
+               smp.weighted_systematic_sample(df, "w", 50, "k").collect())
+    b = sorted((r["k"], r["n_picks"]) for r in
+               smp.weighted_systematic_sample(df.repartition(17), "w", 50, "k").collect())
+    assert a == b and len(a) > 0
+
+
+def test_weighted_sample_excludes_nonpositive_and_validates(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, None), (5, 5)], "k long, w long"
+    )
+    out = smp.weighted_systematic_sample(df, "w", 4, "k")
+    ks = {r["k"] for r in out.collect()}
+    assert ks <= {1, 5} and sum(r["n_picks"] for r in out.collect()) == 4
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        smp.weighted_systematic_sample(df, "w", 0, "k")
+
+
+def test_weighted_sample_proportionality(spark):
+    # k large relative to n: picks approximate weight share within +-1
+    df = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 600)], "k long, w long"
+    )
+    out = {r["k"]: r["n_picks"] for r in
+           smp.weighted_systematic_sample(df, "w", 100, "k").collect()}
+    assert abs(out.get(1, 0) - 10) <= 1
+    assert abs(out.get(2, 0) - 30) <= 1
+    assert abs(out.get(3, 0) - 60) <= 1
