@@ -491,6 +491,73 @@ class TransactionalTable:
             f"gave up after {self.max_commit_retries} upsert attempts"
         )
 
+    def diff(self, from_version: int,
+             to_version: int | None = None) -> DataFrame:
+        """Row-level change feed between two snapshots: every row present in
+        ``to_version`` but not ``from_version`` tagged ``_change='insert'``,
+        every row present in ``from_version`` but not ``to_version`` tagged
+        ``_change='delete'`` (an update surfaces as a delete+insert pair —
+        the schema-agnostic CDF shape; join the two sides on a key to fold
+        them into updates).  Bag semantics: duplicate rows diff by
+        multiplicity.
+
+        Scale contract: manifests are compared FILE-level first — a file
+        carried unchanged between the snapshots is never opened, so the cost
+        is proportional to the churned files (what the commits touched), not
+        the table.  Rewritten-but-unchanged rows inside churned files cancel
+        in the exceptAll, whose shuffle is likewise bounded by churn.  Both
+        sides read under the newer manifest's schema (evolution is additive,
+        so older files null-fill — a row whose only change is a null-filled
+        added column does NOT spuriously appear)."""
+        tv = self.version() if to_version is None else to_version
+        if tv == 0 and from_version == 0:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        from_files = set(self.snapshot_files(from_version))
+        to_files = set(self.snapshot_files(tv))
+        added = sorted(to_files - from_files)
+        removed = sorted(from_files - to_files)
+
+        schema_json = None
+        if tv > 0:
+            schema_json = self._read_manifest(tv).get("schema")
+        elif from_version > 0:
+            schema_json = self._read_manifest(from_version).get("schema")
+        reader = self.spark.read
+        pinned = None
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            pinned = StructType.fromJson(json.loads(schema_json))
+            reader = reader.schema(pinned)
+
+        from pyspark.sql import functions as F
+
+        if not added and not removed:
+            # identical file sets (e.g. diff(v, v)): an empty feed, typed
+            base = self.read(tv if tv > 0 else from_version)
+            return base.where(F.lit(False)).withColumn(
+                "_change", F.lit("insert")
+            )
+
+        def _side(files: list[str]) -> DataFrame:
+            if files:
+                return reader.parquet(*files)
+            if pinned is not None:
+                return self.spark.createDataFrame([], pinned)
+            # no pre-schema manifests and an empty side: mirror the other
+            # side's schema through an always-false filter
+            other = added or removed
+            return reader.parquet(*other).where(F.lit(False))
+
+        new_side, old_side = _side(added), _side(removed)
+        inserted = new_side.exceptAll(old_side).withColumn(
+            "_change", F.lit("insert")
+        )
+        deleted = old_side.exceptAll(new_side).withColumn(
+            "_change", F.lit("delete")
+        )
+        return inserted.unionByName(deleted)
+
     # -- maintenance ---------------------------------------------------------
 
     def compact(self, num_files: int | None = None,

@@ -3717,6 +3717,70 @@ WHERE n_picks > 0
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff / change feed (operators/transactional.py:diff): build
+    a transactional customer table, apply an upsert (renames on
+    c_custkey%11, one synthetic insert) and a range delete, then diff the
+    initial snapshot against the final one.  Carried files are never opened
+    — the feed reads only churned files; updates surface as
+    delete+insert pairs.  The oracle recomputes the change feed as
+    EXCEPT-ALL both ways between the declaratively-derived states."""
+    import shutil
+    import tempfile
+
+    from carto_etl_spark.operators.transactional import TransactionalTable
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    workdir = tempfile.mkdtemp(prefix="snap-diff-")
+    try:
+        t = TransactionalTable(
+            spark, f"{workdir}/t", stats_columns=["c_custkey"]
+        )
+        t.append(c)
+        v1 = t.version()
+        updates = c.filter(F.col("c_custkey") % 11 == 0).select(
+            "c_custkey",
+            F.concat(F.lit("CHG_"), F.col("c_name")).alias("c_name"),
+            F.round(F.col("c_acctbal") - 250.0, 2).alias("c_acctbal"),
+        ).unionByName(
+            spark.sql(
+                "SELECT CAST(8000001 AS BIGINT) c_custkey, "
+                "'BRANDNEW' c_name, CAST(9.87 AS DOUBLE) c_acctbal"
+            )
+        )
+        t.upsert(updates, key="c_custkey")
+        t.delete_where("c_custkey", lo=300, hi=449)
+        out = t.diff(v1)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH base AS (
+  SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal FROM customer
+), merged AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 11 = 0 THEN 'CHG_' || c_name ELSE c_name END
+             AS c_name,
+         CASE WHEN c_custkey % 11 = 0 THEN round(round(c_acctbal, 2) - 250.0, 2)
+              ELSE round(c_acctbal, 2) END AS c_acctbal
+  FROM base
+  UNION ALL
+  SELECT 8000001, 'BRANDNEW', 9.87
+), final AS (
+  SELECT * FROM merged WHERE c_custkey < 300 OR c_custkey > 449
+)
+SELECT c_custkey, c_name, c_acctbal, 'insert' AS _change
+FROM (SELECT * FROM final EXCEPT ALL SELECT * FROM base)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, 'delete' AS _change
+FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM final)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -3808,6 +3872,7 @@ QUERIES = {
     "data_quality": q_data_quality,
     "resample_fill": q_resample_fill,
     "weighted_sample": q_weighted_sample,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLES = {
@@ -3901,4 +3966,5 @@ ORACLES = {
     "data_quality": ORACLE_DATA_QUALITY,
     "resample_fill": ORACLE_RESAMPLE,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
 }

@@ -371,3 +371,89 @@ def test_upsert_evolves_schema(spark, tmp_path):
     rows = {r.id: r for r in t.read().collect()}
     assert rows[2].score == 7.5
     assert rows[1].score is None  # survivor from pre-evolution file
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff / change feed
+# ---------------------------------------------------------------------------
+
+def test_diff_surfaces_inserts_deletes_and_update_pairs(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from carto_etl_spark.operators.transactional import TransactionalTable
+
+    t = TransactionalTable(spark, tmp_path / "cdf", stats_columns=["id"])
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "name"]).coalesce(1))
+    v1 = t.version()
+    t.upsert(spark.createDataFrame([(2, "B"), (4, "d")], ["id", "name"])
+             .coalesce(1), key="id")
+    t.delete_where("id", lo=3, hi=3)
+    out = {(r["id"], r["name"], r["_change"])
+           for r in t.diff(v1).collect()}
+    assert out == {
+        (2, "B", "insert"), (4, "d", "insert"),   # update half + pure insert
+        (2, "b", "delete"), (3, "c", "delete"),   # update half + pure delete
+    }
+
+
+def test_diff_skips_carried_files_entirely(spark, tmp_path):
+    from carto_etl_spark.operators.transactional import TransactionalTable
+    from carto_etl_spark.plans.inspect import explain_str
+
+    t = TransactionalTable(spark, tmp_path / "cdf2", stats_columns=["id"])
+    t.append(spark.createDataFrame([(i, "keep") for i in range(100)],
+                                   ["id", "name"]).coalesce(1))
+    v1 = t.version()
+    t.append(spark.createDataFrame([(100, "new")], ["id", "name"]).coalesce(1))
+    d = t.diff(v1)
+    # the carried v1 file must not appear in either scan
+    carried = t.snapshot_files(v1)[0]
+    assert carried not in explain_str(d)
+    assert {(r["id"], r["_change"]) for r in d.collect()} == {(100, "insert")}
+
+
+def test_diff_same_version_is_empty_and_typed(spark, tmp_path):
+    from carto_etl_spark.operators.transactional import TransactionalTable
+
+    t = TransactionalTable(spark, tmp_path / "cdf3")
+    t.append(spark.createDataFrame([(1, "a")], ["id", "name"]).coalesce(1))
+    d = t.diff(t.version(), t.version())
+    assert d.columns == ["id", "name", "_change"]
+    assert d.count() == 0
+
+
+def test_diff_from_empty_table_is_all_inserts(spark, tmp_path):
+    from carto_etl_spark.operators.transactional import TransactionalTable
+
+    t = TransactionalTable(spark, tmp_path / "cdf4")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+             .coalesce(1))
+    out = {(r["id"], r["_change"]) for r in t.diff(0).collect()}
+    assert out == {(1, "insert"), (2, "insert")}
+
+
+def test_diff_null_filled_evolved_column_not_spurious(spark, tmp_path):
+    from carto_etl_spark.operators.transactional import TransactionalTable
+
+    t = TransactionalTable(spark, tmp_path / "cdf5")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+             .coalesce(1))
+    v1 = t.version()
+    # additive evolution: new file carries `score`, old file null-fills it.
+    # rows 1/2 live in a CARRIED file -> must not surface in the diff
+    t.append(spark.createDataFrame([(3, "c", 9.5)], ["id", "name", "score"])
+             .coalesce(1))
+    out = {(r["id"], r["score"], r["_change"]) for r in t.diff(v1).collect()}
+    assert out == {(3, 9.5, "insert")}
+
+
+def test_diff_bag_semantics_multiplicity(spark, tmp_path):
+    from carto_etl_spark.operators.transactional import TransactionalTable
+
+    t = TransactionalTable(spark, tmp_path / "cdf6")
+    t.append(spark.createDataFrame([(1, "x"), (1, "x")], ["id", "name"])
+             .coalesce(1))
+    v1 = t.version()
+    t.overwrite(spark.createDataFrame([(1, "x")], ["id", "name"]).coalesce(1))
+    out = [(r["id"], r["_change"]) for r in t.diff(v1).collect()]
+    assert out == [(1, "delete")]  # one copy removed, one survives
