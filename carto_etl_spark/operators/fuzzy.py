@@ -1,0 +1,129 @@
+"""Fuzzy (edit-distance) matching without the cross product: SymSpell-style
+deletion-neighborhood blocking.  Two strings within Levenshtein distance d
+always share a variant obtained by deleting at most d characters from each
+(Garbe's symmetric-delete property), so candidate generation is an equi-join
+on deletion variants and the exact ``levenshtein`` filter only runs on
+candidates — never on the n² pair space.
+
+Not in the reference (its scope ends at SQL-text DML,
+/root/reference/etl/etl.py); a north-star dedup/matching operator — the
+entity-resolution sibling of the MinHash/SimHash document dedup family
+(operators/dedup.py).
+
+Plan shape / scale posture:
+- variant generation is map-side array arithmetic (``sequence`` +
+  ``transform`` + ``substring`` — pure JVM, no Python);
+  |variants| ≤ 1 + L for d=1 and O(L²) for d=2 per string of length L.
+- the only shuffles are the variant equi-join and the final pair distinct;
+  both are proportional to variant/candidate counts, not n².
+- ``levenshtein`` is a JVM built-in on both engines, so the whole operator
+  (blocking + verification) is reproducible in the DuckDB oracle.
+- skew note: a variant shared by B strings yields B² candidate pairs in
+  that bucket.  That is inherent to the data (those strings genuinely are
+  mutually close); for corpora with giant near-duplicate cliques, dedupe
+  exact duplicates first (operators/dedup.py:exact_dedup) so cliques
+  collapse before blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _delete_variants_expr(col_name: str) -> str:
+    """SQL expr: array of all single-character-deletion variants."""
+    c = col_name
+    return (
+        f"transform(sequence(1, length({c})), i -> "
+        f"concat(substring({c}, 1, i-1), substring({c}, i+1, length({c}))))"
+    )
+
+
+def deletion_neighborhood(
+    df: DataFrame, text: str, max_dist: int = 1, out: str = "variant"
+) -> DataFrame:
+    """Explode each row into its deletion neighborhood: the string itself
+    plus every string reachable by deleting up to ``max_dist`` characters
+    (distinct).  All other columns are carried through."""
+    if max_dist not in (1, 2):
+        raise ValueError(
+            f"max_dist must be 1 or 2 (deletion variants grow O(L^d)); "
+            f"got {max_dist}"
+        )
+    d1 = df.withColumn("__v1", F.expr(_delete_variants_expr(text)))
+    if max_dist == 1:
+        variants = F.array_distinct(
+            F.concat(F.array(F.col(text)), F.col("__v1"))
+        )
+    else:
+        d2 = F.expr(
+            "flatten(transform(__v1, v -> transform(sequence(1, length(v)), "
+            "j -> concat(substring(v, 1, j-1), substring(v, j+1, length(v))))))"
+        )
+        variants = F.array_distinct(
+            F.concat(F.array(F.col(text)), F.col("__v1"), d2)
+        )
+    return (
+        d1.withColumn(out, F.explode(variants))
+        .drop("__v1")
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All id pairs (id_a < id_b) whose strings are within Levenshtein
+    distance ``max_dist``, with the exact distance.  Exact result — the
+    deletion-neighborhood block is a complete candidate cover, and every
+    candidate is verified with ``levenshtein``.
+
+    Output: (id_a, text_a, id_b, text_b, dist)."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(text).alias("__t"))
+    nbh = deletion_neighborhood(base, "__t", max_dist)
+    left = nbh.select(
+        F.col("__id").alias("id_a"),
+        F.col("__t").alias("text_a"),
+        "variant",
+    )
+    right = nbh.select(
+        F.col("__id").alias("id_b"),
+        F.col("__t").alias("text_b"),
+        "variant",
+    )
+    cands = (
+        left.join(right, "variant")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "text_a", "id_b", "text_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .where(F.col("dist") <= max_dist)
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Join two tables on Levenshtein distance ≤ ``max_dist`` (exact, via
+    the same deletion-neighborhood block).  Every column of both inputs is
+    carried; a ``dist`` column is appended."""
+    ln = deletion_neighborhood(left, left_text, max_dist, out="__var")
+    rn = deletion_neighborhood(right, right_text, max_dist, out="__var")
+    cands = (
+        ln.join(rn, "__var")
+        .drop("__var")
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein(left_text, right_text))
+        .where(F.col("dist") <= max_dist)
+    )

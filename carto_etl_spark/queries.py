@@ -3781,6 +3781,28 @@ FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM final)
 """
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """SymSpell fuzzy matching (operators/fuzzy.py): all customer-name pairs
+    within Levenshtein distance 1, found by deletion-neighborhood blocking
+    (equi-join on delete-variants, exact levenshtein verify on candidates —
+    never n² pairs).  The oracle is the INDEPENDENT brute force: DuckDB
+    evaluates levenshtein over every id-ordered pair, so blocking
+    completeness itself is what's being checked."""
+    from carto_etl_spark.operators.fuzzy import fuzzy_pairs
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_pairs(c, "c_custkey", "c_name", max_dist=1)
+
+
+ORACLE_FUZZY = """
+SELECT a.c_custkey AS id_a, a.c_name AS text_a,
+       b.c_custkey AS id_b, b.c_name AS text_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -3873,6 +3895,7 @@ QUERIES = {
     "resample_fill": q_resample_fill,
     "weighted_sample": q_weighted_sample,
     "snapshot_diff": q_snapshot_diff,
+    "fuzzy_pairs": q_fuzzy_pairs,
 }
 
 ORACLES = {
@@ -3967,4 +3990,5 @@ ORACLES = {
     "resample_fill": ORACLE_RESAMPLE,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "fuzzy_pairs": ORACLE_FUZZY,
 }
