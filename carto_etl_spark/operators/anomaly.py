@@ -1,0 +1,100 @@
+"""Robust per-key outlier detection: lower-median / MAD (median absolute
+deviation) scoring — the classic robust alternative to z-scores, immune to
+the outliers it is hunting (mean/std get dragged by the very anomalies they
+should flag).
+
+Not in the reference (its scope ends at SQL-text DML,
+/root/reference/etl/etl.py); a north-star analytics operator that composes
+with operators/timeseries.py (resample a stream, then flag anomalous
+buckets).
+
+Determinism / verifiability design: both statistics are LOWER medians —
+exact rank selection (the sorted multiset's element at rank ⌈n/2⌉), never an
+interpolated average of two middle values.  Rank selection is pure integer
+arithmetic over a sort, and the score is a single subtract/divide — so every
+number this operator emits is bit-identical on any IEEE-754 engine, with no
+accumulation-order noise (there are NO sums anywhere).
+
+Plan shape / scale posture:
+- per-key medians use a rank window (row_number + count over the key
+  partition), then the tiny (one row per key) stats table joins back —
+  broadcast when small, hash on the same key partitioning otherwise.  No
+  collect_list: no per-key array ever materializes, so a hot key with 10^9
+  rows sorts distributed instead of OOMing an executor.
+- the MAD pass repeats the same trick on |x - median|; partitioning by the
+  same key is reused.
+- z-score variant included for completeness (mean/std are one aggregate),
+  but MAD is the oracle-checked path — sums carry accumulation-order FP
+  noise, medians don't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _lower_median(df: DataFrame, keys: list[str], value: str,
+                  out: str) -> DataFrame:
+    """One row per key: the lower median of ``value`` (exact rank
+    selection: sorted element at rank ceil(n/2); n odd -> the true median,
+    n even -> the lower of the two middle values).  NULL values excluded."""
+    nn = df.where(F.col(value).isNotNull())
+    w = Window.partitionBy(*keys).orderBy(F.col(value))
+    ranked = nn.select(
+        *keys,
+        F.col(value),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("__n"),
+    )
+    return ranked.where(
+        F.col("__rn") == F.ceil(F.col("__n") / 2)
+    ).select(*keys, F.col(value).alias(out))
+
+
+def with_mad_scores(
+    df: DataFrame, keys: list[str], value: str,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Append per-key robust statistics and score: ``med`` (lower median),
+    ``mad`` (lower median of |x - med|), and ``score`` = |x - med| / mad
+    (NULL when mad = 0 — a constant key has no scale to score against).
+    Rows with NULL value get NULL score.  ``broadcast_stats=False`` switches
+    the stats joins to hash joins for key domains too large to broadcast
+    (they reuse the key partitioning either way)."""
+    bc = F.broadcast if broadcast_stats else (lambda d: d)
+    med = _lower_median(df, keys, value, "med")
+    scored = df.join(bc(med), keys, "left")
+    dev = scored.withColumn("__dev", F.abs(F.col(value) - F.col("med")))
+    mad = _lower_median(dev, keys, "__dev", "mad")
+    out = dev.join(bc(mad), keys, "left")
+    return out.withColumn(
+        "score",
+        F.when(F.col("mad") > 0, F.col("__dev") / F.col("mad")),
+    ).drop("__dev")
+
+
+def mad_outliers(
+    df: DataFrame, keys: list[str], value: str, threshold: float = 3.5,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Rows whose robust score exceeds ``threshold`` (3.5 is the classic
+    Iglewicz–Hoaglin cutoff for the equivalent modified-z formulation),
+    with med/mad/score attached."""
+    return with_mad_scores(df, keys, value, broadcast_stats).where(
+        F.col("score") > threshold
+    )
+
+
+def with_zscores(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """Classic per-key z-scores (mean/population-std, one aggregate +
+    broadcast join back).  Sums carry accumulation-order FP noise — use
+    ``with_mad_scores`` when bit-reproducibility matters."""
+    stats = df.groupBy(*keys).agg(
+        F.avg(value).alias("mean"),
+        F.stddev_pop(value).alias("std"),
+    )
+    return df.join(F.broadcast(stats), keys, "left").withColumn(
+        "zscore",
+        F.when(F.col("std") > 0, (F.col(value) - F.col("mean")) / F.col("std")),
+    )

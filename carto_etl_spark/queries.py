@@ -3803,6 +3803,50 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust anomaly detection (operators/anomaly.py): per-event-type
+    lower-median / MAD outliers at the classic 3.5 cutoff.  Every statistic
+    is exact rank selection (no interpolation) and the score is one
+    subtract/divide — no sums anywhere, so all emitted doubles are
+    bit-identical across engines and the threshold comparison itself cannot
+    flip on FP noise."""
+    from carto_etl_spark.operators.anomaly import mad_outliers
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = mad_outliers(e, ["event_type"], "value", threshold=3.5)
+    return out.select(
+        "event_id", "event_type", "value", "med", "mad",
+        F.round("score", 6).alias("score"),
+    )
+
+
+ORACLE_MAD = """
+WITH nn AS (
+  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM nn
+), med AS (
+  SELECT event_type, value AS med FROM r WHERE rn = ceil(n / 2.0)
+), d AS (
+  SELECT nn.event_id, nn.event_type, nn.value, med.med,
+         abs(nn.value - med.med) AS dev
+  FROM nn JOIN med USING (event_type)
+), r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+), mad AS (
+  SELECT event_type, dev AS mad FROM r2 WHERE rn = ceil(n / 2.0)
+)
+SELECT event_id, d.event_type, value, med, mad.mad,
+       round(dev / mad.mad, 6) AS score
+FROM d JOIN mad USING (event_type)
+WHERE mad.mad > 0 AND dev / mad.mad > 3.5
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -3896,6 +3940,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "snapshot_diff": q_snapshot_diff,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "mad_outliers": q_mad_outliers,
 }
 
 ORACLES = {
@@ -3991,4 +4036,5 @@ ORACLES = {
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "fuzzy_pairs": ORACLE_FUZZY,
+    "mad_outliers": ORACLE_MAD,
 }
