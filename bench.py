@@ -99,6 +99,12 @@ BENCH_QUERIES = [
     "disjunctive_revenue",
     "waiting_suppliers",
     "chunk_documents",
+    "data_quality",
+    "resample_fill",
+    "weighted_sample",
+    "snapshot_diff",
+    "fuzzy_pairs",
+    "mad_outliers",
 ]
 
 

@@ -3847,6 +3847,58 @@ WHERE mad.mad > 0 AND dev / mad.mad > 3.5
 """
 
 
+def q_pivot_revenue(spark, sf_dir):
+    """Pivot report (operators/reshape.py:pivot_table): nation revenue by
+    order year, long → wide with explicit values — Catalyst plans ONE
+    aggregate whose conditional expressions cover every year column, not a
+    scan per year.  Dims broadcast; sums rounded to cents."""
+    from carto_etl_spark.operators.reshape import pivot_table
+
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    return pivot_table(
+        joined,
+        ["n_name"],
+        "yr",
+        {"rev": F.round(F.sum("rev"), 2)},
+        values=list(range(1995, 2002)),
+        prefix="y",
+    )
+
+
+ORACLE_PIVOT = """
+SELECT n_name,
+       round(sum(CASE WHEN yr = 1995 THEN rev END), 2) AS y1995,
+       round(sum(CASE WHEN yr = 1996 THEN rev END), 2) AS y1996,
+       round(sum(CASE WHEN yr = 1997 THEN rev END), 2) AS y1997,
+       round(sum(CASE WHEN yr = 1998 THEN rev END), 2) AS y1998,
+       round(sum(CASE WHEN yr = 1999 THEN rev END), 2) AS y1999,
+       round(sum(CASE WHEN yr = 2000 THEN rev END), 2) AS y2000,
+       round(sum(CASE WHEN yr = 2001 THEN rev END), 2) AS y2001
+FROM (
+  SELECT n_name, year(o_orderdate) AS yr,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -3941,6 +3993,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "fuzzy_pairs": q_fuzzy_pairs,
     "mad_outliers": q_mad_outliers,
+    "pivot_revenue": q_pivot_revenue,
 }
 
 ORACLES = {
@@ -4037,4 +4090,5 @@ ORACLES = {
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "fuzzy_pairs": ORACLE_FUZZY,
     "mad_outliers": ORACLE_MAD,
+    "pivot_revenue": ORACLE_PIVOT,
 }
