@@ -113,3 +113,41 @@ def cohort_retention(
         staged.groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("__user").alias("n_users"))
     )
+
+
+def transitions(
+    df: DataFrame,
+    user: Column | str,
+    ts: Column | str,
+    state: Column | str,
+    tiebreak: Column | str | None = None,
+) -> DataFrame:
+    """State-transition matrix (first-order Markov counts) over an event
+    stream: per user, order events by timestamp and count each consecutive
+    (from_state, to_state) pair, then attach the per-from transition
+    probability.  The page-flow / event-flow report product analytics teams
+    ask first.
+
+    Plan shape: one lead window over the user partitioning (one shuffle, the
+    same exchange funnel_times uses), one aggregate on (from, to) whose
+    input is already pair-per-row, and a from-state window over the TINY
+    |states|² matrix for the probabilities.  ``tiebreak`` makes the order
+    within equal timestamps deterministic (pass the event id); the last
+    event of each user emits no pair.
+
+    Output: (from_state, to_state, n, p) with p = n / Σ n over from_state.
+    """
+    u, t, s = _col(user), _col(ts), _col(state)
+    order = [t] + ([] if tiebreak is None else [_col(tiebreak)])
+    w = Window.partitionBy(u).orderBy(*order)
+    paired = df.select(
+        s.alias("from_state"),
+        F.lead(s).over(w).alias("to_state"),
+    ).where(F.col("to_state").isNotNull())
+    counts = paired.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = Window.partitionBy("from_state")
+    return counts.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(total), 6)
+    )

@@ -43,3 +43,50 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         for i, c in enumerate(cols)
     ]
     return row.select(F.explode(F.array(*entries)).alias("r")).select("r.*")
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Equi-width histogram with COMPLETE bins: one row per bin 0..nbins-1
+    even when empty — the report shape plotting layers need (a missing bar
+    and a zero bar are different things).  Values land in
+    [lo + i·w, lo + (i+1)·w) with w = (hi-lo)/nbins; x = hi joins the last
+    bin (closed top edge, the numpy convention); values outside [lo, hi]
+    and NULLs are excluded — run ``profile`` first for min/max.
+
+    Plan shape: one scan + one aggregate over at most nbins groups; the
+    dense bin spine is ``spark.range(nbins)`` (no data scan) left-joined to
+    the aggregate, which broadcasts — the dense side costs nothing at any
+    table size.  Bin assignment is a single subtract/divide/floor, identical
+    IEEE-754 arithmetic on any engine."""
+    if nbins <= 0:
+        raise ValueError(f"nbins must be positive, got {nbins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / nbins
+    c = F.col(col)
+    binned = (
+        df.where(c.isNotNull() & (c >= lo) & (c <= hi))
+        .select(
+            F.least(
+                F.floor((c - lo) / width).cast("long"), F.lit(nbins - 1)
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = df.sparkSession.range(0, nbins).select(F.col("id").alias("bin"))
+    return (
+        spine.join(binned, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )

@@ -3899,6 +3899,71 @@ GROUP BY n_name
 """
 
 
+def q_transitions(spark, sf_dir):
+    """Event-flow transition matrix (operators/funnel.py:transitions):
+    per-user consecutive event-type pairs with per-from probabilities — one
+    lead window on the user partitioning, one aggregate over the |states|²
+    matrix.  Tie order within equal timestamps pinned by event_id."""
+    from carto_etl_spark.operators.funnel import transitions
+
+    e = load(spark, sf_dir, "events")
+    return transitions(e, "user_id", "ts", "event_type", tiebreak="event_id")
+
+
+ORACLE_TRANSITIONS = """
+WITH paired AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_state
+  FROM events
+), counts AS (
+  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+  FROM paired WHERE to_state IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_state, to_state, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_state) AS BIGINT), 6)
+         AS p
+FROM counts
+"""
+
+
+def q_value_histogram(spark, sf_dir):
+    """Complete-bin equi-width histogram (operators/stats.py:histogram):
+    order total prices into 40 bins over [0, 500000] — empty bins emit a
+    zero row (the spine is a range, not a scan), closed top edge."""
+    from carto_etl_spark.operators.stats import histogram
+
+    o = load(spark, sf_dir, "orders")
+    out = histogram(o, "o_totalprice", 0.0, 500_000.0, 40)
+    return out.select(
+        "bin",
+        F.round("bin_lo", 4).alias("bin_lo"),
+        F.round("bin_hi", 4).alias("bin_hi"),
+        "n",
+    )
+
+
+ORACLE_HISTOGRAM = """
+WITH spine AS (
+  SELECT unnest(generate_series(0, 39)) AS bin
+), binned AS (
+  SELECT least(CAST(floor((o_totalprice - 0.0) / 12500.0) AS BIGINT), 39)
+           AS bin,
+         count(*) AS n
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND o_totalprice >= 0.0 AND o_totalprice <= 500000.0
+  GROUP BY 1
+)
+SELECT CAST(spine.bin AS BIGINT) AS bin,
+       round(CAST(0.0 + spine.bin * 12500.0 AS DOUBLE), 4) AS bin_lo,
+       round(CAST(0.0 + (spine.bin + 1) * 12500.0 AS DOUBLE), 4) AS bin_hi,
+       CAST(coalesce(binned.n, 0) AS BIGINT) AS n
+FROM spine LEFT JOIN binned ON spine.bin = binned.bin
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -3994,6 +4059,8 @@ QUERIES = {
     "fuzzy_pairs": q_fuzzy_pairs,
     "mad_outliers": q_mad_outliers,
     "pivot_revenue": q_pivot_revenue,
+    "transitions": q_transitions,
+    "value_histogram": q_value_histogram,
 }
 
 ORACLES = {
@@ -4091,4 +4158,6 @@ ORACLES = {
     "fuzzy_pairs": ORACLE_FUZZY,
     "mad_outliers": ORACLE_MAD,
     "pivot_revenue": ORACLE_PIVOT,
+    "transitions": ORACLE_TRANSITIONS,
+    "value_histogram": ORACLE_HISTOGRAM,
 }

@@ -89,3 +89,62 @@ def test_cohort_retention_semantics(spark):
     assert out[("2024-01-01", 1)] == 1      # only user 1 returns next week
     assert out[("2024-01-08", 0)] == 1      # user 3's own cohort
     assert len(out) == 3
+
+
+# ---------------------------------------------------------------------------
+# Transition matrix
+# ---------------------------------------------------------------------------
+
+def test_transitions_counts_and_probabilities(spark):
+    from datetime import datetime
+    from carto_etl_spark.operators.funnel import transitions
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b
+        (1, datetime(2024, 1, 1, 0), 1, "a"),
+        (1, datetime(2024, 1, 1, 1), 2, "b"),
+        (1, datetime(2024, 1, 1, 2), 3, "a"),
+        (2, datetime(2024, 1, 1, 0), 4, "a"),
+        (2, datetime(2024, 1, 1, 1), 5, "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, state string")
+    out = {(r["from_state"], r["to_state"]): (r["n"], r["p"]) for r in
+           transitions(df, "user_id", "ts", "state", "event_id").collect()}
+    assert out[("a", "b")] == (2, 1.0)   # a always goes to b
+    # user2's terminal b emits no pair, so P(a|b) conditions on the one
+    # observed b-transition: 1/1
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("b", None) not in out        # terminal events emit no pair
+    assert len(out) == 2
+
+
+def test_transitions_tiebreak_pins_equal_timestamps(spark):
+    from datetime import datetime
+    from carto_etl_spark.operators.funnel import transitions
+
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t, 10, "x"), (1, t, 20, "y"), (1, t, 30, "z")],
+        "user_id long, ts timestamp, event_id long, state string",
+    )
+    out = {(r["from_state"], r["to_state"]) for r in
+           transitions(df, "user_id", "ts", "state", "event_id").collect()}
+    assert out == {("x", "y"), ("y", "z")}  # event_id order, deterministic
+
+
+def test_transitions_single_shuffle_before_agg(spark, tmp_path):
+    from carto_etl_spark.operators.funnel import transitions
+    from carto_etl_spark.plans.inspect import explain_str
+
+    p = str(tmp_path / "ev.parquet")
+    spark.range(0, 100).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("string").alias("state"),
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = explain_str(transitions(df, "user_id", "ts", "state", "event_id"))
+    # lead window (1 exchange) + pair aggregate (1) + prob window (1)
+    assert plan.count("Exchange ") == 3
+    assert plan.count("+- Scan parquet") == 1

@@ -458,3 +458,42 @@ def test_weighted_sample_proportionality(spark):
     assert abs(out.get(1, 0) - 10) <= 1
     assert abs(out.get(2, 0) - 30) <= 1
     assert abs(out.get(3, 0) - 60) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Complete-bin histogram
+# ---------------------------------------------------------------------------
+
+def test_histogram_complete_bins_and_edges(spark):
+    from carto_etl_spark.operators.stats import histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (4.9,), (5.0,), (10.0,), (-0.1,), (10.1,), (None,)],
+        "x double",
+    )
+    out = {r["bin"]: r for r in histogram(df, "x", 0.0, 10.0, 2).collect()}
+    assert len(out) == 2
+    assert out[0]["n"] == 2          # 0.0, 4.9
+    assert out[1]["n"] == 2          # 5.0, and 10.0 joins the CLOSED top bin
+    assert (out[0]["bin_lo"], out[0]["bin_hi"]) == (0.0, 5.0)
+    # -0.1, 10.1, NULL excluded
+
+
+def test_histogram_empty_bins_emit_zero(spark):
+    from carto_etl_spark.operators.stats import histogram
+
+    df = spark.createDataFrame([(0.5,), (9.5,)], "x double")
+    out = {r["bin"]: r["n"] for r in histogram(df, "x", 0.0, 10.0, 10).collect()}
+    assert len(out) == 10 and out[0] == 1 and out[9] == 1
+    assert all(out[i] == 0 for i in range(1, 9))
+
+
+def test_histogram_validation(spark):
+    import pytest as _pt
+    from carto_etl_spark.operators.stats import histogram
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pt.raises(ValueError):
+        histogram(df, "x", 0.0, 10.0, 0)
+    with _pt.raises(ValueError):
+        histogram(df, "x", 10.0, 10.0, 5)
