@@ -105,6 +105,11 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "fuzzy_pairs",
     "mad_outliers",
+    "transitions",
+    "value_histogram",
+    "pivot_revenue",
+    "spatial_contains",
+    "spatial_nearest",
 ]
 
 

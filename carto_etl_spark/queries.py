@@ -3964,6 +3964,134 @@ FROM spine LEFT JOIN binned ON spine.bin = binned.bin
 """
 
 
+# ---------------------------------------------------------------------------
+# Grid-bucketed spatial joins (operators/spatial.py) — the join shapes the
+# reference delegates to PostGIS (ST_Contains / ST_DWithin / <-> kNN), run
+# distributed.  Coordinates are synthesized from the keys with integer-mod
+# arithmetic written identically here and in the oracles, so every emitted
+# double is bit-identical across engines and nothing needs rounding.
+# ---------------------------------------------------------------------------
+
+def _spatial_points(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 48271) % 7200).cast("double") / 20.0 - 180.0
+         ).alias("px"),
+        (((F.col("c_custkey") * 69621) % 3400).cast("double") / 20.0 - 85.0
+         ).alias("py"),
+    )
+
+
+def _spatial_boxes(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    cxd = ((F.col("s_suppkey") * 40503) % 7000).cast("double") / 20.0 - 175.0
+    cyd = ((F.col("s_suppkey") * 65537) % 3200).cast("double") / 20.0 - 80.0
+    hw = (1 + F.col("s_suppkey") % 97).cast("double") / 10.0
+    hh = (1 + F.col("s_suppkey") % 89).cast("double") / 10.0
+    return s.select(
+        "s_suppkey",
+        (cxd - hw).alias("xmin"),
+        (cyd - hh).alias("ymin"),
+        (cxd + hw).alias("xmax"),
+        (cyd + hh).alias("ymax"),
+    )
+
+
+_SPATIAL_PTS_SQL = """
+  SELECT c_custkey,
+         CAST((c_custkey * 48271) % 7200 AS DOUBLE) / 20.0 - 180.0 AS px,
+         CAST((c_custkey * 69621) % 3400 AS DOUBLE) / 20.0 - 85.0 AS py
+  FROM customer
+"""
+
+_SPATIAL_BOX_SQL = """
+  SELECT s_suppkey,
+         (CAST((s_suppkey * 40503) % 7000 AS DOUBLE) / 20.0 - 175.0)
+           - CAST(1 + s_suppkey % 97 AS DOUBLE) / 10.0 AS xmin,
+         (CAST((s_suppkey * 65537) % 3200 AS DOUBLE) / 20.0 - 80.0)
+           - CAST(1 + s_suppkey % 89 AS DOUBLE) / 10.0 AS ymin,
+         (CAST((s_suppkey * 40503) % 7000 AS DOUBLE) / 20.0 - 175.0)
+           + CAST(1 + s_suppkey % 97 AS DOUBLE) / 10.0 AS xmax,
+         (CAST((s_suppkey * 65537) % 3200 AS DOUBLE) / 20.0 - 80.0)
+           + CAST(1 + s_suppkey % 89 AS DOUBLE) / 10.0 AS ymax
+  FROM supplier
+"""
+
+
+def q_spatial_contains(spark, sf_dir):
+    """Point-in-box containment via grid blocking: no cartesian product,
+    each surviving pair meets in exactly one cell (the point's), so the
+    equi-join result needs no dedup.  PostGIS-parity for the reference's
+    ST_Contains-style predicates (/root/reference/etl/etl.py the_geom)."""
+    from carto_etl_spark.operators.spatial import point_in_box_join
+
+    pts = _spatial_points(spark, sf_dir)
+    bxs = _spatial_boxes(spark, sf_dir)
+    return point_in_box_join(
+        pts, bxs, cell=10.0, x="px", y="py"
+    ).select("c_custkey", "s_suppkey", "px", "py")
+
+
+ORACLE_SPATIAL_CONTAINS = f"""
+WITH pts AS ({_SPATIAL_PTS_SQL}), bxs AS ({_SPATIAL_BOX_SQL})
+SELECT c_custkey, s_suppkey, px, py
+FROM pts, bxs
+WHERE px >= xmin AND px <= xmax AND py >= ymin AND py <= ymax
+"""
+
+
+def q_spatial_nearest(spark, sf_dir):
+    """Nearest supplier-point within radius 20 for every customer-point:
+    3x3 neighbor-cell equi-join (cell=25 >= radius, so blocking is exact),
+    then a per-probe row_number over (dist2, id).  The oracle is an
+    INDEPENDENT brute force over all pairs, so what gets verified is the
+    blocking's completeness, not a shared shortcut."""
+    from carto_etl_spark.operators.spatial import nearest_join
+
+    pts = _spatial_points(spark, sf_dir)
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 40503) % 7000).cast("double") / 20.0 - 175.0
+         ).alias("sx"),
+        (((F.col("s_suppkey") * 65537) % 3200).cast("double") / 20.0 - 80.0
+         ).alias("sy"),
+    )
+    out = nearest_join(
+        pts.withColumnRenamed("px", "x").withColumnRenamed("py", "y"),
+        sup.withColumnRenamed("sx", "x").withColumnRenamed("sy", "y"),
+        cell=25.0,
+        radius=20.0,
+        left_id="c_custkey",
+        right_id="s_suppkey",
+    )
+    return out.select("c_custkey", "s_suppkey", "dist2", "nn_rank")
+
+
+ORACLE_SPATIAL_NEAREST = f"""
+WITH pts AS ({_SPATIAL_PTS_SQL}),
+sups AS (
+  SELECT s_suppkey,
+         CAST((s_suppkey * 40503) % 7000 AS DOUBLE) / 20.0 - 175.0 AS sx,
+         CAST((s_suppkey * 65537) % 3200 AS DOUBLE) / 20.0 - 80.0 AS sy
+  FROM supplier
+),
+pairs AS (
+  SELECT c_custkey, s_suppkey,
+         (px - sx) * (px - sx) + (py - sy) * (py - sy) AS dist2
+  FROM pts, sups
+),
+ranked AS (
+  SELECT c_custkey, s_suppkey, dist2,
+         CAST(row_number() OVER (
+           PARTITION BY c_custkey ORDER BY dist2, s_suppkey) AS INT)
+           AS nn_rank
+  FROM pairs WHERE dist2 <= 400.0
+)
+SELECT c_custkey, s_suppkey, dist2, nn_rank FROM ranked WHERE nn_rank <= 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -4061,6 +4189,8 @@ QUERIES = {
     "pivot_revenue": q_pivot_revenue,
     "transitions": q_transitions,
     "value_histogram": q_value_histogram,
+    "spatial_contains": q_spatial_contains,
+    "spatial_nearest": q_spatial_nearest,
 }
 
 ORACLES = {
@@ -4160,4 +4290,6 @@ ORACLES = {
     "pivot_revenue": ORACLE_PIVOT,
     "transitions": ORACLE_TRANSITIONS,
     "value_histogram": ORACLE_HISTOGRAM,
+    "spatial_contains": ORACLE_SPATIAL_CONTAINS,
+    "spatial_nearest": ORACLE_SPATIAL_NEAREST,
 }
