@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "pivot_revenue",
     "spatial_contains",
     "spatial_nearest",
+    "pagerank_nations",
 ]
 
 

@@ -1,0 +1,145 @@
+"""Iterative graph algorithms on DataFrames: weighted PageRank in exact
+fixed-point integer arithmetic.
+
+Why integers: PageRank is a fixpoint of float sums, and float addition is
+not associative -- two engines (or two partitionings of the SAME engine)
+summing contributions in different orders drift in the last ulp, which a
+value-hashing correctness gate amplifies into a hard mismatch.  Scaling
+ranks to integers (``scale`` = 1e9 by default) makes every operation --
+multiply, floor-divide, sum -- exact and associative, so the result is
+bit-identical regardless of partitioning, engine, or iteration plan, and a
+plain SQL engine can replay the computation as an unrolled CTE chain
+(`pagerank_oracle_sql`) for verification.
+
+Update rule per iteration (all integer ops)::
+
+    contrib(u->v) = rank[u] * w(u,v) div out[u]
+    rank'[v]      = teleport + damping_pct * sum(contrib) div 100
+    teleport      = damping-complement mass = (100-damping_pct)*scale div 100
+
+Semantics notes:
+- dangling nodes (no out-edges) contribute nothing; their mass evaporates
+  (the common simplification; redistribution would need an extra global sum
+  per iteration).  Nodes with no in-edges settle at the teleport value.
+- overflow bound: rank <= n_nodes*scale, so rank*w must stay under 2^63 --
+  with the default scale=1e9 that allows n_nodes * max_edge_weight < 9e9,
+  plenty for aggregated edge tables (weights are usually counts); callers
+  with hotter weights should pre-normalize or lower ``scale``.
+
+Scale posture: the per-iteration work is one equi-join of edges against the
+node-sized rank table plus one groupBy(dst) -- shuffle volume ~edges, never
+quadratic.  ``ranks`` is localCheckpoint-ed (eager) every
+``checkpoint_every`` iterations so lineage stays bounded instead of
+compounding every join of the loop into one tree; each checkpoint is a
+scheduled job, so the knob trades plan depth against scheduler round-trips
+(tiny graphs want it higher, huge ones lower).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Weighted PageRank over ``edges(src, dst, weight)``.
+
+    Returns (node, rank_scaled): rank in units of 1/scale, exact integers.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # edges pre-joined to their source's total outgoing weight: loop-invariant,
+    # so compute once and checkpoint instead of re-joining every iteration
+    ew = e.join(outw, "src").localCheckpoint(eager=True)
+    teleport = (100 - damping_pct) * scale // 100
+
+    ranks = nodes.select(
+        "node", F.lit(scale).cast("long").alias("rank")
+    ).localCheckpoint(eager=True)
+    for it in range(1, iterations + 1):
+        inc = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.expr("rank * w div ow").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            nodes.join(inc, nodes["node"] == inc["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"{damping_pct} * coalesce(inc, 0L) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+        # truncate lineage every k iterations: each checkpoint is a job, so
+        # k trades plan depth (k join+agg layers, still linear) against
+        # scheduler round-trips; the LAST iteration is left lazy so the
+        # caller's action doesn't pay one extra materialization
+        if it % checkpoint_every == 0 and it < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("rank").alias("rank_scaled"))
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+) -> str:
+    """The same computation as `pagerank`, unrolled into a WITH-chain a
+    plain SQL engine can run: one CTE per iteration, integer ops throughout
+    (DuckDB's SUM(BIGINT) widens to HUGEINT, so every sum is cast back --
+    the values fit, per the module overflow bound).  ``edges_sql`` must
+    yield (src, dst, w)."""
+    teleport = (100 - damping_pct) * scale // 100
+    parts = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow"
+        " FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST({teleport} + ({damping_pct} * COALESCE(s.inc, 0)) // 100
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((r.rank * e.w) // o.ow) AS BIGINT) AS inc
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN outw o ON e.src = o.src
+    GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, rank AS rank_scaled FROM r{iterations}"
+    )

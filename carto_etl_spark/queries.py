@@ -4092,6 +4092,56 @@ SELECT c_custkey, s_suppkey, dist2, nn_rank FROM ranked WHERE nn_rank <= 1
 """
 
 
+def q_pagerank_nations(spark, sf_dir):
+    """Weighted PageRank over the nation-level trade graph (customer nation
+    -> supplier nation, weight = lineitem count).  Exact fixed-point integer
+    iterations (operators/graph.py) make the result bit-identical across
+    engines and partitionings; the oracle replays all 10 iterations as an
+    unrolled CTE chain, so the iterative operator itself is what's checked."""
+    from carto_etl_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # 25-node graph: lineage depth is trivial, so skip mid-run checkpoints
+    # entirely — the whole loop plans as ONE job of chained shuffles (4x
+    # faster than per-iteration materialization; measured 2.3s vs 10s sf0.1)
+    pr = pagerank(edges, iterations=10, checkpoint_every=10)
+    return pr.select(F.col("node").alias("nationkey"), "rank_scaled")
+
+
+_PAGERANK_EDGES_SQL = """
+SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       CAST(count(*) AS BIGINT) AS w
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+"""
+
+
+def _oracle_pagerank():
+    from carto_etl_spark.operators.graph import pagerank_oracle_sql
+
+    return (
+        pagerank_oracle_sql(_PAGERANK_EDGES_SQL, iterations=10)
+        .replace("SELECT node, rank AS rank_scaled",
+                 "SELECT node AS nationkey, rank AS rank_scaled")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -4191,6 +4241,7 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "spatial_contains": q_spatial_contains,
     "spatial_nearest": q_spatial_nearest,
+    "pagerank_nations": q_pagerank_nations,
 }
 
 ORACLES = {
@@ -4292,4 +4343,5 @@ ORACLES = {
     "value_histogram": ORACLE_HISTOGRAM,
     "spatial_contains": ORACLE_SPATIAL_CONTAINS,
     "spatial_nearest": ORACLE_SPATIAL_NEAREST,
+    "pagerank_nations": _oracle_pagerank(),
 }

@@ -1,0 +1,85 @@
+"""PageRank: exact equality against a pure-python reference running the
+same fixed-point integer recurrence, semantic edge cases (dangling nodes,
+sources, disconnection), partition invariance, and the DuckDB unrolled-CTE
+oracle generator replaying the Spark result bit-for-bit."""
+
+from __future__ import annotations
+
+import duckdb
+
+from carto_etl_spark.operators.graph import pagerank, pagerank_oracle_sql
+
+SCALE = 10**9
+
+
+def _py_pagerank(edges, iterations=10, damping_pct=85, scale=SCALE):
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    out = {}
+    for s, _, w in edges:
+        out[s] = out.get(s, 0) + w
+    teleport = (100 - damping_pct) * scale // 100
+    rank = {n: scale for n in nodes}
+    for _ in range(iterations):
+        inc = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            inc[d] += rank[s] * w // out[s]
+        rank = {n: teleport + damping_pct * inc[n] // 100 for n in nodes}
+    return rank
+
+
+EDGES = [
+    (1, 2, 3), (2, 1, 1), (1, 3, 1), (3, 2, 2), (4, 1, 5),
+    (2, 4, 1), (5, 5, 1),          # self-loop component
+    (6, 7, 2),                     # 7 is dangling (no out-edges)
+]
+
+
+def _spark_pagerank(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    return {
+        r["node"]: r["rank_scaled"] for r in pagerank(df, **kw).collect()
+    }
+
+
+def test_matches_python_reference_exactly(spark):
+    assert _spark_pagerank(spark, EDGES) == _py_pagerank(EDGES)
+
+
+def test_damping_and_iterations_params(spark):
+    got = _spark_pagerank(spark, EDGES, iterations=3, damping_pct=70)
+    assert got == _py_pagerank(EDGES, iterations=3, damping_pct=70)
+
+
+def test_dangling_node_keeps_teleport_only_inflow_accounting(spark):
+    # node 7 has no out-edges: its mass evaporates, but it still RECEIVES
+    # from 6 every iteration; node 6 receives nothing -> settles at teleport
+    got = _spark_pagerank(spark, EDGES)
+    ref = _py_pagerank(EDGES)
+    assert got[6] == (100 - 85) * SCALE // 100
+    assert got[7] == ref[7] > got[6]
+
+
+def test_partition_invariance(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long, w long")
+    a = {r["node"]: r["rank_scaled"] for r in pagerank(df).collect()}
+    b = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df.repartition(7)).collect()
+    }
+    assert a == b
+
+
+def test_oracle_sql_replays_spark_bit_for_bit(spark):
+    got = _spark_pagerank(spark, EDGES)
+    rows = ", ".join(f"({s}, {d}, {w})" for s, d, w in EDGES)
+    sql = pagerank_oracle_sql(
+        f"SELECT * FROM (VALUES {rows}) AS t(src, dst, w)"
+    )
+    oracle = dict(duckdb.sql(sql).fetchall())
+    assert got == oracle
+
+
+def test_total_mass_bounded(spark):
+    got = _spark_pagerank(spark, EDGES)
+    n = len(got)
+    assert 0 < sum(got.values()) <= n * SCALE
