@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "spatial_contains",
     "spatial_nearest",
     "pagerank_nations",
+    "nation_profit",
+    "rolling_features",
+    "bfs_hops",
 ]
 
 

@@ -104,6 +104,77 @@ def pagerank(
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
 
 
+def bfs_hops(
+    edges: DataFrame,
+    sources: list,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Minimum hop distance from any of ``sources`` along directed edges,
+    by iterative relaxation: each round extends every known distance across
+    every edge and keeps the per-node minimum.  All-integer, so exact and
+    order-independent like `pagerank`.  Nodes unreached within ``max_hops``
+    are absent from the output (not null-padded).
+
+    Per-round cost is one equi-join of edges against the reached set plus a
+    min-groupBy -- ~edges shuffle volume; correct (not just frontier-fast)
+    because min() makes re-relaxation idempotent.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    dist = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .where(F.col("node").isin(sources))
+        .select("node", F.lit(0).cast("int").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    for it in range(1, max_hops + 1):
+        relaxed = e.join(dist, e["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        if it % checkpoint_every == 0 and it < max_hops:
+            dist = dist.localCheckpoint(eager=True)
+    return dist.select("node", F.col("d").alias("hops"))
+
+
+def bfs_oracle_sql(
+    edges_sql: str, sources: list, max_hops: int = 8
+) -> str:
+    """`bfs_hops` unrolled into a SQL CTE chain: one relax-and-min step per
+    hop.  ``edges_sql`` must yield (src, dst)."""
+    src_list = ", ".join(str(s) for s in sources)
+    parts = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        f"d0 AS (SELECT node, CAST(0 AS INT) AS d FROM nodes"
+        f" WHERE node IN ({src_list}))",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT node, CAST(MIN(d) AS INT) AS d FROM (
+    SELECT node, d FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.d + 1 AS d
+    FROM edges e JOIN d{i - 1} r ON e.src = r.node
+  ) u GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, d AS hops FROM d{max_hops}"
+    )
+
+
 def pagerank_oracle_sql(
     edges_sql: str,
     iterations: int = 10,

@@ -4142,6 +4142,131 @@ def _oracle_pagerank():
     )
 
 
+def q_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape adapted to the schema (no partsupp table: unit cost is
+    proxied as 10% of p_retailprice): profit by supplier nation and order
+    year over the widest fact join, part filter pushed into its scan and
+    every dimension broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%ol%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    # exact decimal terms (the source doubles are 2dp-valued, so the casts
+    # are exact), x10 so the 10% cost factor needs no decimal division; the
+    # single final /10.0 happens on a <2^53 exact double, so the result is
+    # bit-identical across engines with NO rounding anywhere
+    ext = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    retail = F.col("p_retailprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    amount_x10 = ext * (1 - disc) * 10 - retail * qty
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(amount_x10).cast("decimal(38,4)").cast("double")
+                / 10.0
+            ).alias("sum_profit")
+        )
+    )
+
+
+ORACLE_NATION_PROFIT = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10
+                     - CAST(p.p_retailprice AS DECIMAL(18,2))
+                       * CAST(l.l_quantity AS DECIMAL(18,2)))
+                 AS DECIMAL(38,4)) AS DOUBLE) / 10.0 AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%ol%'
+GROUP BY 1, 2
+"""
+
+
+def q_rolling_features(spark, sf_dir):
+    """Per-user rolling ML features over the event stream: lag-1 value and
+    5-row trailing sum/min/max/count, one shuffle on the user partitioning
+    (all five windows share it)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-4, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("lag1_value"),
+        F.round(F.sum("value").over(frame), 2).alias("roll_sum5"),
+        F.min("value").over(frame).alias("roll_min5"),
+        F.max("value").over(frame).alias("roll_max5"),
+        F.count("value").over(frame).alias("roll_cnt5"),
+    )
+
+
+ORACLE_ROLLING = """
+SELECT event_id, user_id,
+       lag(value) OVER w AS lag1_value,
+       round(sum(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2)
+         AS roll_sum5,
+       min(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         AS roll_min5,
+       max(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         AS roll_max5,
+       count(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         AS roll_cnt5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_bfs_hops(spark, sf_dir):
+    """Minimum hop distances from node 0 over a synthetic sparse digraph on
+    the nation keys (i -> (2i+1)%25, i -> (3i+2)%25) — exercises multi-round
+    relaxation with non-trivial distances; all-integer so the unrolled-CTE
+    oracle matches bit-for-bit."""
+    from carto_etl_spark.operators.graph import bfs_hops
+
+    n = load(spark, sf_dir, "nation")
+    edges = n.select(
+        F.col("n_nationkey").alias("src"),
+        ((2 * F.col("n_nationkey") + 1) % 25).alias("dst"),
+    ).union(
+        n.select(
+            F.col("n_nationkey"),
+            ((3 * F.col("n_nationkey") + 2) % 25).alias("dst"),
+        )
+    )
+    return bfs_hops(edges, sources=[0], max_hops=8, checkpoint_every=8)
+
+
+def _oracle_bfs():
+    from carto_etl_spark.operators.graph import bfs_oracle_sql
+
+    edges_sql = (
+        "SELECT n_nationkey AS src, (2 * n_nationkey + 1) % 25 AS dst"
+        " FROM nation UNION ALL"
+        " SELECT n_nationkey AS src, (3 * n_nationkey + 2) % 25 AS dst"
+        " FROM nation"
+    )
+    return bfs_oracle_sql(edges_sql, sources=[0], max_hops=8)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -4242,6 +4367,9 @@ QUERIES = {
     "spatial_contains": q_spatial_contains,
     "spatial_nearest": q_spatial_nearest,
     "pagerank_nations": q_pagerank_nations,
+    "nation_profit": q_nation_profit,
+    "rolling_features": q_rolling_features,
+    "bfs_hops": q_bfs_hops,
 }
 
 ORACLES = {
@@ -4344,4 +4472,7 @@ ORACLES = {
     "spatial_contains": ORACLE_SPATIAL_CONTAINS,
     "spatial_nearest": ORACLE_SPATIAL_NEAREST,
     "pagerank_nations": _oracle_pagerank(),
+    "nation_profit": ORACLE_NATION_PROFIT,
+    "rolling_features": ORACLE_ROLLING,
+    "bfs_hops": _oracle_bfs(),
 }

@@ -83,3 +83,56 @@ def test_total_mass_bounded(spark):
     got = _spark_pagerank(spark, EDGES)
     n = len(got)
     assert 0 < sum(got.values()) <= n * SCALE
+
+
+# --- BFS hop distances -----------------------------------------------------
+
+from carto_etl_spark.operators.graph import bfs_hops, bfs_oracle_sql
+
+# chain 1->2->3->4, a shortcut 1->3, an unreachable pair 8->9
+BFS_EDGES = [(1, 2), (2, 3), (3, 4), (1, 3), (8, 9)]
+
+
+def _py_bfs(edges, sources, max_hops):
+    dist = {s: 0 for s in sources}
+    for _ in range(max_hops):
+        for s, d in edges:
+            if s in dist and dist[s] + 1 < dist.get(d, 1 << 30):
+                dist[d] = dist[s] + 1
+    return dist
+
+
+def _spark_bfs(spark, edges, sources, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["hops"]
+        for r in bfs_hops(df, sources=sources, **kw).collect()
+    }
+
+
+def test_bfs_matches_reference_and_prefers_shortcut(spark):
+    got = _spark_bfs(spark, BFS_EDGES, [1], max_hops=5)
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}  # 3 via shortcut, not the chain
+    assert 8 not in got and 9 not in got     # unreachable: absent, not null
+
+
+def test_bfs_multi_source_and_hop_cap(spark):
+    got = _spark_bfs(spark, BFS_EDGES, [1, 8], max_hops=1)
+    assert got == {1: 0, 2: 1, 3: 1, 8: 0, 9: 1}
+    full = _spark_bfs(spark, BFS_EDGES, [1, 8], max_hops=5)
+    assert full == _py_bfs(BFS_EDGES, [1, 8], 5)
+
+
+def test_bfs_checkpoint_cadence_is_invisible(spark):
+    a = _spark_bfs(spark, BFS_EDGES, [1], max_hops=6, checkpoint_every=1)
+    b = _spark_bfs(spark, BFS_EDGES, [1], max_hops=6, checkpoint_every=6)
+    assert a == b
+
+
+def test_bfs_oracle_sql_matches(spark):
+    got = _spark_bfs(spark, BFS_EDGES, [1], max_hops=4)
+    rows = ", ".join(f"({s}, {d})" for s, d in BFS_EDGES)
+    sql = bfs_oracle_sql(
+        f"SELECT * FROM (VALUES {rows}) AS t(src, dst)", [1], max_hops=4
+    )
+    assert got == dict(duckdb.sql(sql).fetchall())
