@@ -46,10 +46,39 @@ def load_conf(path: str | None) -> dict:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="carto_etl_spark")
-    p.add_argument("action", choices=["insert", "update", "delete", "overviews"])
+    p.add_argument(
+        "action",
+        choices=["insert", "update", "delete", "overviews", "query"],
+    )
     p.add_argument("--conf", help="etl.conf path (reference format)")
     p.add_argument("--csv", help="input CSV path")
-    p.add_argument("--target", required=True, help="parquet table path")
+    p.add_argument(
+        "--target",
+        help="parquet table path (required for DML verbs; for `query` it is "
+        "the output directory — omit to print rows to stdout)",
+    )
+    p.add_argument("--sql", help="SQL text for the query verb")
+    p.add_argument("--sql-file", help="file containing SQL (query verb)")
+    p.add_argument(
+        "--table",
+        action="append",
+        default=[],
+        metavar="NAME=PATH",
+        help="register PATH (parquet dir, or .csv file) as view NAME for "
+        "the query verb; repeatable",
+    )
+    p.add_argument(
+        "--format",
+        default="csv",
+        choices=["csv", "parquet", "json"],
+        help="query output format when --target is given",
+    )
+    p.add_argument(
+        "--limit",
+        type=int,
+        default=100,
+        help="rows printed to stdout when query has no --target",
+    )
     p.add_argument("--id-column", help="key column for update/delete")
     p.add_argument("--start-chunk", type=int, default=1)
     p.add_argument("--end-chunk", type=int, default=None)
@@ -71,7 +100,47 @@ def main(argv: list[str] | None = None) -> int:
     for k in ("base_url", "api_key", "app_code", "app_id"):
         kwargs.pop(k, None)
 
+    if args.action != "query" and not args.target:
+        logger.error("--target required for %s", args.action)
+        return 2
+
     spark = get_spark(app_name=f"carto-etl-{args.action}", master=args.master)
+
+    if args.action == "query":
+        # the reference POSTs SQL text to the CARTO SQL API
+        # (/root/reference/etl/etl.py request path); this verb is the local
+        # execution twin — same statement, run by Spark over registered views
+        sql = args.sql
+        if args.sql_file:
+            with open(args.sql_file) as fh:
+                sql = fh.read()
+        if not sql:
+            logger.error("--sql or --sql-file required for query")
+            return 2
+        for spec in args.table:
+            name, _, path = spec.partition("=")
+            if not path:
+                logger.error("--table expects NAME=PATH, got %r", spec)
+                return 2
+            reader = spark.read
+            if path.endswith(".csv"):
+                df = reader.option("header", True).csv(path)
+            else:
+                df = reader.parquet(path)
+            df.createOrReplaceTempView(name)
+        result = spark.sql(sql)
+        if args.target:
+            writer = result.write.mode("overwrite")
+            if args.format == "csv":
+                writer.option("header", True).csv(args.target)
+            else:
+                getattr(writer, args.format)(args.target)
+            print(f"query complete: wrote {args.format} to {args.target}")
+        else:
+            for row in result.take(args.limit):
+                print(",".join("" if v is None else str(v) for v in row))
+        return 0
+
     if args.transactional:
         from carto_etl_spark.operators.transactional import TransactionalTable
 

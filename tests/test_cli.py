@@ -71,6 +71,47 @@ def test_cli_transactional_target(workspace, spark):
     assert t.read().count() == 3
 
 
+def test_cli_query_verb_roundtrip(workspace, spark, capsys):
+    # insert, then run SQL over the target via the query verb: to stdout
+    # and to a csv output directory
+    target = str(workspace / "qt")
+    assert main([
+        "insert", "--conf", str(workspace / "etl.conf"),
+        "--csv", str(workspace / "data.csv"), "--target", target,
+    ]) == 0
+    capsys.readouterr()  # drop the insert verb's completion line
+    rc = main([
+        "query", "--table", f"obs={target}",
+        "--sql", "SELECT a FROM obs WHERE b = 'uno'",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "r1"
+
+    out = str(workspace / "qout")
+    rc = main([
+        "query", "--table", f"obs={target}", "--target", out,
+        "--sql", "SELECT a, b FROM obs ORDER BY a",
+    ])
+    assert rc == 0
+    got = spark.read.option("header", True).csv(out).orderBy("a").collect()
+    assert [(r["a"], r["b"]) for r in got] == [
+        ("r1", "uno"), ("r2", "dos"), ("r3", "tres")
+    ]
+
+
+def test_cli_query_registers_csv_and_validates(workspace, capsys):
+    rc = main([
+        "query", "--table", f"raw={workspace / 'data.csv'}",
+        "--sql", "SELECT count(*) FROM raw",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "3"
+    assert main(["query", "--table", "bad-spec",
+                 "--sql", "SELECT 1"]) == 2
+    assert main(["query"]) == 2          # no sql
+    assert main(["insert"]) == 2         # DML without --target
+
+
 def test_cli_requires_id_column_for_update(workspace):
     rc = main([
         "update", "--conf", str(workspace / "etl.conf"),
