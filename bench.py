@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "nation_profit",
     "rolling_features",
     "bfs_hops",
+    "spatial_polygons",
 ]
 
 

@@ -114,6 +114,74 @@ def point_in_box_join(
     return pts.join(bxs, ["cx", "cy"]).where(contained).drop("cx", "cy")
 
 
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    cell: float,
+    x: str = "x",
+    y: str = "y",
+    poly_id: str = "poly_id",
+    vertices: str = "vertices",
+    max_cells_per_poly: int = 4096,
+) -> DataFrame:
+    """All (point, polygon) pairs where the point is inside the (possibly
+    non-convex) polygon, by even-odd ray casting.
+
+    ``polygons[vertices]`` is an ``array<struct<x,y>>`` in boundary order
+    (closing edge implied).  Blocking reuses the grid scheme: each polygon
+    explodes to the cells its BBOX covers, the point meets candidates in
+    its single cell, and the exact test runs entirely map-side after the
+    equi-join -- the edge list rides along as an array column and a single
+    ``aggregate`` lambda counts ray crossings, so there is no second join
+    against an exploded edge table and no regrouping pass.
+
+    The crossing test guards its division behind a lazy conditional (a
+    horizontal edge can never satisfy the straddle condition, and both
+    Spark and DuckDB define CASE as lazy), so no NULL/Inf from
+    divide-by-zero can leak into the count.  Points exactly ON a boundary
+    edge follow raw even-odd semantics (half-open in practice); callers
+    needing closed-boundary semantics should buffer, as with PostGIS
+    ST_Contains vs ST_Covers.
+    """
+    vx = F.transform(F.col(vertices), lambda v: v["x"])
+    vy = F.transform(F.col(vertices), lambda v: v["y"])
+    polys = (
+        polygons.withColumn("xmin", F.array_min(vx))
+        .withColumn("xmax", F.array_max(vx))
+        .withColumn("ymin", F.array_min(vy))
+        .withColumn("ymax", F.array_max(vy))
+    )
+    n = F.size(F.col(vertices))
+    rotated = F.concat(
+        F.slice(F.col(vertices), 2, n - 1), F.slice(F.col(vertices), 1, 1)
+    )
+    polys = polys.withColumn(
+        "_edges", F.arrays_zip(F.col(vertices).alias("a"), rotated.alias("b"))
+    )
+    cells = _covering_cells(
+        polys, "xmin", "ymin", "xmax", "ymax", cell, max_cells_per_poly
+    ).select(poly_id, "_edges", "cx", "cy")
+
+    pts = with_cell(points, x, y, cell)
+    px, py = F.col(x), F.col(y)
+
+    def _crossing(acc, e):
+        straddles = (e["a"]["y"] > py) != (e["b"]["y"] > py)
+        intersects_right_of_px = px < e["a"]["x"] + (py - e["a"]["y"]) * (
+            e["b"]["x"] - e["a"]["x"]
+        ) / (e["b"]["y"] - e["a"]["y"])
+        return acc + F.when(
+            straddles & intersects_right_of_px, F.lit(1)
+        ).otherwise(F.lit(0))
+
+    crossings = F.aggregate(F.col("_edges"), F.lit(0), _crossing)
+    return (
+        pts.join(cells, ["cx", "cy"])
+        .where((crossings % 2) == 1)
+        .drop("cx", "cy", "_edges")
+    )
+
+
 def nearest_join(
     left: DataFrame,
     right: DataFrame,

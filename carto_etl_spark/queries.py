@@ -4092,6 +4092,74 @@ SELECT c_custkey, s_suppkey, dist2, nn_rank FROM ranked WHERE nn_rank <= 1
 """
 
 
+# 8-point star template (non-convex, no horizontal edges), scaled per
+# polygon: a shape where bbox containment and true containment genuinely
+# differ, so the ray-cast is what the oracle exercises
+_STAR_DX = [2.0, 0.5, 0.0, -0.5, -2.0, -0.5, 0.0, 0.5]
+_STAR_DY = [0.0, 0.5, 2.0, 0.5, 0.0, -0.5, -2.0, -0.5]
+
+
+def q_spatial_polygons(spark, sf_dir):
+    """Point-in-POLYGON containment (even-odd ray cast over vertex arrays,
+    grid-blocked, exact test map-side after the cell equi-join) — the
+    ST_Contains the reference delegates to PostGIS, on non-convex stars."""
+    from carto_etl_spark.operators.spatial import point_in_polygon_join
+
+    pts = _spatial_points(spark, sf_dir)
+    n = load(spark, sf_dir, "nation")
+    cx = ((F.col("n_nationkey") * 40503) % 7000).cast("double") / 20.0 - 175.0
+    cy = ((F.col("n_nationkey") * 65537) % 3200).cast("double") / 20.0 - 80.0
+    s = (1 + F.col("n_nationkey") % 10).cast("double")
+    verts = F.array(
+        *[
+            F.struct(
+                (cx + s * F.lit(dx)).alias("x"),
+                (cy + s * F.lit(dy)).alias("y"),
+            )
+            for dx, dy in zip(_STAR_DX, _STAR_DY)
+        ]
+    )
+    polys = n.select(
+        F.col("n_nationkey").alias("poly_id"), verts.alias("vertices")
+    )
+    return point_in_polygon_join(
+        pts, polys, cell=10.0, x="px", y="py"
+    ).select("c_custkey", "poly_id", "px", "py")
+
+
+def _oracle_spatial_polygons():
+    edges = ", ".join(
+        f"({_STAR_DX[i]}, {_STAR_DY[i]},"
+        f" {_STAR_DX[(i + 1) % 8]}, {_STAR_DY[(i + 1) % 8]})"
+        for i in range(8)
+    )
+    return f"""
+WITH pts AS ({_SPATIAL_PTS_SQL}),
+polys AS (
+  SELECT n_nationkey AS poly_id,
+         CAST((n_nationkey * 40503) % 7000 AS DOUBLE) / 20.0 - 175.0 AS cx,
+         CAST((n_nationkey * 65537) % 3200 AS DOUBLE) / 20.0 - 80.0 AS cy,
+         CAST(1 + n_nationkey % 10 AS DOUBLE) AS s
+  FROM nation
+),
+tmpl(dx1, dy1, dx2, dy2) AS (VALUES {edges}),
+edges AS (
+  SELECT poly_id, cx + s * dx1 AS x1, cy + s * dy1 AS y1,
+         cx + s * dx2 AS x2, cy + s * dy2 AS y2
+  FROM polys, tmpl
+),
+counts AS (
+  SELECT p.c_custkey, e.poly_id, p.px, p.py,
+         SUM(CASE WHEN (e.y1 > p.py) != (e.y2 > p.py)
+                   AND p.px < e.x1 + (p.py - e.y1) * (e.x2 - e.x1)
+                                     / (e.y2 - e.y1)
+                  THEN 1 ELSE 0 END) AS c
+  FROM pts p, edges e GROUP BY 1, 2, 3, 4
+)
+SELECT c_custkey, poly_id, px, py FROM counts WHERE c % 2 = 1
+"""
+
+
 def q_pagerank_nations(spark, sf_dir):
     """Weighted PageRank over the nation-level trade graph (customer nation
     -> supplier nation, weight = lineitem count).  Exact fixed-point integer
@@ -4370,6 +4438,7 @@ QUERIES = {
     "nation_profit": q_nation_profit,
     "rolling_features": q_rolling_features,
     "bfs_hops": q_bfs_hops,
+    "spatial_polygons": q_spatial_polygons,
 }
 
 ORACLES = {
@@ -4475,4 +4544,5 @@ ORACLES = {
     "nation_profit": ORACLE_NATION_PROFIT,
     "rolling_features": ORACLE_ROLLING,
     "bfs_hops": _oracle_bfs(),
+    "spatial_polygons": _oracle_spatial_polygons(),
 }

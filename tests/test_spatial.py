@@ -157,6 +157,75 @@ def test_negative_coordinate_cells(spark):
     assert cells == {(-1, -1), (0, 0)}
 
 
+# --- point-in-polygon ------------------------------------------------------
+
+from carto_etl_spark.operators.spatial import point_in_polygon_join
+
+# concave "U" shape: bbox is [0,3]x[0,3] but the notch (1,1)-(2,3) is outside
+U_POLY = [(0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (2.0, 3.0), (2.0, 1.0),
+          (1.0, 1.0), (1.0, 3.0), (0.0, 3.0)]
+STAR = [(2.0, 0.0), (0.5, 0.5), (0.0, 2.0), (-0.5, 0.5), (-2.0, 0.0),
+        (-0.5, -0.5), (0.0, -2.0), (0.5, -0.5)]
+
+
+def _py_ray_cast(px, py, poly):
+    c = 0
+    for i in range(len(poly)):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % len(poly)]
+        if (y1 > py) != (y2 > py) and px < x1 + (py - y1) * (x2 - x1) / (
+            y2 - y1
+        ):
+            c += 1
+    return c % 2 == 1
+
+
+def _poly_df(spark, polys):
+    return spark.createDataFrame(
+        [(i, [{"x": x, "y": y} for x, y in p]) for i, p in enumerate(polys)],
+        "poly_id long, vertices array<struct<x:double,y:double>>",
+    )
+
+
+def test_polygon_concavity_beats_bbox(spark):
+    pts = _points(spark, [(1.5, 2.0), (0.5, 0.5), (2.5, 2.5), (1.5, 0.5)])
+    got = point_in_polygon_join(pts, _poly_df(spark, [U_POLY]), cell=1.0)
+    inside = {r["id"] for r in got.collect()}
+    # (1.5, 2.0) is inside the BBOX but inside the notch -> outside the poly
+    assert inside == {1, 2, 3}
+
+
+def test_polygon_matches_python_ray_cast(spark):
+    grid = [(x * 0.37 - 2.2, y * 0.41 - 2.1) for x in range(12)
+            for y in range(11)]
+    polys = [STAR, U_POLY, [(c[0] + 1.0, c[1] - 0.5) for c in STAR]]
+    got = point_in_polygon_join(
+        _points(spark, grid), _poly_df(spark, polys), cell=1.5
+    )
+    pairs = {(r["id"], r["poly_id"]) for r in got.collect()}
+    expected = {
+        (i, j)
+        for i, (px, py) in enumerate(grid)
+        for j, poly in enumerate(polys)
+        if _py_ray_cast(px, py, poly)
+    }
+    assert pairs == expected
+
+
+def test_polygon_cell_size_invariance(spark):
+    pts = _points(spark, [(0.0, 0.1), (1.8, 0.0), (0.0, 1.9), (5.0, 5.0)])
+    expected = None
+    for cell in (0.5, 2.0, 50.0):
+        got = point_in_polygon_join(
+            pts, _poly_df(spark, [STAR]), cell=cell
+        )
+        pairs = {(r["id"], r["poly_id"]) for r in got.collect()}
+        if expected is None:
+            expected = pairs
+        assert pairs == expected
+    assert expected == {(0, 0), (1, 0), (2, 0)}
+
+
 def test_spatial_plans_have_no_cartesian(spark):
     contains = point_in_box_join(
         _points(spark, PTS), _boxes(spark, BOXES), cell=1.0
