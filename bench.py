@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "rolling_features",
     "bfs_hops",
     "spatial_polygons",
+    "latest_per_key",
+    "haversine_pairs",
 ]
 
 

@@ -4160,6 +4160,97 @@ SELECT c_custkey, poly_id, px, py FROM counts WHERE c % 2 = 1
 """
 
 
+def q_latest_per_key(spark, sf_dir):
+    """Current-state view of the event log: the newest event per user
+    (row_number over one user-partitioned ordering, event_id tiebreak for
+    equal timestamps) — the compaction read every CDC/upsert consumer runs."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+ORACLE_LATEST_PER_KEY = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       event_type, value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
+def q_haversine(spark, sf_dir):
+    """Great-circle (haversine) distance in km from each customer point to
+    its deterministically paired supplier point — pure JVM trig column math.
+    Distances are rounded to 4 decimals (~10 cm): Spark's Math.* and
+    DuckDB's libm may differ in the last ulp, and the rounding absorbs it."""
+    pts = _spatial_points(spark, sf_dir)
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 40503) % 7000).cast("double") / 20.0 - 175.0
+         ).alias("sx"),
+        (((F.col("s_suppkey") * 65537) % 3200).cast("double") / 20.0 - 80.0
+         ).alias("sy"),
+    )
+    # pair on a FIXED modulus (not the supplier count) so the oracle string
+    # stays sf-independent; at tiny sf the inner join just matches fewer rows
+    paired = pts.withColumn(
+        "s_suppkey", (F.col("c_custkey") % 100) + 1
+    ).join(F.broadcast(sup), "s_suppkey")
+    rad = 3.141592653589793 / 180.0
+    lat1, lat2 = F.col("py") * rad, F.col("sy") * rad
+    dlat, dlon = (
+        (F.col("sy") - F.col("py")) * rad,
+        (F.col("sx") - F.col("px")) * rad,
+    )
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(lat1) * F.cos(lat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    dist_km = 2.0 * 6371.0 * F.asin(F.sqrt(a))
+    return paired.select(
+        "c_custkey",
+        "s_suppkey",
+        F.round(dist_km, 4).alias("dist_km"),
+    )
+
+
+def _oracle_haversine() -> str:
+    return f"""
+WITH pts AS ({_SPATIAL_PTS_SQL}),
+sups AS (
+  SELECT s_suppkey,
+         CAST((s_suppkey * 40503) % 7000 AS DOUBLE) / 20.0 - 175.0 AS sx,
+         CAST((s_suppkey * 65537) % 3200 AS DOUBLE) / 20.0 - 80.0 AS sy
+  FROM supplier
+)
+SELECT p.c_custkey, s.s_suppkey,
+       round(2.0 * 6371.0 * asin(sqrt(
+         sin((s.sy - p.py) * {3.141592653589793 / 180.0!r} / 2)
+           * sin((s.sy - p.py) * {3.141592653589793 / 180.0!r} / 2)
+         + cos(p.py * {3.141592653589793 / 180.0!r})
+           * cos(s.sy * {3.141592653589793 / 180.0!r})
+           * sin((s.sx - p.px) * {3.141592653589793 / 180.0!r} / 2)
+           * sin((s.sx - p.px) * {3.141592653589793 / 180.0!r} / 2)
+       )), 4) AS dist_km
+FROM pts p JOIN sups s ON (p.c_custkey % 100) + 1 = s.s_suppkey
+"""
+
+
 def q_pagerank_nations(spark, sf_dir):
     """Weighted PageRank over the nation-level trade graph (customer nation
     -> supplier nation, weight = lineitem count).  Exact fixed-point integer
@@ -4439,6 +4530,8 @@ QUERIES = {
     "rolling_features": q_rolling_features,
     "bfs_hops": q_bfs_hops,
     "spatial_polygons": q_spatial_polygons,
+    "latest_per_key": q_latest_per_key,
+    "haversine_pairs": q_haversine,
 }
 
 ORACLES = {
@@ -4545,4 +4638,6 @@ ORACLES = {
     "rolling_features": ORACLE_ROLLING,
     "bfs_hops": _oracle_bfs(),
     "spatial_polygons": _oracle_spatial_polygons(),
+    "latest_per_key": ORACLE_LATEST_PER_KEY,
+    "haversine_pairs": _oracle_haversine(),
 }
