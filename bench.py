@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "spatial_polygons",
     "latest_per_key",
     "haversine_pairs",
+    "attribution",
 ]
 
 

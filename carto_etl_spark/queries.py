@@ -4251,6 +4251,57 @@ FROM pts p JOIN sups s ON (p.c_custkey % 100) + 1 = s.s_suppkey
 """
 
 
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credited to the user's latest
+    click within the preceding hour (streaming/joins.py interval join — the
+    stream-stream join shape — run in its batch mode here)."""
+    from carto_etl_spark.streaming.joins import attribute_conversions
+
+    e = load(spark, sf_dir, "events")
+    out = attribute_conversions(
+        e, trigger_type="click", conversion_type="purchase",
+        max_delay="1 hour",
+    )
+    return out.select(
+        "user_id",
+        "conversion_id",
+        "trigger_id",
+        F.date_format("trigger_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "trigger_ts"
+        ),
+        F.date_format("conversion_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "conversion_ts"
+        ),
+    )
+
+
+ORACLE_ATTRIBUTION = """
+WITH t AS (
+  SELECT user_id, event_id AS trigger_id, ts FROM events
+  WHERE event_type = 'click'
+),
+c AS (
+  SELECT user_id, event_id AS conversion_id, ts FROM events
+  WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT t.user_id, c.conversion_id, t.trigger_id,
+         t.ts AS trigger_ts, c.ts AS conversion_ts
+  FROM t JOIN c ON t.user_id = c.user_id
+   AND c.ts >= t.ts AND c.ts <= t.ts + INTERVAL 1 HOUR
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conversion_id ORDER BY trigger_ts DESC, trigger_id DESC
+  ) AS rn FROM j
+)
+SELECT user_id, conversion_id, trigger_id,
+       strftime(trigger_ts, '%Y-%m-%d %H:%M:%S') AS trigger_ts,
+       strftime(conversion_ts, '%Y-%m-%d %H:%M:%S') AS conversion_ts
+FROM r WHERE rn = 1
+"""
+
+
 def q_pagerank_nations(spark, sf_dir):
     """Weighted PageRank over the nation-level trade graph (customer nation
     -> supplier nation, weight = lineitem count).  Exact fixed-point integer
@@ -4532,6 +4583,7 @@ QUERIES = {
     "spatial_polygons": q_spatial_polygons,
     "latest_per_key": q_latest_per_key,
     "haversine_pairs": q_haversine,
+    "attribution": q_attribution,
 }
 
 ORACLES = {
@@ -4640,4 +4692,5 @@ ORACLES = {
     "spatial_polygons": _oracle_spatial_polygons(),
     "latest_per_key": ORACLE_LATEST_PER_KEY,
     "haversine_pairs": _oracle_haversine(),
+    "attribution": ORACLE_ATTRIBUTION,
 }
