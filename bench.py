@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "latest_per_key",
     "haversine_pairs",
     "attribution",
+    "scd2_intervals",
+    "deciles",
+    "trajectory_length",
 ]
 
 

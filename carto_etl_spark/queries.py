@@ -4302,6 +4302,128 @@ FROM r WHERE rn = 1
 """
 
 
+def q_scd2_intervals(spark, sf_dir):
+    """SCD-2 dimension build from the event log: each event opens a
+    validity interval closed by the user's next event (lead over one user
+    partitioning; open-ended current row emits NULL valid_to)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(
+            F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss"
+        ).alias("valid_to"),
+    )
+
+
+ORACLE_SCD2 = """
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to
+FROM events
+"""
+
+
+def q_deciles(spark, sf_dir):
+    """Decile banding: ntile(10) over a TOTAL order (custkey tiebreak makes
+    the banding deterministic), then per-band stats."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+ORACLE_DECILES = """
+SELECT decile, count(*) AS n, min(c_acctbal) AS min_bal,
+       max(c_acctbal) AS max_bal
+FROM (
+  SELECT c_acctbal,
+         CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS INT)
+           AS decile
+  FROM customer
+) t GROUP BY decile
+"""
+
+
+def q_trajectory_length(spark, sf_dir):
+    """Per-user trajectory: haversine step distances between consecutive
+    synthesized event positions, summed EXACTLY — each step is rounded to
+    6dp and cast to decimal before the per-user sum, so the aggregate is
+    associative and partition-order-proof (a raw double sum would drift)."""
+    e = load(spark, sf_dir, "events")
+    ex = ((F.col("event_id") * 48271) % 7200).cast("double") / 20.0 - 180.0
+    ey = ((F.col("event_id") * 69621) % 3400).cast("double") / 20.0 - 85.0
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = e.select(
+        "user_id", "ts", "event_id", ex.alias("ex"), ey.alias("ey")
+    ).select(
+        "user_id",
+        "ex",
+        "ey",
+        F.lag("ex").over(w).alias("px"),
+        F.lag("ey").over(w).alias("py"),
+    )
+    rad = 3.141592653589793 / 180.0
+    a = (
+        F.sin((F.col("ey") - F.col("py")) * rad / 2)
+        * F.sin((F.col("ey") - F.col("py")) * rad / 2)
+        + F.cos(F.col("py") * rad)
+        * F.cos(F.col("ey") * rad)
+        * F.sin((F.col("ex") - F.col("px")) * rad / 2)
+        * F.sin((F.col("ex") - F.col("px")) * rad / 2)
+    )
+    step = F.round(2.0 * 6371.0 * F.asin(F.sqrt(a)), 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        pts.withColumn("step_km", step)
+        .groupBy("user_id")
+        .agg(
+            F.count("step_km").alias("n_steps"),
+            F.sum("step_km").cast("double").alias("total_km"),
+        )
+    )
+
+
+_RAD = repr(3.141592653589793 / 180.0)
+ORACLE_TRAJECTORY = f"""
+WITH pts AS (
+  SELECT user_id,
+         CAST((event_id * 48271) % 7200 AS DOUBLE) / 20.0 - 180.0 AS ex,
+         CAST((event_id * 69621) % 3400 AS DOUBLE) / 20.0 - 85.0 AS ey,
+         lag(CAST((event_id * 48271) % 7200 AS DOUBLE) / 20.0 - 180.0)
+           OVER w AS px,
+         lag(CAST((event_id * 69621) % 3400 AS DOUBLE) / 20.0 - 85.0)
+           OVER w AS py
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+steps AS (
+  SELECT user_id,
+         CAST(round(2.0 * 6371.0 * asin(sqrt(
+           sin((ey - py) * {_RAD} / 2) * sin((ey - py) * {_RAD} / 2)
+           + cos(py * {_RAD}) * cos(ey * {_RAD})
+             * sin((ex - px) * {_RAD} / 2) * sin((ex - px) * {_RAD} / 2)
+         )), 6) AS DECIMAL(18,6)) AS step_km
+  FROM pts
+)
+SELECT user_id, count(step_km) AS n_steps,
+       CAST(sum(step_km) AS DOUBLE) AS total_km
+FROM steps GROUP BY user_id
+"""
+
+
 def q_pagerank_nations(spark, sf_dir):
     """Weighted PageRank over the nation-level trade graph (customer nation
     -> supplier nation, weight = lineitem count).  Exact fixed-point integer
@@ -4584,6 +4706,9 @@ QUERIES = {
     "latest_per_key": q_latest_per_key,
     "haversine_pairs": q_haversine,
     "attribution": q_attribution,
+    "scd2_intervals": q_scd2_intervals,
+    "deciles": q_deciles,
+    "trajectory_length": q_trajectory_length,
 }
 
 ORACLES = {
@@ -4693,4 +4818,7 @@ ORACLES = {
     "latest_per_key": ORACLE_LATEST_PER_KEY,
     "haversine_pairs": _oracle_haversine(),
     "attribution": ORACLE_ATTRIBUTION,
+    "scd2_intervals": ORACLE_SCD2,
+    "deciles": ORACLE_DECILES,
+    "trajectory_length": ORACLE_TRAJECTORY,
 }
