@@ -4330,7 +4330,13 @@ FROM events
 
 def q_deciles(spark, sf_dir):
     """Decile banding: ntile(10) over a TOTAL order (custkey tiebreak makes
-    the banding deterministic), then per-band stats."""
+    the banding deterministic), then per-band stats.
+
+    Scale note: an unpartitioned ntile funnels the table through ONE task —
+    fine for dimension-sized inputs like customer, deliberate here for exact
+    compat semantics.  For fact-scale banding derive band BOUNDARIES from
+    approx_percentile (or the exact rank selection in operators/anomaly.py)
+    and assign by range comparison instead."""
     c = load(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return (

@@ -241,3 +241,49 @@ def test_waiting_suppliers_single_fact_exchange_no_self_join(spark):
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
     assert len(scans) <= 2, scans  # lineitem + supplier only
     assert plan.count("hashpartitioning(l_orderkey") <= 1
+
+
+def test_nation_profit_broadcasts_dims_and_prunes(spark):
+    from carto_etl_spark.plans.inspect import shuffle_count
+
+    df = QUERIES["nation_profit"](spark, SF)
+    assert has_broadcast_join(df)
+    cols = scan_columns(df)
+    assert "l_shipdate" not in cols and "l_tax" not in cols
+    pushed = " ".join(pushed_filters(df))
+    assert "p_name" in pushed  # LIKE '%ol%' reaches the part scan
+
+
+def test_single_exchange_window_entries(spark):
+    """rolling_features / latest_per_key / scd2_intervals each share ONE
+    user-partitioned exchange across all their window functions."""
+    from carto_etl_spark.plans.inspect import shuffle_count
+
+    for name in ("rolling_features", "latest_per_key", "scd2_intervals"):
+        df = QUERIES[name](spark, SF)
+        assert shuffle_count(df) == 1, name
+
+
+def test_spatial_entries_no_cartesian_and_pruned(spark):
+    from carto_etl_spark.plans.inspect import explain_str
+
+    for name in ("spatial_contains", "spatial_nearest", "spatial_polygons"):
+        df = QUERIES[name](spark, SF)
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # the containment entry reads only the key column from each side
+    assert scan_columns(QUERIES["spatial_contains"](spark, SF)) == {
+        "c_custkey",
+        "s_suppkey",
+    }
+
+
+def test_attribution_interval_join_is_equi_not_cartesian(spark):
+    from carto_etl_spark.plans.inspect import explain_str
+
+    df = QUERIES["attribution"](spark, SF)
+    plan = explain_str(df)
+    # the time-range predicate rides ON TOP of a key equi-join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
