@@ -75,35 +75,97 @@ def fuzzy_pairs(
     id_col: str,
     text: str,
     max_dist: int = 1,
+    dedup_strings: bool = True,
 ) -> DataFrame:
     """All id pairs (id_a < id_b) whose strings are within Levenshtein
     distance ``max_dist``, with the exact distance.  Exact result — the
     deletion-neighborhood block is a complete candidate cover, and every
     candidate is verified with ``levenshtein``.
 
+    ``dedup_strings`` (default) runs blocking + verification on DISTINCT
+    strings and only then expands to id pairs (identical-string id pairs
+    come from a separate plain equi-join and skip verification outright —
+    their distance is 0 by definition).  On a corpus where each string
+    appears k times this cuts variant-join and levenshtein work by ~k²
+    while emitting the identical result; measured on the 10x tiled bench
+    corpus (k=10) the entry went from 177 s to the cost of the distinct
+    problem.  The expansion join's output is the answer itself, so its
+    cost is irreducible.
+
     Output: (id_a, text_a, id_b, text_b, dist)."""
     base = df.select(F.col(id_col).alias("__id"), F.col(text).alias("__t"))
-    nbh = deletion_neighborhood(base, "__t", max_dist)
-    left = nbh.select(
-        F.col("__id").alias("id_a"),
-        F.col("__t").alias("text_a"),
-        "variant",
-    )
-    right = nbh.select(
-        F.col("__id").alias("id_b"),
-        F.col("__t").alias("text_b"),
-        "variant",
-    )
-    cands = (
-        left.join(right, "variant")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "text_a", "id_b", "text_b")
+    if not dedup_strings:
+        nbh = deletion_neighborhood(base, "__t", max_dist)
+        left = nbh.select(
+            F.col("__id").alias("id_a"),
+            F.col("__t").alias("text_a"),
+            "variant",
+        )
+        right = nbh.select(
+            F.col("__id").alias("id_b"),
+            F.col("__t").alias("text_b"),
+            "variant",
+        )
+        cands = (
+            left.join(right, "variant")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "text_a", "id_b", "text_b")
+            .distinct()
+        )
+        return (
+            cands.withColumn("dist", F.levenshtein("text_a", "text_b"))
+            .where(F.col("dist") <= max_dist)
+        )
+
+    strings = base.select("__t").distinct()
+    nbh = deletion_neighborhood(strings, "__t", max_dist)
+    spairs = (
+        nbh.select(F.col("__t").alias("__ta"), "variant")
+        .join(nbh.select(F.col("__t").alias("__tb"), "variant"), "variant")
+        .where(F.col("__ta") < F.col("__tb"))
+        .select("__ta", "__tb")
         .distinct()
-    )
-    return (
-        cands.withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .withColumn("dist", F.levenshtein("__ta", "__tb"))
         .where(F.col("dist") <= max_dist)
     )
+    ia = base.select(F.col("__id").alias("__xa"), F.col("__t").alias("__ta"))
+    ib = base.select(F.col("__id").alias("__xb"), F.col("__t").alias("__tb"))
+    swap = F.col("__xa") > F.col("__xb")
+    cross = (
+        spairs.join(ia, "__ta")
+        .join(ib, "__tb")
+        # duplicate id values across different strings would have been
+        # excluded by the old path's id_a < id_b filter; preserve that
+        .where(F.col("__xa") != F.col("__xb"))
+        .select(
+            F.when(swap, F.col("__xb")).otherwise(F.col("__xa")).alias(
+                "id_a"
+            ),
+            F.when(swap, F.col("__tb")).otherwise(F.col("__ta")).alias(
+                "text_a"
+            ),
+            F.when(swap, F.col("__xa")).otherwise(F.col("__xb")).alias(
+                "id_b"
+            ),
+            F.when(swap, F.col("__ta")).otherwise(F.col("__tb")).alias(
+                "text_b"
+            ),
+            "dist",
+        )
+    )
+    p, q = base.alias("p"), base.alias("q")
+    same = p.join(
+        q,
+        (F.col("p.__t") == F.col("q.__t"))
+        & (F.col("p.__id") < F.col("q.__id")),
+    ).select(
+        F.col("p.__id").alias("id_a"),
+        F.col("p.__t").alias("text_a"),
+        F.col("q.__id").alias("id_b"),
+        F.col("q.__t").alias("text_b"),
+        F.lit(0).alias("dist"),
+    )
+    return cross.unionByName(same)
 
 
 def fuzzy_join(

@@ -116,3 +116,31 @@ def test_completeness_against_brute_force(spark):
         if lev(a, b) <= 1
     }
     assert got == want
+
+
+def test_dedup_strings_path_identical_on_duplicate_heavy_input(spark):
+    from carto_etl_spark.operators.fuzzy import fuzzy_pairs
+
+    # every string appears 3x (distinct ids) + a singleton
+    rows = []
+    rid = 0
+    for s in ["abc", "abd", "xbd", "zzz"]:
+        for _ in range(3):
+            rows.append((rid, s))
+            rid += 1
+    rows.append((rid, "abcd"))
+    df = spark.createDataFrame(rows, "id long, t string")
+    fast = {
+        tuple(r)
+        for r in fuzzy_pairs(df, "id", "t", max_dist=1).collect()
+    }
+    slow = {
+        tuple(r)
+        for r in fuzzy_pairs(
+            df, "id", "t", max_dist=1, dedup_strings=False
+        ).collect()
+    }
+    assert fast == slow
+    # sanity: same-string pairs present with dist 0, cross pairs verified
+    assert (0, "abc", 1, "abc", 0) in fast
+    assert any(a == 0 and d == 1 for (a, _, _, _, d) in fast)
