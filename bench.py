@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "scd2_intervals",
     "deciles",
     "trajectory_length",
+    "ohlc_bars",
+    "state_runs",
 ]
 
 

@@ -4430,6 +4430,100 @@ FROM steps GROUP BY user_id
 """
 
 
+def q_ohlc_bars(spark, sf_dir):
+    """OHLC resampling: open/high/low/close of `value` per (event_type,
+    hour).  Open/close are pinned by an explicit (ts, event_id) total order
+    — conditional aggregation over two row_numbers sharing ONE exchange
+    (same partition keys), not a self-join."""
+    e = load(spark, sf_dir, "events")
+    bucket = F.date_format(
+        F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+    )
+    e = e.withColumn("bucket", bucket)
+    wa = Window.partitionBy("event_type", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rd", F.row_number().over(wd))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max(F.when(F.col("_ra") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("_rd") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_OHLC = """
+SELECT event_type, bucket,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       count(*) AS n
+FROM (
+  SELECT event_type, value,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id) AS ra,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+) t GROUP BY event_type, bucket
+"""
+
+
+def q_state_runs(spark, sf_dir):
+    """Gaps-and-islands: collapse each user's consecutive same-type events
+    into runs (start/end/length) via the rn − rn_per_state difference trick
+    — two row_numbers on the same user partitioning (one exchange), then a
+    run-key aggregate; no self-join, no iteration."""
+    e = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_st = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    runs = e.withColumn(
+        "_g", F.row_number().over(w_all) - F.row_number().over(w_st)
+    )
+    return (
+        runs.groupBy("user_id", "event_type", "_g")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "run_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "run_end"
+            ),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .drop("_g")
+    )
+
+
+ORACLE_STATE_RUNS = """
+SELECT user_id, event_type,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS run_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS run_end,
+       count(*) AS run_len
+FROM (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id) AS g
+  FROM events
+) t GROUP BY user_id, event_type, g
+"""
+
+
 def q_pagerank_nations(spark, sf_dir):
     """Weighted PageRank over the nation-level trade graph (customer nation
     -> supplier nation, weight = lineitem count).  Exact fixed-point integer
@@ -4715,6 +4809,8 @@ QUERIES = {
     "scd2_intervals": q_scd2_intervals,
     "deciles": q_deciles,
     "trajectory_length": q_trajectory_length,
+    "ohlc_bars": q_ohlc_bars,
+    "state_runs": q_state_runs,
 }
 
 ORACLES = {
@@ -4827,4 +4923,6 @@ ORACLES = {
     "scd2_intervals": ORACLE_SCD2,
     "deciles": ORACLE_DECILES,
     "trajectory_length": ORACLE_TRAJECTORY,
+    "ohlc_bars": ORACLE_OHLC,
+    "state_runs": ORACLE_STATE_RUNS,
 }
