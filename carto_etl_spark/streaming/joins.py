@@ -117,3 +117,84 @@ def attribute_conversions(
             F.col(f"{ts_col}_right").alias("conversion_ts"),
         )
     )
+
+
+def attribute_stream(
+    events,
+    out_path: str,
+    checkpoint: str,
+    trigger_type: str,
+    conversion_type: str,
+    key: str = "user_id",
+    max_delay: str = "1 hour",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    watermark: str = "2 hours",
+    available_now: bool = False,
+):
+    """The streaming composition `attribute_conversions` refuses to guess:
+    a watermarked stream-stream interval join emits candidate (trigger,
+    conversion) pairs, and last-touch selection runs INSIDE foreachBatch
+    as a keyed MERGE into a TransactionalTable.
+
+    A stream-stream inner join emits a pair as soon as BOTH rows have
+    arrived — candidates for one conversion can therefore SPAN batches (a
+    late-but-in-watermark trigger pairs up in a later batch).  Per-batch
+    row_number alone would emit two winners for such a conversion, so each
+    batch instead (1) picks its in-batch best per conversion, (2) unions
+    in the CURRENT attributed rows of the affected conversions, (3) takes
+    the overall max by (trigger_ts, trigger_id), and (4) upserts keyed on
+    conversion_id.  The result after any prefix of batches equals the
+    batch-mode answer over the events seen so far, and upsert's
+    idempotent last-write semantics make replays safe."""
+    triggers = events.where(F.col(type_col) == trigger_type).select(
+        F.col(key), F.col(id_col).alias("trigger_id"), F.col(ts_col)
+    )
+    convs = events.where(F.col(type_col) == conversion_type).select(
+        F.col(key), F.col(id_col).alias("conversion_id"), F.col(ts_col)
+    )
+    joined = interval_join(
+        triggers, convs, on=key, max_delay=max_delay,
+        left_ts=ts_col, right_ts=ts_col, watermark=watermark,
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from carto_etl_spark.operators.transactional import (
+            TransactionalTable,
+        )
+
+        spark = batch_df.sparkSession
+        cand = batch_df.select(
+            key,
+            "conversion_id",
+            "trigger_id",
+            F.col(f"{ts_col}_left").alias("trigger_ts"),
+            F.col(f"{ts_col}_right").alias("conversion_ts"),
+        )
+        table = TransactionalTable(spark, out_path)
+        if table.version():
+            existing = table.read().join(
+                cand.select("conversion_id").distinct(),
+                "conversion_id",
+                "semi",
+            )
+            cand = cand.unionByName(existing)
+        w = Window.partitionBy("conversion_id").orderBy(
+            F.desc("trigger_ts"), F.desc("trigger_id")
+        )
+        winners = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        table.upsert(winners, "conversion_id")
+
+    writer = (
+        joined.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -106,6 +106,43 @@ def test_attribution_last_touch_and_tiebreak(spark):
     assert got == {101: 3, 102: 3}
 
 
+def test_attribute_stream_late_trigger_across_batches(spark, tmp_path):
+    """A trigger arriving in a LATER micro-batch (still inside the
+    watermark) must steal the attribution from the earlier winner: the
+    stream-stream join emits its pair in batch 2, and the foreachBatch
+    MERGE must converge to one row per conversion with the later trigger
+    — the case naive per-batch dedup gets wrong."""
+    from carto_etl_spark.operators.transactional import TransactionalTable
+    from carto_etl_spark.streaming.joins import attribute_stream
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    src = tmp_path / "events"
+    spark.createDataFrame(
+        [(1, 7, _ts(0), "click"), (101, 7, _ts(40), "purchase")], schema
+    ).coalesce(1).write.parquet(str(src / "f=1"))
+    spark.createDataFrame(
+        [(2, 7, _ts(30), "click")], schema  # late, within watermark
+    ).coalesce(1).write.parquet(str(src / "f=2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = str(tmp_path / "attributed")
+    q = attribute_stream(
+        stream, out, str(tmp_path / "ckpt_attr"),
+        trigger_type="click", conversion_type="purchase",
+        max_delay="1 hour", available_now=True,
+    )
+    q.awaitTermination(180)
+
+    rows = TransactionalTable(spark, out).read().collect()
+    assert len(rows) == 1
+    assert rows[0]["conversion_id"] == 101
+    assert rows[0]["trigger_id"] == 2  # the late trigger won
+
+
 def test_attribution_refuses_streaming_input(spark, tmp_path):
     src = tmp_path / "ev"
     spark.createDataFrame(
