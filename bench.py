@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "trajectory_length",
     "ohlc_bars",
     "state_runs",
+    "bm25_scores",
 ]
 
 

@@ -4524,6 +4524,99 @@ FROM (
 """
 
 
+_BM25_TERMS = ["spark", "merge", "window"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_scores(spark, sf_dir):
+    """BM25 retrieval scoring for a fixed 3-term query, in ONE scan plus a
+    single-row corpus-stats aggregate broadcast back — no explode, no
+    per-term shuffle: per-term tf comes from a map-side array filter.
+
+    Determinism: idf is the division-only (N−df+0.5)/(df+0.5) form (ln
+    differs between JVM Math.log and libm in the last ulp); the 3 term
+    scores are added in one FIXED left-associative expression instead of a
+    SUM over rows, so every double is bit-identical to the oracle's."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    def _tf(term):
+        # NB: a `lambda x, t=t:` default param would make this a TWO-arg
+        # higher-order lambda, and Spark would bind the array INDEX to t
+        return F.size(F.filter(F.col("_toks"), lambda x: x == F.lit(term)))
+
+    d = d.select("doc_id", toks.alias("_toks")).select(
+        "doc_id",
+        F.size("_toks").alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = d.join(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    k1, b = _BM25_K1, _BM25_B
+
+    def term_score(i):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        idf = (F.col("n_docs") - df + 0.5) / (df + 0.5)
+        return idf * (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * F.col("dl") / avgdl)
+        )
+
+    score = term_score(0) + term_score(1) + term_score(2)
+    return (
+        j.where(
+            (F.col("tf_0") + F.col("tf_1") + F.col("tf_2")) > 0
+        )
+        .select("doc_id", "dl", score.alias("bm25"))
+    )
+
+
+def _oracle_bm25():
+    tok = (
+        r"list_filter(string_split_regex(trim(lower(text)), '\s+'),"
+        r" x -> x != '')"
+    )
+    tf_cols = ", ".join(
+        f"len(list_filter({tok}, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    scores = " + ".join(
+        f"((n_docs - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * ({k1} + 1))"
+        f" / (CAST(tf_{i} AS DOUBLE) + {k1}"
+        f" * (1 - {b} + {b} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, len({tok}) AS dl, {tf_cols} FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, {df_cols}
+  FROM d
+)
+SELECT doc_id, CAST(dl AS INT) AS dl, {scores} AS bm25
+FROM d, stats
+WHERE tf_0 + tf_1 + tf_2 > 0
+"""
+
+
 def q_pagerank_nations(spark, sf_dir):
     """Weighted PageRank over the nation-level trade graph (customer nation
     -> supplier nation, weight = lineitem count).  Exact fixed-point integer
@@ -4811,6 +4904,7 @@ QUERIES = {
     "trajectory_length": q_trajectory_length,
     "ohlc_bars": q_ohlc_bars,
     "state_runs": q_state_runs,
+    "bm25_scores": q_bm25_scores,
 }
 
 ORACLES = {
@@ -4925,4 +5019,5 @@ ORACLES = {
     "trajectory_length": ORACLE_TRAJECTORY,
     "ohlc_bars": ORACLE_OHLC,
     "state_runs": ORACLE_STATE_RUNS,
+    "bm25_scores": _oracle_bm25(),
 }
