@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "ohlc_bars",
     "state_runs",
     "bm25_scores",
+    "triangle_count",
 ]
 
 

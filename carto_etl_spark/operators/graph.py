@@ -175,6 +175,83 @@ def bfs_oracle_sql(
     )
 
 
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count of the UNDIRECTED graph under ``edges``
+    (direction, duplicates, and self-loops are normalized away first).
+
+    Uses the degree-orientation trick: orient every edge from the
+    lower-(degree, node) endpoint to the higher one, enumerate wedges by
+    joining oriented edges on their midpoint, and close each wedge against
+    the oriented edge set.  Every triangle is counted exactly once (its
+    orientation is acyclic), and — the scale property — wedge counts are
+    bounded by orienting AWAY from high-degree hubs: a star graph yields
+    zero wedges at the hub instead of degree² of them, so the shuffle
+    volume tracks sum of min-degree² rather than max-degree².
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("n"))
+        .union(canon.select("b"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(
+        F.col("n").alias("a"), F.col("deg").alias("deg_a")
+    )
+    db = deg.select(
+        F.col("n").alias("b"), F.col("deg").alias("deg_b")
+    )
+    with_deg = canon.join(da, "a").join(db, "b")
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    # wedges = ordered pairs of out-neighbors of one source; the closing
+    # join matches only the pair whose (y, z) agrees with the closing
+    # edge's orientation, so each triangle is counted exactly once.  Out-
+    # degrees are what orientation bounds (sum out² ≤ O(m^1.5)), which is
+    # why wedges form at the SOURCE, not along a midpoint path.
+    e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    wedges = e1.join(e2, "x").where(F.col("y") != F.col("z"))
+    closing = oriented.select(
+        F.col("lo").alias("y"), F.col("hi").alias("z")
+    )
+    return wedges.join(closing, ["y", "z"]).agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+
+
+def triangle_oracle_sql(edges_sql: str) -> str:
+    """Independent brute force: canonicalize to a < b < c and count each
+    triangle's three edges directly — no orientation logic shared with the
+    engine path, so what the oracle verifies is the algorithm, not a
+    transcription of it.  ``edges_sql`` must yield (src, dst)."""
+    return f"""
+WITH raw AS ({edges_sql}),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src != dst
+)
+SELECT CAST(count(*) AS BIGINT) AS triangles
+FROM canon e1
+JOIN canon e2 ON e1.b = e2.a AND e1.a < e2.a
+JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 def pagerank_oracle_sql(
     edges_sql: str,
     iterations: int = 10,

@@ -4617,6 +4617,36 @@ WHERE tf_0 + tf_1 + tf_2 > 0
 """
 
 
+def q_triangle_count(spark, sf_dir):
+    """Global triangle count over a synthetic circulant graph on the nation
+    keys (offsets 1, 3, 4 — rich in triangles), via degree-oriented wedge
+    enumeration (operators/graph.py).  The oracle is an INDEPENDENT
+    canonical a<b<c brute force sharing no orientation logic."""
+    from carto_etl_spark.operators.graph import triangle_count
+
+    n = load(spark, sf_dir, "nation")
+    parts = [
+        n.select(
+            F.col("n_nationkey").alias("src"),
+            ((F.col("n_nationkey") + off) % 25).alias("dst"),
+        )
+        for off in (1, 3, 4)
+    ]
+    edges = parts[0].union(parts[1]).union(parts[2])
+    return triangle_count(edges)
+
+
+def _oracle_triangles():
+    from carto_etl_spark.operators.graph import triangle_oracle_sql
+
+    edges_sql = " UNION ALL ".join(
+        f"SELECT n_nationkey AS src, (n_nationkey + {off}) % 25 AS dst"
+        " FROM nation"
+        for off in (1, 3, 4)
+    )
+    return triangle_oracle_sql(edges_sql)
+
+
 def q_pagerank_nations(spark, sf_dir):
     """Weighted PageRank over the nation-level trade graph (customer nation
     -> supplier nation, weight = lineitem count).  Exact fixed-point integer
@@ -4905,6 +4935,7 @@ QUERIES = {
     "ohlc_bars": q_ohlc_bars,
     "state_runs": q_state_runs,
     "bm25_scores": q_bm25_scores,
+    "triangle_count": q_triangle_count,
 }
 
 ORACLES = {
@@ -5020,4 +5051,5 @@ ORACLES = {
     "ohlc_bars": ORACLE_OHLC,
     "state_runs": ORACLE_STATE_RUNS,
     "bm25_scores": _oracle_bm25(),
+    "triangle_count": _oracle_triangles(),
 }

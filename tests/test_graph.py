@@ -136,3 +136,59 @@ def test_bfs_oracle_sql_matches(spark):
         f"SELECT * FROM (VALUES {rows}) AS t(src, dst)", [1], max_hops=4
     )
     assert got == dict(duckdb.sql(sql).fetchall())
+
+
+# --- triangle counting -----------------------------------------------------
+
+from itertools import combinations
+
+from carto_etl_spark.operators.graph import triangle_count, triangle_oracle_sql
+
+
+def _py_triangles(edges):
+    adj = {}
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return sum(
+        1
+        for a, b, c in combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+
+
+def _spark_triangles(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return triangle_count(df).collect()[0]["triangles"]
+
+
+def test_triangles_known_graphs(spark):
+    tri = [(1, 2), (2, 3), (3, 1)]
+    assert _spark_triangles(spark, tri) == 1
+    square = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    assert _spark_triangles(spark, square) == 0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _spark_triangles(spark, k4) == 4
+    star = [(0, i) for i in range(1, 8)]
+    assert _spark_triangles(spark, star) == 0
+
+
+def test_triangles_normalize_dupes_reversals_loops(spark):
+    messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (3, 1), (1, 3)]
+    assert _spark_triangles(spark, messy) == 1
+
+
+def test_triangles_match_python_on_circulant(spark):
+    edges = [(i, (i + o) % 13) for i in range(13) for o in (1, 3, 4)]
+    assert _spark_triangles(spark, edges) == _py_triangles(edges)
+
+
+def test_triangle_oracle_matches(spark):
+    edges = [(i, (i + o) % 11) for i in range(11) for o in (1, 2)]
+    got = _spark_triangles(spark, edges)
+    rows = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = triangle_oracle_sql(
+        f"SELECT * FROM (VALUES {rows}) AS t(src, dst)"
+    )
+    assert got == duckdb.sql(sql).fetchone()[0] == _py_triangles(edges)
