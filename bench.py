@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "state_runs",
     "bm25_scores",
     "triangle_count",
+    "golden_records",
 ]
 
 

@@ -4647,6 +4647,59 @@ def _oracle_triangles():
     return triangle_oracle_sql(edges_sql)
 
 
+def q_golden_records(spark, sf_dir):
+    """End-to-end entity resolution: SymSpell fuzzy pairs over customer
+    names (edit distance ≤ 1) → fixpoint min-label connected components →
+    every customer mapped to its cluster's minimum id as the golden
+    record.  The oracle rebuilds the pair graph by BRUTE-FORCE levenshtein
+    over all ordered pairs and closes it with a recursive CTE, so both the
+    blocking completeness and the component labeling are what's verified."""
+    from carto_etl_spark.operators.dedup import min_label_components
+    from carto_etl_spark.operators.fuzzy import fuzzy_pairs
+
+    c = load(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs(c, "c_custkey", "c_name", max_dist=1).select(
+        "id_a", "id_b"
+    )
+    comps = min_label_components(pairs)
+    return (
+        c.join(comps, c["c_custkey"] == comps["node"], "left")
+        .select(
+            F.col("c_custkey").alias("member_id"),
+            F.coalesce(F.col("root"), F.col("c_custkey")).alias(
+                "golden_id"
+            ),
+        )
+        .withColumn(
+            "is_rep", (F.col("member_id") == F.col("golden_id"))
+        )
+    )
+
+
+ORACLE_GOLDEN_RECORDS = """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND levenshtein(a.c_name, b.c_name) <= 1
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), reach AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT c.c_custkey AS member_id,
+       least(c.c_custkey, coalesce(min(r.d), c.c_custkey)) AS golden_id,
+       c.c_custkey = least(c.c_custkey, coalesce(min(r.d), c.c_custkey))
+         AS is_rep
+FROM customer c LEFT JOIN reach r ON r.s = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+
 def q_pagerank_nations(spark, sf_dir):
     """Weighted PageRank over the nation-level trade graph (customer nation
     -> supplier nation, weight = lineitem count).  Exact fixed-point integer
@@ -4936,6 +4989,7 @@ QUERIES = {
     "state_runs": q_state_runs,
     "bm25_scores": q_bm25_scores,
     "triangle_count": q_triangle_count,
+    "golden_records": q_golden_records,
 }
 
 ORACLES = {
@@ -5052,4 +5106,5 @@ ORACLES = {
     "state_runs": ORACLE_STATE_RUNS,
     "bm25_scores": _oracle_bm25(),
     "triangle_count": _oracle_triangles(),
+    "golden_records": ORACLE_GOLDEN_RECORDS,
 }
