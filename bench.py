@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "bm25_scores",
     "triangle_count",
     "golden_records",
+    "label_centroids",
+    "quantize_int8",
 ]
 
 

@@ -4700,6 +4700,74 @@ GROUP BY c.c_custkey
 """
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids as EXACT sums: each component is
+    rounded to 6dp and decimal-cast before aggregation, so the per-(label,
+    dim) sum is associative (partition-order-proof) and emitted with its
+    count instead of as a division-lossy mean."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    dec = F.round(F.col("val").cast("double"), 6).cast("decimal(18,6)")
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.sum(dec).cast("double").alias("sum_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_CENTROIDS = """
+SELECT label, CAST(t.range AS INT) AS dim,
+       CAST(sum(CAST(round(CAST(embedding[t.range + 1] AS DOUBLE), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_val,
+       count(*) AS n
+FROM embeddings CROSS JOIN range(64) t
+GROUP BY 1, 2
+"""
+
+
+def q_quantize_int8(spark, sf_dir):
+    """Symmetric int8 vector quantization (per-vector max-abs scale) —
+    entirely map-side: scale computed on the array column BEFORE the
+    explode, no shuffle anywhere.  floor(x + 0.5) instead of round():
+    floor on bit-identical doubles is exact in both engines, while the two
+    engines' round() implementations may disagree on exact .5 ties."""
+    e = load(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(
+        F.transform(
+            F.col("embedding"), lambda x: F.abs(x.cast("double"))
+        )
+    )
+    e = e.select(
+        "vec_id", maxabs.alias("_m"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    q = F.when(F.col("_m") == 0.0, F.lit(0)).otherwise(
+        F.floor(
+            127.0 * F.col("val").cast("double") / F.col("_m") + 0.5
+        ).cast("int")
+    )
+    return e.select("vec_id", "dim", q.alias("q"))
+
+
+ORACLE_QUANTIZE = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS m
+  FROM embeddings
+)
+SELECT vec_id, CAST(t.range AS INT) AS dim,
+       CASE WHEN m = 0.0 THEN 0
+            ELSE CAST(floor(127.0 * CAST(embedding[t.range + 1] AS DOUBLE)
+                            / m + 0.5) AS INT) END AS q
+FROM m CROSS JOIN range(64) t
+"""
+
+
 def q_pagerank_nations(spark, sf_dir):
     """Weighted PageRank over the nation-level trade graph (customer nation
     -> supplier nation, weight = lineitem count).  Exact fixed-point integer
@@ -4990,6 +5058,8 @@ QUERIES = {
     "bm25_scores": q_bm25_scores,
     "triangle_count": q_triangle_count,
     "golden_records": q_golden_records,
+    "label_centroids": q_label_centroids,
+    "quantize_int8": q_quantize_int8,
 }
 
 ORACLES = {
@@ -5107,4 +5177,6 @@ ORACLES = {
     "bm25_scores": _oracle_bm25(),
     "triangle_count": _oracle_triangles(),
     "golden_records": ORACLE_GOLDEN_RECORDS,
+    "label_centroids": ORACLE_CENTROIDS,
+    "quantize_int8": ORACLE_QUANTIZE,
 }
