@@ -287,3 +287,17 @@ def test_attribution_interval_join_is_equi_not_cartesian(spark):
     # the time-range predicate rides ON TOP of a key equi-join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantize_is_map_side_only(spark):
+    from carto_etl_spark.plans.inspect import shuffle_count
+
+    assert shuffle_count(QUERIES["quantize_int8"](spark, SF)) == 0
+
+
+def test_label_centroids_single_partial_agg_exchange(spark):
+    from carto_etl_spark.plans.inspect import explain_str, shuffle_count
+
+    df = QUERIES["label_centroids"](spark, SF)
+    assert shuffle_count(df) == 1
+    assert "partial_sum" in explain_str(df)
