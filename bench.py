@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "golden_records",
     "label_centroids",
     "quantize_int8",
+    "seasonal_residuals",
+    "drawdown",
 ]
 
 

@@ -4768,6 +4768,87 @@ FROM m CROSS JOIN range(64) t
 """
 
 
+def q_seasonal_residuals(spark, sf_dir):
+    """Seasonal decomposition, the exact-arithmetic way: the hour-of-day
+    profile per event_type is an exact decimal (sum, n) pair, the mean is
+    ONE double division identical in both engines, and each event's
+    residual subtracts that bit-identical mean — no averaged-of-averages
+    drift anywhere.  Profile joins back broadcast (24×types rows)."""
+    e = load(spark, sf_dir, "events")
+    e = e.withColumn("hod", F.hour("ts"))
+    dec = F.round(F.col("value"), 6).cast("decimal(18,6)")
+    profile = (
+        e.groupBy("event_type", "hod")
+        .agg(
+            F.sum(dec).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("seasonal_mean", F.col("s") / F.col("n"))
+        .drop("s")
+    )
+    return (
+        e.join(F.broadcast(profile), ["event_type", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            "seasonal_mean",
+            (F.col("value") - F.col("seasonal_mean")).alias("residual"),
+        )
+    )
+
+
+ORACLE_SEASONAL = """
+WITH e AS (
+  SELECT event_id, event_type, value, CAST(hour(ts) AS INT) AS hod
+  FROM events
+),
+profile AS (
+  SELECT event_type, hod,
+         CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*) AS seasonal_mean,
+         count(*) AS n
+  FROM e GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, e.hod, p.seasonal_mean,
+       e.value - p.seasonal_mean AS residual
+FROM e JOIN profile p ON e.event_type = p.event_type AND e.hod = p.hod
+"""
+
+
+def q_drawdown(spark, sf_dir):
+    """Max drawdown per user over the ordered value series: running max
+    minus current value, maximized — two stacked windows on ONE user
+    partitioning, and only max/subtraction ops so no float-accumulation
+    order exists to drift."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_max = F.max("value").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = run_max - F.col("value")
+    return (
+        e.withColumn("_dd", dd)
+        .groupBy("user_id")
+        .agg(
+            F.max("_dd").alias("max_drawdown"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_DRAWDOWN = """
+SELECT user_id, max(run_max - value) AS max_drawdown,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, value,
+         max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run_max
+  FROM events
+) t GROUP BY user_id
+"""
+
+
 def q_pagerank_nations(spark, sf_dir):
     """Weighted PageRank over the nation-level trade graph (customer nation
     -> supplier nation, weight = lineitem count).  Exact fixed-point integer
@@ -5060,6 +5141,8 @@ QUERIES = {
     "golden_records": q_golden_records,
     "label_centroids": q_label_centroids,
     "quantize_int8": q_quantize_int8,
+    "seasonal_residuals": q_seasonal_residuals,
+    "drawdown": q_drawdown,
 }
 
 ORACLES = {
@@ -5179,4 +5262,6 @@ ORACLES = {
     "golden_records": ORACLE_GOLDEN_RECORDS,
     "label_centroids": ORACLE_CENTROIDS,
     "quantize_int8": ORACLE_QUANTIZE,
+    "seasonal_residuals": ORACLE_SEASONAL,
+    "drawdown": ORACLE_DRAWDOWN,
 }
