@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "quantize_int8",
     "seasonal_residuals",
     "drawdown",
+    "shortest_paths",
 ]
 
 

@@ -104,6 +104,53 @@ def pagerank(
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
 
 
+def _relax_loop(
+    e: DataFrame, sources: list, rounds: int, checkpoint_every: int
+) -> DataFrame:
+    """Shared relax-and-min loop over weighted edges ``e(src, dst, w)``.
+
+    The naive step ``dist.union(relax(dist))`` references ``dist`` TWICE,
+    so an un-checkpointed plan tree DOUBLES per round — 2^rounds leaves,
+    and Catalyst analysis time explodes exponentially even though
+    ReusedExchange keeps execution sane (measured: a 10-round loop took
+    40+ s of pure planning).  Instead the edge set is augmented with
+    zero-weight SELF-LOOPS on every node, which makes "keep my current
+    distance" just another relaxation: each round is one join + one
+    min-aggregate referencing ``dist`` exactly once, so lineage grows
+    linearly and checkpoints become a fault-tolerance choice rather than
+    a planning necessity.
+    """
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+    )
+    e_aug = (
+        e.union(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(0).cast("long").alias("w"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        nodes.where(F.col("node").isin(sources))
+        .select("node", F.lit(0).cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    for it in range(1, rounds + 1):
+        dist = (
+            e_aug.join(dist, e_aug["src"] == dist["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("d") + F.col("w")).alias("d"))
+        )
+        if it % checkpoint_every == 0 and it < rounds:
+            dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
 def bfs_hops(
     edges: DataFrame,
     sources: list,
@@ -120,29 +167,51 @@ def bfs_hops(
 
     Per-round cost is one equi-join of edges against the reached set plus a
     min-groupBy -- ~edges shuffle volume; correct (not just frontier-fast)
-    because min() makes re-relaxation idempotent.
+    because min() makes re-relaxation idempotent.  Lineage stays LINEAR in
+    rounds via the self-loop trick (see `_relax_loop`).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    dist = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select("dst"))
-        .distinct()
-        .where(F.col("node").isin(sources))
-        .select("node", F.lit(0).cast("int").alias("d"))
-        .localCheckpoint(eager=True)
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.lit(1).cast("long").alias("w"),
     )
-    for it in range(1, max_hops + 1):
-        relaxed = e.join(dist, e["src"] == dist["node"]).select(
-            F.col("dst").alias("node"), (F.col("d") + 1).alias("d")
+    dist = _relax_loop(e, sources, max_hops, checkpoint_every)
+    return dist.select("node", F.col("d").cast("int").alias("hops"))
+
+
+def _relax_oracle_sql(
+    weighted_edges_sql: str,
+    sources: list,
+    rounds: int,
+    final_select: str,
+) -> str:
+    """Shared unrolled-CTE generator mirroring `_relax_loop`, INCLUDING
+    its linear-lineage property: the naive ``d ∪ relax(d)`` step
+    references each round's CTE twice, and a SQL engine that inlines
+    (rather than materializes) multiply-referenced CTEs then pays a
+    2^rounds subplan — measured 15 s in DuckDB for 10 rounds on a
+    50-edge graph.  Zero-weight self-loops make every round reference
+    its predecessor exactly once, so the oracle stays linear too."""
+    src_list = ", ".join(str(s) for s in sources)
+    parts = [
+        f"edges AS ({weighted_edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "e_aug AS (SELECT src, dst, w FROM edges UNION ALL"
+        " SELECT node, node, 0 FROM nodes)",
+        f"d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM nodes"
+        f" WHERE node IN ({src_list}))",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT e.dst AS node, CAST(MIN(r.d + e.w) AS BIGINT) AS d
+  FROM e_aug e JOIN d{i - 1} r ON e.src = r.node
+  GROUP BY e.dst)"""
         )
-        dist = (
-            dist.union(relaxed)
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
-        )
-        if it % checkpoint_every == 0 and it < max_hops:
-            dist = dist.localCheckpoint(eager=True)
-    return dist.select("node", F.col("d").alias("hops"))
+    return (
+        "WITH " + ",\n".join(parts) + f"\n{final_select} FROM d{rounds}"
+    )
 
 
 def bfs_oracle_sql(
@@ -150,28 +219,56 @@ def bfs_oracle_sql(
 ) -> str:
     """`bfs_hops` unrolled into a SQL CTE chain: one relax-and-min step per
     hop.  ``edges_sql`` must yield (src, dst)."""
-    src_list = ", ".join(str(s) for s in sources)
-    parts = [
-        f"edges AS ({edges_sql})",
-        "nodes AS (SELECT src AS node FROM edges"
-        " UNION SELECT dst FROM edges)",
-        f"d0 AS (SELECT node, CAST(0 AS INT) AS d FROM nodes"
-        f" WHERE node IN ({src_list}))",
-    ]
-    for i in range(1, max_hops + 1):
-        parts.append(
-            f"""d{i} AS (
-  SELECT node, CAST(MIN(d) AS INT) AS d FROM (
-    SELECT node, d FROM d{i - 1}
-    UNION ALL
-    SELECT e.dst AS node, r.d + 1 AS d
-    FROM edges e JOIN d{i - 1} r ON e.src = r.node
-  ) u GROUP BY node)"""
-        )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"\nSELECT node, d AS hops FROM d{max_hops}"
+    return _relax_oracle_sql(
+        f"SELECT src, dst, 1 AS w FROM ({edges_sql}) raw_edges",
+        sources,
+        max_hops,
+        "SELECT node, CAST(d AS INT) AS hops",
+    )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: list,
+    max_rounds: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Single/multi-source shortest path distances with integer edge
+    weights: Bellman-Ford-style relax-and-min rounds (the weighted
+    generalization of `bfs_hops` — min() keeps re-relaxation idempotent,
+    so no frontier bookkeeping is needed for correctness).
+
+    Exact: distances are integer sums, so results are bit-identical across
+    partitionings and replayable as an unrolled SQL CTE chain
+    (`shortest_paths_oracle_sql`).  ``max_rounds`` must be ≥ the hop count
+    of the longest shortest path (standard Bellman-Ford bound: n−1);
+    negative weights are accepted but negative CYCLES are not detected —
+    the result after ``max_rounds`` is then round-limited, as in any
+    bounded Bellman-Ford.  Unreached nodes are absent.
+
+    The self-loop lineage trick (see `_relax_loop`) preserves semantics:
+    tentative distances in Bellman-Ford are monotone non-increasing, and
+    min-with-self-loop is exactly that invariant.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    dist = _relax_loop(e, sources, max_rounds, checkpoint_every)
+    return dist.select("node", F.col("d").alias("dist"))
+
+
+def shortest_paths_oracle_sql(
+    edges_sql: str, sources: list, max_rounds: int = 10
+) -> str:
+    """`shortest_paths` unrolled into SQL CTEs, one relax-and-min step per
+    round.  ``edges_sql`` must yield (src, dst, w)."""
+    return _relax_oracle_sql(
+        edges_sql, sources, max_rounds, "SELECT node, d AS dist"
     )
 
 

@@ -4849,6 +4849,43 @@ FROM (
 """
 
 
+def q_shortest_paths(spark, sf_dir):
+    """Weighted shortest paths from node 0 over a synthetic weighted
+    digraph on the nation keys — weights chosen so some cheaper-but-longer
+    routes must beat direct hops, exercising true Bellman-Ford relaxation
+    rather than hop counting; 10 rounds replayed by the unrolled-CTE
+    oracle."""
+    from carto_etl_spark.operators.graph import shortest_paths
+
+    n = load(spark, sf_dir, "nation")
+    edges = n.select(
+        F.col("n_nationkey").alias("src"),
+        ((2 * F.col("n_nationkey") + 1) % 25).alias("dst"),
+        (1 + F.col("n_nationkey") % 5).alias("w"),
+    ).union(
+        n.select(
+            F.col("n_nationkey"),
+            ((3 * F.col("n_nationkey") + 2) % 25).alias("dst"),
+            (3 + F.col("n_nationkey") % 7).alias("w"),
+        )
+    )
+    return shortest_paths(
+        edges, sources=[0], max_rounds=10, checkpoint_every=10
+    )
+
+
+def _oracle_shortest_paths():
+    from carto_etl_spark.operators.graph import shortest_paths_oracle_sql
+
+    edges_sql = (
+        "SELECT n_nationkey AS src, (2 * n_nationkey + 1) % 25 AS dst,"
+        " 1 + n_nationkey % 5 AS w FROM nation UNION ALL"
+        " SELECT n_nationkey AS src, (3 * n_nationkey + 2) % 25 AS dst,"
+        " 3 + n_nationkey % 7 AS w FROM nation"
+    )
+    return shortest_paths_oracle_sql(edges_sql, sources=[0], max_rounds=10)
+
+
 def q_pagerank_nations(spark, sf_dir):
     """Weighted PageRank over the nation-level trade graph (customer nation
     -> supplier nation, weight = lineitem count).  Exact fixed-point integer
@@ -5143,6 +5180,7 @@ QUERIES = {
     "quantize_int8": q_quantize_int8,
     "seasonal_residuals": q_seasonal_residuals,
     "drawdown": q_drawdown,
+    "shortest_paths": q_shortest_paths,
 }
 
 ORACLES = {
@@ -5264,4 +5302,5 @@ ORACLES = {
     "quantize_int8": ORACLE_QUANTIZE,
     "seasonal_residuals": ORACLE_SEASONAL,
     "drawdown": ORACLE_DRAWDOWN,
+    "shortest_paths": _oracle_shortest_paths(),
 }

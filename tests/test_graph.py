@@ -192,3 +192,57 @@ def test_triangle_oracle_matches(spark):
         f"SELECT * FROM (VALUES {rows}) AS t(src, dst)"
     )
     assert got == duckdb.sql(sql).fetchone()[0] == _py_triangles(edges)
+
+
+# --- weighted shortest paths -----------------------------------------------
+
+from carto_etl_spark.operators.graph import (
+    shortest_paths,
+    shortest_paths_oracle_sql,
+)
+
+# direct 1->4 costs 10; detour 1->2->3->4 costs 3: longer path must win
+SP_EDGES = [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1), (5, 6, 2)]
+
+
+def _py_sp(edges, sources, rounds):
+    dist = {s: 0 for s in sources}
+    for _ in range(rounds):
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < dist.get(d, 1 << 60):
+                dist[d] = dist[s] + w
+    return dist
+
+
+def _spark_sp(spark, edges, sources, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    return {
+        r["node"]: r["dist"]
+        for r in shortest_paths(df, sources=sources, **kw).collect()
+    }
+
+
+def test_cheaper_longer_path_beats_direct_edge(spark):
+    got = _spark_sp(spark, SP_EDGES, [1], max_rounds=5)
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    assert 5 not in got and 6 not in got
+
+
+def test_sp_round_cap_limits_relaxation(spark):
+    got = _spark_sp(spark, SP_EDGES, [1], max_rounds=1)
+    assert got == {1: 0, 2: 1, 4: 10}  # detour not yet discovered
+
+
+def test_sp_matches_python_multi_source(spark):
+    got = _spark_sp(spark, SP_EDGES, [1, 5], max_rounds=6)
+    assert got == _py_sp(SP_EDGES, [1, 5], 6)
+
+
+def test_sp_oracle_matches(spark):
+    got = _spark_sp(spark, SP_EDGES, [1], max_rounds=4)
+    rows = ", ".join(f"({s}, {d}, {w})" for s, d, w in SP_EDGES)
+    sql = shortest_paths_oracle_sql(
+        f"SELECT * FROM (VALUES {rows}) AS t(src, dst, w)", [1],
+        max_rounds=4,
+    )
+    assert got == dict(duckdb.sql(sql).fetchall())
