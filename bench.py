@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "seasonal_residuals",
     "drawdown",
     "shortest_paths",
+    "contingency",
 ]
 
 

@@ -4886,6 +4886,53 @@ def _oracle_shortest_paths():
     return shortest_paths_oracle_sql(edges_sql, sources=[0], max_rounds=10)
 
 
+def q_contingency(spark, sf_dir):
+    """Chi-square independence scan: observed vs expected counts for the
+    (event_type × hour-of-day) contingency table.  Marginals are window
+    sums over the 120-cell aggregate (integers — exact), expected =
+    row·col/total is integer products then ONE double division, and the
+    per-cell chi² contribution is emitted UNAGGREGATED so no float-sum
+    order exists; the analyst sums (or the oracle hashes) cells directly."""
+    e = load(spark, sf_dir, "events")
+    obs = (
+        e.groupBy("event_type", F.hour("ts").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_t = F.sum("o").over(Window.partitionBy("event_type"))
+    col_t = F.sum("o").over(Window.partitionBy("hod"))
+    tot = F.sum("o").over(Window.partitionBy())
+    cells = obs.select(
+        "event_type",
+        "hod",
+        "o",
+        ((row_t * col_t).cast("double") / tot).alias("expected"),
+    )
+    contrib = (
+        (F.col("o") - F.col("expected"))
+        * (F.col("o") - F.col("expected"))
+        / F.col("expected")
+    )
+    return cells.withColumn("chi2_cell", contrib)
+
+
+ORACLE_CONTINGENCY = """
+WITH obs AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hod, count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+cells AS (
+  SELECT event_type, hod, o,
+         CAST(sum(o) OVER (PARTITION BY event_type)
+              * sum(o) OVER (PARTITION BY hod) AS DOUBLE)
+           / sum(o) OVER () AS expected
+  FROM obs
+)
+SELECT event_type, hod, o, expected,
+       (o - expected) * (o - expected) / expected AS chi2_cell
+FROM cells
+"""
+
+
 def q_pagerank_nations(spark, sf_dir):
     """Weighted PageRank over the nation-level trade graph (customer nation
     -> supplier nation, weight = lineitem count).  Exact fixed-point integer
@@ -5181,6 +5228,7 @@ QUERIES = {
     "seasonal_residuals": q_seasonal_residuals,
     "drawdown": q_drawdown,
     "shortest_paths": q_shortest_paths,
+    "contingency": q_contingency,
 }
 
 ORACLES = {
@@ -5303,4 +5351,5 @@ ORACLES = {
     "seasonal_residuals": ORACLE_SEASONAL,
     "drawdown": ORACLE_DRAWDOWN,
     "shortest_paths": _oracle_shortest_paths(),
+    "contingency": ORACLE_CONTINGENCY,
 }
