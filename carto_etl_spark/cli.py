@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=100,
         help="rows printed to stdout when query has no --target",
     )
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the optimized physical plan instead of executing "
+        "(query verb)",
+    )
     p.add_argument("--id-column", help="key column for update/delete")
     p.add_argument("--start-chunk", type=int, default=1)
     p.add_argument("--end-chunk", type=int, default=None)
@@ -129,6 +135,11 @@ def main(argv: list[str] | None = None) -> int:
                 df = reader.parquet(path)
             df.createOrReplaceTempView(name)
         result = spark.sql(sql)
+        if args.explain:
+            from carto_etl_spark.plans.inspect import explain_str
+
+            print(explain_str(result))
+            return 0
         if args.target:
             writer = result.write.mode("overwrite")
             if args.format == "csv":

@@ -112,6 +112,16 @@ def test_cli_query_registers_csv_and_validates(workspace, capsys):
     assert main(["insert"]) == 2         # DML without --target
 
 
+def test_cli_query_explain(workspace, capsys):
+    rc = main([
+        "query", "--table", f"raw={workspace / 'data.csv'}",
+        "--sql", "SELECT count(*) FROM raw", "--explain",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan csv" in out
+
+
 def test_cli_requires_id_column_for_update(workspace):
     rc = main([
         "update", "--conf", str(workspace / "etl.conf"),
