@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "drawdown",
     "shortest_paths",
     "contingency",
+    "latency_bands",
+    "revenue_share",
 ]
 
 

@@ -4933,6 +4933,103 @@ FROM cells
 """
 
 
+def q_latency_bands(spark, sf_dir):
+    """Observability-style P50/P95/P99 per event_type by exact rank
+    selection (rank = ceil(p·n) of the (value, event_id)-ordered series):
+    the emitted percentiles are RAW data values — no interpolation, no
+    arithmetic — so they hash bit-for-bit.  The rank formula keeps ceil on
+    a DOUBLE product in BOTH engines: DuckDB's decimal 0.95·n would ceil
+    differently than the binary double at exact-integer boundaries."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    d = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias(
+            "n"
+        ),
+    )
+
+    def pick(p):
+        rank = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")))
+        return F.max(F.when(F.col("rn") == rank, F.col("value")))
+
+    return d.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        pick(0.50).alias("p50"),
+        pick(0.95).alias("p95"),
+        pick(0.99).alias("p99"),
+    )
+
+
+ORACLE_LATENCY_BANDS = """
+WITH d AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, max(n) AS n,
+       max(CASE WHEN rn = greatest(1, ceil(CAST(0.50 AS DOUBLE) * n))
+           THEN value END) AS p50,
+       max(CASE WHEN rn = greatest(1, ceil(CAST(0.95 AS DOUBLE) * n))
+           THEN value END) AS p95,
+       max(CASE WHEN rn = greatest(1, ceil(CAST(0.99 AS DOUBLE) * n))
+           THEN value END) AS p99
+FROM d GROUP BY event_type
+"""
+
+
+def q_revenue_share(spark, sf_dir):
+    """Ratio-to-report: each nation's share of global revenue.  Revenue
+    sums are exact decimals; the share is ONE double division against the
+    window total, so no averaged-average or rounding step exists."""
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    oo = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    per_nation = (
+        li.join(oo, li["l_orderkey"] == oo["o_orderkey"])
+        .join(F.broadcast(c), oo["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("rev"))
+    )
+    total = F.sum("rev").over(Window.partitionBy())
+    return per_nation.select(
+        F.col("n_name").alias("nation"),
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / total.cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+ORACLE_REVENUE_SHARE = """
+WITH per_nation AS (
+  SELECT n.n_name AS nation,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(38,4)) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+)
+SELECT nation, CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE)
+         / CAST(sum(rev) OVER () AS DOUBLE) AS share
+FROM per_nation
+"""
+
+
 def q_pagerank_nations(spark, sf_dir):
     """Weighted PageRank over the nation-level trade graph (customer nation
     -> supplier nation, weight = lineitem count).  Exact fixed-point integer
@@ -5229,6 +5326,8 @@ QUERIES = {
     "drawdown": q_drawdown,
     "shortest_paths": q_shortest_paths,
     "contingency": q_contingency,
+    "latency_bands": q_latency_bands,
+    "revenue_share": q_revenue_share,
 }
 
 ORACLES = {
@@ -5352,4 +5451,6 @@ ORACLES = {
     "drawdown": ORACLE_DRAWDOWN,
     "shortest_paths": _oracle_shortest_paths(),
     "contingency": ORACLE_CONTINGENCY,
+    "latency_bands": ORACLE_LATENCY_BANDS,
+    "revenue_share": ORACLE_REVENUE_SHARE,
 }
