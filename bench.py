@@ -134,6 +134,11 @@ BENCH_QUERIES = [
     "contingency",
     "latency_bands",
     "revenue_share",
+    "quality_auc",
+    "value_ks",
+    "revenue_gini",
+    "benford_digits",
+    "corr_matrix",
 ]
 
 

@@ -5205,6 +5205,121 @@ def _oracle_bfs():
     return bfs_oracle_sql(edges_sql, sources=[0], max_hops=8)
 
 
+def q_quality_auc(spark, sf_dir):
+    """Exact ROC AUC (operators/mlstats.py) of event value as a score for
+    "is a purchase": the Mann-Whitney 2U statistic accumulates in integers
+    over the distinct-value aggregate (bounded by value RESOLUTION, not row
+    count), and AUC is the single final double division — the metric a
+    pipeline runs to check that a quality score actually separates its
+    classes."""
+    from carto_etl_spark.operators.mlstats import auc
+
+    e = load(spark, sf_dir, "events")
+    return auc(e, "value", F.col("event_type") == "purchase")
+
+
+def q_value_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift check between the value
+    distributions of 'error' and 'purchase' events, exact via the integer
+    cross-product |cum_a*n_b - cum_b*n_a| (operators/mlstats.py)."""
+    from carto_etl_spark.operators.mlstats import ks_statistic
+
+    e = load(spark, sf_dir, "events")
+    return ks_statistic(
+        e,
+        "value",
+        F.col("event_type") == "error",
+        F.col("event_type") == "purchase",
+    )
+
+
+def q_revenue_gini(spark, sf_dir):
+    """Gini concentration of customer order spend: per-customer cents are
+    exact decimal sums, the rank-weighted Gini sum stays in decimal(38,0),
+    one double expression at the end (operators/mlstats.py)."""
+    from carto_etl_spark.operators.mlstats import gini
+
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    return gini(per_cust, "cents", "o_custkey")
+
+
+def q_benford_digits(spark, sf_dir):
+    """Leading-digit Benford profile of order totals — the fabricated-data
+    screen.  Digit extraction is integer-only (cents -> decimal string),
+    no log10/float formatting (operators/mlstats.py)."""
+    from carto_etl_spark.operators.mlstats import benford
+
+    return benford(load(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Pearson correlations of all lineitem measure pairs in ONE
+    aggregation pass: exact decimal moments, correlation as a fixed
+    IEEE double tree (operators/mlstats.py) — NOT the engine's corr(),
+    whose float accumulation order is partition-dependent."""
+    from carto_etl_spark.operators.mlstats import corr_matrix
+
+    return corr_matrix(
+        load(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def _oracle_quality_auc():
+    from carto_etl_spark.operators.mlstats import auc_oracle_sql
+
+    return auc_oracle_sql(
+        "SELECT CAST(value AS DECIMAL(18,2)) AS v,"
+        " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y"
+        " FROM events"
+    )
+
+
+def _oracle_value_ks():
+    from carto_etl_spark.operators.mlstats import ks_oracle_sql
+
+    return ks_oracle_sql(
+        "SELECT CAST(value AS DECIMAL(18,2)) AS v,"
+        " CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS ya,"
+        " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS yb"
+        " FROM events"
+    )
+
+
+def _oracle_revenue_gini():
+    from carto_etl_spark.operators.mlstats import gini_oracle_sql
+
+    return gini_oracle_sql(
+        "SELECT o_custkey AS id,"
+        " CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+        " AS DECIMAL(38,0))) AS BIGINT) AS x"
+        " FROM orders GROUP BY o_custkey"
+    )
+
+
+def _oracle_benford():
+    from carto_etl_spark.operators.mlstats import benford_oracle_sql
+
+    return benford_oracle_sql("orders", "o_totalprice")
+
+
+def _oracle_corr_matrix():
+    from carto_etl_spark.operators.mlstats import corr_matrix_oracle_sql
+
+    return corr_matrix_oracle_sql(
+        "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -5328,6 +5443,11 @@ QUERIES = {
     "contingency": q_contingency,
     "latency_bands": q_latency_bands,
     "revenue_share": q_revenue_share,
+    "quality_auc": q_quality_auc,
+    "value_ks": q_value_ks,
+    "revenue_gini": q_revenue_gini,
+    "benford_digits": q_benford_digits,
+    "corr_matrix": q_corr_matrix,
 }
 
 ORACLES = {
@@ -5453,4 +5573,9 @@ ORACLES = {
     "contingency": ORACLE_CONTINGENCY,
     "latency_bands": ORACLE_LATENCY_BANDS,
     "revenue_share": ORACLE_REVENUE_SHARE,
+    "quality_auc": _oracle_quality_auc(),
+    "value_ks": _oracle_value_ks(),
+    "revenue_gini": _oracle_revenue_gini(),
+    "benford_digits": _oracle_benford(),
+    "corr_matrix": _oracle_corr_matrix(),
 }
