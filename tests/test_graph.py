@@ -246,3 +246,54 @@ def test_sp_oracle_matches(spark):
         max_rounds=4,
     )
     assert got == dict(duckdb.sql(sql).fetchall())
+
+
+# --- driver-loop fast path vs distributed path ------------------------------
+# Small graphs run the exact integer loop on the DRIVER (the iterative
+# analogue of a broadcast join); these tests pin that both paths produce
+# bit-identical results, so the oracle/property tests above (which now hit
+# the driver path) transfer to the distributed loop too.
+
+
+def test_pagerank_driver_matches_distributed(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst", "w"])
+    fast = {r["node"]: r["rank_scaled"] for r in pagerank(df).collect()}
+    dist = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, driver_threshold_edges=0).collect()
+    }
+    assert fast == dist
+
+
+def test_bfs_driver_matches_distributed(spark):
+    edges = [(i, (2 * i + 1) % 25) for i in range(25)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = {r["node"]: r["hops"] for r in bfs_hops(df, sources=[0]).collect()}
+    dist = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(df, sources=[0], driver_threshold_edges=0).collect()
+    }
+    assert fast == dist
+
+
+def test_sp_driver_matches_distributed(spark):
+    df = spark.createDataFrame(SP_EDGES, ["src", "dst", "w"])
+    fast = {r["node"]: r["dist"] for r in shortest_paths(df, [1]).collect()}
+    dist = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(df, [1], driver_threshold_edges=0).collect()
+    }
+    assert fast == dist
+
+
+def test_driver_threshold_probe_respects_limit(spark):
+    # graph bigger than the threshold takes the distributed path and still
+    # produces the same answer
+    edges = [(i, (i + 1) % 40, 1) for i in range(40)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    fast = {r["node"]: r["dist"] for r in shortest_paths(df, [0]).collect()}
+    forced = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(df, [0], driver_threshold_edges=10).collect()
+    }
+    assert fast == forced
