@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "revenue_gini",
     "benford_digits",
     "corr_matrix",
+    "hashed_features",
+    "peak_concurrency",
 ]
 
 

@@ -391,3 +391,59 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).alias("chunk_tokens"),
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) bag-of-words: each whitespace token
+    is bucketed by the first 8 hex digits of its md5, mod ``dim``, and
+    per-document bucket counts come back SPARSE as (*id_cols, feature,
+    count) rows — the layout a training pipeline feeds to a vector
+    assembler, and the honest distributed representation (dense arrays
+    assemble downstream, per consumer).
+
+    md5-prefix bucketing is deliberate: both Spark and any SQL oracle
+    render md5 as the same hex string, so the bucket assignment is
+    engine-reproducible (unlike xxhash64/murmur, which have no SQL twin).
+    Plan shape: explode tokens -> hash -> groupBy(ids, feature) with
+    map-side partial aggregation; shuffle volume is the distinct
+    (doc, bucket) pair count, capped at rows * dim.
+    """
+    tok = F.explode(tokens_expr(F.col(text_col))).alias("__tok")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10)
+        .cast("long")
+        % dim
+    ).cast("int")
+    return (
+        df.select(*id_cols, tok)
+        .select(*id_cols, bucket.alias("feature"))
+        .groupBy(*id_cols, "feature")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+
+
+def hashed_features_oracle_sql(
+    rows_sql: str, id_cols: list[str], dim: int = 64
+) -> str:
+    """Mirror of `hashed_features` for DuckDB: ``rows_sql`` must yield the
+    id columns plus a ``text`` column; tokens split on whitespace with
+    blanks dropped, bucket = ('0x' || first 8 md5 hex chars) % dim."""
+    ids = ", ".join(id_cols)
+    return f"""
+WITH toks AS (
+  SELECT {ids}, unnest(list_filter(
+           string_split_regex(trim(text), '\\s+'), x -> x != ''))
+         AS tok
+  FROM ({rows_sql}) r
+)
+SELECT {ids},
+       CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {dim}
+            AS INT) AS feature,
+       CAST(count(*) AS BIGINT) AS count
+FROM toks GROUP BY {ids}, feature
+"""

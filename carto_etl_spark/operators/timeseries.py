@@ -159,3 +159,71 @@ def forward_fill(
     for c in cols:
         out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return out
+
+
+def max_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    partition_cols: list[str],
+) -> DataFrame:
+    """Peak interval overlap (occupancy) per partition via the classic
+    +1/-1 boundary sweep: every interval contributes +1 at its start and
+    -1 at its end, and the running sum over the time-ordered boundary
+    stream is the live concurrency — its max is the answer.  Equal-time
+    convention: starts sort BEFORE ends (touching intervals count as
+    overlapping), pinned by the (t, delta DESC) ordering.
+
+    All-integer (counts and epoch micros), so exact and replayable in SQL.
+    The ordered window is PARTITIONED (one per key), and boundaries are
+    2 rows per interval — the sweep shuffles exactly once on the partition
+    keys.  Returns (*partition_cols, n_intervals, peak)."""
+    starts = df.select(
+        *partition_cols,
+        F.col(start_col).cast("timestamp").alias("t"),
+        F.lit(1).alias("delta"),
+    )
+    ends = df.select(
+        *partition_cols,
+        F.col(end_col).cast("timestamp").alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = starts.union(ends).select(
+        *partition_cols, F.sum("delta").over(w).alias("live")
+    )
+    return swept.groupBy(*partition_cols).agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        F.max("live").cast("long").alias("peak"),
+    )
+
+
+def max_concurrency_oracle_sql(
+    intervals_sql: str, partition_cols: list[str]
+) -> str:
+    """Mirror of `max_concurrency`: ``intervals_sql`` must yield the
+    partition columns plus (t_start, t_end) timestamps."""
+    keys = ", ".join(partition_cols)
+    return f"""
+WITH iv AS ({intervals_sql}),
+bounds AS (
+  SELECT {keys}, t_start AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT {keys}, t_end AS t, -1 AS delta FROM iv
+),
+swept AS (
+  SELECT {keys},
+         sum(delta) OVER (PARTITION BY {keys}
+                          ORDER BY t, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS live
+  FROM bounds
+)
+SELECT {keys}, CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+       CAST(max(live) AS BIGINT) AS peak
+FROM swept GROUP BY {keys}
+"""

@@ -5320,6 +5320,61 @@ def _oracle_corr_matrix():
     )
 
 
+def q_hashed_features(spark, sf_dir):
+    """Feature-hashing bag-of-words (operators/text.py hashed_features):
+    md5-prefix buckets (engine-reproducible, unlike xxhash64) mod 32,
+    sparse (doc_id, feature, count) output; every 10th document keeps the
+    emitted result compact while the operator runs its full plan shape."""
+    from carto_etl_spark.operators.text import hashed_features
+
+    d = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 == 0
+    )
+    return hashed_features(d, "text", ["doc_id"], dim=32)
+
+
+def q_peak_concurrency(spark, sf_dir):
+    """Peak interval overlap per event type: each event holds a resource
+    for `value` seconds; the +1/-1 boundary sweep (operators/timeseries.py
+    max_concurrency) finds the max number simultaneously live.  Integer
+    counts over epoch-micro boundaries — exact, partitioned windows."""
+    from carto_etl_spark.operators.timeseries import max_concurrency
+
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "event_type",
+        F.col("ts").alias("t_start"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.round(F.col("value") * 1000000).cast("long")
+        ).alias("t_end"),
+    )
+    return max_concurrency(iv, "t_start", "t_end", ["event_type"])
+
+
+def _oracle_hashed_features():
+    from carto_etl_spark.operators.text import hashed_features_oracle_sql
+
+    return hashed_features_oracle_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",
+        ["doc_id"],
+        dim=32,
+    )
+
+
+def _oracle_peak_concurrency():
+    from carto_etl_spark.operators.timeseries import (
+        max_concurrency_oracle_sql,
+    )
+
+    return max_concurrency_oracle_sql(
+        "SELECT event_type, ts AS t_start,"
+        " ts + to_microseconds(CAST(round(value * 1000000) AS BIGINT))"
+        " AS t_end FROM events",
+        ["event_type"],
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -5448,6 +5503,8 @@ QUERIES = {
     "revenue_gini": q_revenue_gini,
     "benford_digits": q_benford_digits,
     "corr_matrix": q_corr_matrix,
+    "hashed_features": q_hashed_features,
+    "peak_concurrency": q_peak_concurrency,
 }
 
 ORACLES = {
@@ -5578,4 +5635,6 @@ ORACLES = {
     "revenue_gini": _oracle_revenue_gini(),
     "benford_digits": _oracle_benford(),
     "corr_matrix": _oracle_corr_matrix(),
+    "hashed_features": _oracle_hashed_features(),
+    "peak_concurrency": _oracle_peak_concurrency(),
 }
