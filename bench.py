@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "corr_matrix",
     "hashed_features",
     "peak_concurrency",
+    "item_affinity",
+    "rfm_segments",
 ]
 
 

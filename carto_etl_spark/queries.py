@@ -5375,6 +5375,86 @@ def _oracle_peak_concurrency():
     )
 
 
+def q_item_affinity(spark, sf_dir):
+    """Market-basket association: part pairs co-ordered in ≥2 orders with
+    exact support and lift (operators/affinity.py — basket-bounded pair
+    self-join, integer products, one double division)."""
+    from carto_etl_spark.operators.affinity import item_pair_affinity
+
+    li = load(spark, sf_dir, "lineitem")
+    return item_pair_affinity(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    )
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-customer recency/frequency/monetary quintiles
+    (ntile with custkey tiebreak — deterministic), then segment counts and
+    exact monetary totals per (r, f, m) cell.  The three global ntiles run
+    over the CUSTOMER aggregate (dimension-sized; same caveat as
+    q_deciles — fact-scale banding would derive boundaries instead)."""
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias(
+            "last_order"
+        ),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    r_w = Window.orderBy(F.col("last_order"), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("freq"), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("cents"), F.col("o_custkey"))
+    banded = per.select(
+        F.ntile(5).over(r_w).alias("r_band"),
+        F.ntile(5).over(f_w).alias("f_band"),
+        F.ntile(5).over(m_w).alias("m_band"),
+        "cents",
+    )
+    return banded.groupBy("r_band", "f_band", "m_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+ORACLE_RFM = """
+WITH per AS (
+  SELECT o_custkey,
+         max(strftime(o_orderdate, '%Y-%m-%d')) AS last_order,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(38,0))) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), banded AS (
+  SELECT ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_band,
+         ntile(5) OVER (ORDER BY freq, o_custkey) AS f_band,
+         ntile(5) OVER (ORDER BY cents, o_custkey) AS m_band,
+         cents
+  FROM per
+)
+SELECT r_band, f_band, m_band,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM banded GROUP BY 1, 2, 3
+"""
+
+
+def _oracle_item_affinity():
+    from carto_etl_spark.operators.affinity import (
+        item_pair_affinity_oracle_sql,
+    )
+
+    return item_pair_affinity_oracle_sql(
+        "SELECT l_orderkey AS basket, l_partkey AS item FROM lineitem",
+        min_pair_count=2,
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -5505,6 +5585,8 @@ QUERIES = {
     "corr_matrix": q_corr_matrix,
     "hashed_features": q_hashed_features,
     "peak_concurrency": q_peak_concurrency,
+    "item_affinity": q_item_affinity,
+    "rfm_segments": q_rfm_segments,
 }
 
 ORACLES = {
@@ -5637,4 +5719,6 @@ ORACLES = {
     "corr_matrix": _oracle_corr_matrix(),
     "hashed_features": _oracle_hashed_features(),
     "peak_concurrency": _oracle_peak_concurrency(),
+    "item_affinity": _oracle_item_affinity(),
+    "rfm_segments": ORACLE_RFM,
 }
