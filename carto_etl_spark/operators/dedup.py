@@ -272,7 +272,40 @@ def verify_pairs_jaccard(
     )
 
 
-def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+def _union_find_min_roots(pair_rows) -> list:
+    """Driver-side connected components with min-id roots: classic
+    union-find with path compression, then a second pass remaps every
+    node to the MINIMUM id of its component (the same labeling the
+    distributed fixpoint converges to)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pair_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return sorted((n, comp_min[find(n)]) for n in parent)
+
+
+def min_label_components(
+    pairs: DataFrame,
+    max_rounds: int = 20,
+    driver_threshold_edges: int = 1_000_000,
+) -> DataFrame:
     """Connected components over an undirected pair list (``id_a``/``id_b``)
     as (node, root) where root = the component's minimum id.
 
@@ -287,7 +320,42 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     Pointer-jumping alone is NOT correct here: min-parent pointers cannot
     cross a "valley" (chain 2—5—1 leaves 2 rooted at itself), which is why
     propagation goes along edges every round.
+
+    Near-dup pair graphs are usually TINY relative to the corpus (the
+    whole point of blocking), so below ``driver_threshold_edges`` pairs
+    the labeling runs as driver-side union-find instead of paying ~4
+    scheduled jobs per fixpoint round — the same broadcast-sized-iteration
+    reasoning as operators/graph.py DRIVER_LOOP_MAX_EDGES, and
+    property-tested identical to the distributed fixpoint.
     """
+    und = pairs.select("id_a", "id_b").distinct()
+    if driver_threshold_edges > 0:
+        # Arrow both ways: a 1M-edge probe is ~16 MB columnar (broadcast-
+        # sized — the same budget a broadcast join spends), vs seconds of
+        # Row-object materialization through collect().
+        probe = und.limit(driver_threshold_edges + 1).toArrow()
+        if probe.num_rows <= driver_threshold_edges:
+            import pandas as pd
+
+            from pyspark.sql import types as T
+
+            node_type = pairs.schema["id_a"].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("node", node_type),
+                    T.StructField("root", node_type),
+                ]
+            )
+            result = _union_find_min_roots(
+                list(
+                    zip(
+                        probe.column("id_a").to_pylist(),
+                        probe.column("id_b").to_pylist(),
+                    )
+                )
+            )
+            pdf = pd.DataFrame(result, columns=["node", "root"])
+            return pairs.sparkSession.createDataFrame(pdf, schema)
     edges = _materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

@@ -70,3 +70,21 @@ def test_morton_matches_python_interleave(spark, points):
     ).collect()
     for r in rows:
         assert r["m"] == py_morton(r["x"], r["y"])
+
+
+def test_min_label_driver_matches_distributed(spark):
+    # the driver union-find fast path and the distributed fixpoint must
+    # produce identical labelings (valley chain + two components + isolate
+    # pair exercises the min-crossing case)
+    edges = [(2, 5), (5, 1), (7, 8), (3, 9), (9, 4), (11, 12)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {
+        r["node"]: r["root"] for r in min_label_components(pairs).collect()
+    }
+    dist = {
+        r["node"]: r["root"]
+        for r in min_label_components(
+            pairs, driver_threshold_edges=0
+        ).collect()
+    }
+    assert fast == dist == _union_find_roots(edges)
