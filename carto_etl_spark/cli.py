@@ -7,6 +7,8 @@ action verb.
     python -m carto_etl_spark.cli update --conf etl.conf --csv upd.csv --target /data/mytable --id-column a
     python -m carto_etl_spark.cli delete --conf etl.conf --csv del.csv --target /data/mytable --id-column a
     python -m carto_etl_spark.cli overviews --target /data/mytable --max-zoom 8
+    python -m carto_etl_spark.cli query --sql "SELECT ..." --table t=/data/mytable
+    python -m carto_etl_spark.cli profile --target /data/mytable
 
 A reference user keeps their conf file; ``base_url``/``api_key`` are accepted
 and ignored (the engine executes locally on Spark instead of POSTing to the
@@ -48,7 +50,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="carto_etl_spark")
     p.add_argument(
         "action",
-        choices=["insert", "update", "delete", "overviews", "query"],
+        choices=["insert", "update", "delete", "overviews", "query", "profile"],
     )
     p.add_argument("--conf", help="etl.conf path (reference format)")
     p.add_argument("--csv", help="input CSV path")
@@ -106,11 +108,40 @@ def main(argv: list[str] | None = None) -> int:
     for k in ("base_url", "api_key", "app_code", "app_id"):
         kwargs.pop(k, None)
 
-    if args.action != "query" and not args.target:
+    if args.action not in ("query", "profile") and not args.target:
         logger.error("--target required for %s", args.action)
         return 2
 
     spark = get_spark(app_name=f"carto-etl-{args.action}", master=args.master)
+
+    if args.action == "profile":
+        # the stats screen a user runs before touching a new table: one
+        # aggregation pass over the bytes (operators/stats.py)
+        from carto_etl_spark.operators.stats import profile
+
+        path = args.target or args.csv
+        if not path:
+            logger.error("profile needs --target (parquet) or --csv")
+            return 2
+        if path.endswith(".csv"):
+            df = spark.read.option("header", True).csv(path)
+        else:
+            df = spark.read.parquet(path)
+        header = (
+            "column", "rows", "nulls", "distinct", "min", "max"
+        )
+        print("\t".join(header))
+        for r in profile(df).collect():
+            print(
+                "\t".join(
+                    str(v) if v is not None else ""
+                    for v in (
+                        r["col_name"], r["n_rows"], r["n_nulls"],
+                        r["n_distinct"], r["min_value"], r["max_value"],
+                    )
+                )
+            )
+        return 0
 
     if args.action == "query":
         # the reference POSTs SQL text to the CARTO SQL API

@@ -129,3 +129,25 @@ def test_cli_requires_id_column_for_update(workspace):
         "--target", str(workspace / "t2"),
     ])
     assert rc == 2
+
+
+def test_cli_profile_verb(workspace, spark, capsys):
+    # land a table first, then profile it
+    assert main([
+        "insert", "--conf", str(workspace / "etl.conf"),
+        "--csv", str(workspace / "data.csv"),
+        "--target", str(workspace / "ptab"),
+    ]) == 0
+    capsys.readouterr()
+    rc = main(["profile", "--target", str(workspace / "ptab")])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    assert out[0].split("\t") == [
+        "column", "rows", "nulls", "distinct", "min", "max"
+    ]
+    by_col = {line.split("\t")[0]: line.split("\t") for line in out[1:]}
+    assert by_col["a"][1] == "3" and by_col["a"][3] == "3"
+
+
+def test_cli_profile_requires_path(capsys):
+    assert main(["profile"]) == 2
