@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "dataset_split",
     "bloom_dedup",
     "line_dedup",
+    "span_dedup",
     "tfidf_terms",
     "image_features",
     "nation_trade_volume",

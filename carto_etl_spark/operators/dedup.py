@@ -912,3 +912,119 @@ def drop_repeated_lines(
         .withColumnRenamed("__final", text_col)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Duplicated token-span removal (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+
+def drop_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Remove every corpus-duplicated token span of length >= ``k`` tokens
+    (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" exact-substring dedup, at token granularity): any ``k``-token
+    window that occurs more than ``max_occurrences`` times corpus-wide marks
+    its ``k`` positions as duplicated; overlapping marked windows merge into
+    maximal spans, which are cut from the document.  Unlike line dedup
+    (``drop_repeated_lines``) this catches boilerplate that crosses line
+    boundaries or is embedded mid-sentence.
+
+    The reference's tier-A surface has no corpus operator like this; it is a
+    north-star LLM-pipeline extension (BASELINE.json).
+
+    Output: ``id_col``, ``n_tokens``, ``dup_tokens``, ``n_dup_spans``, and
+    ``text_col`` rewritten with duplicated spans removed (surviving tokens
+    rejoined with single spaces).  Tokenization is whitespace-collapsed so
+    the operator is insensitive to run-length of separators.
+
+    Scale:
+    - k-gram fingerprints are 60-bit md5-prefix ints (portable to the
+      DuckDB oracle); the duplicate-gram groupBy collapses map-side, so a
+      billion-occurrence gram shuffles one row per partition;
+    - marking is an inner join of doc grams against the (small) duplicated
+      set — shuffle bounded by true duplicate volume, AQE skew-splits hot
+      grams;
+    - span merge is one window per doc (classic interval-merge prefix-max),
+      one exchange on ``id_col``;
+    - reassembly uses index-aware higher-order functions on the token array
+      (exists over the per-doc merged-span array) — no explode back to one
+      row per token, no UDFs.
+    """
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("__toks")
+    )
+    # posexplode of the k-gram hash array: one row per window start.
+    # sequence(0, size-k) is only valid when size >= k — short docs carry no
+    # windows and pass through via the left join below.
+    grams = (
+        base.where(F.size("__toks") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - k),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, k))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                )
+            ).alias("pos", "gram_h"),
+        )
+    )
+    dup = (
+        grams.groupBy("gram_h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_occurrences)
+        .select("gram_h")
+    )
+    marked = grams.join(dup, on="gram_h").select(
+        id_col, "pos", (F.col("pos") + k - 1).alias("endpos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("endpos").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = marked.withColumn(
+        "__new_span",
+        F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "__span_id",
+        F.sum("__new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = (
+        flagged.groupBy(id_col, "__span_id")
+        .agg(F.min("pos").alias("s"), F.max("endpos").alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+            F.count(F.lit(1)).alias("n_dup_spans"),
+        )
+    )
+    joined = base.join(spans, on=id_col, how="left")
+    kept = F.filter(
+        "__toks",
+        lambda x, i: ~F.exists(
+            "__spans", lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.when(F.col("__spans").isNull(), F.concat_ws(" ", F.col("__toks")))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias(text_col),
+    )

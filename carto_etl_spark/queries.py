@@ -2436,6 +2436,97 @@ FROM pages p LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_span_dedup(spark, sf_dir):
+    """ExactSubstr-style duplicated token-span removal
+    (operators/dedup.py:drop_repeated_spans).  Pages are a near-unique
+    60-char lead from the document text, a 12-token terms-of-service
+    sentence shared by every page (cut everywhere), and a per-source
+    footer phrase (duplicated across each source's docs — and it crosses
+    into the shared sentence's context differently per doc, so only the
+    true duplicated windows are marked).  Catches boilerplate embedded
+    mid-sentence that line-dedup (q_line_dedup) cannot see."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.substring(
+                F.trim(F.regexp_replace("text", r"\s+", " ")), 1, 60
+            ),
+            F.lit(
+                "terms of service apply to all content on this site"
+                " without exception"
+            ),
+            F.concat(F.lit("footer block for source "), F.col("source")),
+        ).alias("text"),
+    )
+    out = dd.drop_repeated_spans(pages, k=8, max_occurrences=1)
+    return out.select(
+        "doc_id", "n_tokens", "dup_tokens", "n_dup_spans", "text"
+    )
+
+
+ORACLE_SPAN_DEDUP = r"""
+WITH pages AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 60)
+         || ' terms of service apply to all content on this site without exception'
+         || ' footer block for source ' || source AS page
+  FROM documents WHERE text IS NOT NULL
+), toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(page, '\s+', ' ', 'g')), ' ') AS tk
+  FROM pages
+), grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CAST(('0x' || substr(md5(array_to_string(tk[i+1:i+8], ' ')), 1, 15))
+              AS BIGINT) AS gram_h
+  FROM toks, unnest(range(0, greatest(len(tk) - 7, 0))) AS t(i)
+), dup AS (
+  SELECT gram_h FROM grams GROUP BY gram_h HAVING count(*) > 1
+), marked AS (
+  SELECT doc_id, pos, pos + 7 AS endpos
+  FROM grams WHERE gram_h IN (SELECT gram_h FROM dup)
+), flagged AS (
+  SELECT doc_id, pos, endpos,
+         CASE WHEN pos > coalesce(max(endpos) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ns
+  FROM marked
+), sids AS (
+  SELECT doc_id, pos, endpos,
+         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flagged
+), merged AS (
+  SELECT doc_id, sid, min(pos) AS s, max(endpos) AS e
+  FROM sids GROUP BY doc_id, sid
+), spanstats AS (
+  SELECT doc_id, sum(e - s + 1) AS dup_tokens, count(*) AS n_dup_spans
+  FROM merged GROUP BY doc_id
+), tokpos AS (
+  SELECT doc_id, u.z[1] AS tok, CAST(u.z[2] AS BIGINT) AS p
+  FROM toks, unnest(list_zip(tk, range(0, len(tk)))) AS u(z)
+), kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS clean
+  FROM tokpos t LEFT JOIN merged m
+    ON t.doc_id = m.doc_id AND t.p BETWEEN m.s AND m.e
+  WHERE m.s IS NULL
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(coalesce(ss.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(ss.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       coalesce(k.clean, '') AS text
+FROM toks t
+LEFT JOIN spanstats ss USING (doc_id)
+LEFT JOIN kept k ON t.doc_id = k.doc_id
+"""
+
+
 def q_image_features(spark, sf_dir):
     """Real PNG decode under the oracle gate: synthesize a deterministic
     gradient PNG per document (multimodal.py:synth_gradient_png_expr —
@@ -5517,6 +5608,7 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "bloom_dedup": q_bloom_dedup,
     "line_dedup": q_line_dedup,
+    "span_dedup": q_span_dedup,
     "tfidf_terms": q_tfidf_terms,
     "image_features": q_image_features,
     "nation_trade_volume": q_nation_trade_volume,
@@ -5651,6 +5743,7 @@ ORACLES = {
     "dataset_split": ORACLE_DATASET_SPLIT,
     "bloom_dedup": ORACLE_BLOOM_DEDUP,
     "line_dedup": ORACLE_LINE_DEDUP,
+    "span_dedup": ORACLE_SPAN_DEDUP,
     "tfidf_terms": ORACLE_TFIDF,
     "image_features": ORACLE_IMAGE,
     "nation_trade_volume": ORACLE_Q7,
