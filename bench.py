@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "bloom_dedup",
     "line_dedup",
     "span_dedup",
+    "heavy_hitters",
     "tfidf_terms",
     "image_features",
     "nation_trade_volume",

@@ -2527,6 +2527,60 @@ LEFT JOIN kept k ON t.doc_id = k.doc_id
 """
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/sketch.py): build the
+    4x512 sketch over every corpus token (fixed-size mergeable state — the
+    map-side partial agg IS the per-partition sketch merge), then point-
+    query it for the exact top-20 tokens.  The oracle recomputes the whole
+    sketch cell table from the same md5 bucket arithmetic, so the
+    ESTIMATES are value-checked, not just bounded."""
+    from carto_etl_spark.operators.sketch import cms_build, cms_estimate
+    from carto_etl_spark.operators.text import tokens_expr
+
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(F.explode(tokens_expr(F.col("text"))).alias("item"))
+    sketch = cms_build(toks, "item", depth=4, width=512)
+    top = (
+        toks.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("item"))
+        .limit(20)
+    )
+    out = cms_estimate(sketch, top, "item", depth=4, width=512)
+    return out.select(
+        F.col("item").alias("token"), "exact_n", "cms_estimate"
+    )
+
+
+ORACLE_HEAVY_HITTERS = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                x -> x != '')) AS item
+  FROM documents WHERE text IS NOT NULL
+), cells AS (
+  SELECT s.s AS seed,
+         CAST(('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || item),
+               1, 15)) AS BIGINT) % 512 AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM toks, unnest(range(0, 4)) AS s(s)
+  GROUP BY 1, 2
+), top AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS exact_n
+  FROM toks GROUP BY item
+  ORDER BY exact_n DESC, item ASC LIMIT 20
+), probes AS (
+  SELECT t.item, t.exact_n, s.s AS seed,
+         CAST(('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || t.item),
+               1, 15)) AS BIGINT) % 512 AS bucket
+  FROM top t, unnest(range(0, 4)) AS s(s)
+)
+SELECT p.item AS token, p.exact_n,
+       min(coalesce(c.n, 0)) AS cms_estimate
+FROM probes p LEFT JOIN cells c ON p.seed = c.seed AND p.bucket = c.bucket
+GROUP BY p.item, p.exact_n
+"""
+
+
 def q_image_features(spark, sf_dir):
     """Real PNG decode under the oracle gate: synthesize a deterministic
     gradient PNG per document (multimodal.py:synth_gradient_png_expr —
@@ -5609,6 +5663,7 @@ QUERIES = {
     "bloom_dedup": q_bloom_dedup,
     "line_dedup": q_line_dedup,
     "span_dedup": q_span_dedup,
+    "heavy_hitters": q_heavy_hitters,
     "tfidf_terms": q_tfidf_terms,
     "image_features": q_image_features,
     "nation_trade_volume": q_nation_trade_volume,
@@ -5744,6 +5799,7 @@ ORACLES = {
     "bloom_dedup": ORACLE_BLOOM_DEDUP,
     "line_dedup": ORACLE_LINE_DEDUP,
     "span_dedup": ORACLE_SPAN_DEDUP,
+    "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "tfidf_terms": ORACLE_TFIDF,
     "image_features": ORACLE_IMAGE,
     "nation_trade_volume": ORACLE_Q7,

@@ -1,0 +1,68 @@
+"""Count-min sketch (operators/sketch.py): one-sided error bound, exactness
+when collision-free, the merge = union-build identity that makes the state
+maintainable across batches, and the map-side partial-agg plan property that
+bounds the build's shuffle at depth*width rows per partition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from carto_etl_spark.operators import sketch as sk
+from carto_etl_spark.plans.inspect import explain_str
+
+WORDS = ["apple", "banana", "cherry", "date", "elder", "fig", "grape"]
+
+
+def _tokens(spark, words):
+    return spark.createDataFrame([(w,) for w in words], ["item"])
+
+
+def test_estimates_exact_when_collision_free(spark):
+    corpus = WORDS * 3 + ["apple"] * 5  # apple: 8, others: 3
+    toks = _tokens(spark, corpus)
+    sketch = sk.cms_build(toks, "item", depth=4, width=4096)
+    items = toks.distinct()
+    est = {
+        r["item"]: r["cms_estimate"]
+        for r in sk.cms_estimate(sketch, items, "item", 4, 4096).collect()
+    }
+    assert est["apple"] == 8
+    assert all(est[w] == 3 for w in WORDS if w != "apple")
+
+
+def test_one_sided_error_under_forced_collisions(spark):
+    corpus = WORDS * 2 + ["apple"] * 7
+    toks = _tokens(spark, corpus)
+    # width=2: heavy collisions guaranteed; the estimate must never
+    # undercount (CMS error is one-sided)
+    sketch = sk.cms_build(toks, "item", depth=3, width=2)
+    exact = toks.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    joined = sk.cms_estimate(sketch, exact, "item", 3, 2).collect()
+    for r in joined:
+        assert r["cms_estimate"] >= r["n"], r
+
+
+def test_merge_equals_union_build(spark):
+    a = _tokens(spark, WORDS * 2)
+    b = _tokens(spark, ["apple", "banana", "zebra"] * 3)
+    merged = sk.cms_merge(
+        sk.cms_build(a, "item", 4, 64), sk.cms_build(b, "item", 4, 64)
+    )
+    direct = sk.cms_build(a.unionByName(b), "item", 4, 64)
+    m = {(r["seed"], r["bucket"]): r["n"] for r in merged.collect()}
+    d = {(r["seed"], r["bucket"]): r["n"] for r in direct.collect()}
+    assert m == d
+
+
+def test_absent_item_estimate_is_collision_mass_only(spark):
+    toks = _tokens(spark, WORDS)
+    sketch = sk.cms_build(toks, "item", depth=4, width=4096)
+    probe = _tokens(spark, ["never-seen-token"])
+    [r] = sk.cms_estimate(sketch, probe, "item", 4, 4096).collect()
+    assert r["cms_estimate"] == 0  # wide sketch: no collisions with 7 words
+
+
+def test_build_is_partial_aggregate(spark):
+    toks = _tokens(spark, WORDS * 4)
+    plan = explain_str(sk.cms_build(toks, "item", 4, 64))
+    assert "partial_count" in plan or "partial" in plan.lower()
