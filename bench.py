@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "span_dedup",
     "heavy_hitters",
+    "incremental_mv",
     "tfidf_terms",
     "image_features",
     "nation_trade_volume",

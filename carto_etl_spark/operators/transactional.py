@@ -617,3 +617,56 @@ class TransactionalTable:
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+def apply_aggregate_delta(
+    mv: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Maintain a grouped SUM+COUNT materialized view from a ``diff()``
+    change feed without recomputing the base table: inserts add, deletes
+    subtract, and a group whose maintained row count reaches zero is
+    dropped from the view.
+
+    This is the classic delta-maintenance identity for distributive
+    aggregates (SUM/COUNT — and via them AVG): ``MV(v2) =
+    MV(v1) (+) delta(feed(v1, v2))``.  At 100 TB the difference is the
+    whole point of the change feed — the refresh costs shuffle
+    proportional to the CHURNED rows (what the feed carries, already
+    file-pruned by ``diff``), not to the table.
+
+    ``mv`` must carry ``keys``, the ``sum_cols``, and ``count_col`` (build
+    the initial view with the same groupBy this function maintains).  Use
+    exact-arithmetic measure types (long cents, decimals) if the view must
+    stay bit-identical to a full recompute under arbitrary churn —
+    floating-point SUM is order-dependent, so delta-maintained doubles can
+    drift ulps from a recompute even though both are "correct".
+
+    MIN/MAX are deliberately not supported: they are not delta-maintainable
+    under deletes without the full value multiset — recompute those.
+    """
+    from pyspark.sql import functions as F
+
+    sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = changes.groupBy(*keys).agg(
+        *[F.sum(F.col(c) * sign).alias(f"__d_{c}") for c in sum_cols],
+        F.sum(sign).cast("long").alias("__d_n"),
+    )
+    merged = mv.join(delta, on=keys, how="full_outer").select(
+        *keys,
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in sum_cols
+        ],
+        (
+            F.coalesce(F.col(count_col), F.lit(0))
+            + F.coalesce(F.col("__d_n"), F.lit(0))
+        ).cast("long").alias(count_col),
+    )
+    return merged.where(F.col(count_col) > 0)

@@ -2527,6 +2527,74 @@ LEFT JOIN kept k ON t.doc_id = k.doc_id
 """
 
 
+def q_incremental_mv(spark, sf_dir):
+    """Incremental materialized-view maintenance
+    (operators/transactional.py:apply_aggregate_delta): build a grouped
+    SUM/COUNT view at snapshot v1, churn the table (range delete + derived
+    appends), then refresh the view FROM THE CHANGE FEED ONLY — shuffle
+    proportional to churned rows, not the table.  Long-cents measures keep
+    the maintained view bit-identical to a full recompute; the oracle
+    aggregates the declaratively-derived final state directly."""
+    import shutil
+    import tempfile
+
+    from carto_etl_spark.operators.transactional import (
+        TransactionalTable,
+        apply_aggregate_delta,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 97).alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    workdir = tempfile.mkdtemp(prefix="inc-mv-")
+    try:
+        t = TransactionalTable(
+            spark, f"{workdir}/t", stats_columns=["o_orderkey"]
+        )
+        t.append(o)
+        v1 = t.version()
+        mv1 = (
+            t.read(v1)
+            .groupBy("grp")
+            .agg(
+                F.sum("cents").alias("cents"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+            .localCheckpoint()
+        )
+        t.delete_where("o_orderkey", lo=1000, hi=50000)
+        t.append(
+            o.where(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "grp",
+                (F.col("cents") + 555).alias("cents"),
+            )
+        )
+        out = apply_aggregate_delta(mv1, t.diff(v1), ["grp"], ["cents"])
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_INCREMENTAL_MV = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey % 97 AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), final AS (
+  SELECT * FROM base WHERE o_orderkey < 1000 OR o_orderkey > 50000
+  UNION ALL
+  SELECT o_orderkey + 100000000, grp, cents + 555
+  FROM base WHERE o_orderkey % 13 = 0
+)
+SELECT grp, CAST(sum(cents) AS BIGINT) AS cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM final GROUP BY grp
+"""
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters (operators/sketch.py): build the
     4x512 sketch over every corpus token (fixed-size mergeable state — the
@@ -5664,6 +5732,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "span_dedup": q_span_dedup,
     "heavy_hitters": q_heavy_hitters,
+    "incremental_mv": q_incremental_mv,
     "tfidf_terms": q_tfidf_terms,
     "image_features": q_image_features,
     "nation_trade_volume": q_nation_trade_volume,
@@ -5800,6 +5869,7 @@ ORACLES = {
     "line_dedup": ORACLE_LINE_DEDUP,
     "span_dedup": ORACLE_SPAN_DEDUP,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "incremental_mv": ORACLE_INCREMENTAL_MV,
     "tfidf_terms": ORACLE_TFIDF,
     "image_features": ORACLE_IMAGE,
     "nation_trade_volume": ORACLE_Q7,
