@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "snapshot_diff",
     "fuzzy_pairs",
+    "linkage_scores",
     "mad_outliers",
     "transitions",
     "value_histogram",

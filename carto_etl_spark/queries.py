@@ -4016,6 +4016,40 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def q_linkage_scores(spark, sf_dir):
+    """Fellegi-Sunter probabilistic linkage (operators/linkage.py) on top
+    of SymSpell blocking: candidate customer pairs within name edit
+    distance 1 are scored by exact-arithmetic u-probabilities (random-
+    agreement rates of nation / market segment) and caller m-probabilities,
+    composed as a fixed-order product of one-division ratios — no ln, so
+    every emitted double is bit-identical across engines.  The oracle
+    re-derives candidates by brute force AND the full scoring chain."""
+    from carto_etl_spark.operators.fuzzy import fuzzy_pairs
+    from carto_etl_spark.operators.linkage import fellegi_sunter_scores
+
+    c = load(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs(
+        c.select("c_custkey", "c_name"), "c_custkey", "c_name", max_dist=1
+    )
+    return fellegi_sunter_scores(
+        c, "c_custkey", pairs,
+        {"c_nationkey": 0.95, "c_mktsegment": 0.9},
+    )
+
+
+def _oracle_linkage_scores():
+    from carto_etl_spark.operators.linkage import fs_oracle_sql
+
+    return fs_oracle_sql(
+        "SELECT c_custkey, c_nationkey, c_mktsegment FROM customer",
+        "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b "
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1",
+        "c_custkey",
+        {"c_nationkey": 0.95, "c_mktsegment": 0.9},
+    )
+
+
 def q_mad_outliers(spark, sf_dir):
     """Robust anomaly detection (operators/anomaly.py): per-event-type
     lower-median / MAD outliers at the classic 3.5 cutoff.  Every statistic
@@ -5764,6 +5798,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "snapshot_diff": q_snapshot_diff,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "linkage_scores": q_linkage_scores,
     "mad_outliers": q_mad_outliers,
     "pivot_revenue": q_pivot_revenue,
     "transitions": q_transitions,
@@ -5901,6 +5936,7 @@ ORACLES = {
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "fuzzy_pairs": ORACLE_FUZZY,
+    "linkage_scores": _oracle_linkage_scores(),
     "mad_outliers": ORACLE_MAD,
     "pivot_revenue": ORACLE_PIVOT,
     "transitions": ORACLE_TRANSITIONS,
