@@ -356,45 +356,58 @@ def min_label_components(
             )
             pdf = pd.DataFrame(result, columns=["node", "root"])
             return pairs.sparkSession.createDataFrame(pdf, schema)
-    edges = _materialize(
+    from pyspark.storagelevel import StorageLevel
+
+    # persist (NOT localCheckpoint) for the big edge table: it is referenced
+    # every round from the SAME plan so lineage never grows, persist blocks
+    # are evictable/spillable under executor memory pressure, and — unlike
+    # checkpoint blocks — an explicit unpersist() frees them the moment the
+    # fixpoint returns.  At 10x the tiled pair graph is 26.9M edges; keeping
+    # it pinned as checkpoint blocks starved 32 concurrent hash-agg tasks
+    # into AGGREGATE_OUT_OF_MEMORY.
+    edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # seed: min over self + direct neighbors
-    labels = _materialize(
-        edges.groupBy(F.col("src").alias("node"))
-        .agg(F.least(F.min("dst"), F.min("src")).alias("root"))
-    )
-    for _ in range(max_rounds):
-        neighbor_best = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("root").alias("nroot"))
+    try:
+        # seed: min over self + direct neighbors
+        labels = _materialize(
+            edges.groupBy(F.col("src").alias("node"))
+            .agg(F.least(F.min("dst"), F.min("src")).alias("root"))
         )
-        improved = (
-            labels.join(neighbor_best, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("root"), F.coalesce(F.col("nroot"), F.col("root"))).alias(
-                    "root"
-                ),
-                (F.col("nroot") < F.col("root")).alias("__changed"),
+        for _ in range(max_rounds):
+            neighbor_best = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min("root").alias("nroot"))
             )
-        )
-        improved = _materialize(improved)
-        changed = improved.filter(F.col("__changed")).count()
-        labels = improved.drop("__changed")
-        if changed == 0:
-            return labels
-    import logging
+            improved = (
+                labels.join(neighbor_best, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("root"), F.coalesce(F.col("nroot"), F.col("root"))
+                    ).alias("root"),
+                    (F.col("nroot") < F.col("root")).alias("__changed"),
+                )
+            )
+            improved = _materialize(improved)
+            changed = improved.filter(F.col("__changed")).count()
+            labels = improved.drop("__changed")
+            if changed == 0:
+                return labels
+        import logging
 
-    logging.getLogger("carto-etl-spark").warning(
-        "min_label_components: not converged after %d rounds; residual labels "
-        "may be non-minimal (component diameter exceeds the bound)",
-        max_rounds,
-    )
-    return labels
+        logging.getLogger("carto-etl-spark").warning(
+            "min_label_components: not converged after %d rounds; residual "
+            "labels may be non-minimal (component diameter exceeds the bound)",
+            max_rounds,
+        )
+        return labels
+    finally:
+        edges.unpersist(blocking=False)
 
 
 def minhash_dedup(

@@ -53,7 +53,11 @@ def get_spark(
         # illegal for Spark's vectorized reader; read as long + convert.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # 8g OOMed real workloads: the 10x golden_records fixpoint (26.9M
+        # cached edge rows + 32 concurrent hash-agg tasks) threw
+        # AGGREGATE_OUT_OF_MEMORY.  16g is still modest against the 128 GiB
+        # box; on a real cluster this is per-executor memory sizing.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/carto-etl-warehouse"),
