@@ -58,6 +58,14 @@ def get_spark(
         # AGGREGATE_OUT_OF_MEMORY.  16g is still modest against the 128 GiB
         # box; on a real cluster this is per-executor memory sizing.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # large-result materialization (e.g. a 26.9M-row pair list at 10x is
+        # ~1.7 GB of task results) must stay on the Arrow fast path: at the
+        # default 1g cap toArrow() dies on maxResultSize and callers fall
+        # back to row-by-row collect — 10x slower for the same bytes
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_MAX_RESULT_SIZE", "4g"),
+        )
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/carto-etl-warehouse"),
