@@ -301,10 +301,53 @@ def _union_find_min_roots(pair_rows) -> list:
     return sorted((n, comp_min[find(n)]) for n in parent)
 
 
+def _numpy_min_label_roots(arr_a, arr_b):
+    """Vectorized min-label propagation over integer edge arrays: labels
+    start as each node's own (dense) index, every round take the min across
+    edges in both directions plus one pointer-jump (label[label]) to
+    collapse chains in O(log diameter) rounds, iterate to fixpoint.  Dense
+    indices come from np.unique, which SORTS — so the minimum dense index
+    in a component IS its minimum node id, and the converged labels map
+    back through the node array to exactly the labeling the union-find and
+    distributed fixpoint produce.  Pointer jumping is safe here (unlike on
+    min-PARENT pointers, see the valley note below): label values are
+    node indices within the same component, so jumping only ever reaches
+    another member's current label, and edge propagation still crosses
+    valleys."""
+    import numpy as np
+
+    both = np.concatenate([arr_a, arr_b])
+    # NOT np.unique(..., return_inverse=True): its inverse pass is an
+    # argsort an order of magnitude slower than binary-searching the sorted
+    # uniques (measured 57 s vs 6.5 s on 54M int64)
+    nodes = np.unique(both)
+    inv = np.searchsorted(nodes, both)
+    src, dst = inv[: len(arr_a)], inv[len(arr_a):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = label.copy()
+        np.minimum.at(new, src, label[dst])
+        np.minimum.at(new, dst, label[src])
+        new = np.minimum(new, new[new])
+        if np.array_equal(new, label):
+            break
+        label = new
+    return nodes, nodes[label]
+
+
+#: Above the union-find tier but below this many distinct edges, labeling
+#: runs vectorized on the driver: ~27M edges is ~430 MB over Arrow and
+#: ~1.1 s per minimum.at pass, converging in O(log diameter) rounds —
+#: measured 46.9 s -> driver-side seconds for the 10x golden_records graph,
+#: where the distributed loop pays ~4 scheduled jobs per round.
+NUMPY_LOOP_MAX_EDGES = 50_000_000
+
+
 def min_label_components(
     pairs: DataFrame,
     max_rounds: int = 20,
     driver_threshold_edges: int = 1_000_000,
+    numpy_threshold_edges: int = NUMPY_LOOP_MAX_EDGES,
 ) -> DataFrame:
     """Connected components over an undirected pair list (``id_a``/``id_b``)
     as (node, root) where root = the component's minimum id.
@@ -322,30 +365,41 @@ def min_label_components(
     propagation goes along edges every round.
 
     Near-dup pair graphs are usually TINY relative to the corpus (the
-    whole point of blocking), so below ``driver_threshold_edges`` pairs
-    the labeling runs as driver-side union-find instead of paying ~4
-    scheduled jobs per fixpoint round — the same broadcast-sized-iteration
-    reasoning as operators/graph.py DRIVER_LOOP_MAX_EDGES, and
-    property-tested identical to the distributed fixpoint.
+    whole point of blocking), so labeling is tiered by distinct-edge count
+    — the same broadcast-sized-iteration reasoning as operators/graph.py
+    DRIVER_LOOP_MAX_EDGES, every tier property-tested identical:
+
+    1. <= ``driver_threshold_edges``: driver-side union-find (python,
+       any node type);
+    2. <= ``numpy_threshold_edges`` with integer ids: driver-side
+       VECTORIZED min-label propagation (numpy scatter-min + pointer
+       jumping, ~1 s per 27M-edge pass) — mid-size graphs where the
+       distributed loop's ~4 scheduled jobs per round dominate but python
+       union-find would crawl;
+    3. else: the distributed fixpoint below (also the fallback for
+       non-integer node ids).  ``driver_threshold_edges=0`` forces it.
     """
     und = pairs.select("id_a", "id_b").distinct()
     if driver_threshold_edges > 0:
         # Arrow both ways: a 1M-edge probe is ~16 MB columnar (broadcast-
         # sized — the same budget a broadcast join spends), vs seconds of
-        # Row-object materialization through collect().
-        probe = und.limit(driver_threshold_edges + 1).toArrow()
+        # Row-object materialization through collect().  driver_threshold=0
+        # forces the fully-distributed path (it gates BOTH driver tiers).
+        import numpy as np
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        node_type = pairs.schema["id_a"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type),
+                T.StructField("root", node_type),
+            ]
+        )
+        probe_cap = max(driver_threshold_edges, numpy_threshold_edges)
+        probe = und.limit(probe_cap + 1).toArrow()
         if probe.num_rows <= driver_threshold_edges:
-            import pandas as pd
-
-            from pyspark.sql import types as T
-
-            node_type = pairs.schema["id_a"].dataType
-            schema = T.StructType(
-                [
-                    T.StructField("node", node_type),
-                    T.StructField("root", node_type),
-                ]
-            )
             result = _union_find_min_roots(
                 list(
                     zip(
@@ -356,6 +410,17 @@ def min_label_components(
             )
             pdf = pd.DataFrame(result, columns=["node", "root"])
             return pairs.sparkSession.createDataFrame(pdf, schema)
+        if probe.num_rows <= numpy_threshold_edges:
+            arr_a = probe.column("id_a").to_numpy(zero_copy_only=False)
+            arr_b = probe.column("id_b").to_numpy(zero_copy_only=False)
+            if np.issubdtype(arr_a.dtype, np.integer) and np.issubdtype(
+                arr_b.dtype, np.integer
+            ):
+                nodes, roots = _numpy_min_label_roots(arr_a, arr_b)
+                pdf = pd.DataFrame({"node": nodes, "root": roots})
+                return pairs.sparkSession.createDataFrame(pdf, schema)
+            # non-integer node ids (e.g. string keys): fall through to the
+            # distributed fixpoint, which is type-agnostic
     from pyspark.storagelevel import StorageLevel
 
     # persist (NOT localCheckpoint) for the big edge table: it is referenced

@@ -88,3 +88,43 @@ def test_min_label_driver_matches_distributed(spark):
         ).collect()
     }
     assert fast == dist == _union_find_roots(edges)
+
+
+def test_min_label_numpy_tier_matches_other_paths(spark):
+    # force each tier on the same messy graph (valley chains, a 6-hop
+    # chain, two components, duplicate/reversed edges) and require
+    # identical labelings
+    edges = [
+        (2, 5), (5, 1), (1, 4), (4, 6), (6, 2),          # cycle w/ valley
+        (20, 26), (26, 24), (24, 21), (21, 23), (23, 25),  # deep chain
+        (7, 8), (8, 7), (7, 8),                           # dupes/reversed
+        (100, 50),
+    ]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+
+    def run(**kw):
+        return {
+            r["node"]: r["root"]
+            for r in min_label_components(pairs, **kw).collect()
+        }
+
+    uf = run()  # 14 edges <= union-find tier
+    np_tier = run(driver_threshold_edges=1)  # >1 edge -> numpy tier
+    dist = run(driver_threshold_edges=0)  # forces distributed
+    assert uf == np_tier == dist
+    assert np_tier[26] == 20 and np_tier[5] == 1 and np_tier[100] == 50
+
+
+def test_min_label_numpy_tier_skips_string_ids(spark):
+    # non-integer node ids can't go through the numpy tier; it must fall
+    # through to the distributed fixpoint and still label correctly
+    pairs = spark.createDataFrame(
+        [("b", "e"), ("e", "a"), ("x", "y")], ["id_a", "id_b"]
+    )
+    out = {
+        r["node"]: r["root"]
+        for r in min_label_components(
+            pairs, driver_threshold_edges=1
+        ).collect()
+    }
+    assert out == {"a": "a", "b": "a", "e": "a", "x": "x", "y": "x"}
