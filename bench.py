@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "span_dedup",
     "heavy_hitters",
+    "lm_fluency",
     "incremental_mv",
     "tfidf_terms",
     "image_features",

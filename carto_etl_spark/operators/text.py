@@ -447,3 +447,136 @@ SELECT {ids},
        CAST(count(*) AS BIGINT) AS count
 FROM toks GROUP BY {ids}, feature
 """
+
+
+def doc_bigrams(
+    df: DataFrame, text_col: str, id_cols: list[str]
+) -> DataFrame:
+    """One row per (ids, w1, w2) token bigram, whitespace tokens.  Docs
+    with < 2 tokens produce no rows."""
+    t = df.select(*id_cols, tokens_expr(F.col(text_col)).alias("__toks"))
+    t = t.where(F.size("__toks") >= 2)
+    return t.select(
+        *id_cols,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("__toks", i + 1).alias("w1"),
+                    F.element_at("__toks", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("__bg"),
+    ).select(*id_cols, "__bg.w1", "__bg.w2")
+
+
+def bigram_lm_scores(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model fluency scoring: train an add-one-smoothed
+    bigram model on ``train`` (exact integer counts), then score each
+    ``score`` document by its mean bigram surprisal -log2 p(w2|w1) — low =
+    fluent under the reference corpus, high = gibberish / boilerplate /
+    wrong domain.  The standard corpus-quality gate (CCNet filters on KenLM
+    perplexity; a bigram model is its two-gram core, trained with one
+    groupBy instead of a native library).
+
+    Determinism contract: p = (c(w1,w2)+1)/(c(w1)+V) is one double
+    division; its log2 is the ONLY libm call, and each bigram's surprisal
+    is rounded to 6dp and decimal-cast BEFORE the per-doc sum (the
+    trajectory_length pattern), so the aggregate is associative,
+    partition-order-proof, and engine-reproducible — last-ulp libm
+    disagreement is absorbed per term, never accumulated.  Unseen w1
+    contexts score the OOV floor -log2(1/V).
+
+    Scale: training is two partial-agg groupBys over the train corpus
+    (shuffle bounded by vocab/bigram-type counts); scoring joins the score
+    corpus's bigrams against the count tables on their natural keys —
+    plain shuffle hash joins that AQE skew-splits on hot words.
+    """
+    train_bg = doc_bigrams(train, text_col, [id_col])
+    big_counts = train_bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("__c2")
+    )
+    uni_counts = big_counts.groupBy("w1").agg(
+        F.sum("__c2").alias("__c1")
+    )
+    vocab = train_bg.select(F.col("w2").alias("w")).union(
+        train_bg.select(F.col("w1"))
+    ).distinct().count()
+
+    sbg = doc_bigrams(score, text_col, [id_col])
+    joined = sbg.join(big_counts, ["w1", "w2"], "left").join(
+        uni_counts, "w1", "left"
+    )
+    p = (F.coalesce(F.col("__c2"), F.lit(0)) + 1).cast("double") / (
+        F.coalesce(F.col("__c1"), F.lit(0)) + vocab
+    ).cast("double")
+    surprisal = F.round(-F.log2(p), 6).cast("decimal(20,6)")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(surprisal).cast("decimal(28,6)").alias("total_surprisal"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        "total_surprisal",
+        (
+            F.col("total_surprisal").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("mean_surprisal"),
+    )
+
+
+def bigram_lm_oracle_sql(
+    train_sql: str, score_sql: str, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of ``bigram_lm_scores``; ``train_sql``/``score_sql``
+    must yield (id, text).  Same per-term 6dp rounding before the exact
+    decimal sum."""
+    return f"""
+WITH train_toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')
+           AS tk
+  FROM ({train_sql}) tr
+), train_bg AS (
+  SELECT tk[i+1] AS w1, tk[i+2] AS w2
+  FROM train_toks, unnest(range(0, greatest(len(tk) - 1, 0))) AS t(i)
+), big_counts AS (
+  SELECT w1, w2, count(*) AS c2 FROM train_bg GROUP BY w1, w2
+), uni_counts AS (
+  SELECT w1, sum(c2) AS c1 FROM big_counts GROUP BY w1
+), vocab AS (
+  SELECT count(*) AS v FROM (
+    SELECT w2 AS w FROM train_bg UNION SELECT w1 FROM train_bg
+  )
+), score_toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')
+           AS tk
+  FROM ({score_sql}) sc
+), score_bg AS (
+  SELECT {id_col}, tk[i+1] AS w1, tk[i+2] AS w2
+  FROM score_toks, unnest(range(0, greatest(len(tk) - 1, 0))) AS t(i)
+), terms AS (
+  SELECT s.{id_col},
+         CAST(round(-log2(
+             CAST(coalesce(b.c2, 0) + 1 AS DOUBLE)
+             / CAST(coalesce(u.c1, 0) + vocab.v AS DOUBLE)
+         ), 6) AS DECIMAL(20,6)) AS surprisal
+  FROM score_bg s
+  LEFT JOIN big_counts b ON s.w1 = b.w1 AND s.w2 = b.w2
+  LEFT JOIN uni_counts u ON s.w1 = u.w1
+  CROSS JOIN vocab
+)
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(surprisal) AS DECIMAL(28,6)) AS total_surprisal,
+       CAST(sum(surprisal) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS mean_surprisal
+FROM terms GROUP BY {id_col}
+"""

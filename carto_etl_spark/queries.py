@@ -2595,6 +2595,32 @@ FROM final GROUP BY grp
 """
 
 
+def q_lm_fluency(spark, sf_dir):
+    """Bigram language-model fluency scoring (operators/text.py:
+    bigram_lm_scores — CCNet-style corpus-quality gate): train add-one-
+    smoothed bigram counts on every third document, score the rest by mean
+    bigram surprisal.  Per-bigram -log2 p is rounded to 6dp and decimal-
+    cast BEFORE the per-doc sum, so the aggregate is partition-order-proof
+    and the one libm call per term cannot accumulate ulp drift."""
+    from carto_etl_spark.operators.text import bigram_lm_scores
+
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    train = d.where(F.col("doc_id") % 3 == 0)
+    score = d.where(F.col("doc_id") % 3 != 0)
+    return bigram_lm_scores(train, score)
+
+
+def _oracle_lm_fluency():
+    from carto_etl_spark.operators.text import bigram_lm_oracle_sql
+
+    return bigram_lm_oracle_sql(
+        "SELECT doc_id, text FROM documents"
+        " WHERE text IS NOT NULL AND doc_id % 3 = 0",
+        "SELECT doc_id, text FROM documents"
+        " WHERE text IS NOT NULL AND doc_id % 3 != 0",
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters (operators/sketch.py): build the
     4x512 sketch over every corpus token (fixed-size mergeable state — the
@@ -5766,6 +5792,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "span_dedup": q_span_dedup,
     "heavy_hitters": q_heavy_hitters,
+    "lm_fluency": q_lm_fluency,
     "incremental_mv": q_incremental_mv,
     "tfidf_terms": q_tfidf_terms,
     "image_features": q_image_features,
@@ -5904,6 +5931,7 @@ ORACLES = {
     "line_dedup": ORACLE_LINE_DEDUP,
     "span_dedup": ORACLE_SPAN_DEDUP,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "lm_fluency": _oracle_lm_fluency(),
     "incremental_mv": ORACLE_INCREMENTAL_MV,
     "tfidf_terms": ORACLE_TFIDF,
     "image_features": ORACLE_IMAGE,
