@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "peak_concurrency",
     "item_affinity",
     "rfm_segments",
+    "url_canonical",
+    "url_dedup",
 ]
 
 

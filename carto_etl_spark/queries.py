@@ -5728,6 +5728,155 @@ def _oracle_item_affinity():
     )
 
 
+def _synth_url_exprs():
+    """Deterministic messy URLs from orders keys (the corpus is synthetic,
+    so the crawl frontier is synthesized too — replayed by the oracle).
+    Exercises every canonicalization rule: scheme/host case, ``www.``,
+    default vs non-default ports, trailing slashes, tracking params,
+    unsorted query params."""
+    o, c = F.col("o_orderkey"), F.col("o_custkey")
+    s = lambda e: e.cast("string")  # noqa: E731
+    return F.concat(
+        F.when(o % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://WWW.Shop"), s(c % 40), F.lit(".Example.COM"),
+        F.when(o % 5 == 0,
+               F.when(o % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+         .when(o % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/Catalog/Item-"), s(o % 500),
+        F.when(o % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="), s(o % 100), F.lit("&utm_source=feed"),
+        F.when(o % 6 == 0, F.lit("&b=2&a=1")).otherwise(F.lit("")),
+        F.lit("&ref=aff"), s(o % 4),
+    )
+
+
+#: the synthesis above, replayed as DuckDB string concatenation.
+_SYNTH_URL_SQL = """
+  (CASE WHEN o_orderkey % 2 = 0 THEN 'HTTPS' ELSE 'http' END) ||
+  '://WWW.Shop' || (o_custkey % 40) || '.Example.COM' ||
+  (CASE WHEN o_orderkey % 5 = 0
+        THEN (CASE WHEN o_orderkey % 2 = 0 THEN ':443' ELSE ':80' END)
+        WHEN o_orderkey % 7 = 0 THEN ':8080' ELSE '' END) ||
+  '/Catalog/Item-' || (o_orderkey % 500) ||
+  (CASE WHEN o_orderkey % 3 = 0 THEN '/' ELSE '' END) ||
+  '?id=' || (o_orderkey % 100) || '&utm_source=feed' ||
+  (CASE WHEN o_orderkey % 6 = 0 THEN '&b=2&a=1' ELSE '' END) ||
+  '&ref=aff' || (o_orderkey % 4)
+"""
+
+#: canonicalization replayed with DuckDB's independent function set
+#: (string_split / list_filter / list_sort vs Spark's filter/array_sort).
+_CANON_URL_SQL = r"""
+parts AS (
+  SELECT *,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+         regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+         regexp_extract(url, '\?([^#]*)', 1) AS rawquery
+  FROM u
+), hostport AS (
+  SELECT *,
+         regexp_replace(regexp_extract(auth, '^([^:]*)', 1),
+                        '^www\.', '') AS chost,
+         regexp_extract(auth, ':(\d+)$', 1) AS port,
+         CASE scheme WHEN 'http' THEN '80' WHEN 'https' THEN '443'
+              WHEN 'ftp' THEN '21' END AS dport,
+         array_to_string(list_sort(list_filter(
+             string_split(rawquery, '&'),
+             x -> NOT regexp_matches(x,
+                 '^(?:utm_[^=]*|ref|fbclid|gclid|msclkid|mc_eid)=')
+                  AND x <> '')), '&') AS cq
+  FROM parts
+), canon AS (
+  SELECT * EXCLUDE (scheme, auth, rawpath, rawquery, port, dport, cq),
+         chost AS host,
+         regexp_extract(chost, '([^.]+\.[^.]+)$', 1) AS domain,
+         scheme || '://' || chost ||
+         (CASE WHEN port = '' OR port = dport THEN ''
+               ELSE ':' || port END) ||
+         regexp_replace(rawpath, '/+$', '') ||
+         (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canonical_url
+  FROM hostport
+)
+"""
+
+
+def q_url_canonical(spark, sf_dir):
+    """Crawl-URL canonicalization (operators/urls.py): lowercase
+    scheme/host, strip ``www.`` and default ports, trim trailing slashes,
+    drop tracking params and sort the rest.  Pure projection — rides the
+    scan, no exchange (plan-gated in tests/test_urls.py)."""
+    from carto_etl_spark.operators.urls import canonicalize
+
+    o = load(spark, sf_dir, "orders")
+    urls_df = o.select("o_orderkey", _synth_url_exprs().alias("url"))
+    return canonicalize(urls_df, "url").select(
+        "o_orderkey", "url", "canonical_url", "host", "domain"
+    )
+
+
+ORACLE_URL_CANONICAL = (
+    "WITH u AS (SELECT o_orderkey, " + _SYNTH_URL_SQL + " AS url FROM orders), "
+    + _CANON_URL_SQL
+    + "SELECT o_orderkey, url, canonical_url, host, domain FROM canon"
+)
+
+
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup, the first pass over a web-crawl corpus: spelling
+    variants of the same page (case, www, default port, trailing slash,
+    tracking params) collapse to one canonical key; survivor is the minimum
+    orderkey.  Content is custkey-driven so variants genuinely collide
+    (~10 raw spellings per canonical at sf0.01).  One hash-aggregate keyed
+    by canonical URL; a hot URL partial-aggs map-side before the exchange."""
+    from carto_etl_spark.operators.urls import url_dedup
+
+    o = load(spark, sf_dir, "orders")
+    ok, c = F.col("o_orderkey"), F.col("o_custkey")
+    s = lambda e: e.cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(ok % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(ok % 3 == 0, F.lit("WWW.Shop")).otherwise(F.lit("shop")),
+        s(c % 40), F.lit(".Example.COM"),
+        F.when(ok % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), s(c % 300),
+        F.when(ok % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_campaign=c"), s(ok % 9), F.lit("&id="), s(c % 10),
+    )
+    urls_df = o.select("o_orderkey", url.alias("url"))
+    return url_dedup(urls_df, "url", "o_orderkey")
+
+
+ORACLE_URL_DEDUP = (
+    """
+WITH u AS (
+  SELECT o_orderkey,
+         (CASE WHEN o_orderkey % 2 = 0 THEN 'HTTPS' ELSE 'https' END) ||
+         '://' ||
+         (CASE WHEN o_orderkey % 3 = 0 THEN 'WWW.Shop' ELSE 'shop' END) ||
+         (o_custkey % 40) || '.Example.COM' ||
+         (CASE WHEN o_orderkey % 5 = 0 THEN ':443' ELSE '' END) ||
+         '/p/' || (o_custkey % 300) ||
+         (CASE WHEN o_orderkey % 2 = 1 THEN '/' ELSE '' END) ||
+         '?utm_campaign=c' || (o_orderkey % 9) || '&id=' || (o_custkey % 10)
+           AS url
+  FROM orders
+), """
+    + _CANON_URL_SQL
+    + """
+SELECT canonical_url,
+       min(o_orderkey) AS survivor,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_spellings
+FROM canon GROUP BY canonical_url
+"""
+)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -5865,6 +6014,8 @@ QUERIES = {
     "peak_concurrency": q_peak_concurrency,
     "item_affinity": q_item_affinity,
     "rfm_segments": q_rfm_segments,
+    "url_canonical": q_url_canonical,
+    "url_dedup": q_url_dedup,
 }
 
 ORACLES = {
@@ -6004,4 +6155,6 @@ ORACLES = {
     "peak_concurrency": _oracle_peak_concurrency(),
     "item_affinity": _oracle_item_affinity(),
     "rfm_segments": ORACLE_RFM,
+    "url_canonical": ORACLE_URL_CANONICAL,
+    "url_dedup": ORACLE_URL_DEDUP,
 }
