@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "rfm_segments",
     "url_canonical",
     "url_dedup",
+    "unicode_fold",
 ]
 
 

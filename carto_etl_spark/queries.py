@@ -5877,6 +5877,61 @@ FROM canon GROUP BY canonical_url
 )
 
 
+def q_unicode_fold(spark, sf_dir):
+    """Unicode normalization (operators/textnorm.py): NFC / NFKC forms and
+    the NFKD-strip-casefold dedup key from ONE Arrow pandas-UDF pass (the
+    justified-UDF case — Spark exposes no built-in normalizer).  The corpus
+    is ASCII, so representative non-ASCII text is injected: combining vs
+    precomposed ``é`` (doc-parity), the ``ﬁ`` ligature, ``ß`` (full case
+    fold -> ``ss``, which lower() gets wrong), fullwidth ``１``,
+    superscript ``²``, and ``Ä``.  The oracle re-derives with DuckDB's
+    INDEPENDENT native functions (nfc_normalize / strip_accents) plus an
+    explicit compat replace chain for the injected charset."""
+    from carto_etl_spark.operators.textnorm import with_normalized
+
+    d = load(spark, sf_dir, "documents")
+    inj = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Caf"),
+            # combining vs precomposed e-acute: same text, different bytes
+            F.when(F.col("doc_id") % 2 == 0, F.lit("e\u0301"))
+             .otherwise(F.lit("\u00e9")),
+            F.lit(" \ufb01n STRA\u00dfE \uff11\u00b2 \u00c4"),
+        ).alias("text"),
+    )
+    return with_normalized(inj, "text").select(
+        "doc_id",
+        F.md5("nfc").alias("nfc_md5"),
+        F.md5("nfkc").alias("nfkc_md5"),
+        F.md5("fold_key").alias("fold_md5"),
+    )
+
+
+ORACLE_UNICODE_FOLD = """
+WITH inj AS (
+  SELECT doc_id,
+         text || ' Caf' ||
+         (CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769) ELSE chr(233) END) ||
+         ' ' || chr(64257) || 'n STRA' || chr(223) || 'E ' ||
+         chr(65297) || chr(178) || ' ' || chr(196) AS text
+  FROM documents
+), forms AS (
+  SELECT doc_id,
+         nfc_normalize(text) AS nfc,
+         nfc_normalize(replace(replace(replace(text,
+             chr(64257), 'fi'), chr(65297), '1'), chr(178), '2')) AS nfkc
+  FROM inj
+)
+SELECT doc_id,
+       md5(nfc) AS nfc_md5,
+       md5(nfkc) AS nfkc_md5,
+       md5(lower(replace(strip_accents(nfkc), chr(223), 'ss'))) AS fold_md5
+FROM forms
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -6016,6 +6071,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "url_canonical": q_url_canonical,
     "url_dedup": q_url_dedup,
+    "unicode_fold": q_unicode_fold,
 }
 
 ORACLES = {
@@ -6157,4 +6213,5 @@ ORACLES = {
     "rfm_segments": ORACLE_RFM,
     "url_canonical": ORACLE_URL_CANONICAL,
     "url_dedup": ORACLE_URL_DEDUP,
+    "unicode_fold": ORACLE_UNICODE_FOLD,
 }
