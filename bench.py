@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "url_canonical",
     "url_dedup",
     "unicode_fold",
+    "dataset_shuffle",
 ]
 
 

@@ -5932,6 +5932,26 @@ FROM forms
 """
 
 
+def q_dataset_shuffle(spark, sf_dir):
+    """Deterministic global shuffle (operators/shuffle.py): every document
+    gets a (shard, position) that is a pure function of (seed, doc_id) —
+    reproducible training order without `orderBy(rand())`'s global range
+    sort or retry non-determinism.  One exchange keyed by range-sharded
+    md5 prefix; sort is per-shard only (plan-gated)."""
+    from carto_etl_spark.operators.shuffle import global_shuffle
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(d, "doc_id", n_shards=8, seed=42)
+
+
+def _oracle_dataset_shuffle():
+    from carto_etl_spark.operators.shuffle import shuffle_oracle_sql
+
+    return shuffle_oracle_sql(
+        "SELECT doc_id FROM documents", "doc_id", n_shards=8, seed=42
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -6072,6 +6092,7 @@ QUERIES = {
     "url_canonical": q_url_canonical,
     "url_dedup": q_url_dedup,
     "unicode_fold": q_unicode_fold,
+    "dataset_shuffle": q_dataset_shuffle,
 }
 
 ORACLES = {
@@ -6214,4 +6235,5 @@ ORACLES = {
     "url_canonical": ORACLE_URL_CANONICAL,
     "url_dedup": ORACLE_URL_DEDUP,
     "unicode_fold": ORACLE_UNICODE_FOLD,
+    "dataset_shuffle": _oracle_dataset_shuffle(),
 }
