@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "url_dedup",
     "unicode_fold",
     "dataset_shuffle",
+    "incremental_near_dup",
 ]
 
 

@@ -137,6 +137,29 @@ def with_minhash(
 # LSH banding -> candidate pairs -> near-dedup
 # ---------------------------------------------------------------------------
 
+def band_struct_expr(sig, bands: int):
+    """array<struct<band,bucket>> for a signature: bucket i is xxhash64 over
+    the comma-joined i-th signature slice.  Shared by the batch LSH and the
+    incremental index (streaming/lshindex.py) so bucket values can never
+    diverge between state written yesterday and a batch hashed today."""
+    rows_per_band = F.floor(F.size(sig) / bands)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket"),
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -148,27 +171,10 @@ def lsh_candidate_pairs(
     bands, never rows^2.  Returns distinct (id_a < id_b) pairs with their
     signature-estimated Jaccard."""
     sig = F.col(sig_col)
-    rows_per_band = F.floor(F.size(sig) / bands)
     banded = df.select(
         F.col(id_col).alias("__id"),
         sig.alias("__sig"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        F.explode(band_struct_expr(sig, bands)).alias("bb"),
     ).select("__id", "__sig", "bb.band", "bb.bucket")
     banded = _materialize(banded)
 

@@ -5952,6 +5952,114 @@ def _oracle_dataset_shuffle():
     )
 
 
+def q_incremental_near_dup(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup index (streaming/lshindex.py): the
+    documents table is indexed as history, then a batch of 50% near-copies
+    (every 10th doc + ' extra token') and 50% novel docs (disjoint synthetic
+    vocab) is matched against it.  Exact-Jaccard verification of LSH
+    candidates + bands=32 recall >1-1e-9 at these similarities means the
+    result equals DuckDB's exact bipartite Jaccard join — a green row
+    proves index hashing, candidate generation, and verification at once."""
+    import shutil
+    import tempfile
+
+    from carto_etl_spark.operators.dedup import with_minhash
+    from carto_etl_spark.streaming.lshindex import (
+        append_to_index,
+        match_against_index,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = widen(d, spark)
+    near = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    nid = (F.col("doc_id") + 2000000).cast("string")
+    novel = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit("zzq"), nid, F.lit(s)) for s in "abcde"],
+        ).alias("text"),
+    )
+    batch = widen(near.unionByName(novel), spark)
+    workdir = tempfile.mkdtemp(prefix="lshindex-")
+    try:
+        signed = with_minhash(hist, "text", num_hashes=64)
+        append_to_index(signed, workdir, "doc_id", bands=32)
+        pairs = match_against_index(
+            spark, batch, hist, workdir, "doc_id", "text",
+            threshold=0.5, num_hashes=64, bands=32,
+        )
+        agg = pairs.groupBy(F.col("id_a").alias("doc_id")).agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("id_b").alias("best_match"),
+        )
+        out = batch.select("doc_id").join(agg, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+            (F.coalesce(F.col("n_matches"), F.lit(0)) > 0).alias("is_dup"),
+            "best_match",
+        )
+        # materialize before the index state disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# bipartite exact-Jaccard join (same normalization/shingling as the engine,
+# mirroring ORACLE_MINHASH_DEDUP) between the synthesized batch and history.
+ORACLE_INCREMENTAL_NEAR_DUP = r"""
+WITH batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra token' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT nid AS doc_id,
+         'zzq' || nid || 'a zzq' || nid || 'b zzq' || nid || 'c zzq' ||
+         nid || 'd zzq' || nid || 'e' AS text
+  FROM (SELECT doc_id + 2000000 AS nid FROM documents WHERE doc_id % 10 = 5)
+), bt AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x != '') AS t
+  FROM batch
+), bs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+  FROM bt
+), be AS (
+  SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS g FROM bs
+), ht AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x != '') AS t
+  FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+  FROM ht
+), he AS (
+  SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS g FROM hs
+), pairs AS (
+  SELECT b.doc_id AS id_a, h.doc_id AS id_b
+  FROM be b JOIN he h ON b.g = h.g
+  GROUP BY b.doc_id, h.doc_id, b.sz, h.sz
+  HAVING count(*) / (b.sz + h.sz - count(*)) >= 0.5
+), agg AS (
+  SELECT id_a AS doc_id, count(*) AS n_matches, min(id_b) AS best_match
+  FROM pairs GROUP BY id_a
+)
+SELECT batch.doc_id,
+       CAST(coalesce(n_matches, 0) AS BIGINT) AS n_matches,
+       coalesce(n_matches, 0) > 0 AS is_dup,
+       best_match
+FROM batch LEFT JOIN agg ON batch.doc_id = agg.doc_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -6093,6 +6201,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "unicode_fold": q_unicode_fold,
     "dataset_shuffle": q_dataset_shuffle,
+    "incremental_near_dup": q_incremental_near_dup,
 }
 
 ORACLES = {
@@ -6236,4 +6345,5 @@ ORACLES = {
     "url_dedup": ORACLE_URL_DEDUP,
     "unicode_fold": ORACLE_UNICODE_FOLD,
     "dataset_shuffle": _oracle_dataset_shuffle(),
+    "incremental_near_dup": ORACLE_INCREMENTAL_NEAR_DUP,
 }

@@ -1,0 +1,217 @@
+"""Incremental MinHash-LSH near-dup index: match each micro-batch against
+ALL previously ingested documents by SIMILARITY, not just key equality —
+the third leg of the streaming-dedup triad (``streaming/dedup.py`` bloom =
+exact membership, ``streaming/frequency.py`` count-min = multiplicity,
+this = near-duplication), and the incremental form of the batch
+``minhash_dedup`` (operators/dedup.py): a 100 TB corpus grows without ever
+re-LSH-ing its own history.
+
+State is ONE append-only parquet, ``<state>/buckets`` with columns
+``(band, bucket, doc_id)`` — ~rows x bands rows, each a (long, long, id)
+triple, a few dozen bytes: sketch-sized relative to the corpus.  Bucket
+values come from the SAME ``band_struct_expr`` the batch operator uses, so
+state written yesterday and a batch hashed today can never disagree.
+
+Per batch:
+
+1. signature + band buckets for the batch (map-only);
+2. candidates = batch buckets ⋈ state buckets on (band, bucket) — the
+   batch side is broadcast, so this is one map pass over the bucket state,
+   no shuffle of history;
+3. EXACT word-n-gram Jaccard verification of the candidate pairs
+   (``verify_pairs_jaccard``) against the candidate-touched text only —
+   history text comes from the target via an id semi-join (a point lookup,
+   file-pruned on a clustered/transactional target), never a full-corpus
+   pass.  Exact verification means signature noise can't flip a decision:
+   results equal re-running the batch operator against the full history;
+4. batch docs with a verified match are dropped; survivors append to the
+   target and their buckets to state (id anti-join first).  Replay
+   semantics match ``streaming/dedup.py``: once a delivery completed the
+   state append, a replayed micro-batch matches its own history rows
+   (exact Jaccard 1.0 with itself) and contributes zero target and zero
+   state rows; the crash window between the two appends is the same
+   at-least-once hole, closed by using a transactional target.
+
+Scale posture: per-batch cost is (batch map work) + (one scan of the
+bucket state) + (verify bounded by candidate count).  The bucket scan is
+the knob: compact + sort state by (band, bucket) periodically and parquet
+row-group stats skip the misses; batch several micro-batches per trigger
+when ingest rate makes per-batch scans the bottleneck.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from carto_etl_spark.operators.dedup import (
+    band_struct_expr,
+    verify_pairs_jaccard,
+    with_minhash,
+)
+from carto_etl_spark.operators.jobs import TargetTable
+
+
+def _buckets_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "buckets")
+
+
+def batch_buckets(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 16,
+) -> DataFrame:
+    """(band, bucket, doc_id) rows for a signed batch — the exact rows the
+    state stores."""
+    return df.select(
+        F.explode(band_struct_expr(F.col(sig_col), bands)).alias("bb"),
+        F.col(id_col),
+    ).select(
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        F.col(id_col),
+    )
+
+
+def match_against_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    history_text: DataFrame,
+    state_dir: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Verified near-dup pairs (id_a = batch id, id_b = history id, inter,
+    union_sz, jaccard) between ``batch`` and everything in the index.
+    ``history_text`` supplies text for verification and is only read for
+    candidate-touched ids (semi-join inside verify_pairs_jaccard).  The
+    caller checks the index exists (streaming handler does)."""
+    signed = with_minhash(
+        batch.select(id_col, text_col), text_col,
+        num_hashes=num_hashes, shingle_words=shingle_words,
+    )
+    bb = batch_buckets(signed, id_col, bands=bands)
+    state = spark.read.parquet(_buckets_path(state_dir))
+    cand = (
+        F.broadcast(
+            bb.select("band", "bucket", F.col(id_col).alias("id_a"))
+        )
+        .join(
+            state.select("band", "bucket", F.col(id_col).alias("id_b")),
+            ["band", "bucket"],
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    corpus = batch.select(id_col, text_col).unionByName(
+        history_text.select(id_col, text_col)
+    )
+    return verify_pairs_jaccard(
+        cand, corpus, id_col, text_col,
+        n=shingle_words, min_jaccard=threshold,
+    )
+
+
+def append_to_index(
+    df: DataFrame,
+    state_dir: str,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 16,
+) -> None:
+    """Append a signed batch's bucket rows, id-anti-joined against existing
+    state so a replayed batch is a no-op (idempotent per id)."""
+    path = _buckets_path(state_dir)
+    rows = batch_buckets(df, id_col, bands=bands)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark = df.sparkSession
+        seen = spark.read.parquet(path).select(id_col).distinct()
+        rows = rows.join(seen, on=id_col, how="left_anti")
+    rows.write.mode("append").parquet(path)
+
+
+def compact_index(
+    spark: SparkSession, state_dir: str, target_files: int = 8
+) -> int:
+    """Rewrite the append-only bucket state sorted by (band, bucket) so
+    parquet row-group stats skip misses during the per-batch scan.  Returns
+    the row count."""
+    path = _buckets_path(state_dir)
+    rows = (
+        spark.read.parquet(path)
+        .repartitionByRange(target_files, "band", "bucket")
+        .sortWithinPartitions("band", "bucket")
+    )
+    tmp = path + ".tmp"
+    rows.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    old = path + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(old)
+    return n
+
+
+def insert_stream_near_dedup(
+    stream_df: DataFrame,
+    target: TargetTable,
+    id_col: str,
+    text_col: str,
+    state_dir: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the near-dedup ingest: each micro-batch drops documents with a
+    verified near-dup already in the corpus, appends survivors to the
+    target and their buckets to state.  Intra-batch near-dups are NOT
+    collapsed here — run the batch ``minhash_dedup`` upstream when the
+    source itself contains duplicates."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([id_col]).where(
+            F.col(id_col).isNotNull()
+        )
+        have_state = os.path.exists(
+            os.path.join(_buckets_path(state_dir), "_SUCCESS")
+        )
+        if have_state:
+            history_text = target.read().select(id_col, text_col)
+            pairs = match_against_index(
+                spark, batch, history_text, state_dir, id_col, text_col,
+                threshold=threshold, num_hashes=num_hashes, bands=bands,
+                shingle_words=shingle_words,
+            )
+            dup_ids = pairs.select(F.col("id_a").alias(id_col)).distinct()
+            fresh = batch.join(dup_ids, on=id_col, how="left_anti")
+        else:
+            fresh = batch
+        # two consumers (target append, state append): pin survivors once
+        fresh = fresh.localCheckpoint(eager=True)
+        target.append(fresh)
+        signed = with_minhash(
+            fresh.select(id_col, text_col), text_col,
+            num_hashes=num_hashes, shingle_words=shingle_words,
+        )
+        append_to_index(signed, state_dir, id_col, bands=bands)
+
+    writer = stream_df.writeStream.foreachBatch(handle)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
