@@ -9,6 +9,7 @@ action verb.
     python -m carto_etl_spark.cli overviews --target /data/mytable --max-zoom 8
     python -m carto_etl_spark.cli query --sql "SELECT ..." --table t=/data/mytable
     python -m carto_etl_spark.cli profile --target /data/mytable
+    python -m carto_etl_spark.cli shuffle --target /data/mytable --out /data/shuffled --id-column doc_id --shards 8
 
 A reference user keeps their conf file; ``base_url``/``api_key`` are accepted
 and ignored (the engine executes locally on Spark instead of POSTing to the
@@ -50,7 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="carto_etl_spark")
     p.add_argument(
         "action",
-        choices=["insert", "update", "delete", "overviews", "query", "profile"],
+        choices=[
+            "insert", "update", "delete", "overviews", "query", "profile",
+            "shuffle",
+        ],
     )
     p.add_argument("--conf", help="etl.conf path (reference format)")
     p.add_argument("--csv", help="input CSV path")
@@ -87,7 +91,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="print the optimized physical plan instead of executing "
         "(query verb)",
     )
-    p.add_argument("--id-column", help="key column for update/delete")
+    p.add_argument(
+        "--id-column", help="key column for update/delete/shuffle"
+    )
+    p.add_argument(
+        "--out", help="output parquet path (shuffle verb)"
+    )
+    p.add_argument(
+        "--shards", type=int, default=8,
+        help="shard count for the shuffle verb",
+    )
+    p.add_argument(
+        "--seed", type=int, default=0,
+        help="shuffle seed (same seed -> same order)",
+    )
     p.add_argument("--start-chunk", type=int, default=1)
     p.add_argument("--end-chunk", type=int, default=None)
     p.add_argument("--max-zoom", type=int, default=8)
@@ -108,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
     for k in ("base_url", "api_key", "app_code", "app_id"):
         kwargs.pop(k, None)
 
-    if args.action not in ("query", "profile") and not args.target:
+    if args.action not in ("query", "profile", "shuffle") and not args.target:
         logger.error("--target required for %s", args.action)
         return 2
 
@@ -141,6 +158,30 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 )
             )
+        return 0
+
+    if args.action == "shuffle":
+        # training-data prep: write a deterministically shuffled, sharded
+        # copy (operators/shuffle.py) — one dir per shard, rows inside each
+        # file in position order, so readers stream shards 0..n-1 and get
+        # the reproducible global order
+        from carto_etl_spark.operators.shuffle import global_shuffle
+
+        if not (args.target and args.out and args.id_column):
+            logger.error("shuffle needs --target, --out, --id-column")
+            return 2
+        df = spark.read.parquet(args.target)
+        out = global_shuffle(df, args.id_column, args.shards, seed=args.seed)
+        (
+            out.sortWithinPartitions("shard", "position")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(args.out)
+        )
+        n = spark.read.parquet(args.out).count()
+        print(
+            f"shuffle complete: {n} rows in {args.shards} shards at {args.out}"
+        )
         return 0
 
     if args.action == "query":

@@ -151,3 +151,31 @@ def test_cli_profile_verb(workspace, spark, capsys):
 
 def test_cli_profile_requires_path(capsys):
     assert main(["profile"]) == 2
+
+
+def test_cli_shuffle_verb(workspace, spark, capsys, tmp_path):
+    import hashlib
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "shuffled")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)], "doc_id long, text string"
+    ).write.parquet(src)
+    rc = main([
+        "shuffle", "--target", src, "--out", out,
+        "--id-column", "doc_id", "--shards", "4", "--seed", "7",
+    ])
+    assert rc == 0
+    assert "50 rows in 4 shards" in capsys.readouterr().out
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 50 and {r.text for r in rows} == {
+        f"text {i}" for i in range(50)
+    }
+    # assignment matches the operator's md5 contract
+    for r in rows:
+        h = hashlib.md5(f"7:{r.doc_id}".encode()).hexdigest()
+        assert r.shard == int(h[:8], 16) * 4 // 2 ** 32
+
+
+def test_cli_shuffle_requires_args(capsys):
+    assert main(["shuffle", "--target", "/nope"]) == 2
