@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "unicode_fold",
     "dataset_shuffle",
     "incremental_near_dup",
+    "html_extract",
 ]
 
 

@@ -6060,6 +6060,77 @@ FROM batch LEFT JOIN agg ON batch.doc_id = agg.doc_id
 """
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML-to-text extraction (operators/html.py): documents are wrapped
+    in deterministic markup (title, style/script bodies, comments, the six
+    common entities) and the extractor must recover the visible prose —
+    codegen-only regexp chain, no UDF, no exchange (plan-gated in
+    tests/test_html.py).  The oracle replays the same rewrite chain in
+    DuckDB (Java-regex/RE2 common-subset patterns, like pii_scrub)."""
+    from carto_etl_spark.operators.html import extract
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    s = F.col("doc_id").cast("string")
+    page = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title> Doc &amp; "), s,
+            F.lit(" </title><style>p{color:red}</style></head>"
+                  "<body><script>var x="), s,
+            F.lit(";</script><h1>Header "), s,
+            F.lit("</h1><!-- hidden "), s,
+            F.lit(' --><p>fish &lt;3 &quot;q&quot; A&amp;B&nbsp;'),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    return extract(page, "html").select(
+        "doc_id",
+        "title",
+        F.md5("text").alias("text_md5"),
+        F.length("text").alias("text_len"),
+        "n_tags",
+    )
+
+
+ORACLE_HTML_EXTRACT = r"""
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><title> Doc &amp; ' || doc_id ||
+         ' </title><style>p{color:red}</style></head><body><script>var x=' ||
+         doc_id || ';</script><h1>Header ' || doc_id || '</h1><!-- hidden ' ||
+         doc_id || ' --><p>fish &lt;3 &quot;q&quot; A&amp;B&nbsp;' || text ||
+         '</p></body></html>' AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id, html,
+         regexp_replace(regexp_replace(regexp_replace(html,
+             '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g') AS no_elems,
+         regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS rawtitle
+  FROM page
+), decoded AS (
+  SELECT doc_id, html, rawtitle,
+         replace(replace(replace(replace(replace(replace(
+             regexp_replace(no_elems, '<[^>]+>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS dectext,
+         replace(replace(replace(replace(replace(replace(rawtitle,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS dectitle
+  FROM stripped
+)
+SELECT doc_id,
+       trim(regexp_replace(dectitle, '\s+', ' ', 'g')) AS title,
+       md5(trim(regexp_replace(dectext, '\s+', ' ', 'g'))) AS text_md5,
+       CAST(length(trim(regexp_replace(dectext, '\s+', ' ', 'g'))) AS INTEGER)
+         AS text_len,
+       CAST(len(regexp_extract_all(html, '<[^>]+>')) AS INTEGER) AS n_tags
+FROM decoded
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -6202,6 +6273,7 @@ QUERIES = {
     "unicode_fold": q_unicode_fold,
     "dataset_shuffle": q_dataset_shuffle,
     "incremental_near_dup": q_incremental_near_dup,
+    "html_extract": q_html_extract,
 }
 
 ORACLES = {
@@ -6346,4 +6418,5 @@ ORACLES = {
     "unicode_fold": ORACLE_UNICODE_FOLD,
     "dataset_shuffle": _oracle_dataset_shuffle(),
     "incremental_near_dup": ORACLE_INCREMENTAL_NEAR_DUP,
+    "html_extract": ORACLE_HTML_EXTRACT,
 }
