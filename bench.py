@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "dataset_shuffle",
     "incremental_near_dup",
     "html_extract",
+    "blocklist_filter",
 ]
 
 

@@ -6131,6 +6131,32 @@ FROM decoded
 """
 
 
+def q_blocklist_filter(spark, sf_dir):
+    """Term-blocklist content filter (operators/blocklist.py): one
+    case-insensitive word-boundary alternation per document flags blocked
+    terms (a word and a two-word phrase from the corpus vocabulary) —
+    codegen-only, no UDF, no exchange.  The oracle replays the same
+    alternation in DuckDB."""
+    from carto_etl_spark.operators.blocklist import flag
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return flag(d, "text", ("slow", "hash value")).select(
+        "doc_id", "n_blocked", "blocked", "first_term"
+    )
+
+
+ORACLE_BLOCKLIST_FILTER = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+           '(?i)\b(?:hash value|slow)\b')) AS INTEGER) AS n_blocked,
+       len(regexp_extract_all(text,
+           '(?i)\b(?:hash value|slow)\b')) > 0 AS blocked,
+       lower(regexp_extract(text, '(?i)\b(?:hash value|slow)\b'))
+         AS first_term
+FROM documents
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -6274,6 +6300,7 @@ QUERIES = {
     "dataset_shuffle": q_dataset_shuffle,
     "incremental_near_dup": q_incremental_near_dup,
     "html_extract": q_html_extract,
+    "blocklist_filter": q_blocklist_filter,
 }
 
 ORACLES = {
@@ -6419,4 +6446,5 @@ ORACLES = {
     "dataset_shuffle": _oracle_dataset_shuffle(),
     "incremental_near_dup": ORACLE_INCREMENTAL_NEAR_DUP,
     "html_extract": ORACLE_HTML_EXTRACT,
+    "blocklist_filter": ORACLE_BLOCKLIST_FILTER,
 }
