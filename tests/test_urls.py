@@ -84,3 +84,17 @@ def test_custom_drop_params_and_null_url(spark):
     ).orderBy("doc_id").collect()
     assert out[0].c == "https://ex.org/p?id=1"
     assert out[1].c is None
+
+
+def test_canonicalization_is_a_fixpoint(spark):
+    # canonical output fed back through the canonicalizer must not change —
+    # the property that makes incremental re-crawls stable
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(CASES)], "doc_id long, url string"
+    )
+    once = urls.canonicalize(df, "url").select(
+        "doc_id", F.col("canonical_url").alias("url")
+    )
+    twice = urls.canonicalize(once, "url").collect()
+    for r in twice:
+        assert r.canonical_url == r.url, (r.url, r.canonical_url)
