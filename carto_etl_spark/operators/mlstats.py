@@ -19,17 +19,20 @@ partitionings and a SQL oracle can replay them.
 
 Scale posture:
 - `auc` / `ks_statistic` reduce the input to one row per DISTINCT score
-  value before any ordered window runs.  For fixed-resolution scores (money
-  cents, basis points, quantized quality scores) that aggregate is bounded
-  by the value RANGE, not the row count — ~50k rows for cent-priced values
-  under $500 whether the input is 1e6 or 1e12 rows.  Unbounded-resolution
-  scores should be quantized by the caller first (the metrics are rank
-  statistics; quantization is the standard tie treatment).
-- `gini` ranks one row per ENTITY (customer, document); the global
-  row_number window is single-partition over that aggregate.  Fine to ~1e8
-  entities; beyond that, substitute a range-partitioned prefix-sum rank
-  (operators/sampling.py builds exactly that machinery for weighted
-  sampling).
+  value before any ordered computation runs.  For fixed-resolution scores
+  (money cents, basis points, quantized quality scores) that aggregate is
+  bounded by the value RANGE, not the row count — ~50k rows for cent-priced
+  values under $500 whether the input is 1e6 or 1e12 rows.  Unbounded-
+  resolution scores should be quantized by the caller first (the metrics
+  are rank statistics; quantization is the standard tie treatment).
+- running totals / global ranks use the DISTRIBUTED prefix-sum machinery in
+  operators/ranking.py (literal range buckets + bucket-partitioned window +
+  broadcast offsets) — there is no single-partition WindowExec anywhere in
+  this module (plan-gated catalog-wide in tests/test_plans.py).  The
+  per-value aggregate is pinned with localCheckpoint so the multi-job rank
+  plan reads it once instead of re-running the upstream scan.
+- scalar totals (KS marginals, Benford share denominator) attach via a
+  single-row broadcast cross join, not a global window.
 - `benford` and `corr_matrix` are single map-side-combining aggregation
   passes — no ordered windows at all; `corr_matrix` profiles all column
   pairs in ONE scan (the stats.py profile() trick applied to second
@@ -38,7 +41,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEC = "decimal(18,2)"
@@ -76,13 +79,18 @@ def auc(df: DataFrame, value_col: str, pos_expr) -> DataFrame:
     negatives at its own value.  All integer; AUC = 2U / (2 * Npos * Nneg)
     is the single double division.  Returns one row
     (n_pos, n_neg, auc)."""
-    per = _per_value_counts(df, value_col, pos_expr)
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    from carto_etl_spark.operators.ranking import with_prefix_sums
+
+    per = _per_value_counts(df, value_col, pos_expr).localCheckpoint(
+        eager=False
+    )
+    cum = with_prefix_sums(
+        per, ["v"], ["nn"], inclusive=False, prefix="below_"
+    )
     contrib = (
-        F.col("np")
-        * (2 * F.coalesce(F.sum("nn").over(w), F.lit(0)) + F.col("nn"))
+        F.col("np") * (2 * F.col("below_nn") + F.col("nn"))
     ).cast(BIG)
-    out = per.select("np", "nn", contrib.alias("c")).agg(
+    out = cum.select("np", "nn", contrib.alias("c")).agg(
         F.sum("np").cast("long").alias("n_pos"),
         F.sum("nn").cast("long").alias("n_neg"),
         F.sum("c").cast(BIG).alias("u2"),
@@ -141,13 +149,20 @@ def ks_statistic(df: DataFrame, value_col: str, a_expr, b_expr) -> DataFrame:
             F.sum("yb").cast("long").alias("nb"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.partitionBy()
-    cum = per.select(
-        F.sum("na").over(w).alias("ca"),
-        F.sum("nb").over(w).alias("cb"),
-        F.sum("na").over(wt).alias("ta"),
-        F.sum("nb").over(wt).alias("tb"),
+    from carto_etl_spark.operators.ranking import with_prefix_sums
+
+    per = per.localCheckpoint(eager=False)
+    tot = per.agg(
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nb").cast("long").alias("tb"),
+    )
+    cum = (
+        with_prefix_sums(
+            per, ["v"], ["na", "nb"], inclusive=True, prefix="c"
+        )
+        .withColumnRenamed("cna", "ca")
+        .withColumnRenamed("cnb", "cb")
+        .crossJoin(F.broadcast(tot))
     )
     diff = F.abs(
         (F.col("ca") * F.col("tb")).cast(BIG)
@@ -208,12 +223,13 @@ def gini(entity_values: DataFrame, value_col: str, id_col: str) -> DataFrame:
     with x ascending, i = 1..n.  The rank-weighted sum stays exact in
     decimal(38,0); the final expression is one fixed double tree.  Returns
     one row (n, total, gini)."""
-    ranked = entity_values.select(
+    from carto_etl_spark.operators.ranking import with_global_rank
+
+    base = entity_values.select(
         F.col(value_col).cast("long").alias("x"),
-        F.row_number()
-        .over(Window.orderBy(F.col(value_col), F.col(id_col)))
-        .alias("i"),
-    )
+        F.col(id_col).alias("__id"),
+    ).localCheckpoint(eager=False)
+    ranked = with_global_rank(base, ["x", "__id"], name="i")
     agg = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast(BIG).alias("s"),
@@ -265,12 +281,14 @@ def benford(df: DataFrame, value_col: str) -> DataFrame:
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    total = F.sum("n").over(Window.partitionBy())
-    return per.select(
+    ).localCheckpoint(eager=False)
+    tot = per.agg(F.sum("n").cast("long").alias("__total"))
+    return per.crossJoin(F.broadcast(tot)).select(
         "digit",
         "n",
-        (F.col("n").cast("double") / total.cast("double")).alias("share"),
+        (F.col("n").cast("double") / F.col("__total").cast("double")).alias(
+            "share"
+        ),
     )
 
 

@@ -50,6 +50,28 @@ def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"codegen id : (\d+)", explain_str(df))))
 
 
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window operators fed by an ``Exchange SinglePartition`` — the
+    global-sort funnel that moves the whole input through ONE task (Spark
+    warns "Moving all data to a single partition" at runtime; this makes it
+    a statically assertable plan fact).  A window's required child
+    distribution materializes directly beneath it (optionally behind a
+    Sort), so we only inspect the couple of lines under each Window node —
+    an Exchange deeper down belongs to another operator and stays out of
+    scope."""
+    lines = explain_str(df, "simple").splitlines()
+    flagged: list[str] = []
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow(GroupLimit)?\b", ln):
+            for below in lines[i + 1 : i + 4]:
+                m = re.search(r"Exchange (\w+)", below)
+                if m:
+                    if m.group(1) == "SinglePartition":
+                        flagged.append(ln.strip()[:120])
+                    break
+    return flagged
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchange operators in the physical plan (before AQE
     runtime coalescing)."""

@@ -402,13 +402,25 @@ GROUP BY l_returnflag
 
 def q_chunk_assignment(spark, sf_dir):
     """Reference S7 (documented chunk semantics): chunk = floor(row_idx /
-    chunk_size) + 1 over a deterministic row order."""
-    li = load(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    chunked = li.select(
+    chunk_size) + 1 over a deterministic row order.
+
+    Runs on the engine's DISTRIBUTED row index (operators/ranking.py:
+    literal range-bucket boundaries + bucket-partitioned window + broadcast
+    offsets) — not an unpartitioned ``row_number`` window, which would
+    funnel the fact table through one task (plan-gated in
+    tests/test_plans.py)."""
+    from carto_etl_spark.operators.ranking import with_keyed_row_index
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    indexed = with_keyed_row_index(
+        li, ["l_orderkey", "l_linenumber"], name="row_idx"
+    )
+    chunked = indexed.select(
         "l_orderkey",
         "l_linenumber",
-        (F.floor((F.row_number().over(w) - 1) / 1000) + 1).alias("chunk_id"),
+        (F.floor(F.col("row_idx") / 1000) + 1).alias("chunk_id"),
     )
     return chunked.groupBy("chunk_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -430,13 +442,25 @@ FROM (
 
 def q_row_range(spark, sf_dir):
     """Reference S8 (UpdateJob start_row/end_row): rows 1001..1100 of the
-    ordered scan."""
-    li = load(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
+    ordered scan — via the distributed global rank (operators/ranking.py),
+    then sources/csv.py row_range_filter semantics (1-based inclusive
+    window).  No unpartitioned WindowExec (plan-gated)."""
+    from carto_etl_spark.operators.ranking import with_global_rank
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    ranked = with_global_rank(
+        li, ["l_orderkey", "l_linenumber"], name="rn"
+    )
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") >= 1001) & (F.col("rn") <= 1100))
-        .select("rn", "l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("qty"))
+        ranked.filter((F.col("rn") >= 1001) & (F.col("rn") <= 1100))
+        .select(
+            F.col("rn").cast("int").alias("rn"),
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity", 2).alias("qty"),
+        )
     )
 
 
@@ -3471,8 +3495,9 @@ GROUP BY o_orderpriority
 
 def q_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
-    the revenue 'view' is a fact aggregate, and the max-selection is a
-    window over it (no second scan, no correlated subquery)."""
+    the revenue 'view' is a fact aggregate (pinned once), and the
+    max-selection is a single-row broadcast scalar attach (no global
+    window, no second fact scan, no correlated subquery)."""
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
@@ -3481,9 +3506,9 @@ def q_top_supplier(spark, sf_dir):
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("total_revenue")
-    )
-    w = Window.partitionBy()
-    best = rev.withColumn("__mx", F.max("total_revenue").over(w)).where(
+    ).localCheckpoint(eager=False)
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    best = rev.crossJoin(F.broadcast(mx)).where(
         F.col("total_revenue") == F.col("__mx")
     )
     return best.join(s, best.l_suppkey == s.s_suppkey).select(
@@ -4602,18 +4627,26 @@ FROM events
 
 
 def q_deciles(spark, sf_dir):
-    """Decile banding: ntile(10) over a TOTAL order (custkey tiebreak makes
-    the banding deterministic), then per-band stats.
+    """Decile banding with EXACT ntile(10) semantics (custkey tiebreak makes
+    the banding deterministic), computed distributed: global rank via
+    range-bucket boundaries (operators/ranking.py — bucket-partitioned
+    window, broadcast offsets, no single-partition sort), then the tile is
+    pure arithmetic over (rank, n).  Identical results to the SQL ntile the
+    oracle runs, but the plan survives a fact-scale input."""
+    from carto_etl_spark.operators.ranking import (
+        ntile_from_rank,
+        with_global_rank,
+    )
 
-    Scale note: an unpartitioned ntile funnels the table through ONE task —
-    fine for dimension-sized inputs like customer, deliberate here for exact
-    compat semantics.  For fact-scale banding derive band BOUNDARIES from
-    approx_percentile (or the exact rank selection in operators/anomaly.py)
-    and assign by range comparison instead."""
-    c = load(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    c = load(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    n = c.count()
+    ranked = with_global_rank(
+        c, ["c_acctbal", "c_custkey"], name="__r", total=n
+    )
     return (
-        c.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn(
+            "decile", ntile_from_rank(F.col("__r"), n, 10)
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -5170,15 +5203,15 @@ def q_contingency(spark, sf_dir):
     obs = (
         e.groupBy("event_type", F.hour("ts").alias("hod"))
         .agg(F.count(F.lit(1)).alias("o"))
-    )
+    ).localCheckpoint(eager=False)
     row_t = F.sum("o").over(Window.partitionBy("event_type"))
     col_t = F.sum("o").over(Window.partitionBy("hod"))
-    tot = F.sum("o").over(Window.partitionBy())
-    cells = obs.select(
+    tot_df = obs.agg(F.sum("o").cast("long").alias("__tot"))
+    cells = obs.crossJoin(F.broadcast(tot_df)).select(
         "event_type",
         "hod",
         "o",
-        ((row_t * col_t).cast("double") / tot).alias("expected"),
+        ((row_t * col_t).cast("double") / F.col("__tot")).alias("expected"),
     )
     contrib = (
         (F.col("o") - F.col("expected"))
@@ -5273,12 +5306,14 @@ def q_revenue_share(spark, sf_dir):
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
         .agg(F.sum(rev).cast("decimal(38,4)").alias("rev"))
+    ).localCheckpoint(eager=False)
+    total_df = per_nation.agg(
+        F.sum("rev").cast("decimal(38,4)").alias("__total")
     )
-    total = F.sum("rev").over(Window.partitionBy())
-    return per_nation.select(
+    return per_nation.crossJoin(F.broadcast(total_df)).select(
         F.col("n_name").alias("nation"),
         F.col("rev").cast("double").alias("revenue"),
-        (F.col("rev").cast("double") / total.cast("double")).alias(
+        (F.col("rev").cast("double") / F.col("__total").cast("double")).alias(
             "share"
         ),
     )
@@ -5662,10 +5697,13 @@ def q_item_affinity(spark, sf_dir):
 
 def q_rfm_segments(spark, sf_dir):
     """RFM segmentation: per-customer recency/frequency/monetary quintiles
-    (ntile with custkey tiebreak — deterministic), then segment counts and
-    exact monetary totals per (r, f, m) cell.  The three global ntiles run
-    over the CUSTOMER aggregate (dimension-sized; same caveat as
-    q_deciles — fact-scale banding would derive boundaries instead)."""
+    with exact NTILE(5) semantics (custkey tiebreak — deterministic), then
+    segment counts and exact monetary totals per (r, f, m) cell.  Each
+    quintile comes from a DISTRIBUTED global rank + arithmetic tile
+    (operators/ranking.py) — no single-partition ntile window.  The freq
+    axis has few distinct values, so its range buckets degrade toward
+    one-bucket-per-value; parallelism is bounded by the value domain there,
+    which is still far from the one-task global sort this replaces."""
     o = load(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias(
@@ -5680,15 +5718,37 @@ def q_rfm_segments(spark, sf_dir):
         .cast("long")
         .alias("cents"),
     )
-    r_w = Window.orderBy(F.col("last_order"), F.col("o_custkey"))
-    f_w = Window.orderBy(F.col("freq"), F.col("o_custkey"))
-    m_w = Window.orderBy(F.col("cents"), F.col("o_custkey"))
-    banded = per.select(
-        F.ntile(5).over(r_w).alias("r_band"),
-        F.ntile(5).over(f_w).alias("f_band"),
-        F.ntile(5).over(m_w).alias("m_band"),
+    from carto_etl_spark.operators.ranking import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    # Three independent total orders over the per-customer aggregate; pin
+    # the (dimension-sized) aggregate once so the three rank passes and the
+    # boundary/count jobs inside them don't re-run the orders scan 9 times.
+    per = per.localCheckpoint(eager=True)
+    n = per.count()
+    # Each axis ranks INDEPENDENTLY off the pinned aggregate (chaining them
+    # would make every later axis's boundary/count jobs re-execute the
+    # earlier window stages); the three thin (custkey, band) outputs then
+    # equi-join back on the customer key.
+    r_band = with_global_rank(
+        per.select("o_custkey", "last_order"),
+        ["last_order", "o_custkey"], name="__r", total=n,
+    ).select("o_custkey", ntile_from_rank(F.col("__r"), n, 5).alias("r_band"))
+    f_band = with_global_rank(
+        per.select("o_custkey", "freq"),
+        ["freq", "o_custkey"], name="__r", total=n,
+    ).select("o_custkey", ntile_from_rank(F.col("__r"), n, 5).alias("f_band"))
+    m_band = with_global_rank(
+        per.select("o_custkey", "cents"),
+        ["cents", "o_custkey"], name="__r", total=n,
+    ).select(
+        "o_custkey",
+        ntile_from_rank(F.col("__r"), n, 5).alias("m_band"),
         "cents",
     )
+    banded = m_band.join(r_band, "o_custkey").join(f_band, "o_custkey")
     return banded.groupBy("r_band", "f_band", "m_band").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("total_cents"),

@@ -178,12 +178,16 @@ def test_idle_rich_customers_anti_join_no_cartesian(spark):
 
 
 def test_catalog_wide_plan_hygiene(spark):
-    """Every catalog entry's physical plan must be free of the two
+    """Every catalog entry's physical plan must be free of the three
     unconditional scale-killers: row-at-a-time Python UDFs (BatchEvalPython;
-    Arrow-batched pandas UDFs are the sanctioned slow path) and cartesian
+    Arrow-batched pandas UDFs are the sanctioned slow path), cartesian
     products (CartesianProduct; one-row broadcast cross joins plan as
-    BroadcastNestedLoopJoin and are fine)."""
-    from carto_etl_spark.plans.inspect import explain_str
+    BroadcastNestedLoopJoin and are fine), and single-partition window
+    funnels (a Window over Exchange SinglePartition sorts the whole input
+    in ONE task — global ranks/banding must use the distributed machinery
+    in operators/ranking.py instead).  NO allowlist: zero entries are
+    exempt."""
+    from carto_etl_spark.plans.inspect import explain_str, unpartitioned_windows
     from carto_etl_spark.queries import QUERIES
 
     bad = {}
@@ -195,6 +199,9 @@ def test_catalog_wide_plan_hygiene(spark):
             for marker in ("BatchEvalPython", "CartesianProduct")
             if marker in plan
         ]
+        global_windows = unpartitioned_windows(df)
+        if global_windows:
+            problems.append(f"unpartitioned window: {global_windows}")
         if problems:
             bad[name] = problems
     assert not bad, f"plan pathologies: {bad}"
