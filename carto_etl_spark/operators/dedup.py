@@ -403,7 +403,15 @@ def min_label_components(
                 T.StructField("root", node_type),
             ]
         )
-        probe_cap = max(driver_threshold_edges, numpy_threshold_edges)
+        # the numpy tier only applies to integral node ids — for any other
+        # key type, probing past driver_threshold would haul up to 50M+1
+        # edge rows onto the driver (risking maxResultSize) just to be
+        # discarded by the dtype check below, so cap the probe accordingly
+        probe_cap = (
+            max(driver_threshold_edges, numpy_threshold_edges)
+            if isinstance(node_type, T.IntegralType)
+            else driver_threshold_edges
+        )
         probe = und.limit(probe_cap + 1).toArrow()
         if probe.num_rows <= driver_threshold_edges:
             result = _union_find_min_roots(

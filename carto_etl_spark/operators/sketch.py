@@ -99,13 +99,24 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query the sketch for each row of ``items``: est = min over the
     ``depth`` rows of the item's cell counts (an untouched cell counts 0).
-    Returns ``items``' columns plus ``cms_estimate``.
+    Returns ``items``' columns plus ``cms_estimate`` — one output row per
+    INPUT row (duplicates in ``items`` are preserved, keyed by a per-row
+    surrogate id, not by value), and all probe bookkeeping lives in
+    ``__cms_``-prefixed columns so a caller column named ``seed``/``bucket``
+    /``n`` can never collide with the join.
 
     The sketch side is at most depth*width rows — always broadcast — so
     estimating any number of candidates is a map-side join plus a groupBy
-    on the candidate keys."""
+    on the surrogate row id."""
+    reserved = [c for c in items.columns if c.startswith("__cms_")]
+    if reserved:
+        raise ValueError(
+            f"items columns {reserved} collide with cms_estimate "
+            "bookkeeping (the __cms_ prefix is reserved)"
+        )
     item = F.col(item_col)
-    probes = items.select(
+    tagged = items.withColumn("__cms_row", F.monotonically_increasing_id())
+    probes = tagged.select(
         "*",
         F.explode(
             F.array(
@@ -118,13 +129,26 @@ def cms_estimate(
                 ]
             )
         ).alias("__p"),
-    ).select("*", "__p.seed", "__p.bucket").drop("__p")
-    cells = sketch.withColumnRenamed("n", "__cms_n")  # avoid colliding with
-    # a caller column of the same name after the join
+    ).select(
+        "*",
+        F.col("__p.seed").alias("__cms_seed"),
+        F.col("__p.bucket").alias("__cms_bucket"),
+    ).drop("__p")
+    cells = sketch.select(
+        F.col("seed").alias("__cms_seed"),
+        F.col("bucket").alias("__cms_bucket"),
+        F.col("n").alias("__cms_n"),
+    )
     est = (
-        probes.join(F.broadcast(cells), on=["seed", "bucket"], how="left")
-        .groupBy(*items.columns)
-        .agg(F.min(F.coalesce("__cms_n", F.lit(0))).alias("cms_estimate"))
+        probes.join(
+            F.broadcast(cells), on=["__cms_seed", "__cms_bucket"], how="left"
+        )
+        .groupBy("__cms_row")
+        .agg(
+            *[F.first(c).alias(c) for c in items.columns],
+            F.min(F.coalesce("__cms_n", F.lit(0))).alias("cms_estimate"),
+        )
+        .drop("__cms_row")
     )
     return est
 

@@ -45,13 +45,22 @@ def url_parts_exprs(url: Column | str) -> dict[str, Column]:
     """Raw structural parts (scheme/host/port/path/query) as columns.
     ``scheme`` and ``host`` are lowercased (case-insensitive per RFC 3986);
     path and query keep their case.  Missing parts are empty strings, the
-    regexp_extract no-match convention — NULL url stays NULL."""
+    regexp_extract no-match convention — NULL url stays NULL.
+
+    Authority handling: a userinfo prefix (``user@`` / ``user:pw@``) is
+    stripped BEFORE the host/port split — it is not part of the resource
+    identity, and without the strip ``user:pw@ex.org`` would yield host
+    ``user`` and merge nothing.  Bracketed IPv6 literals parse as one host
+    token (brackets kept, hex lowercased by the authority fold) with the
+    port taken after the closing bracket; bracketless IPv6 is not legal in
+    a URL authority and stays out of scope."""
     u = _col(url)
     auth = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    hostport = F.regexp_replace(auth, r"^[^@]*@", "")
     return {
         "scheme": F.lower(F.regexp_extract(u, _SCHEME_RE, 1)),
-        "host": F.regexp_extract(auth, r"^([^:]*)", 1),
-        "port": F.regexp_extract(auth, r":(\d+)$", 1),
+        "host": F.regexp_extract(hostport, r"^(\[[^\]]*\]|[^:]*)", 1),
+        "port": F.regexp_extract(hostport, r":(\d+)$", 1),
         "path": F.regexp_extract(u, _PATH_RE, 1),
         "query": F.regexp_extract(u, _QUERY_RE, 1),
     }

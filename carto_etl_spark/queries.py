@@ -5839,9 +5839,11 @@ parts AS (
   FROM u
 ), hostport AS (
   SELECT *,
-         regexp_replace(regexp_extract(auth, '^([^:]*)', 1),
-                        '^www\.', '') AS chost,
-         regexp_extract(auth, ':(\d+)$', 1) AS port,
+         regexp_replace(regexp_extract(
+             regexp_replace(auth, '^[^@]*@', ''),
+             '^(\[[^\]]*\]|[^:]*)', 1), '^www\.', '') AS chost,
+         regexp_extract(regexp_replace(auth, '^[^@]*@', ''),
+                        ':(\d+)$', 1) AS port,
          CASE scheme WHEN 'http' THEN '80' WHEN 'https' THEN '443'
               WHEN 'ftp' THEN '21' END AS dport,
          array_to_string(list_sort(list_filter(

@@ -6,11 +6,28 @@ this = near-duplication), and the incremental form of the batch
 ``minhash_dedup`` (operators/dedup.py): a 100 TB corpus grows without ever
 re-LSH-ing its own history.
 
-State is ONE append-only parquet, ``<state>/buckets`` with columns
+State is an append-only parquet tree, ``<state>/buckets`` with columns
 ``(band, bucket, doc_id)`` — ~rows x bands rows, each a (long, long, id)
 triple, a few dozen bytes: sketch-sized relative to the corpus.  Bucket
 values come from the SAME ``band_struct_expr`` the batch operator uses, so
 state written yesterday and a batch hashed today can never disagree.
+
+Crash-safety (single sequential writer — the foreachBatch handler):
+
+- **Appends are atomic.**  Each batch's bucket rows are written to a
+  staging directory OUTSIDE the read path and committed with one
+  ``os.rename`` into ``buckets/batch-<token>/``.  A crash mid-write leaves
+  only an orphaned staging dir (swept by ``_recover``), never a partially
+  visible batch — without this, a replayed batch would see its id as
+  'seen' (the per-id anti-join) and never complete its bands, permanently
+  losing LSH recall for those documents.
+- **Compaction is recoverable.**  ``compact_index`` promotes via the
+  rename pair (buckets -> buckets.old, buckets.tmp -> buckets); a crash
+  between the two renames leaves no ``buckets`` dir, and ``_recover`` —
+  called by every reader/writer first, mirroring
+  ``streaming/frequency.py`` — restores ``buckets.old``.  Without it the
+  handler's have-state probe would silently skip near-dup matching and
+  start a fresh index while the full history sat orphaned.
 
 Per batch:
 
@@ -29,8 +46,9 @@ Per batch:
    semantics match ``streaming/dedup.py``: once a delivery completed the
    state append, a replayed micro-batch matches its own history rows
    (exact Jaccard 1.0 with itself) and contributes zero target and zero
-   state rows; the crash window between the two appends is the same
-   at-least-once hole, closed by using a transactional target.
+   state rows; the crash window between the TARGET append and the state
+   append is the usual at-least-once hole, closed by a transactional
+   target.
 
 Scale posture: per-batch cost is (batch map work) + (one scan of the
 bucket state) + (verify bounded by candidate count).  The bucket scan is
@@ -42,6 +60,8 @@ when ingest rate makes per-batch scans the bottleneck.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +77,48 @@ from carto_etl_spark.operators.jobs import TargetTable
 
 def _buckets_path(state_dir: str) -> str:
     return os.path.join(state_dir, "buckets")
+
+
+def _recover(state_dir: str) -> None:
+    """Restore crash-interrupted state.  Called first by every reader and
+    writer (single-writer discipline — a sweep would race a concurrent
+    appender, which this module does not support):
+
+    - compaction crashed between its two renames -> ``buckets`` is gone but
+      ``buckets.old`` is intact: rename it back;
+    - an append crashed mid-write -> an orphaned ``staging-*`` dir sits
+      outside the read path: delete it."""
+    path = _buckets_path(state_dir)
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    if os.path.isdir(state_dir):
+        for name in os.listdir(state_dir):
+            if name.startswith("staging-"):
+                shutil.rmtree(
+                    os.path.join(state_dir, name), ignore_errors=True
+                )
+
+
+def have_index(state_dir: str) -> bool:
+    """True when committed bucket state exists (at least one committed
+    batch subdir or compacted data file)."""
+    _recover(state_dir)
+    path = _buckets_path(state_dir)
+    if not os.path.isdir(path):
+        return False
+    return any(
+        not name.startswith(("_", ".")) for name in os.listdir(path)
+    )
+
+
+def _read_index(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The committed (band, bucket, id) state: compacted part files at the
+    root plus per-batch subdirs, read in one recursive listing (hidden
+    ``_``/``.`` files are skipped by Spark's lister)."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        _buckets_path(state_dir)
+    )
 
 
 def batch_buckets(
@@ -93,13 +155,15 @@ def match_against_index(
     union_sz, jaccard) between ``batch`` and everything in the index.
     ``history_text`` supplies text for verification and is only read for
     candidate-touched ids (semi-join inside verify_pairs_jaccard).  The
-    caller checks the index exists (streaming handler does)."""
+    caller checks the index exists (``have_index``; the streaming handler
+    does)."""
+    _recover(state_dir)
     signed = with_minhash(
         batch.select(id_col, text_col), text_col,
         num_hashes=num_hashes, shingle_words=shingle_words,
     )
     bb = batch_buckets(signed, id_col, bands=bands)
-    state = spark.read.parquet(_buckets_path(state_dir))
+    state = _read_index(spark, state_dir)
     cand = (
         F.broadcast(
             bb.select("band", "bucket", F.col(id_col).alias("id_a"))
@@ -127,37 +191,56 @@ def append_to_index(
     sig_col: str = "minhash",
     bands: int = 16,
 ) -> None:
-    """Append a signed batch's bucket rows, id-anti-joined against existing
-    state so a replayed batch is a no-op (idempotent per id)."""
+    """Atomically append a signed batch's bucket rows, id-anti-joined
+    against existing state so a replayed batch is a no-op (idempotent per
+    id).  The write lands in a staging dir and becomes visible with one
+    ``os.rename`` — a crash anywhere leaves either the complete batch or
+    nothing (see the module docstring for why partial visibility would be a
+    permanent recall loss)."""
+    _recover(state_dir)
     path = _buckets_path(state_dir)
     rows = batch_buckets(df, id_col, bands=bands)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        spark = df.sparkSession
-        seen = spark.read.parquet(path).select(id_col).distinct()
+    spark = df.sparkSession
+    if have_index(state_dir):
+        seen = _read_index(spark, state_dir).select(id_col).distinct()
         rows = rows.join(seen, on=id_col, how="left_anti")
-    rows.write.mode("append").parquet(path)
+    token = uuid.uuid4().hex
+    staging = os.path.join(state_dir, f"staging-{token}")
+    rows.write.mode("overwrite").parquet(staging)
+    # an empty DataFrame still writes a schema-only part file; probe the
+    # staged (local, tiny) parquet so fully-deduplicated batches commit
+    # nothing instead of accreting empty batch dirs
+    if spark.read.parquet(staging).isEmpty():
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+    os.makedirs(path, exist_ok=True)
+    os.rename(staging, os.path.join(path, f"batch-{token}"))
 
 
 def compact_index(
     spark: SparkSession, state_dir: str, target_files: int = 8
 ) -> int:
     """Rewrite the append-only bucket state sorted by (band, bucket) so
-    parquet row-group stats skip misses during the per-batch scan.  Returns
-    the row count."""
+    parquet row-group stats skip misses during the per-batch scan.  Promote
+    is the two-rename pair recovered by ``_recover`` on any crash point.
+    Returns the row count."""
+    _recover(state_dir)
     path = _buckets_path(state_dir)
     rows = (
-        spark.read.parquet(path)
+        _read_index(spark, state_dir)
         .repartitionByRange(target_files, "band", "bucket")
         .sortWithinPartitions("band", "bucket")
     )
     tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     rows.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
     old = path + ".old"
+    if os.path.exists(old):  # leftover from a crash after the final rename
+        shutil.rmtree(old)
     os.rename(path, old)
     os.rename(tmp, path)
-    import shutil
-
     shutil.rmtree(old)
     return n
 
@@ -186,10 +269,7 @@ def insert_stream_near_dedup(
         batch = batch_df.dropDuplicates([id_col]).where(
             F.col(id_col).isNotNull()
         )
-        have_state = os.path.exists(
-            os.path.join(_buckets_path(state_dir), "_SUCCESS")
-        )
-        if have_state:
+        if have_index(state_dir):
             history_text = target.read().select(id_col, text_col)
             pairs = match_against_index(
                 spark, batch, history_text, state_dir, id_col, text_col,

@@ -8,6 +8,7 @@ import os
 from carto_etl_spark.operators.dedup import with_minhash
 from carto_etl_spark.operators.jobs import TargetTable
 from carto_etl_spark.streaming.lshindex import (
+    _read_index,
     append_to_index,
     compact_index,
     insert_stream_near_dedup,
@@ -64,12 +65,10 @@ def test_cross_batch_near_dedup_and_replay(spark, tmp_path):
 
     # redelivery of everything through a fresh checkpoint: every doc now
     # exact-matches its own history row -> zero new rows, zero new state
-    n_state = spark.read.parquet(os.path.join(state, "buckets")).count()
+    n_state = _read_index(spark, state).count()
     _run(spark, src, target, state, str(tmp_path / "ck3"))
     assert {r.doc_id for r in spark.read.parquet(tgt_dir).collect()} == {1, 2, 4}
-    assert (
-        spark.read.parquet(os.path.join(state, "buckets")).count() == n_state
-    )
+    assert _read_index(spark, state).count() == n_state
 
 
 def test_match_reports_exact_jaccard_and_compaction_is_transparent(
@@ -97,7 +96,7 @@ def test_match_reports_exact_jaccard_and_compaction_is_transparent(
     assert 0.5 < before[(10, 1)] <= 1.0
 
     n = compact_index(spark, state, target_files=2)
-    assert n == spark.read.parquet(os.path.join(state, "buckets")).count()
+    assert n == _read_index(spark, state).count()
     assert match() == before
 
 
@@ -107,7 +106,61 @@ def test_append_is_idempotent_per_id(spark, tmp_path):
         spark.createDataFrame([(1, BASE)], SCHEMA), "text", num_hashes=64
     )
     append_to_index(signed, state, "doc_id", bands=32)
-    n1 = spark.read.parquet(os.path.join(state, "buckets")).count()
+    n1 = _read_index(spark, state).count()
     assert n1 == 32  # one row per band
     append_to_index(signed, state, "doc_id", bands=32)
-    assert spark.read.parquet(os.path.join(state, "buckets")).count() == n1
+    assert _read_index(spark, state).count() == n1
+
+
+def test_recover_restores_state_after_compaction_crash(spark, tmp_path):
+    from carto_etl_spark.streaming.lshindex import have_index
+
+    state = str(tmp_path / "state")
+    hist = spark.createDataFrame([(1, BASE), (2, OTHER)], SCHEMA)
+    append_to_index(
+        with_minhash(hist, "text", num_hashes=64), state, "doc_id", bands=32
+    )
+    n = _read_index(spark, state).count()
+    # simulate the compaction crash window: buckets moved aside, the
+    # replacement not yet moved in
+    buckets = os.path.join(state, "buckets")
+    os.rename(buckets, buckets + ".old")
+    assert not os.path.exists(buckets)
+    # every entry point self-heals: the index is back, nothing lost
+    assert have_index(state)
+    assert os.path.exists(buckets)
+    assert _read_index(spark, state).count() == n
+    batch = spark.createDataFrame([(10, BASE + " extra token")], SCHEMA)
+    got = {
+        (r.id_a, r.id_b)
+        for r in match_against_index(
+            spark, batch, hist, state, "doc_id", "text",
+            threshold=0.5, bands=32,
+        ).collect()
+    }
+    assert got == {(10, 1)}
+
+
+def test_append_commits_atomically_and_sweeps_stale_staging(spark, tmp_path):
+    from carto_etl_spark.streaming.lshindex import have_index
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    # leftover staging dir from a crashed append: outside the read path,
+    # swept on the next entry
+    stale = os.path.join(state, "staging-deadbeef")
+    os.makedirs(stale)
+    open(os.path.join(stale, "part-00000.parquet"), "wb").write(b"junk")
+    signed = with_minhash(
+        spark.createDataFrame([(1, BASE)], SCHEMA), "text", num_hashes=64
+    )
+    append_to_index(signed, state, "doc_id", bands=32)
+    assert not os.path.exists(stale)
+    # committed state is exactly one batch subdir; no staging anywhere
+    entries = os.listdir(os.path.join(state, "buckets"))
+    assert all(e.startswith("batch-") for e in entries) and len(entries) == 1
+    assert _read_index(spark, state).count() == 32
+    # a fully-deduplicated batch commits nothing (no empty batch dirs)
+    append_to_index(signed, state, "doc_id", bands=32)
+    assert len(os.listdir(os.path.join(state, "buckets"))) == 1
+    assert have_index(state)

@@ -920,3 +920,20 @@ def test_jpeg_through_real_decode_dispatch(spark):
     img = np.full((8, 8, 3), 200, dtype=np.uint8)
     w, h, c, arr = _real_decode(jpeg_bytes(img))
     assert (w, h, c) == (8, 8, 3) and (arr == img).all()
+
+
+def test_min_label_components_string_ids_distributed_tier(spark):
+    # non-integer node ids past the union-find threshold must fall to the
+    # distributed fixpoint with a SMALL probe (the numpy tier can never
+    # apply to strings, so probing 50M rows for them would just risk
+    # maxResultSize); correctness of the labeling is the observable
+    pairs = spark.createDataFrame(
+        [("b", "e"), ("e", "a"), ("x", "y")], ["id_a", "id_b"]
+    )
+    labels = {
+        r["node"]: r["root"]
+        for r in dd.min_label_components(
+            pairs, driver_threshold_edges=1
+        ).collect()
+    }
+    assert labels == {"a": "a", "b": "a", "e": "a", "x": "x", "y": "x"}

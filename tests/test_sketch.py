@@ -66,3 +66,33 @@ def test_build_is_partial_aggregate(spark):
     toks = _tokens(spark, WORDS * 4)
     plan = explain_str(sk.cms_build(toks, "item", 4, 64))
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_estimate_preserves_duplicate_rows_and_reserved_names(spark):
+    import pytest
+
+    toks = _tokens(spark, WORDS)
+    sketch = sk.cms_build(toks, "item", depth=4, width=4096)
+    # duplicate probe rows must yield one output row EACH, not collapse
+    probe = _tokens(spark, [WORDS[0], WORDS[0], WORDS[1]])
+    got = sorted(
+        (r["item"], r["cms_estimate"])
+        for r in sk.cms_estimate(sketch, probe, "item", 4, 4096).collect()
+    )
+    assert [g[0] for g in got] == sorted([WORDS[0], WORDS[0], WORDS[1]])
+    assert all(g[1] >= 1 for g in got)
+    # caller columns named seed/bucket/n survive the probe join untouched
+    clash = probe.selectExpr(
+        "item", "1 as seed", "2 as bucket", "3 as n"
+    )
+    out = sk.cms_estimate(sketch, clash, "item", 4, 4096)
+    assert set(out.columns) == {"item", "seed", "bucket", "n", "cms_estimate"}
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all((r["seed"], r["bucket"], r["n"]) == (1, 2, 3) for r in rows)
+    # the __cms_ bookkeeping prefix is reserved and rejected up front
+    with pytest.raises(ValueError):
+        sk.cms_estimate(
+            sketch, probe.withColumn("__cms_row", probe["item"]),
+            "item", 4, 4096,
+        )

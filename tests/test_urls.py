@@ -25,6 +25,16 @@ CASES = [
     ("https://ex.org", "https://ex.org", "ex.org", "ex.org"),
     # path case preserved, percent-encoding untouched
     ("https://ex.org/A%2Fb", "https://ex.org/A%2Fb", "ex.org", "ex.org"),
+    # userinfo stripped before the host/port split (user@host)
+    ("https://user@Ex.org/", "https://ex.org", "ex.org", "ex.org"),
+    # user:pw@ must NOT make the host 'user'; port still parses after it
+    ("http://user:pw@ex.org:8080/a", "http://ex.org:8080/a",
+     "ex.org", "ex.org"),
+    # bracketed IPv6 literal: one host token, port after the bracket
+    ("http://[2001:DB8::1]:8080/a", "http://[2001:db8::1]:8080/a",
+     "[2001:db8::1]", ""),
+    # bracketed IPv6 with default port: port stripped, brackets kept
+    ("https://[::1]:443/x/", "https://[::1]/x", "[::1]", ""),
 ]
 
 
