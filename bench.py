@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "stateplane_transform",
     "datum_shift",
+    "albers_transform",
     "audio_features",
     "stratified_sample",
     "group_sample",

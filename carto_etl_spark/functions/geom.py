@@ -419,6 +419,154 @@ def _lcc_inverse(x: Column, y: Column, srid: int):
     return out["lon"], out["lat"]
 
 
+# -- Albers equal-area conic, 2SP, ellipsoidal (Snyder PP 1395 ch. 14) ------
+# The standard CONUS analytics projection (EPSG:5070 NAD83 / Conus Albers —
+# the last common US projection the reference got free from PostGIS,
+# /root/reference/etl/etl.py:190-192).  Generalized over the ellipsoid so a
+# registry row fully determines the transform.  All JVM column math.
+
+#: srid -> (lat0_deg, lon0_deg, sp1_deg, sp2_deg, false_e, false_n, ellipsoid)
+_AEA_PARAMS = {
+    # NAD83 / Conus Albers: sp 29.5/45.5, origin 23N 96W, FE=FN=0.
+    # NAD83<->WGS84 differs by well under a metre and is identity here,
+    # exactly as for the LCC state-plane zones above.
+    5070: (23.0, -96.0, 29.5, 45.5, 0.0, 0.0, "GRS80"),
+}
+
+
+def _authalic_q_gen(sin_phi, e: float, e2: float):
+    """Snyder eq. 3-12 for an arbitrary ellipsoid (floats or Columns)."""
+    if isinstance(sin_phi, float):
+        return (1.0 - e2) * (
+            sin_phi / (1.0 - e2 * sin_phi * sin_phi)
+            - (1.0 / (2.0 * e))
+            * math.log((1.0 - e * sin_phi) / (1.0 + e * sin_phi))
+        )
+    return (1.0 - e2) * (
+        sin_phi / (1.0 - e2 * sin_phi * sin_phi)
+        - F.lit(1.0 / (2.0 * e))
+        * F.log((1.0 - e * sin_phi) / (1.0 + e * sin_phi))
+    )
+
+
+def _aea_constants(srid: int):
+    lat0, lon0, sp1, sp2, fe, fn, ell = _AEA_PARAMS[srid]
+    a, e2 = _ELLIPSOIDS[ell]
+    e = math.sqrt(e2)
+    p0, p1, p2 = (math.radians(v) for v in (lat0, sp1, sp2))
+    m1, m2 = _lcc_m(p1, e2), _lcc_m(p2, e2)
+    q0 = _authalic_q_gen(math.sin(p0), e, e2)
+    q1 = _authalic_q_gen(math.sin(p1), e, e2)
+    q2 = _authalic_q_gen(math.sin(p2), e, e2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)  # Snyder 14-14
+    big_c = m1 * m1 + n * q1  # 14-13
+    rho0 = a * math.sqrt(big_c - n * q0) / n  # 14-12a
+    return lon0, fe, fn, n, big_c, rho0, a, e, e2
+
+
+def _aea_forward(lon: Column, lat: Column, srid: int):
+    """Snyder eq. 14-1..14-4 + 14-12 (Albers equal-area conic,
+    ellipsoidal)."""
+    lon0, fe, fn, n, big_c, rho0, a, e, e2 = _aea_constants(srid)
+    q = _authalic_q_gen(F.sin(F.radians(lat)), e, e2)
+    rho = F.lit(a) * F.sqrt(F.greatest(F.lit(big_c) - n * q, F.lit(0.0))) / n
+    theta = n * F.radians(lon - F.lit(lon0))
+    x = F.lit(fe) + rho * F.sin(theta)
+    y = F.lit(fn) + F.lit(rho0) - rho * F.cos(theta)
+    return x, y
+
+
+def _aea_inverse(x: Column, y: Column, srid: int):
+    """Snyder eq. 14-10/14-11/14-19 + the φ-from-q iteration (eq. 3-16,
+    the same quadratic-convergent step LAEA uses), 4 rounds via
+    ``_fixpoint``."""
+    lon0, fe, fn, n, big_c, rho0, a, e, e2 = _aea_constants(srid)
+    sign = 1.0 if n >= 0 else -1.0
+
+    def phi_step(q):
+        def step(phi):
+            def body(sphi, cphi):
+                one = 1.0 - e2 * sphi * sphi
+                return (one * one) / (2.0 * cphi) * (
+                    q / (1.0 - e2)
+                    - sphi / one
+                    + F.lit(1.0 / (2.0 * e))
+                    * F.log((1.0 - e * sphi) / (1.0 + e * sphi))
+                )
+            return phi + _let(body, sphi=F.sin(phi), cphi=F.cos(phi))
+        return step
+
+    def body(xp, yp):
+        rho = sign * F.sqrt(xp * xp + yp * yp)
+        q = (F.lit(big_c) - rho * rho * n * n / (a * a)) / n  # 14-19
+        lon = F.lit(lon0) + F.degrees(
+            F.atan2(sign * xp, sign * yp) / n
+        )
+
+        def finish(q, lon):
+            phi = _fixpoint(
+                F.asin(_clamp1(q / 2.0)), 4, phi_step(q)
+            )
+            return F.struct(lon.alias("lon"), F.degrees(phi).alias("lat"))
+
+        return _let(finish, q=q, lon=lon)
+
+    out = _let(body, xp=x - F.lit(fe), yp=F.lit(rho0) - (y - F.lit(fn)))
+    return out["lon"], out["lat"]
+
+
+# -- projected-CRS registry ---------------------------------------------------
+# family -> (param table, forward, inverse).  The SRID dispatcher consults
+# THIS — supporting a new EPSG code of an existing family is one table row
+# (``register_projection``), not a code change; a new family contributes one
+# (table, forward, inverse) triple.  UTM stays arithmetic-derived from its
+# EPSG code range (32601-60/32701-60: zone = code % 100) rather than
+# enumerating 120 rows.
+_PROJECTED_FAMILIES: dict = {
+    "laea": (_LAEA_PARAMS, _laea_forward, _laea_inverse),
+    "lcc": (_LCC_PARAMS, _lcc_forward, _lcc_inverse),
+    "aea": (_AEA_PARAMS, _aea_forward, _aea_inverse),
+}
+
+#: per-family parameter arity (validated by register_projection)
+_FAMILY_ARITY = {"laea": 4, "lcc": 7, "aea": 7}
+
+
+def projected_family(srid: int) -> str | None:
+    """The registry family that carries ``srid``, or None."""
+    for fam, (table, _, _) in _PROJECTED_FAMILIES.items():
+        if srid in table:
+            return fam
+    return None
+
+
+def register_projection(family: str, srid: int, params: tuple) -> None:
+    """Add an EPSG code as a registry row: ``params`` is the family's
+    parameter tuple (laea: (lat0, lon0, fe, fn) on GRS80; lcc/aea:
+    (lat0, lon0, sp1, sp2, fe, fn, ellipsoid) with the ellipsoid named in
+    ``_ELLIPSOIDS``).  This is the extension point the reference satisfied
+    by delegating to PostGIS (free-form ``srid``,
+    /root/reference/etl.conf.example:10)."""
+    if family not in _PROJECTED_FAMILIES:
+        raise ValueError(
+            f"unknown projection family {family!r}; "
+            f"known: {sorted(_PROJECTED_FAMILIES)}"
+        )
+    if len(params) != _FAMILY_ARITY[family]:
+        raise ValueError(
+            f"{family} takes {_FAMILY_ARITY[family]} parameters, "
+            f"got {len(params)}"
+        )
+    if _FAMILY_ARITY[family] == 7 and params[6] not in _ELLIPSOIDS:
+        raise ValueError(
+            f"unknown ellipsoid {params[6]!r}; known: {sorted(_ELLIPSOIDS)}"
+        )
+    existing = projected_family(srid)
+    if existing is not None and existing != family:
+        raise ValueError(f"srid {srid} already registered as {existing}")
+    _PROJECTED_FAMILIES[family][0][srid] = params
+
+
 # -- 7-parameter Helmert datum shift (position-vector convention; public
 # formulas: EPSG Guidance Note 7-2 §4.3.3).  Geographic coords go through
 # geocentric cartesian (ECEF): geodetic->XYZ closed form, the small-angle
@@ -548,17 +696,15 @@ def transform_point(geom: Column, from_srid: int, to_srid: int) -> Column:
     if utm_from is not None and to_srid == WGS84:
         lon, lat = _utm_inverse(x, y, *utm_from)
         return point_struct(lon, lat, WGS84)
-    if from_srid == WGS84 and to_srid in _LAEA_PARAMS:
-        e, n = _laea_forward(x, y, to_srid)
+    fam_to = projected_family(to_srid)
+    if from_srid == WGS84 and fam_to is not None:
+        forward = _PROJECTED_FAMILIES[fam_to][1]
+        e, n = forward(x, y, to_srid)
         return point_struct(e, n, to_srid)
-    if from_srid in _LAEA_PARAMS and to_srid == WGS84:
-        lon, lat = _laea_inverse(x, y, from_srid)
-        return point_struct(lon, lat, WGS84)
-    if from_srid == WGS84 and to_srid in _LCC_PARAMS:
-        e, n = _lcc_forward(x, y, to_srid)
-        return point_struct(e, n, to_srid)
-    if from_srid in _LCC_PARAMS and to_srid == WGS84:
-        lon, lat = _lcc_inverse(x, y, from_srid)
+    fam_from = projected_family(from_srid)
+    if fam_from is not None and to_srid == WGS84:
+        inverse = _PROJECTED_FAMILIES[fam_from][2]
+        lon, lat = inverse(x, y, from_srid)
         return point_struct(lon, lat, WGS84)
     if from_srid in _GEOGRAPHIC_DATUMS and to_srid == WGS84:
         ell, params = _GEOGRAPHIC_DATUMS[from_srid]
@@ -579,13 +725,16 @@ def transform_point(geom: Column, from_srid: int, to_srid: int) -> Column:
             "4326 leg: use transform_geom(df, ...) which stages legs as "
             "separate projections"
         )
+    registered = sorted(
+        s for table, _, _ in _PROJECTED_FAMILIES.values() for s in table
+    )
     raise ValueError(
         f"unsupported SRID transform {from_srid}->{to_srid}; "
         "supported: 4326, 3857, WGS84 UTM zones (EPSG 326xx/327xx), "
-        "LAEA Europe (3035), Lambert conformal conic (2154, 3034, 32140), "
-        "Helmert-shifted geographic datums (4230) "
-        "(reference default is 4326, etl/etl.py:21; other SRIDs need a proj "
-        "library)"
+        f"registered projections {registered} "
+        "(laea/lcc/albers families — add a code with "
+        "register_projection), Helmert-shifted geographic datums (4230) "
+        "(reference default is 4326, etl/etl.py:21)"
     )
 
 
@@ -593,8 +742,7 @@ def _supported_srid(srid: int) -> bool:
     return (
         srid in (WGS84, WEB_MERCATOR)
         or utm_srid_params(srid) is not None
-        or srid in _LAEA_PARAMS
-        or srid in _LCC_PARAMS
+        or projected_family(srid) is not None
         or srid in _GEOGRAPHIC_DATUMS
     )
 

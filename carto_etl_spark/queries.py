@@ -730,6 +730,69 @@ FROM polar
 ORACLE_STATEPLANE = _build_oracle_stateplane()
 
 
+def q_albers_transform(spark, sf_dir):
+    """Reference F5 via the projection REGISTRY (functions/geom.py
+    _PROJECTED_FAMILIES): WGS84 -> NAD83 / Conus Albers (EPSG:5070, Albers
+    equal-area conic 2SP on GRS80 — the standard CONUS analytics
+    projection) over synthesized coords spanning the lower 48
+    (lon [-124,-67) x lat [24,49)).  The forward map (Snyder ch. 14) is
+    closed-form, so the oracle re-derives it in portable SQL with the
+    identical full-precision constants; integer-metre output absorbs
+    cross-engine libm noise, as in ORACLE_LCC/ORACLE_STATEPLANE."""
+    from carto_etl_spark.functions.geom import transform_geom
+
+    c = load(spark, sf_dir, "customer")
+    src = c.select(
+        "c_custkey",
+        (F.lit(-124.0) + (F.col("c_custkey") * 13 % 5700) / F.lit(100.0)).alias("lon"),
+        (F.lit(24.0) + (F.col("c_custkey") * 7 % 2500) / F.lit(100.0)).alias("lat"),
+    )
+    out = transform_geom(
+        src.withColumn("g", point_struct(F.col("lon"), F.col("lat"), 4326)),
+        "g", 4326, 5070, out_col="aea",
+    )
+    return out.select(
+        "c_custkey",
+        F.round(F.col("aea.x")).cast("long").alias("easting_m"),
+        F.round(F.col("aea.y")).cast("long").alias("northing_m"),
+    )
+
+
+def _build_oracle_albers() -> str:
+    from carto_etl_spark.functions.geom import _aea_constants
+
+    lon0, fe, fn, n, big_c, rho0, a, e, e2 = _aea_constants(5070)
+    return f"""
+WITH src AS (
+  SELECT c_custkey,
+         -124.0 + (c_custkey * 13 % 5700) / 100.0 AS lon,
+         24.0 + (c_custkey * 7 % 2500) / 100.0 AS lat
+  FROM customer
+), s AS (
+  SELECT c_custkey, lon, sin(radians(lat)) AS sphi FROM src
+), q AS (
+  SELECT c_custkey, lon,
+         (1.0 - {e2!r}) * (sphi / (1.0 - {e2!r} * sphi * sphi)
+             - (1.0 / (2.0 * {e!r}))
+               * ln((1.0 - {e!r} * sphi) / (1.0 + {e!r} * sphi))) AS qv
+  FROM s
+), polar AS (
+  SELECT c_custkey,
+         {a!r} * sqrt({big_c!r} - {n!r} * qv) / {n!r} AS rho,
+         {n!r} * radians(lon - ({lon0!r})) AS theta
+  FROM q
+)
+SELECT c_custkey,
+       cast(round({fe!r} + rho * sin(theta)) AS bigint) AS easting_m,
+       cast(round({fn!r} + {rho0!r} - rho * cos(theta)) AS bigint)
+         AS northing_m
+FROM polar
+"""
+
+
+ORACLE_ALBERS = _build_oracle_albers()
+
+
 def q_datum_shift(spark, sf_dir):
     """Reference F5, non-identity datums: WGS84 -> ED50 (EPSG:4230) via the
     7-parameter Helmert hook (EPSG tfm 1133 parameters, inverse direction)
@@ -6236,6 +6299,7 @@ QUERIES = {
     "utm_transform": q_utm_transform,
     "lcc_transform": q_lcc_transform,
     "stateplane_transform": q_stateplane_transform,
+    "albers_transform": q_albers_transform,
     "datum_shift": q_datum_shift,
     "transactional_lifecycle": q_transactional_lifecycle,
     "morton_tiles": q_morton_tiles,
@@ -6382,6 +6446,7 @@ ORACLES = {
     "utm_transform": ORACLE_UTM,
     "lcc_transform": ORACLE_LCC,
     "stateplane_transform": ORACLE_STATEPLANE,
+    "albers_transform": ORACLE_ALBERS,
     "datum_shift": ORACLE_DATUM_SHIFT,
     "transactional_lifecycle": ORACLE_TXN_LIFECYCLE,
     "morton_tiles": ORACLE_MORTON,

@@ -46,6 +46,7 @@ def test_projection_origin_identities(spark):
         3035: (10.0, 52.0, 4321000.0, 3210000.0),
         2154: (3.0, 46.5, 700000.0, 6600000.0),
         3034: (10.0, 52.0, 4000000.0, 2800000.0),
+        5070: (-96.0, 23.0, 0.0, 0.0),
     }
     for srid, (lon0, lat0, fe, fn) in cases.items():
         x, y = _fwd(spark, lon0, lat0, srid)
@@ -74,6 +75,7 @@ def test_lambert93_paris(spark):
         (3035, (-10.0, 30.0), (35.0, 70.0)),
         (2154, (-4.5, 9.5), (41.5, 51.0)),
         (3034, (-10.0, 30.0), (35.0, 70.0)),
+        (5070, (-124.0, -67.0), (24.0, 49.0)),
     ],
 )
 def test_round_trip_grid(spark, srid, lon_rng, lat_rng):
@@ -255,3 +257,75 @@ def test_helmert_composes_through_projections(spark):
     # Paris in UTM31N is ~(452000, 5411000); the datum shift moves it ~100 m
     assert r["x"] == pytest.approx(452000, abs=2000)
     assert r["y"] == pytest.approx(5411000, abs=2000)
+
+
+def test_albers_unit_parallel_scale_on_standard_parallels(spark):
+    # Albers' along-parallel scale k = 1 exactly on both standard
+    # parallels, < 1 between them, > 1 outside — the conic's defining
+    # geometry, independent of the forward-formula implementation
+    for sp in (29.5, 45.5):
+        k = _scale_along_parallel(spark, 5070, -96.0, sp)
+        assert k == pytest.approx(1.0, abs=1e-6), sp
+    assert _scale_along_parallel(spark, 5070, -96.0, 37.5) < 1.0 - 1e-6
+    assert _scale_along_parallel(spark, 5070, -96.0, 48.5) > 1.0 + 1e-6
+
+
+def test_albers_preserves_area(spark):
+    # equal-area is THE defining property: shoelace area of a projected
+    # small quad equals the ellipsoidal patch area M*N*cos(phi)*dphi*dlam
+    lon, lat, d = -80.0, 40.0, 1e-3
+    quad = [
+        _fwd(spark, lon + dx, lat + dy, 5070)
+        for dx, dy in ((0, 0), (d, 0), (d, d), (0, d))
+    ]
+    area = 0.0
+    for (x1, y1), (x2, y2) in zip(quad, quad[1:] + quad[:1]):
+        area += x1 * y2 - x2 * y1
+    area = abs(area) / 2.0
+    phi = math.radians(lat)
+    sin2 = math.sin(phi) ** 2
+    m_rad = (GRS80_A * (1.0 - GRS80_E2)) / (1.0 - GRS80_E2 * sin2) ** 1.5
+    n_rad = GRS80_A / math.sqrt(1.0 - GRS80_E2 * sin2)
+    patch = (
+        m_rad * n_rad * math.cos(phi)
+        * math.radians(d) * math.radians(d)
+    )
+    assert area == pytest.approx(patch, rel=1e-5)
+
+
+def test_register_projection_row_is_usable_and_validated(spark):
+    from carto_etl_spark.functions.geom import (
+        _AEA_PARAMS,
+        register_projection,
+        transform_point as tp,
+    )
+
+    # a brand-new (fictional) code becomes usable with ONE registry row
+    register_projection(
+        "aea", 990001, (30.0, 20.0, 25.0, 35.0, 500000.0, 100000.0, "WGS84")
+    )
+    try:
+        x, y = _fwd(spark, 20.0, 30.0, 990001)
+        assert (x, y) == (500000.0, 100000.0)  # origin identity
+        df = spark.createDataFrame([(22.5, 28.0)], ["lon", "lat"])
+        back = tp(
+            tp(point_struct(F.col("lon"), F.col("lat"), 4326), 4326, 990001),
+            990001, 4326,
+        )
+        r = df.select(st_x(back).alias("a"), st_y(back).alias("b")).first()
+        assert abs(r["a"] - 22.5) < 1e-6 and abs(r["b"] - 28.0) < 1e-6
+    finally:
+        _AEA_PARAMS.pop(990001, None)
+
+    with pytest.raises(ValueError, match="family"):
+        register_projection("mercator-ish", 990002, ())
+    with pytest.raises(ValueError, match="parameters"):
+        register_projection("aea", 990002, (1.0, 2.0))
+    with pytest.raises(ValueError, match="ellipsoid"):
+        register_projection(
+            "aea", 990002, (30.0, 20.0, 25.0, 35.0, 0.0, 0.0, "MOON")
+        )
+    with pytest.raises(ValueError, match="already registered"):
+        register_projection(
+            "lcc", 5070, (23.0, -96.0, 29.5, 45.5, 0.0, 0.0, "GRS80")
+        )
