@@ -6077,25 +6077,15 @@ def _oracle_dataset_shuffle():
     )
 
 
-def q_incremental_near_dup(spark, sf_dir):
-    """Incremental MinHash-LSH near-dup index (streaming/lshindex.py): the
-    documents table is indexed as history, then a batch of 50% near-copies
-    (every 10th doc + ' extra token') and 50% novel docs (disjoint synthetic
-    vocab) is matched against it.  Exact-Jaccard verification of LSH
-    candidates + bands=32 recall >1-1e-9 at these similarities means the
-    result equals DuckDB's exact bipartite Jaccard join — a green row
-    proves index hashing, candidate generation, and verification at once."""
-    import shutil
-    import tempfile
-
-    from carto_etl_spark.operators.dedup import with_minhash
-    from carto_etl_spark.streaming.lshindex import (
-        append_to_index,
-        match_against_index,
-    )
-
+def _lsh_history_df(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    hist = widen(d, spark)
+    return widen(d, spark)
+
+
+def _lsh_batch_df(spark, sf_dir):
+    """50% near-copies (every 10th doc + ' extra token'), 50% novel docs
+    (disjoint synthetic vocab)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
     near = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
@@ -6108,29 +6098,121 @@ def q_incremental_near_dup(spark, sf_dir):
             *[F.concat(F.lit("zzq"), nid, F.lit(s)) for s in "abcde"],
         ).alias("text"),
     )
-    batch = widen(near.unionByName(novel), spark)
+    return widen(near.unionByName(novel), spark)
+
+
+def _lsh_build_index(spark, sf_dir, workdir):
+    from carto_etl_spark.operators.dedup import with_minhash
+    from carto_etl_spark.streaming.lshindex import append_to_index
+
+    signed = with_minhash(
+        _lsh_history_df(spark, sf_dir), "text", num_hashes=64
+    )
+    append_to_index(signed, workdir, "doc_id", bands=32)
+
+
+def _lsh_match_summary(spark, sf_dir, workdir):
+    from carto_etl_spark.streaming.lshindex import match_against_index
+
+    hist = _lsh_history_df(spark, sf_dir)
+    batch = _lsh_batch_df(spark, sf_dir)
+    pairs = match_against_index(
+        spark, batch, hist, workdir, "doc_id", "text",
+        threshold=0.5, num_hashes=64, bands=32,
+    )
+    agg = pairs.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("id_b").alias("best_match"),
+    )
+    return batch.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+        (F.coalesce(F.col("n_matches"), F.lit(0)) > 0).alias("is_dup"),
+        "best_match",
+    )
+
+
+def q_incremental_near_dup(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup index (streaming/lshindex.py), FULL
+    lifecycle in one entry: the documents table is indexed as history, then
+    a batch of 50% near-copies and 50% novel docs is matched against it.
+    Exact-Jaccard verification of LSH candidates + bands=32 recall
+    >1-1e-9 at these similarities means the result equals DuckDB's exact
+    bipartite Jaccard join — a green row proves index hashing, candidate
+    generation, and verification at once.  (The bench measures the phases
+    separately via q_lsh_index_build / q_lsh_match_steady: an incremental
+    pipeline pays the build once and the match per batch.)"""
+    import shutil
+    import tempfile
+
     workdir = tempfile.mkdtemp(prefix="lshindex-")
     try:
-        signed = with_minhash(hist, "text", num_hashes=64)
-        append_to_index(signed, workdir, "doc_id", bands=32)
-        pairs = match_against_index(
-            spark, batch, hist, workdir, "doc_id", "text",
-            threshold=0.5, num_hashes=64, bands=32,
-        )
-        agg = pairs.groupBy(F.col("id_a").alias("doc_id")).agg(
-            F.count(F.lit(1)).alias("n_matches"),
-            F.min("id_b").alias("best_match"),
-        )
-        out = batch.select("doc_id").join(agg, "doc_id", "left").select(
-            "doc_id",
-            F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
-            (F.coalesce(F.col("n_matches"), F.lit(0)) > 0).alias("is_dup"),
-            "best_match",
-        )
+        _lsh_build_index(spark, sf_dir, workdir)
+        out = _lsh_match_summary(spark, sf_dir, workdir)
         # materialize before the index state disappears
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def q_lsh_index_build(spark, sf_dir):
+    """Index-BUILD phase of the incremental near-dup index in isolation
+    (signature + banding + atomic state append for the whole documents
+    table).  Output is the state's per-band row count — every document
+    contributes exactly one bucket row to each of the 32 bands (appends are
+    per-id idempotent), so each band must hold count(documents) rows; the
+    oracle replays that as a constant table: a derived-property check
+    (bucket VALUES are xxhash64, which has no DuckDB twin — same convention
+    as ORACLE_MINHASH_DEDUP).  The profile is one map-side-combined count,
+    so the entry's wall time measures the BUILD, not verification."""
+    import shutil
+    import tempfile
+
+    from carto_etl_spark.streaming.lshindex import _read_index
+
+    workdir = tempfile.mkdtemp(prefix="lshbuild-")
+    try:
+        _lsh_build_index(spark, sf_dir, workdir)
+        out = (
+            _read_index(spark, workdir)
+            .groupBy(F.col("band").cast("int").alias("band"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+#: derived-property oracle for the build phase: 32 bands, each carrying one
+#: row per document, all documents distinct.
+ORACLE_LSH_INDEX_BUILD = """
+SELECT CAST(r.range AS INT) AS band,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows
+FROM range(32) r
+"""
+
+
+#: per-process prebuilt index dirs for the steady-state match entry,
+#: keyed by sf_dir; live until process exit (bench/driver processes are
+#: short-lived, and steady-state reuse is exactly the point).
+_LSH_STEADY_INDEX: dict = {}
+
+
+def q_lsh_match_steady(spark, sf_dir):
+    """Steady-state MATCH phase: the batch is matched against an index built
+    ONCE per process (cached across bench iterations) — the number that
+    matters for an incremental pipeline, where history indexing is sunk
+    cost.  Output and oracle are identical to q_incremental_near_dup: the
+    prebuilt index holds exactly the same state."""
+    import os as _os
+    import tempfile
+
+    workdir = _LSH_STEADY_INDEX.get(sf_dir)
+    if workdir is None or not _os.path.isdir(workdir):
+        workdir = tempfile.mkdtemp(prefix="lshsteady-")
+        _lsh_build_index(spark, sf_dir, workdir)
+        _LSH_STEADY_INDEX[sf_dir] = workdir
+    return _lsh_match_summary(spark, sf_dir, workdir)
 
 
 # bipartite exact-Jaccard join (same normalization/shingling as the engine,
@@ -6425,6 +6507,8 @@ QUERIES = {
     "unicode_fold": q_unicode_fold,
     "dataset_shuffle": q_dataset_shuffle,
     "incremental_near_dup": q_incremental_near_dup,
+    "lsh_index_build": q_lsh_index_build,
+    "lsh_match_steady": q_lsh_match_steady,
     "html_extract": q_html_extract,
     "blocklist_filter": q_blocklist_filter,
 }
@@ -6572,6 +6656,8 @@ ORACLES = {
     "unicode_fold": ORACLE_UNICODE_FOLD,
     "dataset_shuffle": _oracle_dataset_shuffle(),
     "incremental_near_dup": ORACLE_INCREMENTAL_NEAR_DUP,
+    "lsh_index_build": ORACLE_LSH_INDEX_BUILD,
+    "lsh_match_steady": ORACLE_INCREMENTAL_NEAR_DUP,
     "html_extract": ORACLE_HTML_EXTRACT,
     "blocklist_filter": ORACLE_BLOCKLIST_FILTER,
 }
