@@ -937,3 +937,45 @@ def test_min_label_components_string_ids_distributed_tier(spark):
         ).collect()
     }
     assert labels == {"a": "a", "b": "a", "e": "a", "x": "x", "y": "x"}
+
+
+def test_progressive_jpeg_fixture_takes_hook_not_raise(spark):
+    """VERDICT r4 #8: a REAL progressive-JPEG byte stream (baseline fixture
+    with its SOF0 marker patched to SOF2) must (a) fail the built-in
+    baseline decoder with the named SOF2 raise when no hook is present, and
+    (b) route through the injected decoder hook — builtin starts, rejects,
+    hook decodes — when one is supplied."""
+    import numpy as np
+
+    from tests.helpers_jpeg import jpeg_bytes
+
+    img = np.full((8, 8, 3), 200, dtype=np.uint8)
+    baseline = jpeg_bytes(img)
+    sof0 = baseline.find(b"\xff\xc0")
+    assert sof0 > 0, "fixture must contain an SOF0 segment"
+    progressive = (
+        baseline[:sof0] + b"\xff\xc2" + baseline[sof0 + 2:]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(progressive))], "media_id long, content binary"
+    )
+
+    # (a) no hook, no PIL in this container: the SOF2 rejection surfaces
+    with pytest.raises(Exception, match="SOF2"):
+        decode_image_features(df, fake=False).collect()
+
+    # (b) hook path: the injected decoder sees the payload after the
+    # builtin declines and its result flows through the Arrow batch
+    seen = []
+
+    def progressive_decoder(payload):
+        if payload[:2] != b"\xff\xd8" or b"\xff\xc2" not in payload:
+            return None
+        seen.append(len(payload))
+        return 8, 8, 3, np.full((8, 8, 3), 200, dtype=np.uint8)
+
+    [row] = decode_image_features(
+        df, decoder=progressive_decoder
+    ).collect()
+    assert (row["width"], row["height"], row["n_channels"]) == (8, 8, 3)
+    assert row["feature"] == pytest.approx([200 / 255.0] * 3, abs=1e-6)

@@ -1,13 +1,27 @@
-"""Tile the sf0.1 test tables K-fold into a scratch dir for scaling runs.
+"""Scale the sf0.1 test tables K-fold into a scratch dir for scaling runs.
 
 The driver generates sf<=0.1 only; the 100 TB posture claim needs at least
 one measured scale-up datapoint.  This tool replicates every table K times
 with per-replica key offsets (joins stay consistent within a replica; dims
-nation/region are shared), perturbs document text with a replica token so
-the dedup corpus does not degenerate into K exact copies of itself, and
-writes MULTI-FILE parquet (32 files per table) so scans split the way they
-would on a real cluster — the driver's single-row-group files cap scan
-parallelism at 1, which would understate every scan-bound query.
+nation/region are shared) and writes MULTI-FILE parquet (32 files per
+table) so scans split the way they would on a real cluster — the driver's
+single-row-group files cap scan parallelism at 1, which would understate
+every scan-bound query.
+
+Dedup-sensitive columns are NOT tiled verbatim (r4 lesson: a replica token
+appended to otherwise-identical text leaves replicas mutual NEAR-dups, so
+the pair graph grows ~K^2 and 10x ratios measure the tiling artifact, not
+the algorithm):
+
+- ``documents.text``: replica i>0 prefixes every word with ``r<i>`` — zero
+  shared shingles across replicas, so cross-replica similarity is 0 — and
+  each replica re-creates the CONTROLLED near-dup rate instead: for every
+  10th doc a near-copy row (text + ' scaled near dup', doc_id offset by
+  5*10^8) is emitted inside the same replica.  Corpus = K * 1.1x docs with
+  a known ~9% near-dup incidence at every scale.
+- ``customer.c_name``: replica i>0 appends ``-r<i>`` so entity-resolution
+  blocking (SymSpell edit-1 deletions) does not pair identical names
+  across replicas.
 
 Usage: python tools/make_scaled_testdata.py [K] [out_dir]
        (defaults: K=10, out_dir=/tmp/carto-sfx10)
@@ -65,9 +79,35 @@ def main() -> None:
                         key, (F.col(key) + F.lit(i * OFFSET)).cast("long")
                     )
             if name == "documents" and i > 0:
+                # disjoint per-replica vocabulary: no shingle survives
+                # across replicas, so cross-replica Jaccard is exactly 0
                 rep = rep.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
+                    "text",
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split(F.col("text"), r"\s+"),
+                            lambda w: F.concat(F.lit(f"r{i}"), w),
+                        ),
+                    ),
                 )
+            if name == "customer" and i > 0:
+                rep = rep.withColumn(
+                    "c_name", F.concat(F.col("c_name"), F.lit(f"-r{i}"))
+                )
+            if name == "documents":
+                # controlled near-dup rate inside each replica: every 10th
+                # doc gains one near-copy partner (+' scaled near dup',
+                # id offset well clear of the replica key ranges)
+                near = rep.filter(F.col("doc_id") % 10 == 0).withColumns({
+                    "doc_id": (F.col("doc_id") + F.lit(OFFSET // 2)).cast(
+                        "long"
+                    ),
+                    "text": F.concat(
+                        F.col("text"), F.lit(" scaled near dup")
+                    ),
+                })
+                rep = rep.unionByName(near.select(*cols))
             replicas.append(rep.select(*cols))
         union = replicas[0]
         for rep in replicas[1:]:
