@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "albers_transform",
     "audio_features",
     "stratified_sample",
+    "temperature_mixture",
     "group_sample",
     "pack_sequences",
     "decontam",

@@ -264,6 +264,71 @@ def pack_stats(
     )
 
 
+def temperature_mixture_plan(
+    counts: dict[str, int], total_target: int, alpha: float = 0.5
+) -> dict[str, int]:
+    """Per-source keep thresholds (hash units) for temperature-weighted
+    mixture sampling: source s gets mixture weight n_s^alpha / Σ n_t^alpha
+    — alpha < 1 flattens the source distribution (the standard multilingual
+    / multi-source LLM data-mixing step: big sources stop dominating, small
+    ones are not starved), alpha = 1 is proportional, alpha = 0 uniform.
+
+    Sampling is WITHOUT replacement, so a source whose target exceeds its
+    size caps at keeping everything (rate 1); genuine upsampling is a
+    repetition/layout concern, not a sampling one.
+
+    Cross-engine exactness contract: with the default alpha = 0.5 every
+    operation here (sqrt, a fixed-order + chain over sorted source names,
+    * and /, min, floor) is IEEE-correctly-rounded, so a SQL oracle
+    replaying the same expressions reproduces the thresholds bit-for-bit.
+    Other alphas remain deterministic within the engine but go through
+    ``pow``, which libms round differently — don't expect cross-engine
+    threshold equality there."""
+    import math
+
+    powed = {
+        s: (math.sqrt(n) if alpha == 0.5 else float(n) ** alpha)
+        for s, n in counts.items()
+        if n > 0
+    }
+    denom = 0.0
+    for s in sorted(powed):  # fixed order: part of the exactness contract
+        denom += powed[s]
+    out: dict[str, int] = {}
+    for s in sorted(powed):
+        rate = min(1.0, (total_target * (powed[s] / denom)) / counts[s])
+        out[s] = int(rate * LEHMER_M)
+    return out
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key: Column | str,
+    source_col: str,
+    target_fraction: float = 0.5,
+    alpha: float = 0.5,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic temperature-weighted mixture over ``source_col``:
+    one tiny counts aggregate (#sources rows, collected driver-side) derives
+    the per-source thresholds (``temperature_mixture_plan``), which apply as
+    a SINGLE scan-stage hash filter — no shuffle, no state, reproducible on
+    any partitioning, and appending data never flips an existing row's
+    decision.  ``target_fraction`` sizes the output against the current
+    total (T = floor(N * fraction))."""
+    counts = {
+        r[source_col]: r["count"]
+        for r in df.groupBy(source_col).count().collect()
+    }
+    total = sum(counts.values())
+    target = int(total * target_fraction)
+    thresholds = temperature_mixture_plan(counts, target, alpha)
+    thr = F.lit(-1)
+    for s, t in sorted(thresholds.items()):
+        thr = F.when(F.col(source_col) == s, F.lit(t)).otherwise(thr)
+    return df.where(hash_expr(key, salt) < thr)
+
+
 def with_running_weight(
     df: DataFrame,
     weight: Column | str,

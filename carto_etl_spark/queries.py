@@ -2209,6 +2209,53 @@ WHERE {_lehmer_sql(7)} <
 """
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-weighted language mixture (operators/sampling.py
+    temperature_mixture): target half the corpus with per-language weights
+    n_lang^0.5 / Σ n^0.5 — the standard multilingual data-mixing step
+    (alpha=0.5 flattens the distribution so English stops dominating while
+    small languages are not starved).  One tiny counts aggregate derives
+    the thresholds; the sample itself is a single scan-stage hash filter.
+
+    The oracle replays the WHOLE derivation in SQL — per-language counts,
+    sqrt weights summed in sorted-language order, min(1, target·w/n),
+    floor to hash units — every step IEEE-correctly-rounded, so the
+    thresholds agree bit-for-bit (the alpha=0.5 exactness contract in
+    temperature_mixture_plan's docstring)."""
+    d = load(spark, sf_dir, "documents")
+    kept = smp.temperature_mixture(
+        d, "doc_id", "lang", target_fraction=0.5, alpha=0.5, salt=11
+    )
+    return kept.select("doc_id", "lang")
+
+
+def _build_oracle_temperature_mixture() -> str:
+    langs = ["de", "en", "es", "fr", "zh"]  # full TESTDATA lang domain
+    n = {
+        s: f"CAST(coalesce((SELECT count(*) FROM documents "
+           f"WHERE lang = '{s}'), 0) AS DOUBLE)"
+        for s in langs
+    }
+    denom = " + ".join(f"sqrt({n[s]})" for s in sorted(langs))
+    target = (
+        "CAST(floor(CAST((SELECT count(*) FROM documents) AS DOUBLE)"
+        " * 0.5) AS DOUBLE)"
+    )
+    whens = " ".join(
+        f"WHEN lang = '{s}' THEN CAST(floor(least(1.0, "
+        f"(({target}) * (sqrt({n[s]}) / ({denom}))) / {n[s]})"
+        f" * 2147483647.0) AS BIGINT)"
+        for s in sorted(langs)
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {_lehmer_sql(11)} < (CASE {whens} ELSE -1 END)
+"""
+
+
+ORACLE_TEMPERATURE_MIXTURE = _build_oracle_temperature_mixture()
+
+
 def q_group_sample(spark, sf_dir):
     """Exact 10-docs-per-source uniform sample (hash order, doc_id
     tie-break) — the fixed-quota variant rate sampling can't provide."""
@@ -6419,6 +6466,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
+    "temperature_mixture": q_temperature_mixture,
     "group_sample": q_group_sample,
     "pack_sequences": q_pack_sequences,
     "decontam": q_decontam,
@@ -6568,6 +6616,7 @@ ORACLES = {
     "minhash_dedup": ORACLE_MINHASH_DEDUP,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "stratified_sample": ORACLE_STRATIFIED,
+    "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
     "group_sample": ORACLE_GROUP_SAMPLE,
     "pack_sequences": ORACLE_PACK,
     "decontam": ORACLE_DECONTAM,

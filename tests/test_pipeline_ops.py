@@ -74,6 +74,47 @@ def test_stratified_sample_is_scan_stage_filter(spark):
     assert shuffle_count(out) == 0
 
 
+def test_temperature_mixture_plan_math(spark):
+    import math
+
+    counts = {"en": 1600, "zh": 400, "fr": 100}
+    # alpha=0.5: weights sqrt(n)/S with S summed in sorted-name order
+    s_sum = math.sqrt(1600) + math.sqrt(400) + math.sqrt(100)
+    plan = smp.temperature_mixture_plan(counts, total_target=1000, alpha=0.5)
+    for lang, n in counts.items():
+        rate = min(1.0, (1000 * (math.sqrt(n) / s_sum)) / n)
+        assert plan[lang] == int(rate * smp.LEHMER_M), lang
+    # flattening: small sources get HIGHER keep rates than big ones
+    assert plan["fr"] > plan["zh"] > plan["en"]
+    # alpha=1 is proportional: every source keeps the same rate
+    prop = smp.temperature_mixture_plan(counts, total_target=1050, alpha=1.0)
+    assert len({prop[lang] for lang in counts}) == 1
+    # a source whose target exceeds its size caps at keep-everything
+    capped = smp.temperature_mixture_plan(
+        {"a": 10, "b": 100000}, total_target=90000, alpha=0.5
+    )
+    assert capped["a"] == smp.LEHMER_M
+    # empty sources are dropped, not divided by
+    assert "z" not in smp.temperature_mixture_plan(
+        {"z": 0, "a": 10}, total_target=5
+    )
+
+
+def test_temperature_mixture_is_scan_stage_filter(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    out = smp.temperature_mixture(df, "doc_id", "lang", target_fraction=0.5)
+    assert shuffle_count(out) == 0
+    # deterministic under repartitioning
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in smp.temperature_mixture(
+            df.repartition(7), "doc_id", "lang", target_fraction=0.5
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_group_sample_exact_quota_and_determinism(spark):
     rows = [(i, f"g{i % 7}") for i in range(700)]
     df = spark.createDataFrame(rows, ["k", "g"])
