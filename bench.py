@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "span_dedup",
     "heavy_hitters",
+    "hll_registers",
     "lm_fluency",
     "incremental_mv",
     "tfidf_terms",

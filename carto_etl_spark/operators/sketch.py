@@ -164,3 +164,107 @@ SELECT s.s AS seed,
 FROM ({items_sql}) r, unnest(range(0, {depth})) AS s(s)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: fixed-size, mergeable DISTINCT-COUNT state — the third leg of
+# the sketch triad (bloom.py = membership, cms_* above = multiplicity, this
+# = cardinality).  Registers, not a scalar, are the state: merging two
+# corpora's registers bucket-wise by max equals the registers of their union
+# (partial aggregation IS the merge, exactly as in cms_build), and the
+# estimate is derived from registers on demand.  Spark's built-in
+# approx_count_distinct is HLL++ too but exposes only the scalar — no
+# mergeable, persistable state across ingest batches.
+#
+# Hashing follows the module convention: 60-bit md5-prefix int, identical in
+# Spark and DuckDB, so the REGISTER TABLE is value-checkable by the oracle
+# (bucket = h mod 2^p, sub-hash w = h >> p, rho = leading zeros of w in its
+# (60-p)-bit window + 1 = 61 - p - bitlength(w); both engines render
+# bin(w) minimal-length).  The final estimate involves an FP harmonic sum
+# (order-dependent), so the ORACLE checks registers exactly and the
+# estimate's accuracy is asserted in-engine against exact distinct counts.
+# ---------------------------------------------------------------------------
+
+
+def hll_build(df: DataFrame, item_col: str, p: int = 10) -> DataFrame:
+    """HLL register table for ``item_col``: one row per touched bucket,
+    ``(bucket int, max_rho int)``, at most ``2^p`` rows out regardless of
+    input size.  Plan: pure column math + ONE groupBy whose map-side
+    partial max collapses every partition to <= 2^p rows before the
+    exchange."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4,16], got {p}")
+    m = 1 << p
+    item = F.col(item_col)
+    h = F.conv(
+        F.substring(F.md5(item.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(61 - p)).otherwise(
+        F.lit(61 - p) - F.length(F.bin(w))
+    )
+    return (
+        df.where(item.isNotNull())
+        .select(
+            (h % m).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Merge register tables built with the same ``p``: bucket-wise max.
+    merge(build(A), build(B)) == build(A union B) — the property that makes
+    the state maintainable across ingest batches."""
+    if not registers:
+        raise ValueError("need at least one register table")
+    unioned = reduce(lambda a, b: a.unionByName(b), registers)
+    return unioned.groupBy("bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
+    """Cardinality estimate from a register table (classic Flajolet et al.
+    2007 with the small-range linear-counting correction): one row
+    ``(n_buckets_used long, estimate double)``.  Standard error ~1.04/sqrt(2^p)
+    (~3.3% at p=10).  The harmonic sum runs over PRESENT buckets only;
+    absent registers contribute 2^0 = 1 each, added as a closed form."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("long").alias("v_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z_present"),
+    )
+    z = F.col("z_present") + (F.lit(m) - F.col("v_used"))
+    raw = F.lit(alpha * m * m) / z
+    zeros = F.lit(m) - F.col("v_used")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("v_used").alias("n_buckets_used"),
+        corrected.alias("estimate"),
+    )
+
+
+def hll_registers_oracle_sql(items_sql: str, p: int = 10) -> str:
+    """DuckDB twin of ``hll_build``: ``items_sql`` must yield one column
+    named ``item`` (pre-cast to VARCHAR for cross-engine md5 equality)."""
+    m = 1 << p
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(item), 1, 15))::BIGINT AS hv
+  FROM ({items_sql}) r WHERE item IS NOT NULL
+), reg AS (
+  SELECT CAST(hv % {m} AS INT) AS bucket,
+         CAST(CASE WHEN (hv >> {p}) = 0 THEN {61 - p}
+              ELSE {61 - p} - length(bin(hv >> {p})) END AS INT) AS rho
+  FROM h
+)
+SELECT bucket, CAST(max(rho) AS INT) AS max_rho
+FROM reg GROUP BY bucket
+"""

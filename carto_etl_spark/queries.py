@@ -2755,6 +2755,41 @@ def _oracle_lm_fluency():
     )
 
 
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog distinct-count REGISTERS (operators/sketch.py hll_build):
+    fixed-size mergeable cardinality state over the ordering-customer keys
+    of the fact table (a many-rows/many-distinct column that touches
+    essentially every one of the 1024 registers) — the third sketch leg
+    beside bloom membership and CMS frequency.  The catalog hashes the
+    register TABLE (bucket, max_rho), which the oracle re-derives exactly
+    from the same md5-prefix hash, shift, and minimal-length bin()
+    arithmetic; the FP estimate derived from these registers is asserted
+    in-engine (tests/test_sketch.py) against exact distinct counts, within
+    the 1.04/sqrt(m) bound."""
+    from carto_etl_spark.operators.sketch import hll_build
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("item")
+    )
+    return hll_build(o, "item", p=10)
+
+
+ORACLE_HLL_REGISTERS = r"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM orders WHERE o_custkey IS NOT NULL
+), reg AS (
+  SELECT CAST(hv % 1024 AS INT) AS bucket,
+         CAST(CASE WHEN (hv >> 10) = 0 THEN 51
+              ELSE 51 - length(bin(hv >> 10)) END AS INT) AS rho
+  FROM h
+)
+SELECT bucket, CAST(max(rho) AS INT) AS max_rho
+FROM reg GROUP BY bucket
+"""
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters (operators/sketch.py): build the
     4x512 sketch over every corpus token (fixed-size mergeable state — the
@@ -6477,6 +6512,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "span_dedup": q_span_dedup,
     "heavy_hitters": q_heavy_hitters,
+    "hll_registers": q_hll_registers,
     "lm_fluency": q_lm_fluency,
     "incremental_mv": q_incremental_mv,
     "tfidf_terms": q_tfidf_terms,
@@ -6627,6 +6663,7 @@ ORACLES = {
     "line_dedup": ORACLE_LINE_DEDUP,
     "span_dedup": ORACLE_SPAN_DEDUP,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "hll_registers": ORACLE_HLL_REGISTERS,
     "lm_fluency": _oracle_lm_fluency(),
     "incremental_mv": ORACLE_INCREMENTAL_MV,
     "tfidf_terms": ORACLE_TFIDF,

@@ -96,3 +96,64 @@ def test_estimate_preserves_duplicate_rows_and_reserved_names(spark):
             sketch, probe.withColumn("__cms_row", probe["item"]),
             "item", 4, 4096,
         )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers
+# ---------------------------------------------------------------------------
+
+def test_hll_merge_equals_union_build(spark):
+    a = _tokens(spark, [f"tok{i}" for i in range(500)])
+    b = _tokens(spark, [f"tok{i}" for i in range(300, 900)])
+    merged = {
+        (r["bucket"], r["max_rho"])
+        for r in sk.hll_merge(
+            sk.hll_build(a, "item"), sk.hll_build(b, "item")
+        ).collect()
+    }
+    direct = {
+        (r["bucket"], r["max_rho"])
+        for r in sk.hll_build(a.unionByName(b), "item").collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_within_error_bound(spark):
+    import math
+
+    for n in (100, 5000, 50000):
+        df = _tokens(spark, [f"item-{i}" for i in range(n)])
+        [row] = sk.hll_estimate(sk.hll_build(df, "item", p=10), p=10).collect()
+        # 1.04/sqrt(1024) ~ 3.25% standard error; allow 4 sigma
+        assert abs(row["estimate"] - n) / n < 4 * 1.04 / math.sqrt(1024), (
+            n, row["estimate"]
+        )
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    base = [f"d{i}" for i in range(2000)]
+    [once] = sk.hll_estimate(
+        sk.hll_build(_tokens(spark, base), "item")
+    ).collect()
+    [tripled] = sk.hll_estimate(
+        sk.hll_build(_tokens(spark, base * 3), "item")
+    ).collect()
+    assert once["estimate"] == tripled["estimate"]
+
+
+def test_hll_build_is_partial_aggregate_and_bounded(spark):
+    df = _tokens(spark, [f"t{i}" for i in range(10000)])
+    regs = sk.hll_build(df, "item", p=6)
+    plan = explain_str(regs)
+    assert "partial" in plan.lower()
+    rows = regs.collect()
+    assert len(rows) <= 64
+    assert all(1 <= r["max_rho"] <= 55 for r in rows)
+
+
+def test_hll_rejects_bad_precision(spark):
+    import pytest as _pytest
+
+    df = _tokens(spark, ["a"])
+    with _pytest.raises(ValueError):
+        sk.hll_build(df, "item", p=2)
