@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "span_dedup",
     "heavy_hitters",
     "hll_registers",
+    "streaming_cardinality",
     "lm_fluency",
     "incremental_mv",
     "tfidf_terms",

@@ -2790,6 +2790,45 @@ FROM reg GROUP BY bucket
 """
 
 
+def q_streaming_cardinality(spark, sf_dir):
+    """Streaming HLL state (streaming/cardinality.py): the orders table is
+    replayed as THREE micro-batches (split on o_orderkey % 3) through
+    ``track_cardinality``; the final register state must equal the one-shot
+    batch build — register-max merge is associative and idempotent — so the
+    SAME exact-register oracle as hll_registers verifies a genuinely
+    streaming, crash-promoted pipeline value-for-value."""
+    import shutil
+    import tempfile
+
+    from carto_etl_spark.streaming.cardinality import (
+        load_cardinality_registers,
+        track_cardinality,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").cast("string").alias("item")
+    )
+    workdir = tempfile.mkdtemp(prefix="hllstream-")
+    try:
+        src = f"{workdir}/src"
+        for i in range(3):
+            o.filter(F.col("o_orderkey") % 3 == i).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/b{i}")
+        stream = spark.readStream.schema(
+            "o_orderkey long, item string"
+        ).option("recursiveFileLookup", "true").parquet(src)
+        q = track_cardinality(
+            stream, "item", state_dir=f"{workdir}/state", p=10,
+            checkpoint=f"{workdir}/ck",
+        )
+        q.awaitTermination(300)
+        out = load_cardinality_registers(spark, f"{workdir}/state")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters (operators/sketch.py): build the
     4x512 sketch over every corpus token (fixed-size mergeable state — the
@@ -6513,6 +6552,7 @@ QUERIES = {
     "span_dedup": q_span_dedup,
     "heavy_hitters": q_heavy_hitters,
     "hll_registers": q_hll_registers,
+    "streaming_cardinality": q_streaming_cardinality,
     "lm_fluency": q_lm_fluency,
     "incremental_mv": q_incremental_mv,
     "tfidf_terms": q_tfidf_terms,
@@ -6664,6 +6704,7 @@ ORACLES = {
     "span_dedup": ORACLE_SPAN_DEDUP,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "hll_registers": ORACLE_HLL_REGISTERS,
+    "streaming_cardinality": ORACLE_HLL_REGISTERS,
     "lm_fluency": _oracle_lm_fluency(),
     "incremental_mv": ORACLE_INCREMENTAL_MV,
     "tfidf_terms": ORACLE_TFIDF,
