@@ -9,7 +9,10 @@
   (etl/etl.py:300-305).  ``with_row_index`` pins a contiguous 0-based index
   without a global sort: per-partition row_number + cumulative partition
   offsets (a driver-side collect of #partitions rows — O(partitions), not
-  O(rows), so it scales).
+  O(rows), so it scales).  When the required order is a KEY order rather
+  than file order, use ``operators.ranking.with_keyed_row_index`` — the
+  same offset design over deterministic range buckets, never a
+  single-partition sort.
 """
 
 from __future__ import annotations

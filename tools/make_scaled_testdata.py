@@ -22,6 +22,10 @@ the algorithm):
 - ``customer.c_name``: replica i>0 appends ``-r<i>`` so entity-resolution
   blocking (SymSpell edit-1 deletions) does not pair identical names
   across replicas.
+- ``embeddings.embedding``: replica i>0 rotates every vector by i
+  positions — one permutation per replica preserves every intra-replica
+  dot product exactly while cross-replica cosines drop to
+  random-orthogonal levels, so near-dup pair graphs stay ~linear.
 
 Usage: python tools/make_scaled_testdata.py [K] [out_dir]
        (defaults: K=10, out_dir=/tmp/carto-sfx10)
@@ -94,6 +98,23 @@ def main() -> None:
             if name == "customer" and i > 0:
                 rep = rep.withColumn(
                     "c_name", F.concat(F.col("c_name"), F.lit(f"-r{i}"))
+                )
+            if name == "embeddings" and i > 0:
+                # rotate each vector by i positions: ONE permutation applied
+                # to the whole replica preserves every intra-replica dot
+                # product exactly, while cross-replica pairs become
+                # (v, rot_i(w)) — near-orthogonal for random vectors — so
+                # embedding near-dup pair graphs stop growing ~K^2
+                rep = rep.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice(
+                            F.col("embedding"),
+                            i + 1,
+                            F.size(F.col("embedding")) - i,
+                        ),
+                        F.slice(F.col("embedding"), 1, i),
+                    ),
                 )
             if name == "documents":
                 # controlled near-dup rate inside each replica: every 10th
