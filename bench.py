@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "order_count_distribution",
     "large_volume_customers",
     "jpeg_features",
+    "video_frames",
     "sliding_windows",
     "market_share",
     "priority_with_big_lines",

@@ -1116,3 +1116,128 @@ def frame_sample_plan(
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_seconds"])
 
     return df.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
+# -- video frame sampling -----------------------------------------------------
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        # float32 like IMAGE_FEATURES_SCHEMA: mean intensities carry ~8
+        # significant bits of signal; float is the storage convention the
+        # oracles mirror with a REAL cast
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def split_mjpeg_frames(payload: bytes) -> list:
+    """Frame boundaries of a Motion-JPEG stream (concatenated baseline
+    JPEGs — the classic AVI / multipart-HTTP video payload): split on
+    SOI..EOI marker pairs.  Sound without decoding: JPEG byte stuffing
+    escapes every 0xFF in entropy-coded data as FF 00 (restart markers are
+    FF D0-D7), so FF D9 can only terminate a frame."""
+    frames = []
+    i = 0
+    while True:
+        soi = payload.find(b"\xff\xd8", i)
+        if soi < 0:
+            break
+        eoi = payload.find(b"\xff\xd9", soi + 2)
+        if eoi < 0:
+            break
+        frames.append(payload[soi : eoi + 2])
+        i = eoi + 2
+    return frames
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    *,
+    fake: bool = False,
+    decoder=None,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """Frame-sample video binary columns over ``mapInPandas`` (Arrow
+    batches): one output row per SAMPLED frame (indices 0, every_n,
+    2*every_n, ...), each carrying dimensions and per-channel mean
+    intensities.
+
+    Built-in container: Motion-JPEG.  The stream splits into frames on
+    marker boundaries WITHOUT decoding (``split_mjpeg_frames``), and only
+    the selected frames are decoded — at a 100 TB video corpus the whole
+    point of frame sampling is skipping the decode cost of the frames you
+    don't keep, so selection happens before decode, not after.  Individual
+    frames route through ``_real_decode``, so the per-frame pluggable
+    ``decoder`` hook / PIL fallback apply as for still images.
+
+    Other containers (MP4, WebM — no codec in this container): the
+    ``decoder`` hook is consulted with the WHOLE payload and may return an
+    iterable of (width, height, channels, HxWxC uint8 array) frames (the
+    ffmpeg-backed callable in a real deployment); ``fake=True`` selects a
+    deterministic stand-in (digest-derived frame count and features) that
+    exercises the full Spark plumbing; otherwise the honest
+    NotImplementedError surfaces at executor time."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def frame_rows(media_id, payload):
+        if fake:
+            digest = hashlib.sha256(payload or b"").digest()
+            n_frames = 2 + digest[0] % 7
+            for idx in range(0, n_frames, every_n):
+                w, h, c, feats = _fake_decode(payload + bytes([idx]))
+                yield (media_id, idx, w, h, c, feats)
+            return
+        decoded = None
+        if payload[:2] == b"\xff\xd8":
+            frames = split_mjpeg_frames(payload)
+            decoded = (
+                (idx, _real_decode(frames[idx], decoder))
+                for idx in range(0, len(frames), every_n)
+            )
+        elif decoder is not None:
+            all_frames = decoder(payload)
+            if all_frames is not None:
+                decoded = (
+                    (idx, f)
+                    for idx, f in enumerate(all_frames)
+                    if idx % every_n == 0
+                )
+        if decoded is None:
+            raise NotImplementedError(
+                "only Motion-JPEG (concatenated baseline JPEGs) has a "
+                "built-in container parser; pass decoder=<callable> for "
+                "MP4/WebM or fake=True to exercise the pipeline"
+            )
+        for idx, (w, h, c, img) in decoded:
+            feats = [
+                float(m) / 255.0 for m in img.reshape(-1, c).mean(axis=0)
+            ]
+            yield (media_id, idx, w, h, c, feats)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(content or b"")
+                for row in frame_rows(media_id, payload):
+                    rows.append(row)
+                    if max_frames is not None and row[1] // every_n + 1 >= max_frames:
+                        break
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "n_channels", "feature",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run, schema=VIDEO_FRAMES_SCHEMA
+    )

@@ -3049,6 +3049,90 @@ FROM px
 """
 
 
+def q_video_frames(spark, sf_dir):
+    """Video frame sampling under the oracle gate (multimodal.py
+    sample_video_frames): a 4-frame Motion-JPEG per document — each frame a
+    constant-color baseline JPEG keyed (doc_id*8 + frame) — is frame-split
+    on SOI/EOI marker boundaries and only every 2nd frame (0, 2) is
+    DECODED, the point of sampling being to skip the decode cost of the
+    rest.  Each sampled frame's decode collapses to the same closed-form
+    per-channel arithmetic as q_jpeg_features, so the oracle recomputes the
+    sampled frames' means exactly (union over the two frame indices)."""
+    from carto_etl_spark.operators.multimodal import (
+        sample_video_frames,
+        synth_const_jpeg_expr,
+    )
+
+    d = widen(load(spark, sf_dir, "documents"), spark).select(
+        F.col("doc_id").alias("media_id")
+    )
+    mid = F.col("media_id")
+    src = d.withColumn(
+        "content",
+        F.concat(*[synth_const_jpeg_expr(mid * 8 + f) for f in range(4)]),
+    )
+    frames = sample_video_frames(src, every_n=2)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        "n_channels",
+        F.element_at("feature", 1).cast("double").alias("r_mean"),
+        F.element_at("feature", 2).cast("double").alias("g_mean"),
+        F.element_at("feature", 3).cast("double").alias("b_mean"),
+    )
+
+
+def _video_frame_oracle_select(frame: int) -> str:
+    """The ORACLE_JPEG closed-form decode arithmetic with the per-frame
+    key (doc_id*8 + frame) substituted, emitting frame_idx."""
+    return f"""
+WITH rgb AS (
+  SELECT doc_id, ((doc_id * 8 + {frame}) * 7) % 256 AS r0,
+         ((doc_id * 8 + {frame}) * 13) % 256 AS g0,
+         ((doc_id * 8 + {frame}) * 29) % 256 AS b0i
+  FROM documents
+), yc AS (
+  SELECT *, 0.299 * r0 + 0.587 * g0 + 0.114 * b0i AS y,
+         -0.168736 * r0 - 0.331264 * g0 + 0.5 * b0i + 128.0 AS cb,
+         0.5 * r0 - 0.418688 * g0 - 0.081312 * b0i + 128.0 AS cr
+  FROM rgb
+), rec AS (
+  SELECT doc_id,
+    ((0.5 * (1.0 / sqrt(2.0))) * round_even(8.0 * (y - 128.0), 0))
+        * (0.5 * (1.0 / sqrt(2.0))) + 128.0 AS yp,
+    (((0.5 * (1.0 / sqrt(2.0))) * round_even(8.0 * (cb - 128.0), 0))
+        * (0.5 * (1.0 / sqrt(2.0))) + 128.0) - 128.0 AS cbp,
+    (((0.5 * (1.0 / sqrt(2.0))) * round_even(8.0 * (cr - 128.0), 0))
+        * (0.5 * (1.0 / sqrt(2.0))) + 128.0) - 128.0 AS crp
+  FROM yc
+), px AS (
+  SELECT doc_id,
+    LEAST(255.0, GREATEST(0.0, round_even(yp + 1.402 * crp, 0))) AS rr,
+    LEAST(255.0, GREATEST(0.0,
+        round_even(yp - 0.344136 * cbp - 0.714136 * crp, 0))) AS gg,
+    LEAST(255.0, GREATEST(0.0, round_even(yp + 1.772 * cbp, 0))) AS bb
+  FROM rec
+)
+SELECT doc_id AS media_id,
+       CAST({frame} AS INTEGER) AS frame_idx,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(CAST(rr / 255.0 AS REAL) AS DOUBLE) AS r_mean,
+       CAST(CAST(gg / 255.0 AS REAL) AS DOUBLE) AS g_mean,
+       CAST(CAST(bb / 255.0 AS REAL) AS DOUBLE) AS b_mean
+FROM px
+"""
+
+
+ORACLE_VIDEO_FRAMES = (
+    "SELECT * FROM (" + _video_frame_oracle_select(0) + ") f0 "
+    "UNION ALL SELECT * FROM (" + _video_frame_oracle_select(2) + ") f2"
+)
+
+
 def q_tfidf_terms(spark, sf_dir):
     """Top-3 most distinctive terms per document by tf/(1+df) — linear-idf
     TF-IDF ranking (operators/text.py:tfidf_topk; docstring explains why the
@@ -6571,6 +6655,7 @@ QUERIES = {
     "order_count_distribution": q_order_count_distribution,
     "large_volume_customers": q_large_volume_customers,
     "jpeg_features": q_jpeg_features,
+    "video_frames": q_video_frames,
     "sliding_windows": q_sliding_windows,
     "market_share": q_market_share,
     "priority_with_big_lines": q_priority_with_big_lines,
@@ -6723,6 +6808,7 @@ ORACLES = {
     "order_count_distribution": ORACLE_Q13,
     "large_volume_customers": ORACLE_Q18,
     "jpeg_features": ORACLE_JPEG,
+    "video_frames": ORACLE_VIDEO_FRAMES,
     "sliding_windows": ORACLE_SLIDING,
     "market_share": ORACLE_Q8,
     "priority_with_big_lines": ORACLE_Q4,

@@ -979,3 +979,77 @@ def test_progressive_jpeg_fixture_takes_hook_not_raise(spark):
     ).collect()
     assert (row["width"], row["height"], row["n_channels"]) == (8, 8, 3)
     assert row["feature"] == pytest.approx([200 / 255.0] * 3, abs=1e-6)
+
+
+def test_video_frame_sampling_mjpeg(spark):
+    """Motion-JPEG frame sampling: marker-boundary split without decoding,
+    only the selected frames decoded, per-frame means correct."""
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import (
+        sample_video_frames,
+        split_mjpeg_frames,
+    )
+    from tests.helpers_jpeg import jpeg_bytes
+
+    frames = [
+        jpeg_bytes(np.full((8, 8, 3), 40 * i, dtype=np.uint8))
+        for i in range(5)
+    ]
+    mjpeg = b"".join(frames)
+    assert split_mjpeg_frames(mjpeg) == frames  # exact boundary recovery
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mjpeg))], "media_id long, content binary"
+    )
+    got = {
+        r["frame_idx"]: r
+        for r in sample_video_frames(df, every_n=2).collect()
+    }
+    assert set(got) == {0, 2, 4}
+    for idx in (0, 2, 4):
+        r = got[idx]
+        assert (r["width"], r["height"], r["n_channels"]) == (8, 8, 3)
+        assert r["feature"][0] == pytest.approx(40 * idx / 255.0, abs=0.01)
+    # every_n=1 keeps all five
+    assert sample_video_frames(df, every_n=1).count() == 5
+
+
+def test_video_container_hook_fake_and_raise(spark):
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import sample_video_frames
+
+    mp4ish = b"\x00\x00\x00\x18ftypmp42" + b"x" * 64
+    df = spark.createDataFrame(
+        [(7, bytearray(mp4ish))], "media_id long, content binary"
+    )
+
+    # injected container decoder: yields three constant frames
+    def fake_mp4(payload):
+        if payload[4:8] != b"ftyp":
+            return None
+        return [
+            (4, 2, 3, np.full((2, 4, 3), 50 * (i + 1), dtype=np.uint8))
+            for i in range(3)
+        ]
+
+    rows = {
+        r["frame_idx"]: r["feature"][0]
+        for r in sample_video_frames(df, every_n=2, decoder=fake_mp4).collect()
+    }
+    assert set(rows) == {0, 2}
+    assert rows[2] == pytest.approx(150 / 255.0, abs=1e-4)
+
+    # fake mode exercises the plumbing deterministically
+    fake_rows = sample_video_frames(df, every_n=1, fake=True).collect()
+    assert len(fake_rows) >= 2
+    again = sample_video_frames(df, every_n=1, fake=True).collect()
+    assert sorted(map(str, fake_rows)) == sorted(map(str, again))
+
+    # no hook, unknown container: honest executor-time raise
+    with pytest.raises(Exception, match="Motion-JPEG|decoder|fake"):
+        sample_video_frames(df).collect()
+
+    with pytest.raises(ValueError):
+        sample_video_frames(df, every_n=0)

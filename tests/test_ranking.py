@@ -149,3 +149,46 @@ def test_range_boundaries_sorted_dedup_and_small_input(spark):
     assert bounds == sorted(set(bounds))
     empty = spark.createDataFrame([], "v int")
     assert range_boundaries(empty, "v", 8) == []
+
+
+def test_global_rank_with_heavy_first_key_ties(spark):
+    # first key has only 7 distinct values over 700 rows, far fewer than
+    # the requested bucket count — equal keys must never straddle a bucket
+    # boundary, and the tiebreak key orders within them
+    df = spark.range(700).withColumn("v", (F.col("id") % 7)).select(
+        F.col("v"), F.col("id")
+    )
+    got = {
+        (r["id"], r["rank"])
+        for r in with_global_rank(
+            df, ["v", "id"], name="rank", n_buckets=32
+        ).collect()
+    }
+    exp = {
+        (r["id"], r["rank"])
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_prefix_sums_with_duplicate_keys_total_is_exact(spark):
+    # ties on the ordering key: cumulative values within a tie group are
+    # order-ambiguous by contract, but the LAST row of each group (and the
+    # grand total) must be exact
+    df = (
+        spark.range(300)
+        .withColumn("v", F.col("id") % 5)
+        .withColumn("one", F.lit(1))
+    )
+    out = with_prefix_sums(df, ["v"], ["one"]).collect()
+    by_v = {}
+    for r in out:
+        by_v.setdefault(r["v"], []).append(r["cum_one"])
+    running = 0
+    for v in sorted(by_v):
+        group = sorted(by_v[v])
+        running += len(group)
+        assert group[-1] == running  # last of each tie group exact
+        assert group[0] > running - len(group)  # all within the group range
