@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "cube_revenue",
     "percentiles",
     "min_cost_supplier",
+    "important_stock",
+    "parts_supplier_relationship",
+    "promotable_suppliers",
     "json_extract",
     "above_customer_avg",
     "geocode_lookup",

@@ -1582,6 +1582,167 @@ WHERE s_acctbal = (
 """
 
 
+def q_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (group-HAVING against a global-scalar fraction): per
+    part, the supplier-held value (sum of extendedprice*quantity over the
+    distinct part-supplier pairs standing in for partsupp, suppliers
+    restricted to one nation), keeping parts whose value exceeds 1/1000 of
+    the nation total.  The global scalar attaches as a single-row broadcast
+    (no global window), and the HAVING comparison is EXACT decimal
+    arithmetic — value*1000 > total — so no cross-engine FP boundary can
+    flip a row."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_8"
+    ).select("n_nationkey")
+    val = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    held = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(val).cast("decimal(38,4)").alias("value"))
+    ).localCheckpoint(eager=False)
+    total = held.agg(
+        F.sum("value").cast("decimal(38,4)").alias("__total")
+    )
+    return (
+        held.crossJoin(F.broadcast(total))
+        .where(F.col("value") * 1000 > F.col("__total"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+ORACLE_IMPORTANT_STOCK = """
+WITH held AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2)))
+              AS DECIMAL(38,4)) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_8'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value AS DOUBLE) AS value
+FROM held
+WHERE value * 1000 > (SELECT CAST(sum(value) AS DECIMAL(38,4)) FROM held)
+"""
+
+
+def q_parts_supplier_relationship(spark, sf_dir):
+    """TPC-H Q16 shape (distinct-count with NOT-IN supplier exclusion):
+    supplier counts per (brand, type, size) for a filtered part universe —
+    brand <>, type not-like, size IN — excluding 'risky' suppliers
+    (negative account balance standing in for Q16's complaint scan) via an
+    anti-join.  partsupp is the distinct (l_partkey, l_suppkey) projection,
+    as in q_min_cost_supplier."""
+    ps = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#2")
+        & (~F.col("p_type").startswith("ECONOMY"))
+        & (F.col("p_size").isin(5, 11, 17, 23, 28, 37, 41, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    risky = load(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(risky),
+            ps["l_suppkey"] == risky["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_PARTS_SUPPLIER = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2'
+  AND p_type NOT LIKE 'ECONOMY%'
+  AND p_size IN (5, 11, 17, 23, 28, 37, 41, 49)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_promotable_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (nested semi-joins + correlated half-threshold,
+    decorrelated): suppliers in one nation who, for some 'red%' part,
+    shipped MORE of it in 1995 than half their all-time volume of that
+    part.  The correlated scalar becomes a conditional aggregate over one
+    grouping — sum(qty in 1995) vs sum(qty) per (supplier, part) — and the
+    half comparison is exact decimal (2*q95 > total).  Two broadcast semi
+    joins, one fact aggregation, no subquery re-scan."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    red = load(spark, sf_dir, "part").where(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    per = (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.year("l_shipdate") == 1995, q).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).cast("decimal(38,2)").alias("q95"),
+            F.sum(q).cast("decimal(38,2)").alias("qall"),
+        )
+        .where(F.col("q95") * 2 > F.col("qall"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(per, s["s_suppkey"] == per["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+ORACLE_PROMOTABLE = """
+WITH per AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(sum(CASE WHEN year(l_shipdate) = 1995
+                  THEN CAST(l_quantity AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2))
+           AS q95,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS qall
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+WHERE s_suppkey IN (SELECT l_suppkey FROM per WHERE q95 * 2 > qall)
+"""
+
+
 def q_compression_ratio(spark, sf_dir):
     """Gopher-style compression-ratio quality signal: zlib bytes-out /
     bytes-in per document (Arrow-batched pandas UDF; stdlib zlib).
@@ -6612,6 +6773,9 @@ QUERIES = {
     "above_customer_avg": q_above_customer_avg,
     "cube_revenue": q_cube_revenue,
     "min_cost_supplier": q_min_cost_supplier,
+    "important_stock": q_important_stock,
+    "parts_supplier_relationship": q_parts_supplier_relationship,
+    "promotable_suppliers": q_promotable_suppliers,
     "compression_ratio": q_compression_ratio,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
@@ -6765,6 +6929,9 @@ ORACLES = {
     "above_customer_avg": ORACLE_ABOVE_AVG,
     "cube_revenue": ORACLE_CUBE,
     "min_cost_supplier": ORACLE_MIN_COST,
+    "important_stock": ORACLE_IMPORTANT_STOCK,
+    "parts_supplier_relationship": ORACLE_PARTS_SUPPLIER,
+    "promotable_suppliers": ORACLE_PROMOTABLE,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "quality_scores": ORACLE_QUALITY_SCORES,
     "approx_stats": ORACLE_APPROX_STATS,
