@@ -34,6 +34,10 @@ BENCH_QUERIES = [
     "dual_format_dates",
     "update_merge",
     "delete_antijoin",
+    # r5: the S7/S8 demos now run the distributed keyed row index — track
+    # their cost per round
+    "chunk_assignment",
+    "row_range",
     "geom_points",
     "overview_grid",
     "overview_rollup",
@@ -50,6 +54,7 @@ BENCH_QUERIES = [
     "rollup_revenue",
     "cube_revenue",
     "percentiles",
+    "sample_quantiles",
     "min_cost_supplier",
     "important_stock",
     "parts_supplier_relationship",
@@ -81,6 +86,7 @@ BENCH_QUERIES = [
     "span_dedup",
     "heavy_hitters",
     "hll_registers",
+    "embedding_near_dup",
     "streaming_cardinality",
     "lm_fluency",
     "incremental_mv",

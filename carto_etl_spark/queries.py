@@ -6730,6 +6730,39 @@ FROM documents
 """
 
 
+def q_sample_quantiles(spark, sf_dir):
+    """Mergeable approximate quantiles with self-graded error
+    (operators/quantiles.py): deterministic hash-threshold sample ->
+    range-bucketed sample ranks -> lower empirical quantile per probe ->
+    one conditional-aggregate pass computes each estimate's EXACT rank in
+    the full table.  The oracle re-derives every stage (count, float64
+    cutoff, Lehmer hash filter, rank targets, estimates, error pass) in
+    DuckDB, so a green row proves the whole sketch, not just the output
+    shape.  Probes are binary fractions so ceil(q*m) and the error
+    divisions are bit-identical across engines."""
+    from carto_etl_spark.operators import quantiles as qt
+
+    li = load(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
+    )
+    return qt.sample_quantiles(
+        src, "v", "k", [0.25, 0.5, 0.75], target_sample=2000
+    )
+
+
+def _oracle_sample_quantiles() -> str:
+    from carto_etl_spark.operators import quantiles as qt
+
+    return qt.sample_quantiles_oracle_sql(
+        "SELECT l_extendedprice AS v, l_orderkey * 8 + l_linenumber AS k "
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL",
+        probs=[0.25, 0.5, 0.75],
+        target_sample=2000,
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -6770,6 +6803,7 @@ QUERIES = {
     "ingest_coercion": q_ingest_coercion,
     "json_extract": q_json_extract,
     "percentiles": q_percentiles,
+    "sample_quantiles": q_sample_quantiles,
     "above_customer_avg": q_above_customer_avg,
     "cube_revenue": q_cube_revenue,
     "min_cost_supplier": q_min_cost_supplier,
@@ -6926,6 +6960,7 @@ ORACLES = {
     "ingest_coercion": ORACLE_INGEST,
     "json_extract": ORACLE_JSON,
     "percentiles": ORACLE_PERCENTILES,
+    "sample_quantiles": _oracle_sample_quantiles(),
     "above_customer_avg": ORACLE_ABOVE_AVG,
     "cube_revenue": ORACLE_CUBE,
     "min_cost_supplier": ORACLE_MIN_COST,
