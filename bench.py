@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "hll_registers",
     "embedding_near_dup",
+    "semantic_dedup",
     "streaming_cardinality",
     "lm_fluency",
     "incremental_mv",

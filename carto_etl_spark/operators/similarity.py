@@ -358,3 +358,53 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space, then inside each
+    cluster drop every item whose cosine to some LOWER-id cluster-mate
+    reaches ``threshold`` — the keep-min-id rule, deterministic and
+    engine-reproducible (no dependence on scan order).  Near-duplicate
+    SEMANTICS (same meaning, different tokens) that survives paraphrase,
+    which MinHash/SimHash text dedup cannot see.
+
+    Plan shape: centroid sample (n_clusters-row driver collect), codegen
+    argmin assignment (no join), one equi-join keyed by cluster for the
+    within-cluster pairs, one groupBy(id) min-aggregate, one left join back.
+    Pair volume is sum_i c_i^2 over cluster sizes — the SemDeDup cost model;
+    size n_clusters ~ n/target_cluster_size so clusters stay bounded (the
+    paper uses ~0.1% of n).  Never all-pairs across clusters.
+
+    Returns the input ids with ``cluster``, ``is_dup`` and ``dup_of`` (the
+    smallest cluster-mate id that semantically covers this one; NULL for
+    kept items).
+    """
+    centroids = sampled_centroids(df, n_clusters, id_col, vec_col)
+    indexed = assign_ivf_lists(df, centroids, vec_col, out_col="cluster")
+    sides = indexed.select(
+        F.col(id_col).alias("__id"),
+        "cluster",
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    dup_of = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .where(cosine_expr(F.col("a.__v"), F.col("b.__v")) >= threshold)
+        .groupBy(F.col("b.__id").alias(id_col))
+        .agg(F.min(F.col("a.__id")).alias("dup_of"))
+    )
+    return (
+        indexed.join(dup_of, id_col, "left")
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+    )

@@ -6730,6 +6730,60 @@ FROM documents
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic deduplication (similarity.semantic_dedup): coarse
+    clusters from the md5-sampled quantizer, within-cluster cosine >= 0.9
+    against a lower id marks a duplicate (keep-min-id rule).  Corpus =
+    embeddings plus an exact copy of every 40th vector; copies land in
+    their source's cluster (identical distances, deterministic cid
+    tie-break) and MUST come out flagged with dup_of = the source.  The
+    oracle re-derives the whole pipeline — centroid sample, argmin
+    assignment, pair join, min-covering id — in DuckDB."""
+    e = load(spark, sf_dir, "embeddings")
+    dup = e.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    both = e.unionByName(dup)
+    out = sim.semantic_dedup(both, n_clusters=8, threshold=0.9)
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        "is_dup",
+        "dup_of",
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH both_v AS (
+  SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, cast(embedding AS double[]) AS v
+  FROM embeddings WHERE vec_id % 40 = 0
+),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM both_v
+  ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 8
+),
+assigned AS (
+  SELECT b.vec_id, b.v,
+         (SELECT cid FROM cents
+          ORDER BY list_distance(cents.cv, b.v), cid LIMIT 1) AS cluster
+  FROM both_v b
+),
+dups AS (
+  SELECT b.vec_id, min(a.vec_id) AS dup_of
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / nullif(sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v)), 0) >= 0.9
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cluster, d.dup_of IS NOT NULL AS is_dup, d.dup_of
+FROM assigned s LEFT JOIN dups d USING (vec_id)
+"""
+
+
 def q_sample_quantiles(spark, sf_dir):
     """Mergeable approximate quantiles with self-graded error
     (operators/quantiles.py): deterministic hash-threshold sample ->
@@ -6804,6 +6858,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "percentiles": q_percentiles,
     "sample_quantiles": q_sample_quantiles,
+    "semantic_dedup": q_semantic_dedup,
     "above_customer_avg": q_above_customer_avg,
     "cube_revenue": q_cube_revenue,
     "min_cost_supplier": q_min_cost_supplier,
@@ -6961,6 +7016,7 @@ ORACLES = {
     "json_extract": ORACLE_JSON,
     "percentiles": ORACLE_PERCENTILES,
     "sample_quantiles": _oracle_sample_quantiles(),
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "above_customer_avg": ORACLE_ABOVE_AVG,
     "cube_revenue": ORACLE_CUBE,
     "min_cost_supplier": ORACLE_MIN_COST,

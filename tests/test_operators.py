@@ -249,6 +249,59 @@ def test_embedding_near_dup(vectors):
     assert (0, 1) in got
 
 
+def test_semantic_dedup_flags_duplicate_groups(spark):
+    """Two duplicate groups plus one isolate: inside each group every
+    non-minimal id must be flagged with dup_of = the group minimum; the
+    isolate and the group minima survive.  In-group vectors are IDENTICAL
+    so every member computes the same nearest-centroid argmin and the
+    group provably shares one cluster no matter which rows the md5 order
+    samples as centroids."""
+    rows = []
+    for i in range(6):          # group A = copies of e1
+        rows.append((i, [1.0, 0.0, 0.0, 0.0]))
+    for i in range(6, 12):      # group B = copies of e3
+        rows.append((i, [0.0, 0.0, 1.0, 0.0]))
+    rows.append((99, [0.0, 0.0, 0.0, 1.0]))  # isolate
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in
+           sim.semantic_dedup(df, n_clusters=4, threshold=0.99).collect()}
+    assert not out[99]["is_dup"] and out[99]["dup_of"] is None
+    kept_a = [i for i in range(6) if not out[i]["is_dup"]]
+    kept_b = [i for i in range(6, 12) if not out[i]["is_dup"]]
+    # keep-min-id rule: exactly one survivor per group, the minimum
+    assert kept_a == [0] and kept_b == [6]
+    for i in range(1, 6):
+        assert out[i]["dup_of"] == 0
+    for i in range(7, 12):
+        assert out[i]["dup_of"] == 6
+
+
+def test_semantic_dedup_respects_cluster_boundaries(spark):
+    """Within-cluster pruning only (recall is the quantizer's job, as in
+    SemDeDup): two NEAR vectors (cosine ~0.707 >= threshold 0.5) that are
+    each their own centroid land in different clusters and are NOT
+    compared; collapsing to one cluster flags the pair.  Note identical
+    vectors can never straddle a boundary — assignment is a pure function
+    of the vector — so exact copies are never missed."""
+    s = 0.7071067811865476
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [s, s, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    split = sim.semantic_dedup(df, n_clusters=2, threshold=0.5)
+    assert split.where("is_dup").count() == 0
+    merged = sim.semantic_dedup(df, n_clusters=1, threshold=0.5)
+    assert {r["vec_id"] for r in merged.where("is_dup").collect()} == {1}
+
+
+def test_semantic_dedup_exact_copy_flagged(spark):
+    rows = [(0, [1.0, 2.0, 3.0, 4.0]), (1, [-4.0, 3.0, -2.0, 1.0]),
+            (7, [1.0, 2.0, 3.0, 4.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in
+           sim.semantic_dedup(df, n_clusters=2, threshold=0.999).collect()}
+    assert out[7]["is_dup"] and out[7]["dup_of"] == 0
+    assert not out[0]["is_dup"]
+
+
 def test_compression_ratio_min_bytes(spark):
     long_text = "repeat " * 50
     df = spark.createDataFrame([("hi",), (long_text,)], ["text"])
