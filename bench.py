@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "stateplane_transform",
     "datum_shift",
     "albers_transform",
+    "bng_transform",
     "audio_features",
     "stratified_sample",
     "temperature_mixture",

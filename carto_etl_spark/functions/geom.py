@@ -209,6 +209,10 @@ _ELLIPSOIDS = {
     "WGS84": (6378137.0, 0.00669437999014132),
     "INTL1924": (6378388.0, (1.0 / 297.0) * (2.0 - 1.0 / 297.0)),
     "CLARKE1866": (6378206.4, 0.00676865799729),
+    "AIRY1830": (
+        6377563.396,
+        (1.0 / 299.3249646) * (2.0 - 1.0 / 299.3249646),
+    ),
 }
 
 #: srid -> (lat0_deg, lon0_deg, sp1_deg, sp2_deg, false_e, false_n, ellipsoid)
@@ -515,6 +519,169 @@ def _aea_inverse(x: Column, y: Column, srid: int):
     return out["lon"], out["lat"]
 
 
+# -- generalized Transverse Mercator family ("tmerc") -----------------------
+# The UTM code above hardcodes the WGS84 Krüger coefficients; national TM
+# grids (British National Grid, NZTM, Irish TM, Gauss-Krüger zones) differ
+# in ellipsoid, scale factor, origin latitude AND datum.  This family
+# parameterizes all of it: the Krüger series coefficients are polynomials in
+# the ellipsoid's third flattening n (same truncation order as the UTM
+# block, O(n^4) ~ sub-mm), the false origin subtracts the meridian arc at
+# lat0, and a non-WGS84 datum composes the registered 7-parameter Helmert
+# shift around the projection core.  This is the capability tier the
+# reference bought from PostGIS (/root/reference/etl/etl.py:190-192):
+# projected CRS on a shifted datum, end-to-end in JVM column math.
+
+
+def _tm_series(a: float, f: float):
+    """Krüger rectifying-radius + series coefficients for an arbitrary
+    ellipsoid (Karney 2011 eqs. 12/35/36; truncated at n^3 like the UTM
+    block above)."""
+    n = f / (2.0 - f)
+    e = math.sqrt(f * (2.0 - f))
+    big_a = a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0)
+    alpha = (
+        n / 2.0 - 2.0 * n**2 / 3.0 + 5.0 * n**3 / 16.0,
+        13.0 * n**2 / 48.0 - 3.0 * n**3 / 5.0,
+        61.0 * n**3 / 240.0,
+    )
+    beta = (
+        n / 2.0 - 2.0 * n**2 / 3.0 + 37.0 * n**3 / 96.0,
+        n**2 / 48.0 + n**3 / 15.0,
+        17.0 * n**3 / 480.0,
+    )
+    delta = (
+        2.0 * n - 2.0 * n**2 / 3.0 - 2.0 * n**3,
+        7.0 * n**2 / 3.0 - 8.0 * n**3 / 5.0,
+        56.0 * n**3 / 15.0,
+    )
+    return big_a, e, alpha, beta, delta
+
+
+#: ellipsoid flattenings for _tm_series (e2 alone loses precision re-deriving f)
+_ELLIPSOID_F = {
+    "GRS80": 1.0 / 298.257222101,
+    "WGS84": 1.0 / 298.257223563,
+    "INTL1924": 1.0 / 297.0,
+    "CLARKE1866": (6378206.4 - 6356583.8) / 6378206.4,
+    "AIRY1830": 1.0 / 299.3249646,
+}
+
+#: srid -> (lat0_deg, lon0_deg, k0, false_e, false_n, ellipsoid,
+#:          datum_srid)  — datum_srid 0 means the CRS datum is close enough
+#: to WGS84 to treat as identity (ETRS89/NAD83 convention used elsewhere in
+#: this module); otherwise it must be a key of _GEOGRAPHIC_DATUMS and the
+#: family composes that Helmert shift around the projection core.
+_TMERC_PARAMS = {
+    # OSGB36 / British National Grid: TM on Airy 1830, k0=0.9996012717,
+    # true origin 49N 2W, FE 400 km, FN -100 km, OSGB36 datum (EPSG
+    # transformation 1314 via _GEOGRAPHIC_DATUMS[4277]).
+    27700: (49.0, -2.0, 0.9996012717, 400000.0, -100000.0, "AIRY1830", 4277),
+}
+
+
+def _tmerc_constants(srid: int):
+    lat0, lon0, k0, fe, fn, ell, datum = _TMERC_PARAMS[srid]
+    a, _ = _ELLIPSOIDS[ell]
+    big_a, e, alpha, beta, delta = _tm_series(a, _ELLIPSOID_F[ell])
+    # meridian arc at lat0 in xi units (lam = 0 -> cos lam = 1, eta = 0)
+    phi0 = math.radians(lat0)
+    s0 = math.sin(phi0)
+    t0 = math.sinh(math.atanh(s0) - e * math.atanh(e * s0))
+    xi_p0 = math.atan2(t0, 1.0)
+    xi0 = xi_p0
+    for j, aj in enumerate(alpha, start=1):
+        xi0 += aj * math.sin(2.0 * j * xi_p0)
+    m0 = big_a * xi0
+    return lon0, k0, fe, fn, big_a, e, alpha, beta, delta, m0, datum, ell
+
+
+def _tmerc_core_forward(lon: Column, lat: Column, srid: int):
+    """TM forward from geographic coordinates ALREADY on the family's
+    datum (Karney series, arbitrary ellipsoid/k0/origin)."""
+    lon0, k0, fe, fn, big_a, e, alpha, _, _, m0, _, _ = _tmerc_constants(srid)
+    phi = F.radians(lat)
+    lam = F.radians(lon) - F.lit(math.radians(lon0))
+
+    def body(sphi):
+        t = F.sinh(F.atanh(sphi) - e * F.atanh(F.lit(e) * sphi))
+
+        def inner(t):
+            xi_p = F.atan2(t, F.cos(lam))
+            eta_p = F.atanh(F.sin(lam) / F.sqrt(t * t + 1.0))
+
+            def series(xi_p, eta_p):
+                xi, eta = xi_p, eta_p
+                for j, aj in enumerate(alpha, start=1):
+                    xi = xi + aj * F.sin(2.0 * j * xi_p) * F.cosh(2.0 * j * eta_p)
+                    eta = eta + aj * F.cos(2.0 * j * xi_p) * F.sinh(2.0 * j * eta_p)
+                return F.struct(
+                    (F.lit(fe) + k0 * big_a * eta).alias("e"),
+                    (F.lit(fn) + k0 * (big_a * xi - F.lit(m0))).alias("n"),
+                )
+
+            return _let(series, xi_p=xi_p, eta_p=eta_p)
+
+        return _let(inner, t=t)
+
+    out = _let(body, sphi=F.sin(phi))
+    return out["e"], out["n"]
+
+
+def _tmerc_core_inverse(easting: Column, northing: Column, srid: int):
+    lon0, k0, fe, fn, big_a, e, _, beta, delta, m0, _, _ = _tmerc_constants(srid)
+    xi = (northing - F.lit(fn) + F.lit(k0 * m0)) / F.lit(k0 * big_a)
+    eta = (easting - F.lit(fe)) / F.lit(k0 * big_a)
+
+    def body(xi, eta):
+        xi_p, eta_p = xi, eta
+        for j, bj in enumerate(beta, start=1):
+            xi_p = xi_p - bj * F.sin(2.0 * j * xi) * F.cosh(2.0 * j * eta)
+            eta_p = eta_p - bj * F.cos(2.0 * j * xi) * F.sinh(2.0 * j * eta)
+
+        def finish(xi_p, eta_p):
+            chi = F.asin(F.sin(xi_p) / F.cosh(eta_p))
+
+            def last(chi):
+                phi = chi
+                for j, dj in enumerate(delta, start=1):
+                    phi = phi + dj * F.sin(2.0 * j * chi)
+                lon = F.degrees(
+                    F.lit(math.radians(lon0))
+                    + F.atan2(F.sinh(eta_p), F.cos(xi_p))
+                )
+                return F.struct(lon.alias("lon"), F.degrees(phi).alias("lat"))
+
+            return _let(last, chi=chi)
+
+        return _let(finish, xi_p=xi_p, eta_p=eta_p)
+
+    out = _let(body, xi=xi, eta=eta)
+    return out["lon"], out["lat"]
+
+
+def _tmerc_forward(lon: Column, lat: Column, srid: int):
+    """WGS84 geographic -> projected: datum shift first (when the row names
+    one), then the TM core."""
+    datum = _TMERC_PARAMS[srid][6]
+    if datum:
+        ell, params = _GEOGRAPHIC_DATUMS[datum]
+        lon, lat = helmert_shift_expr(
+            lon, lat, params, ell, "WGS84", inverse=True
+        )
+    return _tmerc_core_forward(lon, lat, srid)
+
+
+def _tmerc_inverse(easting: Column, northing: Column, srid: int):
+    """Projected -> WGS84 geographic: TM core first, then the datum shift
+    back (when the row names one)."""
+    lon, lat = _tmerc_core_inverse(easting, northing, srid)
+    datum = _TMERC_PARAMS[srid][6]
+    if datum:
+        ell, params = _GEOGRAPHIC_DATUMS[datum]
+        lon, lat = helmert_shift_expr(lon, lat, params, ell, "WGS84")
+    return lon, lat
+
+
 # -- projected-CRS registry ---------------------------------------------------
 # family -> (param table, forward, inverse).  The SRID dispatcher consults
 # THIS — supporting a new EPSG code of an existing family is one table row
@@ -526,10 +693,16 @@ _PROJECTED_FAMILIES: dict = {
     "laea": (_LAEA_PARAMS, _laea_forward, _laea_inverse),
     "lcc": (_LCC_PARAMS, _lcc_forward, _lcc_inverse),
     "aea": (_AEA_PARAMS, _aea_forward, _aea_inverse),
+    "tmerc": (_TMERC_PARAMS, _tmerc_forward, _tmerc_inverse),
 }
 
 #: per-family parameter arity (validated by register_projection)
-_FAMILY_ARITY = {"laea": 4, "lcc": 7, "aea": 7}
+_FAMILY_ARITY = {"laea": 4, "lcc": 7, "aea": 7, "tmerc": 7}
+
+#: index of the ellipsoid name inside each family's parameter tuple (None =
+#: the family is pinned to GRS80), and of the optional datum srid
+_FAMILY_ELLIPSOID_AT = {"laea": None, "lcc": 6, "aea": 6, "tmerc": 5}
+_FAMILY_DATUM_AT = {"laea": None, "lcc": None, "aea": None, "tmerc": 6}
 
 
 def projected_family(srid: int) -> str | None:
@@ -557,10 +730,25 @@ def register_projection(family: str, srid: int, params: tuple) -> None:
             f"{family} takes {_FAMILY_ARITY[family]} parameters, "
             f"got {len(params)}"
         )
-    if _FAMILY_ARITY[family] == 7 and params[6] not in _ELLIPSOIDS:
+    ell_at = _FAMILY_ELLIPSOID_AT[family]
+    if ell_at is not None and params[ell_at] not in _ELLIPSOIDS:
         raise ValueError(
-            f"unknown ellipsoid {params[6]!r}; known: {sorted(_ELLIPSOIDS)}"
+            f"unknown ellipsoid {params[ell_at]!r}; known: {sorted(_ELLIPSOIDS)}"
         )
+    if family == "tmerc" and params[5] not in _ELLIPSOID_F:
+        raise ValueError(
+            f"tmerc needs a flattening for {params[5]!r}: add it to "
+            "_ELLIPSOID_F (e2 alone loses precision re-deriving f)"
+        )
+    datum_at = _FAMILY_DATUM_AT[family]
+    if datum_at is not None:
+        datum = params[datum_at]
+        if datum and datum not in _GEOGRAPHIC_DATUMS:
+            raise ValueError(
+                f"unknown datum srid {datum!r}; register it in "
+                f"_GEOGRAPHIC_DATUMS or use 0 for WGS84-identity datums; "
+                f"known: {sorted(_GEOGRAPHIC_DATUMS)}"
+            )
     existing = projected_family(srid)
     if existing is not None and existing != family:
         raise ValueError(f"srid {srid} already registered as {existing}")
@@ -579,6 +767,13 @@ _GEOGRAPHIC_DATUMS = {
     # ED50 (International 1924): EPSG transformation 1133 (ED50->WGS84 (1),
     # European mean, 3-parameter)
     4230: ("INTL1924", (-87.0, -96.0, -120.0, 0.0, 0.0, 0.0, 0.0)),
+    # OSGB36 (Airy 1830): EPSG transformation 1314 inverted to the TO-WGS84
+    # direction this registry stores (published WGS84->OSGB36: -446.448,
+    # +125.157, -542.060, -0.1502", -0.2470", -0.8421", +20.4894 ppm).
+    4277: (
+        "AIRY1830",
+        (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
+    ),
 }
 
 
@@ -782,11 +977,15 @@ def transform_geom(
     each leg's series terms shared."""
     legs = _transform_legs(from_srid, to_srid)
     if legs is None:
+        registered = sorted(
+            s for table, _, _ in _PROJECTED_FAMILIES.values() for s in table
+        )
         raise ValueError(
             f"unsupported SRID transform {from_srid}->{to_srid}; "
             "supported: 4326, 3857, WGS84 UTM zones (EPSG 326xx/327xx), "
-            "LAEA Europe (3035), Lambert conformal conic (2154, 3034, "
-            "32140), Helmert-shifted geographic datums (4230)"
+            f"registered projections {registered} (laea/lcc/albers/tmerc "
+            "families — add a code with register_projection), "
+            f"Helmert-shifted geographic datums {sorted(_GEOGRAPHIC_DATUMS)}"
         )
     out_col = out_col or geom_col
     tmp = _fresh_name(df, f"__xf_{out_col}")

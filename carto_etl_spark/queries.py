@@ -864,6 +864,137 @@ FROM bowring
 ORACLE_DATUM_SHIFT = _build_oracle_datum_shift()
 
 
+def q_bng_transform(spark, sf_dir):
+    """Reference F5, projected CRS on a NON-WGS84 datum (the PostGIS
+    capability tier, /root/reference/etl/etl.py:190-192): WGS84 -> OSGB36 /
+    British National Grid (EPSG:27700) via the generalized tmerc registry
+    family — 7-parameter Helmert (EPSG tfm 1314, inverse) into OSGB36, then
+    Transverse Mercator on Airy 1830 (Karney series with
+    ellipsoid-parameterized coefficients, k0=0.9996012717, origin 49N 2W).
+    Synthesized coords span GB (lon [-6,1.8) x lat [50,58.5)).  Every stage
+    is closed-form, so the oracle re-derives the ENTIRE chain in portable
+    SQL (geodetic->ECEF, rotation+scale+translation, Bowring on Airy, the
+    TM series with sinh/cosh/atanh expanded to exp/ln); integer-metre
+    output absorbs cross-engine libm noise.  Forward validated against the
+    OS worked example to 0.4 mm (test_lambert)."""
+    from carto_etl_spark.functions.geom import transform_geom
+
+    c = load(spark, sf_dir, "customer")
+    src = c.select(
+        "c_custkey",
+        (F.lit(-6.0) + (F.col("c_custkey") * 13 % 780) / F.lit(100.0)).alias("lon"),
+        (F.lit(50.0) + (F.col("c_custkey") * 7 % 850) / F.lit(100.0)).alias("lat"),
+    )
+    out = transform_geom(
+        src.withColumn("g", point_struct(F.col("lon"), F.col("lat"), 4326)),
+        "g", 4326, 27700, out_col="bng",
+    )
+    return out.select(
+        "c_custkey",
+        F.round(F.col("bng.x")).cast("long").alias("easting_m"),
+        F.round(F.col("bng.y")).cast("long").alias("northing_m"),
+    )
+
+
+def _build_oracle_bng() -> str:
+    from carto_etl_spark.functions.geom import (
+        _ELLIPSOIDS,
+        _GEOGRAPHIC_DATUMS,
+        _tmerc_constants,
+    )
+    import math as _m
+
+    lon0, k0, fe, fn, big_a, e, alpha, _, _, m0, datum, ell = (
+        _tmerc_constants(27700)
+    )
+    # Helmert WGS84 -> OSGB36: negate the stored TO-WGS84 params (the
+    # inverse=True convention of helmert_shift_expr)
+    d_ell, params = _GEOGRAPHIC_DATUMS[datum]
+    dx, dy, dz, rx, ry, rz, ppm = (-v for v in params)
+    arc = _m.pi / (180.0 * 3600.0)
+    rxr, ryr, rzr = rx * arc, ry * arc, rz * arc
+    scale = 1.0 + ppm * 1e-6
+    a_w, e2_w = _ELLIPSOIDS["WGS84"]
+    a_t, e2_t = _ELLIPSOIDS[d_ell]
+    b_t = a_t * _m.sqrt(1.0 - e2_t)
+    ep2_t = e2_t / (1.0 - e2_t)
+    lam0 = _m.radians(lon0)
+    a1, a2, a3 = alpha
+
+    def _cosh(x):
+        return f"(exp({x}) + exp(-({x}))) / 2.0"
+
+    def _sinh(x):
+        return f"(exp({x}) - exp(-({x}))) / 2.0"
+
+    def _atanh(x):
+        return f"0.5 * ln((1.0 + {x}) / (1.0 - {x}))"
+
+    return f"""
+WITH src AS (
+  SELECT c_custkey,
+         radians(-6.0 + (c_custkey * 13 % 780) / 100.0) AS lam,
+         radians(50.0 + (c_custkey * 7 % 850) / 100.0) AS phi
+  FROM customer
+), ecef AS (
+  SELECT c_custkey,
+         ({a_w!r} / sqrt(1.0 - {e2_w!r} * sin(phi) * sin(phi)))
+           * cos(phi) * cos(lam) AS x,
+         ({a_w!r} / sqrt(1.0 - {e2_w!r} * sin(phi) * sin(phi)))
+           * cos(phi) * sin(lam) AS y,
+         ({a_w!r} / sqrt(1.0 - {e2_w!r} * sin(phi) * sin(phi)))
+           * (1.0 - {e2_w!r}) * sin(phi) AS z
+  FROM src
+), shifted AS (
+  SELECT c_custkey,
+         {dx!r} + {scale!r} * (x - {rzr!r} * y + {ryr!r} * z) AS x,
+         {dy!r} + {scale!r} * ({rzr!r} * x + y - {rxr!r} * z) AS y,
+         {dz!r} + {scale!r} * (-({ryr!r}) * x + {rxr!r} * y + z) AS z
+  FROM ecef
+), bowring AS (
+  SELECT c_custkey, x, y, z, sqrt(x*x + y*y) AS p,
+         atan2(z * {a_t!r}, sqrt(x*x + y*y) * {b_t!r}) AS theta
+  FROM shifted
+), geo AS (
+  SELECT c_custkey,
+         atan2(y, x) - {lam0!r} AS ld,
+         sin(atan2(
+           z + {ep2_t * b_t!r} * sin(theta) * sin(theta) * sin(theta),
+           p - {e2_t * a_t!r} * cos(theta) * cos(theta) * cos(theta)
+         )) AS s
+  FROM bowring
+), tm0 AS (
+  SELECT c_custkey, ld,
+         {_atanh("s")} - {e!r} * ({_atanh(f"{e!r} * s")}) AS w
+  FROM geo
+), tm1 AS (
+  SELECT c_custkey, ld, {_sinh("w")} AS t FROM tm0
+), tm2 AS (
+  SELECT c_custkey,
+         atan2(t, cos(ld)) AS xi_p,
+         {_atanh("sin(ld) / sqrt(t * t + 1.0)")} AS eta_p
+  FROM tm1
+), tm3 AS (
+  SELECT c_custkey,
+         xi_p + {a1!r} * sin(2.0 * xi_p) * ({_cosh("2.0 * eta_p")})
+              + {a2!r} * sin(4.0 * xi_p) * ({_cosh("4.0 * eta_p")})
+              + {a3!r} * sin(6.0 * xi_p) * ({_cosh("6.0 * eta_p")}) AS xi,
+         eta_p + {a1!r} * cos(2.0 * xi_p) * ({_sinh("2.0 * eta_p")})
+               + {a2!r} * cos(4.0 * xi_p) * ({_sinh("4.0 * eta_p")})
+               + {a3!r} * cos(6.0 * xi_p) * ({_sinh("6.0 * eta_p")}) AS eta
+  FROM tm2
+)
+SELECT c_custkey,
+       cast(round({fe!r} + {k0 * big_a!r} * eta) AS bigint) AS easting_m,
+       cast(round({fn!r} + {k0!r} * ({big_a!r} * xi - {m0!r})) AS bigint)
+         AS northing_m
+FROM tm3
+"""
+
+
+ORACLE_BNG = _build_oracle_bng()
+
+
 def q_overview_grid(spark, sf_dir):
     """Reference D5 (CDB_CreateOverviews): finest-zoom grid aggregate over
     web-mercator tiles (zoom 4)."""
@@ -6835,6 +6966,7 @@ QUERIES = {
     "lcc_transform": q_lcc_transform,
     "stateplane_transform": q_stateplane_transform,
     "albers_transform": q_albers_transform,
+    "bng_transform": q_bng_transform,
     "datum_shift": q_datum_shift,
     "transactional_lifecycle": q_transactional_lifecycle,
     "morton_tiles": q_morton_tiles,
@@ -6993,6 +7125,7 @@ ORACLES = {
     "lcc_transform": ORACLE_LCC,
     "stateplane_transform": ORACLE_STATEPLANE,
     "albers_transform": ORACLE_ALBERS,
+    "bng_transform": ORACLE_BNG,
     "datum_shift": ORACLE_DATUM_SHIFT,
     "transactional_lifecycle": ORACLE_TXN_LIFECYCLE,
     "morton_tiles": ORACLE_MORTON,

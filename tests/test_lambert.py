@@ -163,8 +163,10 @@ def test_cross_family_two_leg(spark):
 
 
 def test_unsupported_srid_message_lists_families(spark):
+    # NY state plane ftUS: LCC zone not registered (and ftUS units never
+    # will be implicit) — must raise with the supported-family listing
     with pytest.raises(ValueError, match="3035"):
-        transform_point(F.lit(None), 4326, 27700)  # OSGB needs a datum shift
+        transform_point(F.lit(None), 4326, 2263)
 
 
 def test_lcc_generalized_ellipsoid_snyder_example(spark):
@@ -329,3 +331,97 @@ def test_register_projection_row_is_usable_and_validated(spark):
         register_projection(
             "lcc", 5070, (23.0, -96.0, 29.5, 45.5, 0.0, 0.0, "GRS80")
         )
+
+
+# -- generalized Transverse Mercator family (tmerc) + datum composition -----
+
+
+def test_bng_core_matches_os_worked_example(spark):
+    """OS 'A guide to coordinate systems in Great Britain' worked example:
+    OSGB36 geographic 52d39m27.2531sN, 1d43m4.5177sE must project to BNG
+    E 651409.903 / N 313177.270.  The TM core (no datum shift — the input
+    is already OSGB36) must agree to < 1 mm: this pins the Airy-1830
+    Krüger coefficients, k0, the true origin and the meridian-arc offset
+    M0 all at once."""
+    from carto_etl_spark.functions.geom import _tmerc_core_forward
+
+    lat = 52.0 + 39.0 / 60.0 + 27.2531 / 3600.0
+    lon = 1.0 + 43.0 / 60.0 + 4.5177 / 3600.0
+    df = spark.createDataFrame([(lon, lat)], ["lon", "lat"])
+    e, n = _tmerc_core_forward(F.col("lon"), F.col("lat"), 27700)
+    r = df.select(e.alias("e"), n.alias("n")).first()
+    assert abs(r["e"] - 651409.903) < 1e-3
+    assert abs(r["n"] - 313177.270) < 1e-3
+
+
+def test_bng_full_chain_matches_os_etrs89_pair(spark):
+    """The same OS worked pair in the ETRS89 direction: ETRS89
+    52d39m28.8282sN, 1d42m57.8663sE -> the same BNG point, now THROUGH the
+    EPSG-1314 Helmert shift.  A single 7-parameter Helmert approximates
+    the OSTN grid to ~3.5 m RMS over GB (the OS guide's own figure), so
+    the gate is 5 m — tight enough to catch a sign/convention error (any
+    flipped rotation or translation is tens to hundreds of metres)."""
+    lat = 52.0 + 39.0 / 60.0 + 28.8282 / 3600.0
+    lon = 1.0 + 42.0 / 60.0 + 57.8663 / 3600.0
+    df = spark.createDataFrame([(lon, lat)], ["lon", "lat"])
+    g = df.withColumn("g", point_struct(F.col("lon"), F.col("lat"), 4326))
+    out = transform_geom(g, "g", 4326, 27700, out_col="bng").first()
+    assert abs(out["bng"]["x"] - 651409.903) < 5.0
+    assert abs(out["bng"]["y"] - 313177.270) < 5.0
+
+
+def test_bng_round_trip_over_gb(spark):
+    """WGS84 -> 27700 -> WGS84 over a GB-spanning grid stays <= 1e-6 deg
+    (~0.1 m) — projection series and the Helmert/inverse-Helmert pair both
+    cancel to first order."""
+    rows = [
+        (x / 10.0, y / 10.0)
+        for x in range(-60, 18, 6)
+        for y in range(500, 585, 7)
+    ]
+    df = spark.createDataFrame(rows, ["lon", "lat"])
+    g = df.withColumn("g", point_struct(F.col("lon"), F.col("lat"), 4326))
+    fwd = transform_geom(g, "g", 4326, 27700, out_col="bng")
+    back = transform_geom(fwd, "bng", 27700, 4326, out_col="w")
+    err = back.select(
+        F.max(F.abs(F.col("w.x") - F.col("lon"))).alias("dx"),
+        F.max(F.abs(F.col("w.y") - F.col("lat"))).alias("dy"),
+    ).first()
+    assert err["dx"] < 1e-6 and err["dy"] < 1e-6
+
+
+def test_tmerc_registry_row_validation(spark):
+    """tmerc rows validate the ellipsoid (needs a flattening entry) and the
+    datum (must be registered or 0); a 0-datum row is usable immediately."""
+    from carto_etl_spark.functions.geom import (
+        _TMERC_PARAMS,
+        register_projection,
+    )
+
+    with pytest.raises(ValueError, match="ellipsoid"):
+        register_projection(
+            "tmerc", 990101, (0.0, 173.0, 0.9996, 1600000.0, 10000000.0,
+                              "MOON", 0)
+        )
+    with pytest.raises(ValueError, match="datum"):
+        register_projection(
+            "tmerc", 990101, (0.0, 173.0, 0.9996, 1600000.0, 10000000.0,
+                              "GRS80", 123456)
+        )
+    # NZTM2000 (EPSG:2193): TM on GRS80, NZGD2000 ~ WGS84 identity
+    register_projection(
+        "tmerc", 990101, (0.0, 173.0, 0.9996, 1600000.0, 10000000.0,
+                          "GRS80", 0)
+    )
+    try:
+        df = spark.createDataFrame([(174.78, -41.29)], ["lon", "lat"])  # Wellington
+        pt = point_struct(F.col("lon"), F.col("lat"), 4326)
+        fwd = transform_point(pt, 4326, 990101)
+        r = df.select(st_x(fwd).alias("x"), st_y(fwd).alias("y")).first()
+        # NZTM Wellington ~ E 1.749e6, N 5.427e6 (coarse sanity: right zone)
+        assert abs(r["x"] - 1749000) < 2000 and abs(r["y"] - 5427000) < 2000
+        back = transform_point(fwd, 990101, 4326)
+        rb = df.select(st_x(back).alias("a"), st_y(back).alias("b")).first()
+        assert abs(rb["a"] - 174.78) < 1e-6 and abs(rb["b"] + 41.29) < 1e-6
+    finally:
+        _TMERC_PARAMS.pop(990101, None)
