@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "semantic_dedup",
     "streaming_cardinality",
+    "streaming_quantiles",
     "lm_fluency",
     "incremental_mv",
     "tfidf_terms",

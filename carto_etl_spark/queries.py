@@ -6915,6 +6915,96 @@ FROM assigned s LEFT JOIN dups d USING (vec_id)
 """
 
 
+def q_streaming_quantiles(spark, sf_dir):
+    """Streaming quantile state (streaming/quantile.py): lineitem replayed
+    as THREE micro-batches through ``track_quantiles`` (adaptive-level
+    hash-threshold sample, cap=512).  The final (level, sample) pair is a
+    pure function of the data SET — the final level is provably
+    min {L : |hash < cutoff(L)| <= cap} over the whole stream, independent
+    of batch boundaries — so the oracle re-derives the ENTIRE state in
+    DuckDB (level search, sample filter, rank targets) and checks the
+    quantile estimates value-for-value; a genuinely streaming pipeline
+    graded by an exact batch oracle."""
+    import shutil
+    import tempfile
+
+    from carto_etl_spark.streaming.quantile import (
+        state_quantiles,
+        track_quantiles,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
+    )
+    workdir = tempfile.mkdtemp(prefix="qstream-")
+    try:
+        src = f"{workdir}/src"
+        for i in range(3):
+            li.filter(F.col("l_orderkey") % 3 == i).drop("l_orderkey").write.mode(
+                "overwrite"
+            ).parquet(f"{src}/b{i}")
+        stream = spark.readStream.schema("v double, k long").option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        q = track_quantiles(
+            stream, "v", "k", state_dir=f"{workdir}/state", cap=512,
+            checkpoint=f"{workdir}/ck",
+        )
+        q.awaitTermination(300)
+        out = state_quantiles(
+            spark, f"{workdir}/state", [0.25, 0.5, 0.75]
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _build_oracle_streaming_quantiles() -> str:
+    from carto_etl_spark.operators.sampling import hash_sql
+    from carto_etl_spark.streaming.quantile import MAX_LEVEL, level_cutoff
+
+    levels_values = ", ".join(
+        f"({lv}, {level_cutoff(lv)})" for lv in range(MAX_LEVEL + 1)
+    )
+    probs_values = ", ".join(
+        f"(CAST({q!r} AS DOUBLE))" for q in (0.25, 0.5, 0.75)
+    )
+    h = hash_sql("k", 0)
+    return f"""
+WITH src AS (
+  SELECT l_extendedprice AS v, l_orderkey * 8 + l_linenumber AS k
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+tot AS (SELECT count(*) AS n FROM src),
+levels(l, cut) AS (VALUES {levels_values}),
+counts AS (
+  SELECT l, cut,
+         (SELECT count(*) FROM src WHERE {h} < cut) AS m
+  FROM levels
+),
+chosen AS (
+  SELECT l, cut, m FROM counts WHERE m <= 512 ORDER BY l LIMIT 1
+),
+samp AS (
+  SELECT v, k FROM src, chosen WHERE {h} < chosen.cut
+),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v, k) AS r FROM samp),
+probes(q) AS (VALUES {probs_values}),
+tgt AS (
+  SELECT q, greatest(1, least(m, CAST(ceil(q * m) AS BIGINT))) AS r_tgt, m, l
+  FROM probes, chosen
+)
+SELECT tgt.q, ranked.v AS est, tgt.m AS sample_m, tot.n AS n_total,
+       CAST(tgt.l AS INTEGER) AS level
+FROM tgt JOIN ranked ON ranked.r = tgt.r_tgt, tot
+"""
+
+
+ORACLE_STREAMING_QUANTILES = _build_oracle_streaming_quantiles()
+
+
 def q_sample_quantiles(spark, sf_dir):
     """Mergeable approximate quantiles with self-graded error
     (operators/quantiles.py): deterministic hash-threshold sample ->
@@ -6991,6 +7081,7 @@ QUERIES = {
     "percentiles": q_percentiles,
     "sample_quantiles": q_sample_quantiles,
     "semantic_dedup": q_semantic_dedup,
+    "streaming_quantiles": q_streaming_quantiles,
     "above_customer_avg": q_above_customer_avg,
     "cube_revenue": q_cube_revenue,
     "min_cost_supplier": q_min_cost_supplier,
@@ -7150,6 +7241,7 @@ ORACLES = {
     "percentiles": ORACLE_PERCENTILES,
     "sample_quantiles": _oracle_sample_quantiles(),
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "streaming_quantiles": ORACLE_STREAMING_QUANTILES,
     "above_customer_avg": ORACLE_ABOVE_AVG,
     "cube_revenue": ORACLE_CUBE,
     "min_cost_supplier": ORACLE_MIN_COST,

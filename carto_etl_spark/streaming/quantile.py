@@ -1,0 +1,229 @@
+"""Streaming quantile state: maintain a bounded hash-threshold sample
+across micro-batches — the quantile leg of the streaming sketch family
+(bloom = membership, count-min = multiplicity, HLL = cardinality, this =
+rank), and the incremental form of the batch ``sample_quantiles``
+(operators/quantiles.py).
+
+The state is an adaptive-level sample (Gibbons' adaptive/distinct sampling,
+PODS 2001 lineage): keep every row whose ``hash_expr(key)`` falls under
+``cutoff(level) = LEHMER_M // 2**level``; whenever the kept set would
+exceed ``cap``, raise ``level`` to the smallest value whose re-filtered
+sample fits.  Two properties make this the ONLY quantile sketch in the
+family that an independent engine can re-derive value-for-value:
+
+* **Order independence.**  The final level is exactly
+  ``min {L : |{rows with hash < cutoff(L)}| <= cap}`` over the WHOLE
+  stream: the end state fits by construction, and if a smaller L also fit
+  the full data it would have fit every prefix (prefix counts only grow),
+  so the process never passed it.  Hence (level, sample) is a pure
+  function of the data SET — batch boundaries, arrival order and restarts
+  cannot change it.  GK/KLL/t-digest compactions are order-dependent and
+  cannot offer this.
+* **Mergeability.**  Two states merge by unioning samples at
+  ``max(level_a, level_b)`` and re-leveling — the same rule as a batch
+  boundary.
+
+Exactly-once ``n_total``: counting is not idempotent under replay, so the
+state carries a content-addressed ledger of applied batches (count plus two
+independent Lehmer-hash key sums — order-independent, one aggregate pass,
+no driver materialization of the batch).  Ledger, sample and meta live in
+ONE state directory promoted by ONE rename (the frequency.py pattern), so
+no crash point can leave a half-applied batch; ``_recover`` heals the
+window between the two promote renames.  The documented trade-off mirrors
+frequency.py: two DISTINCT batches with identical key multisets dedupe —
+carry a batch sequence column if that is a real case upstream.
+
+Scale shape (100 TB/day): per batch one scan-stage filter + one aggregate
+(count/fingerprint/level counts fused), a <= cap-row state rewrite, zero
+shuffles of history.  The sample is sketch-sized by contract (``cap`` is
+the same budget class as the CMS cell table or the bloom bitmap).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from carto_etl_spark.operators.quantiles import rank_target
+from carto_etl_spark.operators.sampling import LEHMER_M, hash_expr
+
+_SAMPLE = "sample"
+_META = "meta"
+_APPLIED = "applied"
+#: deepest candidate level probed in one pass (cutoff ~ M / 2^40 < 2000 —
+#: a sample that still overflows cap at level 40 means cap < rows/2^40,
+#: i.e. a misconfiguration the handler surfaces as an error)
+MAX_LEVEL = 40
+
+
+def level_cutoff(level: int) -> int:
+    """Keep-threshold in hash units at ``level`` (integer halving so both
+    engines reproduce the exact boundary)."""
+    return LEHMER_M // (2 ** level)
+
+
+def _current(state_dir: str) -> str:
+    return os.path.join(state_dir, "current")
+
+
+def _recover(state_dir: str) -> None:
+    cur = _current(state_dir)
+    old = cur + ".old"
+    if not os.path.exists(cur) and os.path.exists(old):
+        os.rename(old, cur)
+
+
+def _promote(tmp: str, cur: str) -> None:
+    swap = cur + ".old"
+    if os.path.exists(swap):
+        shutil.rmtree(swap)
+    if os.path.exists(cur):
+        os.rename(cur, swap)
+    os.rename(tmp, cur)
+    if os.path.exists(swap):
+        shutil.rmtree(swap)
+
+
+def _fingerprint_and_counts(
+    df: DataFrame, key_col: str, from_level: int
+) -> tuple[str, int, list[int]]:
+    """ONE aggregate pass: batch count, the two-hash content fingerprint,
+    and the kept-row count at every candidate level >= from_level."""
+    h = hash_expr(key_col, 0)
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(h).alias("__s1"),
+        F.sum(hash_expr(key_col, 104729)).alias("__s2"),
+    ] + [
+        F.sum(
+            F.when(h < F.lit(level_cutoff(lv)), 1).otherwise(0)
+        ).alias(f"__lv_{lv}")
+        for lv in range(from_level, MAX_LEVEL + 1)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["__n"])
+    fp = f"{n}:{row['__s1']}:{row['__s2']}"
+    counts = [int(row[f"__lv_{lv}"] or 0) for lv in range(from_level, MAX_LEVEL + 1)]
+    return fp, n, counts
+
+
+def load_quantile_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, int, int]:
+    """(sample_df, level, n_total) for the current state."""
+    _recover(state_dir)
+    cur = _current(state_dir)
+    meta = spark.read.parquet(os.path.join(cur, _META)).collect()[0]
+    sample = spark.read.parquet(os.path.join(cur, _SAMPLE))
+    return sample, int(meta["level"]), int(meta["n_total"])
+
+
+def state_quantiles(
+    spark: SparkSession, state_dir: str, probs: list[float]
+) -> DataFrame:
+    """Quantile estimates from the current state: one row per probe —
+    (q, est, sample_m, n_total, level).  The sample is sketch-sized by
+    contract, so ranking it is a driver-side sort (the same budget class
+    as reading the CMS cell table)."""
+    sample, level, n_total = load_quantile_state(spark, state_dir)
+    cols = sample.columns  # [value, key]
+    rows = sorted((r[cols[0]], r[cols[1]]) for r in sample.collect())
+    m = len(rows)
+    out = [
+        (float(q), rows[rank_target(q, m) - 1][0] if m else None,
+         m, n_total, level)
+        for q in probs
+    ]
+    vt = dict(sample.dtypes)[cols[0]]
+    return spark.createDataFrame(
+        out, f"q double, est {vt}, sample_m long, n_total long, level int"
+    )
+
+
+def track_quantiles(
+    stream_df: DataFrame,
+    value_col: str,
+    key_col: str,
+    state_dir: str,
+    cap: int = 4096,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the quantile tracker.  ``key_col`` must be a unique integer
+    row key (it drives keep/drop and never changes across replays);
+    ``cap`` bounds the persisted sample — rank error is the DKW
+    O(sqrt(q(1-q)/cap)) of the batch operator."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover(state_dir)
+        cur = _current(state_dir)
+        have_state = os.path.exists(cur)
+        if have_state:
+            meta = spark.read.parquet(os.path.join(cur, _META)).collect()[0]
+            level, n_total = int(meta["level"]), int(meta["n_total"])
+            applied = spark.read.parquet(os.path.join(cur, _APPLIED))
+        else:
+            level, n_total, applied = 0, 0, None
+
+        src = batch_df.select(
+            F.col(value_col).alias("v"), F.col(key_col).alias("k")
+        ).where(F.col("v").isNotNull())
+        fp, batch_n, _ = _fingerprint_and_counts(src, "k", MAX_LEVEL)
+        if batch_n == 0:
+            return
+        if applied is not None and (
+            applied.where(applied.fp == fp).limit(1).count() > 0
+        ):
+            return  # replayed batch: already applied
+
+        kept = src.where(hash_expr("k", 0) < F.lit(level_cutoff(level)))
+        if have_state:
+            merged = spark.read.parquet(os.path.join(cur, _SAMPLE)).unionByName(
+                kept
+            )
+        else:
+            merged = kept
+        # one pass over the (state ∪ kept-batch) sample: counts at every
+        # deeper level; pick the smallest level that fits cap
+        _, total_kept, counts = _fingerprint_and_counts(merged, "k", level)
+        new_level = None
+        for off, cnt in enumerate(counts):
+            if cnt <= cap:
+                new_level = level + off
+                break
+        if new_level is None:
+            raise ValueError(
+                f"sample exceeds cap={cap} even at level {MAX_LEVEL}: "
+                "raise cap (it must be >= a ~2^-40 fraction of the stream)"
+            )
+        if new_level > level:
+            merged = merged.where(
+                hash_expr("k", 0) < F.lit(level_cutoff(new_level))
+            )
+
+        fps = [fp] if applied is None else (
+            [r["fp"] for r in applied.collect()] + [fp]
+        )
+        tmp = cur + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        merged.coalesce(1).write.parquet(os.path.join(tmp, _SAMPLE))
+        spark.createDataFrame(
+            [(new_level, n_total + batch_n)], "level int, n_total long"
+        ).coalesce(1).write.parquet(os.path.join(tmp, _META))
+        spark.createDataFrame([(f,) for f in fps], "fp string").coalesce(
+            1
+        ).write.parquet(os.path.join(tmp, _APPLIED))
+        _promote(tmp, cur)
+
+    writer = stream_df.writeStream.foreachBatch(handle)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
