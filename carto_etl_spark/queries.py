@@ -6861,6 +6861,66 @@ FROM documents
 """
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_codebooks/pq_encode/
+    pq_adc_topk): the compression tier of the similarity stack (brute ->
+    LSH buckets -> IVF lists -> PQ codes).  64-dim corpus -> 8 subspaces x
+    16 codes (md5-sampled codebooks, engine-reproducible), asymmetric-
+    distance top-5 for vec_id 0 over the code column only — at 100 TB the
+    ADC scan reads ~32x less than the f32 vectors.  The oracle re-derives
+    codebooks, per-subspace argmin codes, the query lookup table and the
+    fixed-order ADC sum entirely in DuckDB; 6dp rounding absorbs the
+    sqrt/square libm noise as in ORACLE_ANN_IVF."""
+    e = load(spark, sf_dir, "embeddings")
+    query = [float(v) for v in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cbs = sim.pq_codebooks(e, n_sub=8, n_codes=16)
+    enc = sim.pq_encode(e, cbs)
+    return sim.pq_adc_topk(enc, cbs, query, k=5)
+
+
+def _build_oracle_ann_pq(n_sub: int = 8, w: int = 8) -> str:
+    enc_cols = ",\n         ".join(
+        f"(SELECT c FROM cb ORDER BY list_distance("
+        f"list_slice(cast(e.embedding AS double[]), {s * w + 1}, {s * w + w}), "
+        f"list_slice(cb.v, {s * w + 1}, {s * w + w})), c LIMIT 1) AS c{s}"
+        for s in range(n_sub)
+    )
+    lut_cols = ",\n         ".join(
+        f"power(list_distance(list_slice(q.v, {s * w + 1}, {s * w + w}), "
+        f"list_slice(cb.v, {s * w + 1}, {s * w + w})), 2) AS d{s}"
+        for s in range(n_sub)
+    )
+    joins = "\n".join(
+        f"JOIN lut l{s} ON l{s}.c = enc.c{s}" for s in range(n_sub)
+    )
+    adc = " + ".join(f"l{s}.d{s}" for s in range(n_sub))
+    return f"""
+WITH cbrows AS (
+  SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
+  ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 16
+), cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM cbrows
+), q AS (
+  SELECT cast(embedding AS double[]) AS v FROM embeddings WHERE vec_id = 0
+), enc AS (
+  SELECT e.vec_id,
+         {enc_cols}
+  FROM embeddings e
+), lut AS (
+  SELECT cb.c,
+         {lut_cols}
+  FROM cb, q
+)
+SELECT enc.vec_id, round({adc}, 6) AS adc_dist
+FROM enc
+{joins}
+ORDER BY adc_dist, enc.vec_id LIMIT 5
+"""
+
+
+ORACLE_ANN_PQ = _build_oracle_ann_pq()
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup semantic deduplication (similarity.semantic_dedup): coarse
     clusters from the md5-sampled quantizer, within-cluster cosine >= 0.9
@@ -7080,6 +7140,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "percentiles": q_percentiles,
     "sample_quantiles": q_sample_quantiles,
+    "ann_pq": q_ann_pq,
     "semantic_dedup": q_semantic_dedup,
     "streaming_quantiles": q_streaming_quantiles,
     "above_customer_avg": q_above_customer_avg,
@@ -7240,6 +7301,7 @@ ORACLES = {
     "json_extract": ORACLE_JSON,
     "percentiles": ORACLE_PERCENTILES,
     "sample_quantiles": _oracle_sample_quantiles(),
+    "ann_pq": ORACLE_ANN_PQ,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "streaming_quantiles": ORACLE_STREAMING_QUANTILES,
     "above_customer_avg": ORACLE_ABOVE_AVG,

@@ -249,6 +249,70 @@ def test_embedding_near_dup(vectors):
     assert (0, 1) in got
 
 
+def test_pq_encode_codebook_rows_reconstruct_exactly(spark):
+    """A vector that IS a codebook source row must quantize losslessly:
+    whatever codes it gets (ties resolve to the smaller code when two
+    entries coincide), decoding those codes must reproduce the vector
+    exactly — distance 0 always beats every non-identical entry."""
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cbs = sim.pq_codebooks(df, n_sub=4, n_codes=8)
+    enc = {r["vec_id"]: r for r in sim.pq_encode(df, cbs).collect()}
+    sources = {
+        tuple(x for s in range(4) for x in cbs[s][c]) for c in range(8)
+    }
+    hits = 0
+    for i, vec in rows:
+        if tuple(vec) in sources:
+            codes = enc[i]["pq_codes"]
+            decoded = [x for s in range(4) for x in cbs[s][codes[s]]]
+            assert decoded == vec
+            hits += 1
+    assert hits == 8  # every codebook source row reconstructs losslessly
+
+
+def test_pq_adc_exact_duplicate_wins(spark):
+    """An exact duplicate of the query vector shares its codes, so its ADC
+    distance equals the query's own quantization error - the minimum
+    possible - and it must rank first."""
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    rows.append((999, list(rows[5][1])))  # duplicate of vec 5
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cbs = sim.pq_codebooks(df, n_sub=4, n_codes=16)
+    enc = sim.pq_encode(df, cbs)
+    top = sim.pq_adc_topk(enc, cbs, list(rows[5][1]), k=3).collect()
+    ids = [r["vec_id"] for r in top]
+    assert set(ids[:2]) == {5, 999}  # the vector and its duplicate tie first
+    assert top[0]["adc_dist"] == top[1]["adc_dist"]
+
+
+def test_pq_encode_is_map_only(spark):
+    """Encoding must stay a single codegen projection: no join, no
+    exchange, no Python - the property that makes the 100 TB encode pass
+    a pure scan."""
+    from carto_etl_spark.plans.inspect import explain_str
+
+    rows = [(i, [float(j) for j in range(8)]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cbs = sim.pq_codebooks(df, n_sub=4, n_codes=4)
+    plan = explain_str(sim.pq_encode(df, cbs))
+    for marker in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+
+
+def test_pq_dim_must_divide(spark):
+    import pytest as _pt
+
+    rows = [(i, [float(j) for j in range(10)]) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with _pt.raises(ValueError, match="divisible"):
+        sim.pq_codebooks(df, n_sub=4, n_codes=4)
+
+
 def test_semantic_dedup_flags_duplicate_groups(spark):
     """Two duplicate groups plus one isolate: inside each group every
     non-minimal id must be flagged with dup_of = the group minimum; the
