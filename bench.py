@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "events_window",
     "asof_join",
+    "scd2_dimension",
     "sessionize",
     "running_total",
     "rollup_revenue",

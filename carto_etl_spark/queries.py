@@ -6861,6 +6861,63 @@ FROM documents
 """
 
 
+def q_scd2_dimension(spark, sf_dir):
+    """Type-2 slowly-changing dimension (operators/scd.py): each customer's
+    order-priority history becomes versioned validity intervals —
+    consecutive identical observations collapse, valid_to = next version's
+    start, the open version flags is_current.  One key-partitioned window
+    chain (single hash exchange, no global sort).  The oracle replays the
+    same run-collapse with DuckDB windows."""
+    from carto_etl_spark.operators.scd import scd2_build
+
+    o = load(spark, sf_dir, "orders")
+    dim = scd2_build(
+        o.select("o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"),
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+        tiebreak_cols=["o_orderkey"],
+    )
+    return dim.select(
+        "o_custkey",
+        "version",
+        "o_orderpriority",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+ORACLE_SCD2 = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
+         CASE WHEN lag(o_orderpriority) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ) IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS opens
+  FROM orders
+), runs AS (
+  SELECT *, sum(opens) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING
+         ) AS version
+  FROM ordered
+), vers AS (
+  SELECT o_custkey, CAST(version AS BIGINT) AS version,
+         min(o_orderpriority) AS o_orderpriority,
+         min(o_orderdate) AS valid_from
+  FROM runs GROUP BY o_custkey, version
+)
+SELECT o_custkey, version, o_orderpriority, valid_from,
+       lead(valid_from) OVER (
+         PARTITION BY o_custkey ORDER BY version
+       ) AS valid_to,
+       lead(valid_from) OVER (
+         PARTITION BY o_custkey ORDER BY version
+       ) IS NULL AS is_current
+FROM vers
+"""
+
+
 def q_ann_pq(spark, sf_dir):
     """Product-quantization ANN (similarity.pq_codebooks/pq_encode/
     pq_adc_topk): the compression tier of the similarity stack (brute ->
@@ -7141,6 +7198,7 @@ QUERIES = {
     "percentiles": q_percentiles,
     "sample_quantiles": q_sample_quantiles,
     "ann_pq": q_ann_pq,
+    "scd2_dimension": q_scd2_dimension,
     "semantic_dedup": q_semantic_dedup,
     "streaming_quantiles": q_streaming_quantiles,
     "above_customer_avg": q_above_customer_avg,
@@ -7302,6 +7360,7 @@ ORACLES = {
     "percentiles": ORACLE_PERCENTILES,
     "sample_quantiles": _oracle_sample_quantiles(),
     "ann_pq": ORACLE_ANN_PQ,
+    "scd2_dimension": ORACLE_SCD2,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "streaming_quantiles": ORACLE_STREAMING_QUANTILES,
     "above_customer_avg": ORACLE_ABOVE_AVG,
