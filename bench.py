@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "incremental_mv",
     "tfidf_terms",
     "image_features",
+    "image_near_dup",
     "nation_trade_volume",
     "returned_revenue",
     "promo_share",

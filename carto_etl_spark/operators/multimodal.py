@@ -1241,3 +1241,170 @@ def sample_video_frames(
     return df.select("media_id", "content").mapInPandas(
         run, schema=VIDEO_FRAMES_SCHEMA
     )
+
+
+# -- perceptual image hashing (dHash) + near-duplicate pairs -----------------
+# The image leg of the dedup family: resized crops, re-encodes and minor
+# edits keep byte hashes apart but perceptual hashes close.  dHash (the
+# difference hash: compare horizontally adjacent pixels of a small
+# grayscale downscale) is the standard cheap one.  The 64 bits are stored
+# as TWO 32-bit halves: both engines xor/bit_count BIGINTs without ever
+# touching bit 63, which DuckDB's left-shift refuses to produce.
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dh_lo", T.LongType()),
+        T.StructField("dh_hi", T.LongType()),
+    ]
+)
+
+#: dHash sampling grid: 9 columns x 8 rows -> 8x8 = 64 comparisons
+DHASH_COLS = 9
+DHASH_ROWS = 8
+
+
+def dhash_grid(width: int, height: int) -> tuple[list[int], list[int]]:
+    """Floor-division sample positions (engine-portable: integer math)."""
+    xs = [x * width // DHASH_COLS for x in range(DHASH_COLS)]
+    ys = [y * height // DHASH_ROWS for y in range(DHASH_ROWS)]
+    return xs, ys
+
+
+def image_dhash(
+    df: DataFrame,
+    *,
+    decoder=None,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Decode + dHash over ``mapInPandas`` (Arrow batches): grayscale =
+    integer mean of the channels (floor division — exact in any engine),
+    sample the 9x8 grid, bit (y, x) = gray[y][x] < gray[y][x+1].  Same
+    decoder dispatch as ``decode_image_features`` (stdlib built-ins, then
+    the pluggable hook, then PIL)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, c, img = _real_decode(bytes(content or b""), decoder)
+                gray = (
+                    img.reshape(h, w, c).astype(np.int64).sum(axis=2) // c
+                )
+                xs, ys = dhash_grid(w, h)
+                lo = hi = 0
+                for y in range(DHASH_ROWS):
+                    row = gray[ys[y]]
+                    for x in range(DHASH_COLS - 1):
+                        if row[xs[x]] < row[xs[x + 1]]:
+                            idx = y * (DHASH_COLS - 1) + x
+                            if idx < 32:
+                                lo |= 1 << idx
+                            else:
+                                hi |= 1 << (idx - 32)
+                rows.append((media_id, w, h, lo, hi))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "dh_lo", "dh_hi"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run, schema=DHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate image pairs from dHash halves: pigeonhole blocking on
+    the four 16-bit blocks (any pair within hamming <= 3 shares at least
+    one block — the simhash blocking argument), exact hamming on
+    candidates.  Shuffle key = (block, value); never all-pairs."""
+    if max_hamming > 3:
+        raise ValueError("16-bit blocking guarantees recall only to hamming 3")
+    mask = F.lit((1 << 16) - 1)
+    h = hashes.select(
+        F.col(id_col).alias("__id"), "dh_lo", "dh_hi"
+    )
+    block_exprs = [
+        F.col("dh_lo").bitwiseAND(mask),
+        F.shiftrightunsigned("dh_lo", 16).bitwiseAND(mask),
+        F.col("dh_hi").bitwiseAND(mask),
+        F.shiftrightunsigned("dh_hi", 16).bitwiseAND(mask),
+    ]
+    blocks = h.select(
+        "__id", "dh_lo", "dh_hi",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("blk"), e.alias("key"))
+                for i, e in enumerate(block_exprs)
+            ])
+        ).alias("b"),
+    ).select("__id", "dh_lo", "dh_hi", "b.blk", "b.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            (
+                F.bit_count(
+                    F.col("a.dh_lo").bitwiseXOR(F.col("b.dh_lo"))
+                )
+                + F.bit_count(
+                    F.col("a.dh_hi").bitwiseXOR(F.col("b.dh_hi"))
+                )
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+_synth_noise_ppm_udf = None
+
+
+def synth_noise_ppm_expr(media_id, width: int = 16, height: int = 8):
+    """Deterministic NOISE binary-PPM synthesizer (pandas UDF over an id
+    column): channel byte p (p = (y*width + x)*3 + c) of SOURCE id s is the
+    first md5 byte of ``"{s}:{p}"`` — genuinely mixed (an affine formula
+    mod 256 leaves dHash bits correlated across ids and floods the pair
+    join), so distinct images sit at expected pairwise hamming ~32 and the
+    ONLY near-pairs are the injected ones.  Ids >= 1_000_000 are
+    NEAR-COPIES of id-1_000_000: identical bytes except pixel (0,0)
+    channel 0 gets +128 mod 256 — at most one dHash comparison can flip,
+    so the copy sits within hamming 1 of its source.  md5 bytes are
+    engine-portable: an oracle replays every pixel with its own md5."""
+    global _synth_noise_ppm_udf
+    if _synth_noise_ppm_udf is None:
+        import hashlib
+
+        header = f"P6\n{width} {height}\n255\n".encode()
+        npx = width * height * 3
+
+        def synth(ids):
+            def one(i):
+                i = int(i)
+                s = i - 1_000_000 if i >= 1_000_000 else i
+                vals = bytearray(
+                    hashlib.md5(f"{s}:{p}".encode()).digest()[0]
+                    for p in range(npx)
+                )
+                if i >= 1_000_000:
+                    vals[0] = (vals[0] + 128) % 256
+                return header + bytes(vals)
+
+            return ids.map(one)
+
+        _synth_noise_ppm_udf = F.pandas_udf(synth, "binary")
+    return _synth_noise_ppm_udf(media_id)

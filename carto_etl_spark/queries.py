@@ -6861,6 +6861,137 @@ FROM documents
 """
 
 
+def _dhash_bits_sql(gray) -> tuple[str, str]:
+    """(dh_lo, dh_hi) SQL from a ``gray(y, x) -> SQL string`` callback over
+    the 9x8 dHash grid — shared by every image-hash oracle so the bit
+    layout can never drift from multimodal.dhash_grid/image_dhash."""
+    from carto_etl_spark.operators.multimodal import (
+        DHASH_COLS,
+        DHASH_ROWS,
+        dhash_grid,
+    )
+
+    xs, ys = dhash_grid(16, 8)
+    lo_terms, hi_terms = [], []
+    for y in range(DHASH_ROWS):
+        for x in range(DHASH_COLS - 1):
+            idx = y * (DHASH_COLS - 1) + x
+            cond = f"({gray(ys[y], xs[x])}) < ({gray(ys[y], xs[x + 1])})"
+            if idx < 32:
+                lo_terms.append(f"CASE WHEN {cond} THEN {1 << idx} ELSE 0 END")
+            else:
+                hi_terms.append(
+                    f"CASE WHEN {cond} THEN {1 << (idx - 32)} ELSE 0 END"
+                )
+    return (
+        "CAST(" + " + ".join(lo_terms) + " AS BIGINT)",
+        "CAST(" + " + ".join(hi_terms) + " AS BIGINT)",
+    )
+
+
+def q_image_dhash(spark, sf_dir):
+    """Perceptual image hash under the oracle gate (multimodal.image_dhash):
+    the REAL PNG decode chain (chunk walk, zlib inflate, all five unfilter
+    paths via id%5) feeds the dHash — integer grayscale, 9x8 grid,
+    adjacent-column comparisons packed into two 32-bit halves.  The oracle
+    recomputes every bit from the gradient generator's integer formula."""
+    from carto_etl_spark.operators.multimodal import (
+        image_dhash,
+        synth_gradient_png_expr,
+    )
+
+    d = widen(load(spark, sf_dir, "documents"), spark).select(
+        F.col("doc_id").alias("media_id")
+    )
+    src = d.withColumn("content", synth_gradient_png_expr(F.col("media_id")))
+    return image_dhash(src)
+
+
+def _build_oracle_image_dhash() -> str:
+    def gray(y, x):
+        k = y * 16 + x
+        chans = " + ".join(
+            f"((doc_id * 7 + {c * 31 + k}) % 256)" for c in range(3)
+        )
+        return f"({chans}) // 3"
+
+    lo, hi = _dhash_bits_sql(gray)
+    return f"""
+SELECT doc_id AS media_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       {lo} AS dh_lo,
+       {hi} AS dh_hi
+FROM documents
+"""
+
+
+ORACLE_IMAGE_DHASH = _build_oracle_image_dhash()
+
+
+def q_image_near_dup(spark, sf_dir):
+    """Image near-duplicate pairs (multimodal.image_near_dup_pairs):
+    pseudo-random PPM corpus (expected pairwise hamming ~32) plus a
+    one-pixel-perturbed near-copy of every 25th document — the copies must
+    come out within hamming 1 of their source via the 16-bit pigeonhole
+    blocking join, never an all-pairs scan.  The oracle re-derives every
+    dHash bit from the noise generator's integer formula and brute-forces
+    the exact hamming join."""
+    from carto_etl_spark.operators.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+        synth_noise_ppm_expr,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    copies = d.filter(F.col("media_id") % 25 == 0).select(
+        (F.col("media_id") + 1000000).alias("media_id")
+    )
+    src = d.unionByName(copies).withColumn(
+        "content", synth_noise_ppm_expr(F.col("media_id"))
+    )
+    return image_near_dup_pairs(image_dhash(src), max_hamming=2)
+
+
+def _build_oracle_image_near_dup() -> str:
+    def gray(y, x):
+        terms = []
+        for c in range(3):
+            p = (y * 16 + x) * 3 + c
+            v = (
+                f"(('0x' || substr(md5(concat(CAST(src_id AS VARCHAR), "
+                f"':{p}')), 1, 2))::BIGINT)"
+            )
+            if p == 0:
+                v = f"(({v} + CASE WHEN is_copy THEN 128 ELSE 0 END) % 256)"
+            terms.append(v)
+        return "(" + " + ".join(terms) + ") // 3"
+
+    lo, hi = _dhash_bits_sql(gray)
+    return f"""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id AS src_id, FALSE AS is_copy
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS media_id, doc_id AS src_id, TRUE AS is_copy
+  FROM documents WHERE doc_id % 25 = 0
+), hashes AS (
+  SELECT media_id, {lo} AS dh_lo, {hi} AS dh_hi FROM ids
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dh_lo, b.dh_lo))
+            + bit_count(xor(a.dh_hi, b.dh_hi)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dh_lo, b.dh_lo))
+      + bit_count(xor(a.dh_hi, b.dh_hi)) <= 2
+"""
+
+
+ORACLE_IMAGE_NEAR_DUP = _build_oracle_image_near_dup()
+
+
 def q_scd2_dimension(spark, sf_dir):
     """Type-2 slowly-changing dimension (operators/scd.py): each customer's
     order-priority history becomes versioned validity intervals —
@@ -7198,6 +7329,8 @@ QUERIES = {
     "percentiles": q_percentiles,
     "sample_quantiles": q_sample_quantiles,
     "ann_pq": q_ann_pq,
+    "image_dhash": q_image_dhash,
+    "image_near_dup": q_image_near_dup,
     "scd2_dimension": q_scd2_dimension,
     "semantic_dedup": q_semantic_dedup,
     "streaming_quantiles": q_streaming_quantiles,
@@ -7360,6 +7493,8 @@ ORACLES = {
     "percentiles": ORACLE_PERCENTILES,
     "sample_quantiles": _oracle_sample_quantiles(),
     "ann_pq": ORACLE_ANN_PQ,
+    "image_dhash": ORACLE_IMAGE_DHASH,
+    "image_near_dup": ORACLE_IMAGE_NEAR_DUP,
     "scd2_dimension": ORACLE_SCD2,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "streaming_quantiles": ORACLE_STREAMING_QUANTILES,

@@ -1170,3 +1170,134 @@ def test_video_container_hook_fake_and_raise(spark):
 
     with pytest.raises(ValueError):
         sample_video_frames(df, every_n=0)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (multimodal.py:image_dhash / image_near_dup_pairs)
+# ---------------------------------------------------------------------------
+
+
+def _ppm_bytes(img):
+    import numpy as np
+
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + np.asarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def test_dhash_format_invariance_ppm_vs_png(spark):
+    """The SAME pixels through two different codecs (raw PPM vs zlib PNG)
+    must produce the SAME dHash — the whole point of a perceptual hash is
+    that bytes don't matter, pixels do."""
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import (
+        image_dhash,
+        synth_gradient_png_expr,
+    )
+
+    df = spark.createDataFrame([(7,)], ["media_id"])
+    png = df.withColumn("content", synth_gradient_png_expr(F.col("media_id")))
+    h_png = image_dhash(png).collect()[0]
+    # same generator formula, hand-built as a PPM
+    k = np.arange(16 * 8, dtype=np.int64).reshape(8, 16)
+    img = np.stack([(7 * 7 + c * 31 + k) % 256 for c in range(3)], axis=2)
+    ppm = spark.createDataFrame(
+        [(7, bytearray(_ppm_bytes(img)))], "media_id long, content binary"
+    )
+    h_ppm = image_dhash(ppm).collect()[0]
+    assert (h_png["dh_lo"], h_png["dh_hi"]) == (h_ppm["dh_lo"], h_ppm["dh_hi"])
+
+
+def test_dhash_one_pixel_edit_is_near_identical_random_is_far(spark):
+    import hashlib
+
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    def noise_img(seed):
+        b = bytes(
+            hashlib.md5(f"{seed}:{p}".encode()).digest()[0]
+            for p in range(16 * 8 * 3)
+        )
+        return np.frombuffer(b, dtype=np.uint8).reshape(8, 16, 3)
+
+    base = noise_img(1)
+    edited = base.copy()
+    edited[4, 9, 1] = (int(edited[4, 9, 1]) + 131) % 256  # one channel edit
+    rows = [
+        (1, bytearray(_ppm_bytes(base))),
+        (2, bytearray(_ppm_bytes(edited))),
+        (3, bytearray(_ppm_bytes(noise_img(99)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashes = image_dhash(df)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2  # edit touches <= 2 bits
+    assert all(p == (1, 2) for p in pairs)  # unrelated noise never pairs
+
+
+def test_image_blocking_equals_brute_force(spark):
+    """Pigeonhole blocking is exact for hamming <= 3: its pair set must
+    equal the brute-force quadratic scan on a corpus with planted
+    duplicates at several distances."""
+    import hashlib
+
+    import numpy as np
+
+    from carto_etl_spark.operators.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    def noise_img(seed):
+        b = bytes(
+            hashlib.md5(f"{seed}:{p}".encode()).digest()[0]
+            for p in range(16 * 8 * 3)
+        )
+        return np.frombuffer(b, dtype=np.uint8).reshape(8, 16, 3)
+
+    rows = []
+    for s in range(12):
+        img = noise_img(s)
+        rows.append((s, bytearray(_ppm_bytes(img))))
+        if s % 4 == 0:  # plant a light edit of every 4th image
+            e = img.copy()
+            e[0, 0, 0] = (int(e[0, 0, 0]) + 128) % 256
+            rows.append((100 + s, bytearray(_ppm_bytes(e))))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashes = image_dhash(df).cache()
+    blocked = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_near_dup_pairs(hashes, max_hamming=3).collect()
+    }
+    hs = {r["media_id"]: (r["dh_lo"], r["dh_hi"]) for r in hashes.collect()}
+    brute = set()
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(hs[a][0] ^ hs[b][0]).count("1") + bin(
+                hs[a][1] ^ hs[b][1]
+            ).count("1")
+            if d <= 3:
+                brute.add((a, b, d))
+    assert blocked == brute and brute  # identical, and non-empty
+    hashes.unpersist()
+
+
+def test_image_near_dup_rejects_deep_hamming(spark):
+    import pytest as _pt
+
+    from carto_etl_spark.operators.multimodal import image_near_dup_pairs
+
+    df = spark.createDataFrame([(1, 0, 0)], "media_id long, dh_lo long, dh_hi long")
+    with _pt.raises(ValueError, match="hamming 3"):
+        image_near_dup_pairs(df, max_hamming=4)
