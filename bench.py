@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "cube_revenue",
     "percentiles",
     "sample_quantiles",
+    "group_quantiles",
     "min_cost_supplier",
     "important_stock",
     "parts_supplier_relationship",

@@ -205,3 +205,111 @@ SELECT q, est, sample_m, n_total, true_rank,
        CAST(true_rank AS DOUBLE) / n_total - q AS rank_err
 FROM graded
 """
+
+
+def group_sample_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    probs: list[float],
+    target_per_group: int = 4096,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-group approximate quantiles, fully distributed — unlike
+    :func:`sample_quantiles` nothing is collected, so the group count can
+    be arbitrarily large (per-language length percentiles over a million
+    languages-x-sources cells work the same as three TPC-H flags).
+
+    Plan: one group-count aggregate, one join to attach the per-group
+    cutoff (broadcast when the group table is small, shuffle otherwise),
+    one scan-stage filter, then group-partitioned windows over the
+    ~target_per_group-per-group sample and a |probs|-way explode.  No
+    unpartitioned window, no driver state.
+
+    Output: one row per (group, probe): group_cols..., q, est, sample_m,
+    n_total.  Estimates are the lower empirical quantile (rank
+    ceil(q*m) clamped to [1, m]) — always a real data value.
+    """
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for q in probs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"probs must be in (0, 1], got {q}")
+    from pyspark.sql import Window
+
+    src = df.select(*group_cols, value_col, key_col).where(
+        F.col(value_col).isNotNull()
+    )
+    counts = src.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    cutoff = F.floor(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_per_group)) / F.col("__n").cast("double"),
+        )
+        * F.lit(LEHMER_M)
+    ).cast("long")
+    with_cut = src.join(counts.withColumn("__cut", cutoff), group_cols)
+    sample = with_cut.where(hash_expr(key_col, salt) < F.col("__cut"))
+
+    wg = Window.partitionBy(*group_cols)
+    wr = wg.orderBy(F.col(value_col), F.col(key_col))
+    ranked = sample.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.col("__n"),
+        F.row_number().over(wr).alias("__r"),
+        F.count(F.lit(1)).over(wg).alias("__m"),
+    )
+    probed = ranked.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(q)) for q in probs]))
+    )
+    target = F.greatest(
+        F.lit(1),
+        F.least(F.col("__m"), F.ceil(F.col("q") * F.col("__m"))),
+    )
+    return probed.where(F.col("__r") == target).select(
+        *group_cols,
+        "q",
+        F.col("__v").alias("est"),
+        F.col("__m").cast("long").alias("sample_m"),
+        F.col("__n").cast("long").alias("n_total"),
+    )
+
+
+def group_sample_quantiles_oracle_sql(
+    src_sql: str,
+    group_sql: str = "g",
+    value_sql: str = "v",
+    key_sql: str = "k",
+    probs: list[float] | None = None,
+    target_per_group: int = 4096,
+    salt: int = 0,
+) -> str:
+    """DuckDB re-derivation of :func:`group_sample_quantiles` — per-group
+    counts, float64 cutoffs, hash filter, partitioned ranks, rank targets."""
+    probs = probs or [0.25, 0.5, 0.75]
+    probs_values = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in probs)
+    return f"""
+WITH src AS ({src_sql}),
+counts AS (
+  SELECT {group_sql} AS g, count(*) AS n FROM src GROUP BY 1
+),
+samp AS (
+  SELECT s.{group_sql} AS g, s.{value_sql} AS v, s.{key_sql} AS k, c.n
+  FROM src s JOIN counts c ON s.{group_sql} = c.g
+  WHERE {hash_sql(key_sql, salt)} <
+        CAST(floor(least(1.0, CAST({target_per_group} AS DOUBLE)
+                              / CAST(c.n AS DOUBLE)) * {LEHMER_M}) AS BIGINT)
+),
+ranked AS (
+  SELECT g, v, n,
+         row_number() OVER (PARTITION BY g ORDER BY v, k) AS r,
+         count(*) OVER (PARTITION BY g) AS m
+  FROM samp
+),
+probes(q) AS (VALUES {probs_values})
+SELECT g, q, v AS est, m AS sample_m, n AS n_total
+FROM ranked, probes
+WHERE r = greatest(1, least(m, CAST(ceil(q * m) AS BIGINT)))
+"""

@@ -7109,6 +7109,38 @@ ORDER BY adc_dist, enc.vec_id LIMIT 5
 ORACLE_ANN_PQ = _build_oracle_ann_pq()
 
 
+def q_group_quantiles(spark, sf_dir):
+    """Per-group approximate quantiles (quantiles.group_sample_quantiles):
+    price quartiles per return flag from per-group hash-threshold samples —
+    fully distributed (group counts -> per-group float64 cutoff -> filter
+    -> group-partitioned ranks -> probe explode), no driver state, so a
+    million groups cost the same plan.  The oracle re-derives every stage
+    per group in DuckDB."""
+    from carto_etl_spark.operators import quantiles as qt
+
+    li = load(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
+    )
+    return qt.group_sample_quantiles(
+        src, ["g"], "v", "k", [0.25, 0.5, 0.75], target_per_group=500
+    )
+
+
+def _oracle_group_quantiles() -> str:
+    from carto_etl_spark.operators import quantiles as qt
+
+    return qt.group_sample_quantiles_oracle_sql(
+        "SELECT l_returnflag AS g, l_extendedprice AS v, "
+        "l_orderkey * 8 + l_linenumber AS k FROM lineitem "
+        "WHERE l_extendedprice IS NOT NULL",
+        probs=[0.25, 0.5, 0.75],
+        target_per_group=500,
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup semantic deduplication (similarity.semantic_dedup): coarse
     clusters from the md5-sampled quantizer, within-cluster cosine >= 0.9
@@ -7328,6 +7360,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "percentiles": q_percentiles,
     "sample_quantiles": q_sample_quantiles,
+    "group_quantiles": q_group_quantiles,
     "ann_pq": q_ann_pq,
     "image_dhash": q_image_dhash,
     "image_near_dup": q_image_near_dup,
@@ -7492,6 +7525,7 @@ ORACLES = {
     "json_extract": ORACLE_JSON,
     "percentiles": ORACLE_PERCENTILES,
     "sample_quantiles": _oracle_sample_quantiles(),
+    "group_quantiles": _oracle_group_quantiles(),
     "ann_pq": ORACLE_ANN_PQ,
     "image_dhash": ORACLE_IMAGE_DHASH,
     "image_near_dup": ORACLE_IMAGE_NEAR_DUP,

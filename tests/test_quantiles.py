@@ -138,3 +138,65 @@ def test_nulls_excluded_like_sql_percentile(spark):
     df = spark.createDataFrame(rows, "v double, k long")
     res = qt.sample_quantiles(df, "v", "k", [0.5], target_sample=100).collect()
     assert res[0]["n_total"] == 100  # nulls never enter n or the sample
+
+
+# -- grouped variant ---------------------------------------------------------
+
+
+def _gdf(spark, sizes, parts=4):
+    rows = []
+    k = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((g, ((k * 37) % 997) + 0.5, k))
+            k += 1
+    return spark.createDataFrame(rows, "g string, v double, k long").repartition(parts)
+
+
+def _g_reference(spark_rows, probs, target):
+    by_g = {}
+    for g, v, k in spark_rows:
+        by_g.setdefault(g, []).append((v, k))
+    out = {}
+    for g, rows in by_g.items():
+        n = len(rows)
+        cutoff = int(min(1.0, target / n) * LEHMER_M)
+        sample = sorted((v, k) for v, k in rows if _py_hash(k) < cutoff)
+        m = len(sample)
+        for q in probs:
+            r = max(1, min(m, math.ceil(q * m)))
+            out[(g, q)] = (sample[r - 1][0], m, n)
+    return out
+
+
+def test_grouped_matches_python_reference(spark):
+    sizes = {"a": 400, "b": 90, "c": 7}
+    probs = [0.25, 0.5, 0.75]
+    df = _gdf(spark, sizes)
+    res = {
+        (r["g"], r["q"]): (r["est"], r["sample_m"], r["n_total"])
+        for r in qt.group_sample_quantiles(
+            df, ["g"], "v", "k", probs, target_per_group=50
+        ).collect()
+    }
+    rows = [(r["g"], r["v"], r["k"]) for r in df.collect()]
+    assert res == _g_reference(rows, probs, 50)
+    # per-group rates actually differ: the big group is subsampled, the
+    # 7-row group keeps everything
+    assert res[("c", 0.25)][1] == 7
+    assert res[("a", 0.25)][1] < 400
+
+
+def test_grouped_partitioning_independent(spark):
+    sizes = {"a": 300, "b": 60}
+    a = qt.group_sample_quantiles(_gdf(spark, sizes, parts=1), ["g"], "v", "k", [0.5], 40)
+    b = qt.group_sample_quantiles(_gdf(spark, sizes, parts=11), ["g"], "v", "k", [0.5], 40)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_grouped_no_unpartitioned_window(spark):
+    from carto_etl_spark.plans.inspect import unpartitioned_windows
+
+    df = _gdf(spark, {"a": 50, "b": 50})
+    out = qt.group_sample_quantiles(df, ["g"], "v", "k", [0.5], 20)
+    assert not unpartitioned_windows(out)
