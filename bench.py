@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "span_dedup",
     "heavy_hitters",
     "hll_registers",
+    "hll_grouped",
     "embedding_near_dup",
     "semantic_dedup",
     "streaming_cardinality",

@@ -268,3 +268,83 @@ WITH h AS (
 SELECT bucket, CAST(max(rho) AS INT) AS max_rho
 FROM reg GROUP BY bucket
 """
+
+
+def hll_build_grouped(
+    df: DataFrame, group_cols: list[str], item_col: str, p: int = 10
+) -> DataFrame:
+    """Per-group HLL register tables — the groupBy form of ``hll_build``
+    (distinct users per day/segment at 100 TB without a count-distinct
+    shuffle of raw keys).  One row per (group, touched bucket); the
+    map-side partial max collapses every partition to <= groups * 2^p rows
+    before the exchange, so shuffle volume is sketch-sized per group
+    regardless of row count.  Merge across batches = the same groupBy max
+    over a union (bucket-wise max is associative/idempotent per group)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4,16], got {p}")
+    m = 1 << p
+    item = F.col(item_col)
+    h = F.conv(
+        F.substring(F.md5(item.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(61 - p)).otherwise(
+        F.lit(61 - p) - F.length(F.bin(w))
+    )
+    return (
+        df.where(item.isNotNull())
+        .select(
+            *group_cols,
+            (h % m).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Per-group cardinality estimates from grouped registers (same
+    Flajolet estimator + linear-counting correction as ``hll_estimate``,
+    applied per group)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("v_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z_present"),
+    )
+    z = F.col("z_present") + (F.lit(m) - F.col("v_used"))
+    raw = F.lit(alpha * m * m) / z
+    zeros = F.lit(m) - F.col("v_used")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.col("v_used").alias("n_buckets_used"),
+        corrected.alias("estimate"),
+    )
+
+
+def hll_grouped_registers_oracle_sql(
+    items_sql: str, group_sql: str = "g", p: int = 10
+) -> str:
+    """DuckDB twin of ``hll_build_grouped``: ``items_sql`` must yield
+    columns ``{group_sql}`` and ``item`` (pre-cast to VARCHAR)."""
+    m = 1 << p
+    return f"""
+WITH h AS (
+  SELECT {group_sql} AS g, ('0x' || substr(md5(item), 1, 15))::BIGINT AS hv
+  FROM ({items_sql}) r WHERE item IS NOT NULL
+), reg AS (
+  SELECT g, CAST(hv % {m} AS INT) AS bucket,
+         CAST(CASE WHEN (hv >> {p}) = 0 THEN {61 - p}
+              ELSE {61 - p} - length(bin(hv >> {p})) END AS INT) AS rho
+  FROM h
+)
+SELECT g, bucket, CAST(max(rho) AS INT) AS max_rho
+FROM reg GROUP BY g, bucket
+"""

@@ -3047,6 +3047,32 @@ def _oracle_lm_fluency():
     )
 
 
+def q_hll_grouped(spark, sf_dir):
+    """Per-GROUP HyperLogLog registers (sketch.hll_build_grouped): distinct
+    ordering customers per order priority — the groupBy form of the
+    cardinality sketch, whose map-side partial max keeps the shuffle at
+    <= groups * 2^p rows no matter how many fact rows scan.  The catalog
+    hashes the grouped register table; per-group FP estimates are
+    bound-asserted in pytest like the global entry."""
+    from carto_etl_spark.operators.sketch import hll_build_grouped
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_custkey").cast("string").alias("item"),
+    )
+    return hll_build_grouped(o, ["g"], "item", p=8)
+
+
+def _oracle_hll_grouped() -> str:
+    from carto_etl_spark.operators.sketch import hll_grouped_registers_oracle_sql
+
+    return hll_grouped_registers_oracle_sql(
+        "SELECT o_orderpriority AS g, CAST(o_custkey AS VARCHAR) AS item "
+        "FROM orders",
+        p=8,
+    )
+
+
 def q_hll_registers(spark, sf_dir):
     """HyperLogLog distinct-count REGISTERS (operators/sketch.py hll_build):
     fixed-size mergeable cardinality state over the ordering-customer keys
@@ -7397,6 +7423,7 @@ QUERIES = {
     "span_dedup": q_span_dedup,
     "heavy_hitters": q_heavy_hitters,
     "hll_registers": q_hll_registers,
+    "hll_grouped": q_hll_grouped,
     "streaming_cardinality": q_streaming_cardinality,
     "lm_fluency": q_lm_fluency,
     "incremental_mv": q_incremental_mv,
@@ -7562,6 +7589,7 @@ ORACLES = {
     "span_dedup": ORACLE_SPAN_DEDUP,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "hll_registers": ORACLE_HLL_REGISTERS,
+    "hll_grouped": _oracle_hll_grouped(),
     "streaming_cardinality": ORACLE_HLL_REGISTERS,
     "lm_fluency": _oracle_lm_fluency(),
     "incremental_mv": ORACLE_INCREMENTAL_MV,

@@ -157,3 +157,66 @@ def test_hll_rejects_bad_precision(spark):
     df = _tokens(spark, ["a"])
     with _pytest.raises(ValueError):
         sk.hll_build(df, "item", p=2)
+
+
+# -- grouped HLL -------------------------------------------------------------
+
+
+def test_grouped_hll_estimates_within_bound(spark):
+    import math
+
+    from carto_etl_spark.operators.sketch import (
+        hll_build_grouped,
+        hll_estimate_grouped,
+    )
+
+    rows = []
+    for g, n in [("a", 2000), ("b", 300), ("c", 4)]:
+        rows += [(g, f"{g}-{i}") for i in range(n)]
+    df = spark.createDataFrame(rows * 3, ["g", "item"])  # duplicates too
+    regs = hll_build_grouped(df, ["g"], "item", p=10)
+    est = {
+        r["g"]: r["estimate"]
+        for r in hll_estimate_grouped(regs, ["g"], p=10).collect()
+    }
+    bound = 4 * 1.04 / math.sqrt(1 << 10)  # 4 sigma
+    for g, n in [("a", 2000), ("b", 300), ("c", 4)]:
+        assert abs(est[g] - n) <= max(bound * n, 3), (g, est[g], n)
+
+
+def test_grouped_hll_merge_equals_union_build(spark):
+    from carto_etl_spark.operators.sketch import hll_build_grouped
+
+    a = spark.createDataFrame(
+        [("x", f"i{i}") for i in range(100)], ["g", "item"]
+    )
+    b = spark.createDataFrame(
+        [("x", f"i{i}") for i in range(50, 200)] + [("y", "only")],
+        ["g", "item"],
+    )
+    merged = (
+        hll_build_grouped(a, ["g"], "item", p=8)
+        .unionByName(hll_build_grouped(b, ["g"], "item", p=8))
+        .groupBy("g", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    oneshot = hll_build_grouped(a.unionByName(b), ["g"], "item", p=8)
+    left = {(r["g"], r["bucket"]): r["max_rho"] for r in merged.collect()}
+    right = {(r["g"], r["bucket"]): r["max_rho"] for r in oneshot.collect()}
+    assert left == right
+
+
+def test_grouped_hll_groups_are_independent(spark):
+    """The same items in two groups must produce identical per-group
+    register tables — no cross-group leakage through the bucket keys."""
+    from carto_etl_spark.operators.sketch import hll_build_grouped
+
+    items = [f"v{i}" for i in range(64)]
+    df = spark.createDataFrame(
+        [("g1", v) for v in items] + [("g2", v) for v in items], ["g", "item"]
+    )
+    regs = hll_build_grouped(df, ["g"], "item", p=8).collect()
+    by_g = {}
+    for r in regs:
+        by_g.setdefault(r["g"], {})[r["bucket"]] = r["max_rho"]
+    assert by_g["g1"] == by_g["g2"]
