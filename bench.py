@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "fuzzy_pairs",
     "linkage_scores",
     "mad_outliers",
+    "cusum_drift",
     "transitions",
     "value_histogram",
     "pivot_revenue",

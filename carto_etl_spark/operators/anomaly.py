@@ -98,3 +98,52 @@ def with_zscores(df: DataFrame, keys: list[str], value: str) -> DataFrame:
         "zscore",
         F.when(F.col("std") > 0, (F.col(value) - F.col("mean")) / F.col("std")),
     )
+
+
+def cusum_scores(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value: str,
+    target,
+    slack,
+    threshold,
+    decimals: int = 6,
+) -> DataFrame:
+    """One-sided (upper) CUSUM change detection per key: the classic
+    sequential drift detector ``s_i = max(0, s_{i-1} + (x_i - target -
+    slack))``, alarm when ``s_i > threshold``.
+
+    The textbook recurrence looks inherently sequential, but it has a
+    closed form: with ``y_i = x_i - target - slack`` and prefix sums
+    ``P_i = y_1 + ... + y_i``,
+
+        s_i = P_i - min(0, P_1, ..., P_i)
+
+    (the restart-at-zero is exactly "subtract the lowest point seen so
+    far") — so the whole detector is TWO key-partitioned running windows
+    (sum, then min), no iteration, no state, no unpartitioned window.
+
+    Determinism: ``x`` is quantized to ``decimals`` and cast to DECIMAL
+    before any sum, so the running prefix is exact integer arithmetic —
+    bit-identical on any engine regardless of how its window accumulates
+    (float prefix sums agree only if both engines add in the same order;
+    decimals agree unconditionally).  ``order_cols`` must be unique per
+    key for a deterministic sequence.
+
+    Returns the input plus ``cusum`` (DECIMAL) and ``alarm`` (boolean).
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec = f"decimal(28,{decimals})"
+    y = (
+        F.round(F.col(value), decimals).cast(dec)
+        - F.round(F.lit(target), decimals).cast(dec)
+        - F.round(F.lit(slack), decimals).cast(dec)
+    )
+    out = df.withColumn("__p", F.sum(y).over(run))
+    low = F.least(F.lit(0).cast(dec), F.min("__p").over(run))
+    out = out.withColumn("cusum", (F.col("__p") - low).cast(dec))
+    return out.withColumn(
+        "alarm", F.col("cusum") > F.round(F.lit(threshold), decimals).cast(dec)
+    ).drop("__p")

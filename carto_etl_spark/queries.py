@@ -4687,6 +4687,56 @@ def _oracle_linkage_scores():
     )
 
 
+def q_cusum_drift(spark, sf_dir):
+    """CUSUM drift detection per event type (anomaly.cusum_scores): the
+    sequential recurrence s_i = max(0, s_{i-1} + y_i) computed as its
+    closed form — prefix sum minus running min — two key-partitioned
+    windows, no iteration.  Exact DECIMAL accumulation (quantized before
+    any sum) so the running values are integer-exact on both engines;
+    the final report casts to double (single rounding each side)."""
+    from carto_etl_spark.operators.anomaly import cusum_scores
+
+    e = load(spark, sf_dir, "events")
+    out = cusum_scores(
+        e, ["event_type"], ["ts", "event_id"], "value",
+        target=50.0, slack=2.0, threshold=200.0,
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.col("cusum").cast("double").alias("cusum"),
+        "alarm",
+    )
+
+
+ORACLE_CUSUM = """
+WITH y AS (
+  SELECT event_id, event_type, ts, value,
+         CAST(round(value, 6) AS DECIMAL(28,6))
+         - CAST(round(50.0, 6) AS DECIMAL(28,6))
+         - CAST(round(2.0, 6) AS DECIMAL(28,6)) AS yv
+  FROM events
+), p AS (
+  SELECT event_id, event_type, ts,
+         sum(yv) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS pp
+  FROM y
+), s AS (
+  SELECT event_id, event_type,
+         CAST(pp - least(CAST(0 AS DECIMAL(28,6)), min(pp) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         )) AS DECIMAL(28,6)) AS cusum
+  FROM p
+)
+SELECT event_id, event_type, CAST(cusum AS DOUBLE) AS cusum,
+       cusum > CAST(round(200.0, 6) AS DECIMAL(28,6)) AS alarm
+FROM s
+"""
+
+
 def q_mad_outliers(spark, sf_dir):
     """Robust anomaly detection (operators/anomaly.py): per-event-type
     lower-median / MAD outliers at the classic 3.5 cutoff.  Every statistic
@@ -7460,6 +7510,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "fuzzy_pairs": q_fuzzy_pairs,
     "linkage_scores": q_linkage_scores,
+    "cusum_drift": q_cusum_drift,
     "mad_outliers": q_mad_outliers,
     "pivot_revenue": q_pivot_revenue,
     "transitions": q_transitions,
@@ -7626,6 +7677,7 @@ ORACLES = {
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "fuzzy_pairs": ORACLE_FUZZY,
     "linkage_scores": _oracle_linkage_scores(),
+    "cusum_drift": ORACLE_CUSUM,
     "mad_outliers": ORACLE_MAD,
     "pivot_revenue": ORACLE_PIVOT,
     "transitions": ORACLE_TRANSITIONS,
