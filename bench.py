@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "image_features",
     "image_near_dup",
+    "audio_fingerprint",
     "nation_trade_volume",
     "returned_revenue",
     "promo_share",

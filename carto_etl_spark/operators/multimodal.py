@@ -1408,3 +1408,116 @@ def synth_noise_ppm_expr(media_id, width: int = 16, height: int = 8):
 
         _synth_noise_ppm_udf = F.pandas_udf(synth, "binary")
     return _synth_noise_ppm_udf(media_id)
+
+
+# -- perceptual audio fingerprint --------------------------------------------
+# The audio leg of the dedup family (text: minhash/simhash; embeddings:
+# LSH/SemDeDup; images: dHash): re-encoded or lightly edited clips keep
+# byte hashes apart but their ENERGY CONTOUR is stable.  The fingerprint is
+# the sign of the energy derivative across 65 fixed time bins — 64 bits in
+# the same two-32-bit-halves layout as the image dHash, so
+# ``image_near_dup_pairs`` (pigeonhole hamming blocking) works on audio
+# hashes unchanged.  Bin energies are INTEGER sums of |sample| — exact in
+# any engine, so the whole fingerprint is oracle-reproducible.
+
+AUDIO_FP_BINS = 65  # 64 adjacent-bin comparisons
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("dh_lo", T.LongType()),
+        T.StructField("dh_hi", T.LongType()),
+    ]
+)
+
+
+def audio_fp_bounds(n: int) -> list[int]:
+    """The 66 bin boundaries over ``n`` samples (floor division — integer,
+    engine-portable)."""
+    return [b * n // AUDIO_FP_BINS for b in range(AUDIO_FP_BINS + 1)]
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """PCM-WAV energy-contour fingerprint over ``mapInPandas``: decode with
+    stdlib ``wave`` (mono or first channel of interleaved), integer
+    |sample| sums per bin, bit b = energy[b] < energy[b+1]."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                with wave.open(io.BytesIO(bytes(content or b""))) as w:
+                    n, ch = w.getnframes(), w.getnchannels()
+                    raw = np.frombuffer(
+                        w.readframes(n), dtype="<i2"
+                    ).reshape(-1, ch)[:, 0]
+                e = np.abs(raw.astype(np.int64))
+                bounds = audio_fp_bounds(len(e))
+                energy = [
+                    int(e[bounds[b]:bounds[b + 1]].sum())
+                    for b in range(AUDIO_FP_BINS)
+                ]
+                lo = hi = 0
+                for b in range(AUDIO_FP_BINS - 1):
+                    if energy[b] < energy[b + 1]:
+                        if b < 32:
+                            lo |= 1 << b
+                        else:
+                            hi |= 1 << (b - 32)
+                rows.append((media_id, len(e), lo, hi))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_frames", "dh_lo", "dh_hi"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run, schema=AUDIO_FP_SCHEMA
+    )
+
+
+_synth_noise_wav_udf = None
+
+
+def synth_noise_wav_expr(media_id, n_frames: int = 200,
+                         sample_rate: int = 8000):
+    """Deterministic noise-WAV synthesizer (pandas UDF over an id column):
+    sample i of SOURCE id s is ``md5_byte("{s}:{i}") * 128 - 16384`` —
+    md5-mixed so distinct clips sit at expected fingerprint hamming ~32.
+    Ids >= 1_000_000 are NEAR-COPIES of id-1_000_000 with sample 0 pinned
+    to 16256 (one bin's energy moves, at most one comparison flips).  Every
+    sample value is integer arithmetic an oracle replays with its own
+    md5."""
+    global _synth_noise_wav_udf
+    if _synth_noise_wav_udf is None:
+        import hashlib
+        import io
+        import struct
+        import wave
+
+        def synth(ids):
+            def one(i):
+                i = int(i)
+                s = i - 1_000_000 if i >= 1_000_000 else i
+                vals = [
+                    hashlib.md5(f"{s}:{j}".encode()).digest()[0] * 128 - 16384
+                    for j in range(n_frames)
+                ]
+                if i >= 1_000_000:
+                    vals[0] = 16256
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(struct.pack(f"<{n_frames}h", *vals))
+                return buf.getvalue()
+
+            return ids.map(one)
+
+        _synth_noise_wav_udf = F.pandas_udf(synth, "binary")
+    return _synth_noise_wav_udf(media_id)

@@ -7068,6 +7068,80 @@ WHERE bit_count(xor(a.dh_lo, b.dh_lo))
 ORACLE_IMAGE_NEAR_DUP = _build_oracle_image_near_dup()
 
 
+def q_audio_fingerprint(spark, sf_dir):
+    """Perceptual audio fingerprint (multimodal.audio_fingerprint): the
+    REAL PCM-WAV decode feeds an energy-contour hash — integer |sample|
+    sums over 65 fixed bins, bit b = energy[b] < energy[b+1], packed in
+    the same two-32-bit-halves layout as the image dHash so the pigeonhole
+    hamming pair join works on audio unchanged (pytest drives that
+    composition).  Corpus = md5-noise clips per document plus a
+    one-sample-pinned near-copy of every 25th; the oracle re-derives every
+    sample, bin energy and bit from the generator's integer formula."""
+    from carto_etl_spark.operators.multimodal import (
+        audio_fingerprint,
+        synth_noise_wav_expr,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    copies = d.filter(F.col("media_id") % 25 == 0).select(
+        (F.col("media_id") + 1000000).alias("media_id")
+    )
+    src = d.unionByName(copies).withColumn(
+        "content", synth_noise_wav_expr(F.col("media_id"))
+    )
+    return audio_fingerprint(src)
+
+
+def _build_oracle_audio_fingerprint(n: int = 200) -> str:
+    from carto_etl_spark.operators.multimodal import (
+        AUDIO_FP_BINS,
+        audio_fp_bounds,
+    )
+
+    def sample(j):
+        v = (
+            f"(('0x' || substr(md5(concat(CAST(src_id AS VARCHAR), "
+            f"':{j}')), 1, 2))::BIGINT * 128 - 16384)"
+        )
+        if j == 0:
+            v = f"(CASE WHEN is_copy THEN 16256 ELSE {v} END)"
+        return f"abs({v})"
+
+    bounds = audio_fp_bounds(n)
+
+    def energy(b):
+        return "(" + " + ".join(
+            sample(j) for j in range(bounds[b], bounds[b + 1])
+        ) + ")"
+
+    lo_terms, hi_terms = [], []
+    for b in range(AUDIO_FP_BINS - 1):
+        cond = f"{energy(b)} < {energy(b + 1)}"
+        if b < 32:
+            lo_terms.append(f"CASE WHEN {cond} THEN {1 << b} ELSE 0 END")
+        else:
+            hi_terms.append(f"CASE WHEN {cond} THEN {1 << (b - 32)} ELSE 0 END")
+    lo = "CAST(" + " + ".join(lo_terms) + " AS BIGINT)"
+    hi = "CAST(" + " + ".join(hi_terms) + " AS BIGINT)"
+    return f"""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id AS src_id, FALSE AS is_copy
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS media_id, doc_id AS src_id, TRUE AS is_copy
+  FROM documents WHERE doc_id % 25 = 0
+)
+SELECT media_id, CAST({n} AS INTEGER) AS n_frames,
+       {lo} AS dh_lo, {hi} AS dh_hi
+FROM ids
+"""
+
+
+ORACLE_AUDIO_FP = _build_oracle_audio_fingerprint()
+
+
 def q_scd2_dimension(spark, sf_dir):
     """Type-2 slowly-changing dimension (operators/scd.py): each customer's
     order-priority history becomes versioned validity intervals —
@@ -7440,6 +7514,7 @@ QUERIES = {
     "ann_pq": q_ann_pq,
     "image_dhash": q_image_dhash,
     "image_near_dup": q_image_near_dup,
+    "audio_fingerprint": q_audio_fingerprint,
     "scd2_dimension": q_scd2_dimension,
     "semantic_dedup": q_semantic_dedup,
     "streaming_quantiles": q_streaming_quantiles,
@@ -7607,6 +7682,7 @@ ORACLES = {
     "ann_pq": ORACLE_ANN_PQ,
     "image_dhash": ORACLE_IMAGE_DHASH,
     "image_near_dup": ORACLE_IMAGE_NEAR_DUP,
+    "audio_fingerprint": ORACLE_AUDIO_FP,
     "scd2_dimension": ORACLE_SCD2,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "streaming_quantiles": ORACLE_STREAMING_QUANTILES,

@@ -1301,3 +1301,103 @@ def test_image_near_dup_rejects_deep_hamming(spark):
     df = spark.createDataFrame([(1, 0, 0)], "media_id long, dh_lo long, dh_hi long")
     with _pt.raises(ValueError, match="hamming 3"):
         image_near_dup_pairs(df, max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual audio fingerprint (multimodal.py:audio_fingerprint)
+# ---------------------------------------------------------------------------
+
+
+def _wav_bytes(samples, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _noise_samples(seed, n=200):
+    import hashlib
+
+    return [
+        hashlib.md5(f"{seed}:{j}".encode()).digest()[0] * 128 - 16384
+        for j in range(n)
+    ]
+
+
+def test_audio_fingerprint_edit_near_noise_far(spark):
+    """A one-sample edit moves one bin's energy (<= 1 bit); an unrelated
+    noise clip sits ~32 bits away; the IMAGE pair join works on audio
+    hashes unchanged (same dh_lo/dh_hi layout) — the cross-modality
+    composition the shared bit layout buys."""
+    from carto_etl_spark.operators.multimodal import (
+        audio_fingerprint,
+        image_near_dup_pairs,
+    )
+
+    base = _noise_samples(3)
+    edited = list(base)
+    edited[0] = 16256
+    rows = [
+        (1, bytearray(_wav_bytes(base))),
+        (2, bytearray(_wav_bytes(edited))),
+        (3, bytearray(_wav_bytes(_noise_samples(77)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    fps = audio_fingerprint(df)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(fps, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 1
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_audio_fingerprint_amplitude_offset_invariance_shape(spark):
+    """The fingerprint follows the energy CONTOUR: doubling every sample
+    (volume change) preserves every comparison, so the hash is identical —
+    the robustness property a perceptual audio hash exists for."""
+    from carto_etl_spark.operators.multimodal import audio_fingerprint
+
+    base = _noise_samples(9)
+    louder = [max(-32768, min(32767, v * 2)) for v in base]
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(base))), (2, bytearray(_wav_bytes(louder)))],
+        "media_id long, content binary",
+    )
+    fps = {r["media_id"]: (r["dh_lo"], r["dh_hi"])
+           for r in audio_fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+
+
+def test_audio_fingerprint_stereo_uses_first_channel(spark):
+    import struct
+
+    from carto_etl_spark.operators.multimodal import audio_fingerprint
+
+    mono = _noise_samples(5)
+    inter = []
+    for v in mono:
+        inter += [v, -12345]  # right channel is junk
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(inter)}h", *inter))
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(mono))), (2, bytearray(buf.getvalue()))],
+        "media_id long, content binary",
+    )
+    fps = {r["media_id"]: (r["dh_lo"], r["dh_hi"], r["n_frames"])
+           for r in audio_fingerprint(df).collect()}
+    assert fps[1] == fps[2]
