@@ -1308,7 +1308,7 @@ def test_image_near_dup_rejects_deep_hamming(spark):
 # ---------------------------------------------------------------------------
 
 
-def _wav_bytes(samples, rate=8000):
+def _fp_wav_bytes(samples, rate=8000):
     import io
     import struct
     import wave
@@ -1345,9 +1345,9 @@ def test_audio_fingerprint_edit_near_noise_far(spark):
     edited = list(base)
     edited[0] = 16256
     rows = [
-        (1, bytearray(_wav_bytes(base))),
-        (2, bytearray(_wav_bytes(edited))),
-        (3, bytearray(_wav_bytes(_noise_samples(77)))),
+        (1, bytearray(_fp_wav_bytes(base))),
+        (2, bytearray(_fp_wav_bytes(edited))),
+        (3, bytearray(_fp_wav_bytes(_noise_samples(77)))),
     ]
     df = spark.createDataFrame(rows, "media_id long, content binary")
     fps = audio_fingerprint(df)
@@ -1368,7 +1368,7 @@ def test_audio_fingerprint_amplitude_offset_invariance_shape(spark):
     base = _noise_samples(9)
     louder = [max(-32768, min(32767, v * 2)) for v in base]
     df = spark.createDataFrame(
-        [(1, bytearray(_wav_bytes(base))), (2, bytearray(_wav_bytes(louder)))],
+        [(1, bytearray(_fp_wav_bytes(base))), (2, bytearray(_fp_wav_bytes(louder)))],
         "media_id long, content binary",
     )
     fps = {r["media_id"]: (r["dh_lo"], r["dh_hi"])
@@ -1395,7 +1395,7 @@ def test_audio_fingerprint_stereo_uses_first_channel(spark):
         w.setframerate(8000)
         w.writeframes(struct.pack(f"<{len(inter)}h", *inter))
     df = spark.createDataFrame(
-        [(1, bytearray(_wav_bytes(mono))), (2, bytearray(buf.getvalue()))],
+        [(1, bytearray(_fp_wav_bytes(mono))), (2, bytearray(buf.getvalue()))],
         "media_id long, content binary",
     )
     fps = {r["media_id"]: (r["dh_lo"], r["dh_hi"], r["n_frames"])
