@@ -7169,7 +7169,7 @@ def q_scd2_dimension(spark, sf_dir):
     )
 
 
-ORACLE_SCD2 = """
+ORACLE_SCD2_DIMENSION = """
 WITH ordered AS (
   SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
          CASE WHEN lag(o_orderpriority) OVER (
@@ -7683,7 +7683,7 @@ ORACLES = {
     "image_dhash": ORACLE_IMAGE_DHASH,
     "image_near_dup": ORACLE_IMAGE_NEAR_DUP,
     "audio_fingerprint": ORACLE_AUDIO_FP,
-    "scd2_dimension": ORACLE_SCD2,
+    "scd2_dimension": ORACLE_SCD2_DIMENSION,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "streaming_quantiles": ORACLE_STREAMING_QUANTILES,
     "above_customer_avg": ORACLE_ABOVE_AVG,

@@ -41,3 +41,26 @@ def test_driver_entry_module_mirrors_the_catalog():
     assert set(entry.queries()) == set(QUERIES)
     assert set(entry.oracle_sql()) == set(ORACLES)
     assert callable(entry.entry)
+
+
+def test_no_duplicate_toplevel_oracle_constants():
+    """A re-used module-level ORACLE_* name silently SHADOWS the earlier
+    definition and mis-oracles whichever entry registered first (bit us in
+    round 5: a second ORACLE_SCD2 turned scd2_intervals red).  Parse the
+    module source and reject duplicate top-level assignment names."""
+    import ast
+    import collections
+    import inspect
+
+    from carto_etl_spark import queries
+
+    tree = ast.parse(inspect.getsource(queries))
+    names = collections.Counter(
+        t.id
+        for node in tree.body
+        if isinstance(node, ast.Assign)
+        for t in node.targets
+        if isinstance(t, ast.Name) and t.id.startswith("ORACLE")
+    )
+    dupes = {n: c for n, c in names.items() if c > 1}
+    assert not dupes, f"shadowed oracle constants: {dupes}"
