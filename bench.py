@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "linkage_scores",
     "mad_outliers",
     "cusum_drift",
+    "psi_drift",
     "transitions",
     "value_histogram",
     "pivot_revenue",

@@ -387,3 +387,108 @@ def corr_matrix_oracle_sql(table: str, cols: list[str]) -> str:
         f"WITH a AS (SELECT {', '.join(sel)} FROM {table})\n"
         + "\nUNION ALL\n".join(parts)
     )
+
+
+def _psi_bin_expr(value: str, boundaries: list[float]):
+    """bin = number of boundaries at or below the value (codegen CASE
+    chain, 0-based; NULL values excluded by the caller)."""
+    out = F.lit(0)
+    for b in boundaries:
+        out = out + F.when(F.col(value) >= F.lit(float(b)), 1).otherwise(0)
+    return out
+
+
+def psi_bins(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    boundaries: list[float],
+) -> DataFrame:
+    """Population stability index between a reference and a current
+    snapshot of ``value_col`` — THE standard per-feature drift gate
+    (PSI < 0.1 stable, > 0.25 drifted) and the distribution-shape
+    complement of the KS statistic above (KS = max CDF gap; PSI weights
+    every bin).
+
+    Per bin b: ``psi_term = (p_b - q_b) * ln(p_b / q_b)`` with the
+    deterministic Laplace smoothing ``p_b = (n_b + 0.5)/(N + 0.5*B)`` on
+    BOTH sides (so empty bins never divide by zero and the formula is one
+    fixed shape).  Each term is rounded to 6dp at the bin level — the
+    single libm ``ln`` per bin cannot accumulate ulp drift into the total
+    (the lm_fluency pattern), so the per-bin rows are cross-engine exact.
+
+    Plan: one codegen CASE projection + one count aggregate per side
+    (map-side combined, shuffle = B rows), then a B-row join.  At 100 TB
+    both sides are single scans; nothing is proportional to n after the
+    partial aggregate.
+    """
+    if not boundaries:
+        raise ValueError("boundaries must be non-empty")
+    nb = len(boundaries) + 1
+
+    def side(df: DataFrame, n_name: str) -> DataFrame:
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(_psi_bin_expr(value_col, boundaries).alias("bin"))
+            .agg(F.count(F.lit(1)).cast("long").alias(n_name))
+        )
+
+    spark = ref.sparkSession
+    bins = spark.range(nb).select(F.col("id").cast("int").alias("bin"))
+    r = side(ref, "ref_n")
+    c = side(cur, "cur_n")
+    joined = (
+        bins.join(r, "bin", "left")
+        .join(c, "bin", "left")
+        .fillna(0, subset=["ref_n", "cur_n"])
+    )
+    rt = joined.agg(F.sum("ref_n")).collect()[0][0] or 0
+    ct = joined.agg(F.sum("cur_n")).collect()[0][0] or 0
+    p = (F.col("ref_n") + 0.5) / F.lit(rt + 0.5 * nb)
+    q = (F.col("cur_n") + 0.5) / F.lit(ct + 0.5 * nb)
+    return joined.select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.round(p, 6).alias("ref_frac"),
+        F.round(q, 6).alias("cur_frac"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+def psi_oracle_sql(
+    ref_sql: str,
+    cur_sql: str,
+    value_sql: str,
+    boundaries: list[float],
+) -> str:
+    """DuckDB twin of :func:`psi_bins` — same bin CASE chain, same
+    smoothing shape, same per-bin 6dp rounding."""
+    nb = len(boundaries) + 1
+    bin_expr = " + ".join(
+        f"CASE WHEN v >= {float(b)!r} THEN 1 ELSE 0 END" for b in boundaries
+    )
+    return f"""
+WITH refv AS (SELECT {value_sql} AS v FROM ({ref_sql}) r WHERE {value_sql} IS NOT NULL),
+curv AS (SELECT {value_sql} AS v FROM ({cur_sql}) c WHERE {value_sql} IS NOT NULL),
+bins AS (SELECT CAST(range AS INT) AS bin FROM range(0, {nb})),
+rc AS (SELECT ({bin_expr}) AS bin, count(*) AS ref_n FROM refv GROUP BY 1),
+cc AS (SELECT ({bin_expr}) AS bin, count(*) AS cur_n FROM curv GROUP BY 1),
+j AS (
+  SELECT bins.bin,
+         coalesce(rc.ref_n, 0) AS ref_n,
+         coalesce(cc.cur_n, 0) AS cur_n
+  FROM bins LEFT JOIN rc ON rc.bin = bins.bin LEFT JOIN cc ON cc.bin = bins.bin
+), tot AS (
+  SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM j
+)
+SELECT j.bin, j.ref_n, j.cur_n,
+       round((j.ref_n + 0.5) / (tot.rt + {0.5 * nb!r}), 6) AS ref_frac,
+       round((j.cur_n + 0.5) / (tot.ct + {0.5 * nb!r}), 6) AS cur_frac,
+       round(((j.ref_n + 0.5) / (tot.rt + {0.5 * nb!r})
+              - (j.cur_n + 0.5) / (tot.ct + {0.5 * nb!r}))
+             * ln(((j.ref_n + 0.5) / (tot.rt + {0.5 * nb!r}))
+                  / ((j.cur_n + 0.5) / (tot.ct + {0.5 * nb!r}))), 6)
+         AS psi_term
+FROM j, tot
+"""

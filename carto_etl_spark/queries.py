@@ -4687,6 +4687,34 @@ def _oracle_linkage_scores():
     )
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population stability index (mlstats.psi_bins): order-value
+    distribution drift between the even- and odd-orderkey halves of the
+    orders table over five literal price bins — per-bin smoothed
+    fractions and 6dp-rounded PSI terms, cross-engine exact (the
+    lm_fluency one-libm-call-per-term pattern).  The oracle replays the
+    identical bin chain, smoothing shape and rounding in DuckDB."""
+    from carto_etl_spark.operators.mlstats import psi_bins
+
+    o = load(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderkey") % 2 == 0).select("o_totalprice")
+    cur = o.filter(F.col("o_orderkey") % 2 == 1).select("o_totalprice")
+    return psi_bins(
+        ref, cur, "o_totalprice", [100000.0, 200000.0, 300000.0, 400000.0]
+    )
+
+
+def _oracle_psi_drift() -> str:
+    from carto_etl_spark.operators.mlstats import psi_oracle_sql
+
+    return psi_oracle_sql(
+        "SELECT o_totalprice FROM orders WHERE o_orderkey % 2 = 0",
+        "SELECT o_totalprice FROM orders WHERE o_orderkey % 2 = 1",
+        "o_totalprice",
+        [100000.0, 200000.0, 300000.0, 400000.0],
+    )
+
+
 def q_cusum_drift(spark, sf_dir):
     """CUSUM drift detection per event type (anomaly.cusum_scores): the
     sequential recurrence s_i = max(0, s_{i-1} + y_i) computed as its
@@ -7585,6 +7613,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "fuzzy_pairs": q_fuzzy_pairs,
     "linkage_scores": q_linkage_scores,
+    "psi_drift": q_psi_drift,
     "cusum_drift": q_cusum_drift,
     "mad_outliers": q_mad_outliers,
     "pivot_revenue": q_pivot_revenue,
@@ -7753,6 +7782,7 @@ ORACLES = {
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "fuzzy_pairs": ORACLE_FUZZY,
     "linkage_scores": _oracle_linkage_scores(),
+    "psi_drift": _oracle_psi_drift(),
     "cusum_drift": ORACLE_CUSUM,
     "mad_outliers": ORACLE_MAD,
     "pivot_revenue": ORACLE_PIVOT,

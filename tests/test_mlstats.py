@@ -161,3 +161,65 @@ def test_auc_partition_independence(spark):
         "v", F.col("lab") == "p",
     ).first()
     assert a["auc"] == b["auc"] and a["n_pos"] == b["n_pos"]
+
+
+# -- PSI drift ----------------------------------------------------------------
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from carto_etl_spark.operators.mlstats import psi_bins
+
+    rows = [(float(i % 100),) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["v"])
+    out = psi_bins(df, df, "v", [25.0, 50.0, 75.0]).collect()
+    total = sum(r["psi_term"] for r in out)
+    assert abs(total) < 1e-9  # identical halves: every term cancels
+    assert len(out) == 4
+    assert all(r["ref_n"] == r["cur_n"] for r in out)
+
+
+def test_psi_detects_shift(spark):
+    from carto_etl_spark.operators.mlstats import psi_bins
+
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(2000)], ["v"])
+    cur = spark.createDataFrame(
+        [(float(i % 100) + 40.0,) for i in range(2000)], ["v"]
+    )
+    out = psi_bins(ref, cur, "v", [25.0, 50.0, 75.0]).collect()
+    total = sum(r["psi_term"] for r in out)
+    assert total > 0.25  # the standard "drifted" threshold
+
+
+def test_psi_matches_python_reference(spark):
+    import math
+
+    from carto_etl_spark.operators.mlstats import psi_bins
+
+    ref_rows = [float(v) for v in (1, 5, 30, 30, 60, 60, 60, 90)]
+    cur_rows = [float(v) for v in (1, 30, 60, 60, 90, 90)]
+    ref = spark.createDataFrame([(v,) for v in ref_rows], ["v"])
+    cur = spark.createDataFrame([(v,) for v in cur_rows], ["v"])
+    bounds = [25.0, 50.0, 75.0]
+    out = {r["bin"]: r for r in psi_bins(ref, cur, "v", bounds).collect()}
+
+    def binof(v):
+        return sum(1 for b in bounds if v >= b)
+
+    nb = 4
+    rn = [sum(1 for v in ref_rows if binof(v) == b) for b in range(nb)]
+    cn = [sum(1 for v in cur_rows if binof(v) == b) for b in range(nb)]
+    rt, ct = len(ref_rows) + 0.5 * nb, len(cur_rows) + 0.5 * nb
+    for b in range(nb):
+        p, q = (rn[b] + 0.5) / rt, (cn[b] + 0.5) / ct
+        assert out[b]["ref_n"] == rn[b] and out[b]["cur_n"] == cn[b]
+        assert out[b]["psi_term"] == round((p - q) * math.log(p / q), 6)
+
+
+def test_psi_empty_bin_smoothing_no_nan(spark):
+    from carto_etl_spark.operators.mlstats import psi_bins
+
+    ref = spark.createDataFrame([(1.0,), (2.0,)], ["v"])
+    cur = spark.createDataFrame([(99.0,), (98.0,)], ["v"])
+    out = psi_bins(ref, cur, "v", [50.0]).collect()
+    assert all(r["psi_term"] is not None for r in out)
+    assert len(out) == 2
