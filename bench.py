@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "percentiles",
     "sample_quantiles",
     "group_quantiles",
+    "equi_depth_hist",
     "min_cost_supplier",
     "important_stock",
     "parts_supplier_relationship",

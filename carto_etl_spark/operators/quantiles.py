@@ -313,3 +313,99 @@ SELECT g, q, v AS est, m AS sample_m, n AS n_total
 FROM ranked, probes
 WHERE r = greatest(1, least(m, CAST(ceil(q * m) AS BIGINT)))
 """
+
+
+def equi_depth_boundaries(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_buckets: int,
+    target_sample: int = 4096,
+    salt: int = 0,
+) -> list:
+    """Approximate equi-depth bucket boundaries from the deterministic
+    hash-threshold sample: the lower empirical quantiles at i/n_buckets
+    (use a power-of-two ``n_buckets`` so every probe is a binary fraction
+    and rank targets are bit-identical across engines).  Driver-side list
+    of ``n_buckets - 1`` values — sketch-sized by construction."""
+    src = df.select(value_col, key_col).where(F.col(value_col).isNotNull())
+    n = src.count()
+    cutoff = sample_cutoff(target_sample, n)
+    sample = src.where(hash_expr(key_col, salt) < F.lit(cutoff))
+    m = sample.count()
+    if m == 0:
+        return []
+    ranked = with_global_rank(sample, [value_col, key_col], name="__r")
+    targets = sorted(
+        {rank_target(i / n_buckets, m) for i in range(1, n_buckets)}
+    )
+    by_rank = {
+        r["__r"]: r[value_col]
+        for r in ranked.where(F.col("__r").isin(targets)).collect()
+    }
+    return [by_rank[rank_target(i / n_buckets, m)] for i in range(1, n_buckets)]
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_buckets: int,
+    target_sample: int = 4096,
+    salt: int = 0,
+) -> DataFrame:
+    """Approximate equi-depth histogram: boundaries from the quantile
+    sketch, then ONE exact counting pass (bucket = number of boundaries
+    <= value, counted with multiplicity so duplicate boundaries keep both
+    engines in lockstep).  The complement of stats.py's equi-WIDTH
+    histogram: bucket populations stay balanced under any skew, which is
+    what makes the result useful as a range-partitioning or
+    stats-collection primitive at 100 TB.  Counts are EXACT; only the
+    boundary placement is approximate (DKW on the sample)."""
+    bounds = equi_depth_boundaries(
+        df, value_col, key_col, n_buckets, target_sample, salt
+    )
+    src = df.select(value_col).where(F.col(value_col).isNotNull())
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(value_col) >= F.lit(b), 1).otherwise(0)
+    return (
+        src.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def equi_depth_oracle_sql(
+    src_sql: str,
+    value_sql: str = "v",
+    key_sql: str = "k",
+    n_buckets: int = 8,
+    target_sample: int = 4096,
+    salt: int = 0,
+) -> str:
+    """DuckDB re-derivation of :func:`equi_depth_histogram`: sample,
+    ranks, boundary selection, then the multiplicity-counting bucket
+    assignment and exact counts."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    probs_values = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in probs)
+    return f"""
+WITH src AS ({src_sql}),
+tot AS (SELECT count(*) AS n FROM src),
+samp AS (
+  SELECT {value_sql} AS v, {key_sql} AS k FROM src, tot
+  WHERE {hash_sql(key_sql, salt)} < {cutoff_sql(target_sample, "tot.n")}
+),
+msize AS (SELECT count(*) AS m FROM samp),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v, k) AS r FROM samp),
+probes(q) AS (VALUES {probs_values}),
+bnd AS (
+  SELECT ranked.v AS bval
+  FROM probes CROSS JOIN msize
+  JOIN ranked
+    ON ranked.r = greatest(1, least(msize.m, CAST(ceil(q * msize.m) AS BIGINT)))
+)
+SELECT (SELECT count(*) FROM bnd WHERE bnd.bval <= src.{value_sql}) AS bucket,
+       count(*) AS n
+FROM src
+GROUP BY 1
+"""

@@ -4687,6 +4687,35 @@ def _oracle_linkage_scores():
     )
 
 
+def q_equi_depth_hist(spark, sf_dir):
+    """Equi-depth histogram of lineitem prices (quantiles.
+    equi_depth_histogram): boundaries from the deterministic quantile
+    sketch at i/8 (binary fractions), then ONE exact counting pass —
+    the sketch composed into a downstream operator, with balanced bucket
+    populations under any skew.  The oracle re-derives the sample, the
+    boundary ranks AND the multiplicity-counting bucket assignment."""
+    from carto_etl_spark.operators import quantiles as qt
+
+    li = load(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
+    )
+    return qt.equi_depth_histogram(src, "v", "k", n_buckets=8,
+                                   target_sample=1000)
+
+
+def _oracle_equi_depth_hist() -> str:
+    from carto_etl_spark.operators import quantiles as qt
+
+    return qt.equi_depth_oracle_sql(
+        "SELECT l_extendedprice AS v, l_orderkey * 8 + l_linenumber AS k "
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL",
+        n_buckets=8,
+        target_sample=1000,
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     """Population stability index (mlstats.psi_bins): order-value
     distribution drift between the even- and odd-orderkey halves of the
@@ -7613,6 +7642,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "fuzzy_pairs": q_fuzzy_pairs,
     "linkage_scores": q_linkage_scores,
+    "equi_depth_hist": q_equi_depth_hist,
     "psi_drift": q_psi_drift,
     "cusum_drift": q_cusum_drift,
     "mad_outliers": q_mad_outliers,
@@ -7782,6 +7812,7 @@ ORACLES = {
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "fuzzy_pairs": ORACLE_FUZZY,
     "linkage_scores": _oracle_linkage_scores(),
+    "equi_depth_hist": _oracle_equi_depth_hist(),
     "psi_drift": _oracle_psi_drift(),
     "cusum_drift": ORACLE_CUSUM,
     "mad_outliers": ORACLE_MAD,

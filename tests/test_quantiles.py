@@ -200,3 +200,40 @@ def test_grouped_no_unpartitioned_window(spark):
     df = _gdf(spark, {"a": 50, "b": 50})
     out = qt.group_sample_quantiles(df, ["g"], "v", "k", [0.5], 20)
     assert not unpartitioned_windows(out)
+
+
+# -- equi-depth histogram ----------------------------------------------------
+
+
+def test_equi_depth_buckets_are_balanced_even_under_skew(spark):
+    """Heavily skewed values (90% in a narrow band) must still produce
+    near-equal bucket populations — the property equi-WIDTH histograms
+    lose and this operator exists for.  Counts are exact; only boundary
+    placement carries sample error."""
+    rows = []
+    for k in range(2000):
+        v = (k % 10) * 0.01 if k % 10 < 9 else 100.0 + k  # 90% in [0, 0.09]
+        rows.append((float(v), k))
+    df = spark.createDataFrame(rows, "v double, k long")
+    hist = {r["bucket"]: r["n"]
+            for r in qt.equi_depth_histogram(df, "v", "k", 4, 400).collect()}
+    assert sum(hist.values()) == 2000  # exact total
+    for b, n in hist.items():
+        assert 350 <= n <= 700, hist  # ~500 each within sample error
+
+
+def test_equi_depth_boundaries_are_data_values_and_sorted(spark):
+    df = spark.createDataFrame(
+        [((k * 37 % 500) + 0.5, k) for k in range(500)], "v double, k long"
+    )
+    bounds = qt.equi_depth_boundaries(df, "v", "k", 8, 200)
+    assert len(bounds) == 7
+    assert bounds == sorted(bounds)
+    values = {r["v"] for r in df.collect()}
+    assert all(b in values for b in bounds)  # lower empirical quantiles
+
+
+def test_equi_depth_empty_input(spark):
+    df = spark.createDataFrame([], "v double, k long")
+    assert qt.equi_depth_boundaries(df, "v", "k", 8, 100) == []
+    assert qt.equi_depth_histogram(df, "v", "k", 8, 100).count() == 0
