@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "linkage_scores",
     "mad_outliers",
     "cusum_drift",
+    "theil_sen",
     "psi_drift",
     "transitions",
     "value_histogram",

@@ -147,3 +147,95 @@ def cusum_scores(
     return out.withColumn(
         "alarm", F.col("cusum") > F.round(F.lit(threshold), decimals).cast(dec)
     ).drop("__p")
+
+
+def theil_sen(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    sample_cap: int = 64,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-key Theil-Sen robust trend: the LOWER MEDIAN of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i) — up to ~29% contamination cannot move
+    it, where least squares is dragged by a single outlier.  The robust
+    slope to pair with the CUSUM shift detector above.
+
+    Pairwise slopes are quadratic, so each key is first thinned to
+    ``sample_cap`` points by the deterministic hash-threshold sample
+    (per-key float64 cutoff from the group counts — the
+    group_sample_quantiles pattern), bounding pairs at cap^2/2 per key
+    regardless of key size.  Vertical pairs (equal x) are excluded, the
+    standard Theil-Sen convention.
+
+    Determinism: the median is exact rank selection over the unique order
+    (slope, id_i, id_j) — no sums anywhere, and each slope is ONE IEEE
+    division — so every emitted number is bit-identical on any engine.
+    ``id_col`` must be a unique integer row key.
+
+    Output: keys..., n_points (sampled), n_pairs, slope (NULL when fewer
+    than 2 distinct-x points survive).
+    """
+    from carto_etl_spark.operators.sampling import LEHMER_M, hash_expr
+
+    src = df.select(*keys, x_col, y_col, id_col).where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    counts = src.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    cutoff = F.floor(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(sample_cap)) / F.col("__n").cast("double"),
+        )
+        * F.lit(LEHMER_M)
+    ).cast("long")
+    pts = (
+        src.join(counts.withColumn("__cut", cutoff), keys)
+        .where(hash_expr(id_col, salt) < F.col("__cut"))
+        .select(*keys, x_col, y_col, id_col)
+    )
+    n_pts = pts.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_points"))
+
+    a = pts.select(
+        *keys,
+        F.col(x_col).alias("__xa"),
+        F.col(y_col).alias("__ya"),
+        F.col(id_col).alias("__ka"),
+    )
+    b = pts.select(
+        *keys,
+        F.col(x_col).alias("__xb"),
+        F.col(y_col).alias("__yb"),
+        F.col(id_col).alias("__kb"),
+    )
+    pairs = (
+        a.join(b, keys)
+        .where((F.col("__ka") < F.col("__kb")) & (F.col("__xa") != F.col("__xb")))
+        .select(
+            *keys,
+            ((F.col("__yb") - F.col("__ya"))
+             / (F.col("__xb") - F.col("__xa"))).alias("__slope"),
+            "__ka",
+            "__kb",
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy("__slope", "__ka", "__kb")
+    wc = Window.partitionBy(*keys)
+    med = (
+        pairs.withColumn("__r", F.row_number().over(w))
+        .withColumn("__np", F.count(F.lit(1)).over(wc))
+        .where(F.col("__r") == F.ceil(F.col("__np") / 2.0))
+        .select(
+            *keys,
+            F.col("__np").cast("long").alias("n_pairs"),
+            F.col("__slope").alias("slope"),
+        )
+    )
+    return n_pts.join(med, keys, "left").select(
+        *keys,
+        F.col("n_points").cast("long").alias("n_points"),
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        "slope",
+    )

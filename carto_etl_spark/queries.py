@@ -4687,6 +4687,68 @@ def _oracle_linkage_scores():
     )
 
 
+def q_theil_sen(spark, sf_dir):
+    """Per-priority Theil-Sen robust price trend over order dates
+    (anomaly.theil_sen): deterministic per-key point sample (cap 40),
+    bounded pair join, LOWER-MEDIAN slope by exact rank selection — no
+    sums, one IEEE division per pair, so every number is bit-identical
+    across engines with no rounding anywhere.  The oracle re-derives the
+    per-key cutoffs, the sample, every pairwise slope and the median
+    rank in DuckDB."""
+    from carto_etl_spark.operators.anomaly import theil_sen
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("double")
+        .alias("x"),
+        F.col("o_totalprice").alias("y"),
+        F.col("o_orderkey").alias("k"),
+    )
+    return theil_sen(o, ["g"], "x", "y", "k", sample_cap=40)
+
+
+def _oracle_theil_sen() -> str:
+    from carto_etl_spark.operators.sampling import LEHMER_M, hash_sql
+
+    cap = 40
+    return f"""
+WITH src AS (
+  SELECT o_orderpriority AS g,
+         CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE) AS x,
+         o_totalprice AS y, o_orderkey AS k
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+),
+counts AS (SELECT g, count(*) AS n FROM src GROUP BY g),
+pts AS (
+  SELECT s.g, s.x, s.y, s.k
+  FROM src s JOIN counts c ON s.g = c.g
+  WHERE {hash_sql("k", 0)} <
+        CAST(floor(least(1.0, CAST({cap} AS DOUBLE) / CAST(c.n AS DOUBLE))
+                   * {LEHMER_M}) AS BIGINT)
+),
+npts AS (SELECT g, count(*) AS n_points FROM pts GROUP BY g),
+pairs AS (
+  SELECT a.g, (b.y - a.y) / (b.x - a.x) AS slope, a.k AS ka, b.k AS kb
+  FROM pts a JOIN pts b ON a.g = b.g AND a.k < b.k AND a.x <> b.x
+),
+ranked AS (
+  SELECT g, slope,
+         row_number() OVER (PARTITION BY g ORDER BY slope, ka, kb) AS r,
+         count(*) OVER (PARTITION BY g) AS np
+  FROM pairs
+),
+med AS (
+  SELECT g, CAST(np AS BIGINT) AS n_pairs, slope
+  FROM ranked WHERE r = CAST(ceil(np / 2.0) AS BIGINT)
+)
+SELECT npts.g, CAST(npts.n_points AS BIGINT) AS n_points,
+       coalesce(med.n_pairs, 0) AS n_pairs, med.slope
+FROM npts LEFT JOIN med ON npts.g = med.g
+"""
+
+
 def q_equi_depth_hist(spark, sf_dir):
     """Equi-depth histogram of lineitem prices (quantiles.
     equi_depth_histogram): boundaries from the deterministic quantile
@@ -7642,6 +7704,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "fuzzy_pairs": q_fuzzy_pairs,
     "linkage_scores": q_linkage_scores,
+    "theil_sen": q_theil_sen,
     "equi_depth_hist": q_equi_depth_hist,
     "psi_drift": q_psi_drift,
     "cusum_drift": q_cusum_drift,
@@ -7812,6 +7875,7 @@ ORACLES = {
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "fuzzy_pairs": ORACLE_FUZZY,
     "linkage_scores": _oracle_linkage_scores(),
+    "theil_sen": _oracle_theil_sen(),
     "equi_depth_hist": _oracle_equi_depth_hist(),
     "psi_drift": _oracle_psi_drift(),
     "cusum_drift": ORACLE_CUSUM,
