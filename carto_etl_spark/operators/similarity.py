@@ -382,17 +382,32 @@ def semantic_dedup(
     size n_clusters ~ n/target_cluster_size so clusters stay bounded (the
     paper uses ~0.1% of n).  Never all-pairs across clusters.
 
+    Two cost hoists keep the pair stage lean without moving a single float:
+    the per-row norm is computed ONCE before the join (sqrt(aggregate(v*v))
+    is the identical IEEE op tree whether evaluated per row or per pair, so
+    every cosine — dot / (norm_a * norm_b) in that order — is bit-equal to
+    the unhoisted form), cutting the interpreted higher-order-function work
+    per pair from three array aggregates to one; and the assignment frame is
+    persisted (MEMORY_AND_DISK, evictable) because THREE plan branches read
+    it (both join sides and the final left join) — without it each branch
+    re-scans the corpus and re-evaluates the n_clusters x dim literal argmin.
+    At 100 TB "materialize the assignments, then pair within clusters" is
+    the standard SemDeDup staging anyway.
+
     Returns the input ids with ``cluster``, ``is_dup`` and ``dup_of`` (the
     smallest cluster-mate id that semantically covers this one; NULL for
     kept items).
     """
+    from pyspark import StorageLevel
+
     centroids = sampled_centroids(df, n_clusters, id_col, vec_col)
     indexed = assign_ivf_lists(df, centroids, vec_col, out_col="cluster")
+    indexed = indexed.persist(StorageLevel.MEMORY_AND_DISK)
     sides = indexed.select(
         F.col(id_col).alias("__id"),
         "cluster",
         F.col(vec_col).cast("array<double>").alias("__v"),
-    )
+    ).withColumn("__n", norm_expr(F.col("__v")))
     a, b = sides.alias("a"), sides.alias("b")
     dup_of = (
         a.join(
@@ -400,7 +415,11 @@ def semantic_dedup(
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .where(cosine_expr(F.col("a.__v"), F.col("b.__v")) >= threshold)
+        .where(
+            dot_expr(F.col("a.__v"), F.col("b.__v"))
+            / F.nullif(F.col("a.__n") * F.col("b.__n"), F.lit(0.0))
+            >= threshold
+        )
         .groupBy(F.col("b.__id").alias(id_col))
         .agg(F.min(F.col("a.__id")).alias("dup_of"))
     )
