@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "cusum_drift",
     "theil_sen",
     "psi_drift",
+    "bpe_merges",
+    "bpe_tokenize",
     "transitions",
     "value_histogram",
     "pivot_revenue",

@@ -1,0 +1,194 @@
+"""BPE tokenizer training as distributed DataFrame iterations.
+
+The marquee preprocessing step of an LLM data pipeline the reference has no
+counterpart for: learn byte-pair-encoding merge rules from a corpus
+(Sennrich et al., "Neural Machine Translation of Rare Words with Subword
+Units", ACL 2016 — the algorithm behind GPT-2/RoBERTa-style tokenizers).
+
+Scale design (the reason this is NOT the textbook in-memory loop):
+
+* **Train on the word-frequency table, not the corpus.**  The classic
+  implementation trains on a ``{word: count}`` dict; distributed, that is
+  one map-side-combined ``groupBy(word)`` over the corpus — the 100 TB of
+  text collapses to a distinct-word table (tens of millions of rows at
+  web scale) and every subsequent iteration touches ONLY that table.
+  Corpus size bounds one scan; vocabulary size bounds the loop.
+* **One shuffle per merge, sized by distinct pairs.**  Each iteration
+  explodes adjacent token pairs (weighted by word count) and hash-
+  aggregates them — partial aggregation collapses the hot pairs map-side,
+  so the exchange carries at most |distinct pairs| rows, not corpus
+  positions.  The argmax is a 1-row collect.
+* **The merge rewrite is a pure string projection** (scan-stage, codegen,
+  no shuffle): words are kept as single-space-joined token strings and a
+  merge replaces the pair via the space-doubling trick below — both
+  engines' ``replace`` is sequential left-to-right, which is exactly
+  BPE's non-overlapping greedy merge semantics.
+* Each iteration persists its (small) word table and unpersists the
+  previous one, so lineage stays one-merge deep and re-scans never cascade.
+
+The space-doubling trick: in ``" a b a b "`` the naive pattern ``" a b "``
+cannot match twice because consecutive occurrences share a separator (the
+first match consumes it).  Doubling every space first gives each token its
+own boundary pair — ``"  a  b  a  b  "`` matches ``" a  b "`` at every
+true token-adjacency, consecutive occurrences included, and never inside a
+token.  Replace the pair, then collapse doubles back to singles; all three
+steps are plain ``replace`` with identical sequential semantics in Spark
+and DuckDB, which is what makes the trained merges exactly re-derivable by
+an independent engine (the catalog oracle unrolls the full loop in SQL).
+
+Determinism: pair counts are exact integers; the argmax tie-break is
+(count DESC, left ASC, right ASC); merged symbols never contain the
+separator, so each iteration is a pure function of the previous state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from carto_etl_spark.session import local_df
+
+MERGE_SCHEMA = (
+    "rank int, left string, right string, merged string, pair_count long"
+)
+
+
+def word_counts(
+    df: DataFrame, text_col: str, *, top_n: int | None = None
+) -> DataFrame:
+    """Distinct-word frequency table: ``(word, cnt)``.
+
+    ASCII-lowercase words only (``[a-z]+`` after ``lower``), so the word
+    universe is engine-portable — case-fold differences outside a-z cannot
+    leak in.  ``top_n`` keeps the most frequent words (ties broken by word
+    ASC) — the standard BPE practice of training on the head of the
+    vocabulary; selection is deterministic, so an oracle can replay it.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if top_n is not None:
+        # deterministic head: rank by (cnt DESC, word ASC); a window over
+        # the distinct-word table is dimension-sized, but still partition
+        # it by a constant-free ORDER-only window ONLY via top-k pattern:
+        # sort + limit is fine here because the output is the bounded head
+        words = words.orderBy(F.desc("cnt"), F.asc("word")).limit(top_n)
+    return words
+
+
+def _spaced(col):
+    """word -> wrapped single-space-joined character string: 'abc' -> ' a b c '."""
+    return F.concat(
+        F.lit(" "), F.trim(F.regexp_replace(col, "(.)", "$1 ")), F.lit(" ")
+    )
+
+
+def _merge_rewrite(col, left: str, right: str):
+    """Apply one merge to a wrapped token string via the space-doubling
+    trick (see module docstring): double, replace ' l  r ' -> ' lr ',
+    collapse."""
+    doubled = F.replace(col, F.lit(" "), F.lit("  "))
+    merged = F.replace(
+        doubled,
+        F.lit(f" {left}  {right} "),
+        F.lit(f" {left}{right} "),
+    )
+    return F.replace(merged, F.lit("  "), F.lit(" "))
+
+
+def train_bpe(
+    words: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules from a word-frequency table.
+
+    Returns ``(rank, left, right, merged, pair_count)`` — pair_count is
+    the weighted adjacency count at the moment the pair was selected.
+    Stops early if no adjacent pair remains.
+    """
+    from pyspark import StorageLevel
+
+    spark = words.sparkSession
+    cur = words.select(
+        _spaced(F.col(word_col)).alias("s"),
+        F.col(count_col).cast("long").alias("cnt"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    prev = None
+    merges: list[tuple] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            toks = F.split(F.trim(F.col("s")), " ")
+            pairs = F.expr(
+                "transform(slice(__tk, 1, size(__tk) - 1),"
+                " (x, i) -> struct(x AS t1, element_at(__tk, i + 2) AS t2))"
+            )
+            best = (
+                cur.select(F.col("cnt"), toks.alias("__tk"))
+                .select(F.col("cnt"), F.explode(pairs).alias("p"))
+                .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), F.asc("t1"), F.asc("t2"))
+                .limit(1)
+                .collect()
+            )
+            # the pair-count job was the iteration's one action: it also
+            # materialized cur's cache, so the parent's blocks can go now
+            # (one job per merge — no separate materialization count())
+            if prev is not None:
+                prev.unpersist()
+            if not best:
+                break
+            t1, t2, c = best[0]["t1"], best[0]["t2"], int(best[0]["c"])
+            merges.append((rank, t1, t2, t1 + t2, c))
+            nxt = cur.select(
+                _merge_rewrite(F.col("s"), t1, t2).alias("s"), "cnt"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            prev, cur = cur, nxt
+    finally:
+        cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
+    return local_df(spark, merges, MERGE_SCHEMA)
+
+
+def apply_bpe(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with an ordered merge list learned by
+    :func:`train_bpe` — the inference half of the tokenizer.
+
+    Whole-document treatment: each ``[a-z]+`` word is segmented
+    independently (exactly as in training), and the output is the
+    concatenated token sequence.  The merge loop is a chain of scan-stage
+    string projections — no shuffle, no UDF; applying K merges to a
+    document costs K column expressions regardless of corpus size.
+    """
+    spaced = F.expr(
+        f"transform(regexp_extract_all(lower({text_col}), '[a-z]+', 0),"
+        " w -> ' ' || trim(regexp_replace(w, '(.)', '$1 ')) || ' ')"
+    )
+    out = df.withColumn("__sp", spaced)
+    for left, right in merges:
+        out = out.withColumn(
+            "__sp",
+            F.expr(
+                "transform(__sp, s -> replace(replace(replace(s, ' ', '  '),"
+                f" ' {left}  {right} ', ' {left}{right} '), '  ', ' '))"
+            ),
+        )
+    return out.withColumn(
+        out_col,
+        F.flatten(F.expr("transform(__sp, s -> split(trim(s), ' '))")),
+    ).drop("__sp")

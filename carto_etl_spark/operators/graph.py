@@ -38,6 +38,7 @@ scheduled job, so the knob trades plan depth against scheduler round-trips
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from carto_etl_spark.session import local_df
 
 # Below this many (aggregated) edge rows the iteration state is
 # broadcast-sized, and looping on the DRIVER is the iterative analogue of a
@@ -132,8 +133,8 @@ def pagerank(
     small = _collect_if_small(e, driver_threshold_edges)
     if small is not None:
         result = _pagerank_py(small, iterations, damping_pct, scale)
-        return edges.sparkSession.createDataFrame(
-            result, _node_result_schema(e, "rank_scaled")
+        return local_df(
+            edges.sparkSession, result, _node_result_schema(e, "rank_scaled")
         )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -263,8 +264,8 @@ def bfs_hops(
                 T.StructField("hops", T.IntegerType()),
             ]
         )
-        return edges.sparkSession.createDataFrame(
-            [(n, int(d)) for n, d in result], schema
+        return local_df(
+            edges.sparkSession, [(n, int(d)) for n, d in result], schema
         )
     dist = _relax_loop(e, sources, max_hops, checkpoint_every)
     return dist.select("node", F.col("d").cast("int").alias("hops"))
@@ -365,8 +366,8 @@ def shortest_paths(
     small = _collect_if_small(e, driver_threshold_edges)
     if small is not None:
         result = _relax_py(small, sources, max_rounds)
-        return edges.sparkSession.createDataFrame(
-            result, _node_result_schema(e, "dist")
+        return local_df(
+            edges.sparkSession, result, _node_result_schema(e, "dist")
         )
     dist = _relax_loop(e, sources, max_rounds, checkpoint_every)
     return dist.select("node", F.col("d").alias("dist"))

@@ -41,6 +41,7 @@ from carto_etl_spark.operators.sampling import (
     hash_expr,
     hash_sql,
 )
+from carto_etl_spark.session import local_df
 
 
 def sample_cutoff(target_sample: int, total: int) -> int:
@@ -112,7 +113,7 @@ def sample_quantiles(
             f"q double, est {dict(src.dtypes)[value_col]}, sample_m long, "
             "n_total long, true_rank long, true_frac double, rank_err double"
         )
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
 
     ranked = with_global_rank(sample, [value_col, key_col], name="__r")
     targets = sorted({rank_target(q, m) for q in probs})
@@ -144,8 +145,10 @@ def sample_quantiles(
         for q in probs
     ]
     value_type = dict(src.dtypes)[value_col]
-    res = spark.createDataFrame(
-        out, f"q double, est {value_type}, sample_m long, n_total long, true_rank long"
+    res = local_df(
+        spark,
+        out,
+        f"q double, est {value_type}, sample_m long, n_total long, true_rank long",
     )
     return res.select(
         "q",

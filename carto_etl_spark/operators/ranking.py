@@ -50,6 +50,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from carto_etl_spark.session import local_df
 
 #: boundary-sample cap: 100k scalar values ≈ a few MB on the driver, enough
 #: for ±1% bucket balance at any input size.
@@ -124,8 +125,8 @@ def with_global_rank(
     for row in sorted(counts, key=lambda r: r["__bucket"]):
         offsets.append((row["__bucket"], running))
         running += row["count"]
-    offsets_df = spark.createDataFrame(
-        offsets or [(0, 0)], "__bucket int, __offset long"
+    offsets_df = local_df(
+        spark, offsets or [(0, 0)], "__bucket int, __offset long"
     )
 
     w = Window.partitionBy("__bucket").orderBy(*[F.col(k) for k in keys])
@@ -188,8 +189,8 @@ def with_prefix_sums(
     schema = "__bucket int, " + ", ".join(
         f"__off_{i} long" for i in range(len(value_cols))
     )
-    offsets_df = spark.createDataFrame(
-        offsets or [(0, *[0] * len(value_cols))], schema
+    offsets_df = local_df(
+        spark, offsets or [(0, *[0] * len(value_cols))], schema
     )
 
     end = 0 if inclusive else -1

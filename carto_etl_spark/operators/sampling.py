@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from carto_etl_spark.session import local_df
 
 #: Park–Miller constants: multiplier and modulus (2^31 - 1, prime).
 LEHMER_A = 48271
@@ -358,7 +359,7 @@ def with_running_weight(
         offsets.append((r["__pid"], running))
         running += r["__s"] or 0
     spark = df.sparkSession
-    odf = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    odf = local_df(spark, offsets or [(0, 0)], "__pid int, __off long")
     local = (
         Window.partitionBy("__pid")
         .orderBy(_col(order))

@@ -42,6 +42,7 @@ import warnings
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from carto_etl_spark.session import local_df
 
 
 class SchemaEvolutionError(ValueError):
@@ -543,7 +544,7 @@ class TransactionalTable:
             if files:
                 return reader.parquet(*files)
             if pinned is not None:
-                return self.spark.createDataFrame([], pinned)
+                return local_df(self.spark, [], pinned)
             # no pre-schema manifests and an empty side: mirror the other
             # side's schema through an always-false filter
             other = added or removed

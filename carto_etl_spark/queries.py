@@ -41,6 +41,7 @@ from carto_etl_spark.operators import sampling as smp
 from carto_etl_spark.operators import scrub as sc
 from carto_etl_spark.operators import similarity as sim
 from carto_etl_spark.operators import text as tx
+from carto_etl_spark.session import local_df
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -361,7 +362,7 @@ def q_transactional_lifecycle(spark, sf_dir):
         t.vacuum(retain_versions=1)
         out = t.read()
         # materialize before the workdir disappears
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -2999,7 +3000,7 @@ def q_incremental_mv(spark, sf_dir):
             )
         )
         out = apply_aggregate_delta(mv1, t.diff(v1), ["grp"], ["cents"])
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -3142,7 +3143,7 @@ def q_streaming_cardinality(spark, sf_dir):
         )
         q.awaitTermination(300)
         out = load_cardinality_registers(spark, f"{workdir}/state")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -3794,7 +3795,7 @@ def q_cow_dml(spark, sf_dir):
         t.upsert(updates, key="c_custkey")
         t.delete_where("c_custkey", lo=100, hi=199)
         out = t.read()
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -4603,7 +4604,7 @@ def q_snapshot_diff(spark, sf_dir):
         t.upsert(updates, key="c_custkey")
         t.delete_where("c_custkey", lo=300, hi=449)
         out = t.diff(v1)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -6842,7 +6843,7 @@ def q_incremental_near_dup(spark, sf_dir):
         _lsh_build_index(spark, sf_dir, workdir)
         out = _lsh_match_summary(spark, sf_dir, workdir)
         # materialize before the index state disappears
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -6870,7 +6871,7 @@ def q_lsh_index_build(spark, sf_dir):
             .groupBy(F.col("band").cast("int").alias("band"))
             .agg(F.count(F.lit(1)).alias("n_rows"))
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -7465,15 +7466,16 @@ FROM assigned s LEFT JOIN dups d USING (vec_id)
 
 
 def q_streaming_quantiles(spark, sf_dir):
-    """Streaming quantile state (streaming/quantile.py): lineitem replayed
-    as THREE micro-batches through ``track_quantiles`` (adaptive-level
-    hash-threshold sample, cap=512).  The final (level, sample) pair is a
-    pure function of the data SET — the final level is provably
+    """Streaming quantile state (streaming/quantile.py): lineitem fed
+    through ``track_quantiles`` (adaptive-level hash-threshold sample,
+    cap=512) as an availableNow file stream.  The final (level, sample)
+    pair is a pure function of the data SET — the final level is provably
     min {L : |hash < cutoff(L)| <= cap} over the whole stream, independent
-    of batch boundaries — so the oracle re-derives the ENTIRE state in
-    DuckDB (level search, sample filter, rank targets) and checks the
-    quantile estimates value-for-value; a genuinely streaming pipeline
-    graded by an exact batch oracle."""
+    of batch boundaries (split/replay invariance is pinned in
+    tests/test_streaming_quantile.py) — so the oracle re-derives the
+    ENTIRE state in DuckDB (level search, sample filter, rank targets)
+    and checks the quantile estimates value-for-value; a genuinely
+    streaming pipeline graded by an exact batch oracle."""
     import shutil
     import tempfile
 
@@ -7490,10 +7492,7 @@ def q_streaming_quantiles(spark, sf_dir):
     workdir = tempfile.mkdtemp(prefix="qstream-")
     try:
         src = f"{workdir}/src"
-        for i in range(3):
-            li.filter(F.col("l_orderkey") % 3 == i).drop("l_orderkey").write.mode(
-                "overwrite"
-            ).parquet(f"{src}/b{i}")
+        li.drop("l_orderkey").write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema("v double, k long").option(
             "recursiveFileLookup", "true"
         ).parquet(src)
@@ -7505,7 +7504,7 @@ def q_streaming_quantiles(spark, sf_dir):
         out = state_quantiles(
             spark, f"{workdir}/state", [0.25, 0.5, 0.75]
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -7587,6 +7586,135 @@ def _oracle_sample_quantiles() -> str:
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.py): word-frequency table
+    from the documents corpus -> 10 learned merge rules.  The merge loop
+    is the real distributed algorithm (pair explode + weighted hash-agg +
+    scan-stage rewrite per iteration, lineage kept one merge deep); the
+    oracle unrolls all 10 iterations in SQL — pair counting, the
+    (count DESC, left, right) argmax, and the space-doubling rewrite whose
+    sequential ``replace`` semantics are identical in both engines — so a
+    green row proves every selected pair and every intermediate corpus
+    state, not just the output shape."""
+    from carto_etl_spark.operators.bpe import train_bpe, word_counts
+
+    docs = load(spark, sf_dir, "documents")
+    return train_bpe(word_counts(docs, "text"), n_merges=10)
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """BPE tokenization with learned merges (operators/bpe.py): train 10
+    rules on the corpus, then segment every document with them — the
+    inference half of the tokenizer.  Application is a chain of scan-stage
+    string projections (no shuffle, no UDF: plan-gated), so tokenizing
+    100 TB costs one codegen pass over the corpus.  Output is per-doc
+    token count and the full token sequence; the oracle re-trains the
+    merges AND replays the segmentation in SQL."""
+    from carto_etl_spark.operators.bpe import apply_bpe, train_bpe, word_counts
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(word_counts(docs, "text"), n_merges=10)
+    rules = [(r["left"], r["right"]) for r in merges.collect()]
+    out = apply_bpe(docs, "text", rules)
+    return out.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.concat_ws(" ", "tokens").alias("token_str"),
+    )
+
+
+def _bpe_merge_ctes(n_merges: int) -> str:
+    """Shared WITH-chain re-deriving the full BPE training loop in DuckDB:
+    words -> w0 (wrapped char strings) -> [pK (pair counts), mK (argmax),
+    wK (rewrite)] x n_merges.  Mirrors operators/bpe.py exactly."""
+    parts = [
+        """words AS (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents)
+  WHERE word != '' GROUP BY word
+),
+w0 AS (
+  SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS s,
+         CAST(cnt AS BIGINT) AS cnt
+  FROM words
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"w{k - 1}"
+        parts.append(
+            f"""p{k} AS (
+  SELECT t1, t2, sum(cnt) AS c FROM (
+    SELECT a[i] AS t1, a[i + 1] AS t2, cnt FROM (
+      SELECT string_split(trim(s), ' ') AS a, cnt,
+             unnest(generate_series(1, len(string_split(trim(s), ' ')) - 1)) AS i
+      FROM {prev}))
+  GROUP BY t1, t2
+),
+m{k} AS (SELECT t1, t2, c FROM p{k} ORDER BY c DESC, t1, t2 LIMIT 1),
+w{k} AS (
+  SELECT replace(replace(replace(s, ' ', '  '),
+                         ' ' || m{k}.t1 || '  ' || m{k}.t2 || ' ',
+                         ' ' || m{k}.t1 || m{k}.t2 || ' '),
+                 '  ', ' ') AS s, cnt
+  FROM {prev}, m{k}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _oracle_bpe_merges(n_merges: int = 10) -> str:
+    selects = "\nUNION ALL\n".join(
+        f'SELECT {k} AS rank, t1 AS "left", t2 AS "right", '
+        f"t1 || t2 AS merged, CAST(c AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + _bpe_merge_ctes(n_merges)
+        + f"\nSELECT CAST(rank AS INTEGER) AS rank, \"left\", \"right\", "
+        f"merged, pair_count FROM ({selects})"
+    )
+
+
+def _oracle_bpe_tokenize(n_merges: int = 10) -> str:
+    chain = [
+        """d0 AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+                        w -> ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ') AS sp
+  FROM documents
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        chain.append(
+            f"""d{k} AS (
+  SELECT doc_id,
+         list_transform(sp, s -> replace(replace(replace(s, ' ', '  '),
+                                ' ' || m{k}.t1 || '  ' || m{k}.t2 || ' ',
+                                ' ' || m{k}.t1 || m{k}.t2 || ' '),
+                        '  ', ' ')) AS sp
+  FROM d{k - 1}, m{k}
+)"""
+        )
+    return (
+        "WITH "
+        + _bpe_merge_ctes(n_merges)
+        + ",\n"
+        + ",\n".join(chain)
+        + f""",
+toks AS (
+  SELECT doc_id,
+         flatten(list_transform(sp, s -> string_split(trim(s), ' '))) AS tk
+  FROM d{n_merges}
+)
+SELECT doc_id,
+       CAST(len(tk) AS INTEGER) AS n_tokens,
+       array_to_string(tk, ' ') AS token_str
+FROM toks"""
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -7629,6 +7757,8 @@ QUERIES = {
     "json_extract": q_json_extract,
     "percentiles": q_percentiles,
     "sample_quantiles": q_sample_quantiles,
+    "bpe_merges": q_bpe_merges,
+    "bpe_tokenize": q_bpe_tokenize,
     "group_quantiles": q_group_quantiles,
     "ann_pq": q_ann_pq,
     "image_dhash": q_image_dhash,
@@ -7800,6 +7930,8 @@ ORACLES = {
     "json_extract": ORACLE_JSON,
     "percentiles": ORACLE_PERCENTILES,
     "sample_quantiles": _oracle_sample_quantiles(),
+    "bpe_merges": _oracle_bpe_merges(),
+    "bpe_tokenize": _oracle_bpe_tokenize(),
     "group_quantiles": _oracle_group_quantiles(),
     "ann_pq": ORACLE_ANN_PQ,
     "image_dhash": ORACLE_IMAGE_DHASH,

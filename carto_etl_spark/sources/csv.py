@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from carto_etl_spark.config import JobConfig
+from carto_etl_spark.session import local_df
 
 
 def normalize_headers(df: DataFrame) -> DataFrame:
@@ -82,8 +83,8 @@ def with_row_index(df: DataFrame, name: str = "row_idx") -> DataFrame:
         running += row["count"]
 
     spark = df.sparkSession
-    offsets_df = spark.createDataFrame(
-        [(p, o) for p, o in offsets.items()], "__pid int, __offset long"
+    offsets_df = local_df(
+        spark, [(p, o) for p, o in offsets.items()], "__pid int, __offset long"
     )
     local_rn = F.row_number().over(
         Window.partitionBy("__pid").orderBy("__mid")

@@ -34,6 +34,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from carto_etl_spark.operators.sketch import hll_build, hll_estimate, hll_merge
 from carto_etl_spark.streaming.frequency import _current, _promote, _recover
+from carto_etl_spark.session import local_df
 
 _REGS = "registers"
 
@@ -75,9 +76,7 @@ def track_cardinality(
         ]
         if not regs:
             return
-        batch_regs = spark.createDataFrame(
-            regs, "bucket int, max_rho int"
-        )
+        batch_regs = local_df(spark, regs, "bucket int, max_rho int")
         cur = _current(state_dir)
         if os.path.exists(cur):
             merged = hll_merge(

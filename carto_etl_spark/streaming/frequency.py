@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from carto_etl_spark.operators.sketch import cms_build, cms_merge
+from carto_etl_spark.session import local_df
 
 _CELLS = "cells"
 _APPLIED = "applied"
@@ -109,19 +110,17 @@ def track_frequencies(
                 return  # replayed batch: already applied
             merged = cms_merge(
                 spark.read.parquet(os.path.join(cur, _CELLS)),
-                spark.createDataFrame(cells, "seed int, bucket int, n long"),
+                local_df(spark, cells, "seed int, bucket int, n long"),
             )
             fps = [r["fp"] for r in applied.collect()] + [fp]
         else:
-            merged = spark.createDataFrame(
-                cells, "seed int, bucket int, n long"
-            )
+            merged = local_df(spark, cells, "seed int, bucket int, n long")
             fps = [fp]
         tmp = cur + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         merged.coalesce(1).write.parquet(os.path.join(tmp, _CELLS))
-        spark.createDataFrame([(f,) for f in fps], "fp string").coalesce(
+        local_df(spark, [(f,) for f in fps], "fp string").coalesce(
             1
         ).write.parquet(os.path.join(tmp, _APPLIED))
         _promote(tmp, cur)

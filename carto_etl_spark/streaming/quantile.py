@@ -50,6 +50,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from carto_etl_spark.operators.quantiles import rank_target
 from carto_etl_spark.operators.sampling import LEHMER_M, hash_expr
+from carto_etl_spark.session import local_df
 
 _SAMPLE = "sample"
 _META = "meta"
@@ -89,15 +90,23 @@ def _promote(tmp: str, cur: str) -> None:
 
 
 def _fingerprint_and_counts(
-    df: DataFrame, key_col: str, from_level: int
+    df: DataFrame, key_col: str, from_level: int, flag_col: str | None = None
 ) -> tuple[str, int, list[int]]:
-    """ONE aggregate pass: batch count, the two-hash content fingerprint,
-    and the kept-row count at every candidate level >= from_level."""
+    """ONE aggregate pass over the batch — or, with ``flag_col``, over
+    (state ∪ batch) where the flag marks state rows: the batch count and
+    two-hash content fingerprint (batch rows only), and the kept-row count
+    at every candidate level >= from_level (all rows).  Fusing both reads
+    into one job matters because every action inside ``foreachBatch``
+    re-scans the batch files — this is the single full-batch aggregate of
+    the handler."""
     h = hash_expr(key_col, 0)
+    is_batch = (
+        ~F.col(flag_col) if flag_col is not None else F.lit(True)
+    )
     aggs = [
-        F.count(F.lit(1)).alias("__n"),
-        F.sum(h).alias("__s1"),
-        F.sum(hash_expr(key_col, 104729)).alias("__s2"),
+        F.sum(F.when(is_batch, 1).otherwise(0)).alias("__n"),
+        F.sum(F.when(is_batch, h)).alias("__s1"),
+        F.sum(F.when(is_batch, hash_expr(key_col, 104729))).alias("__s2"),
     ] + [
         F.sum(
             F.when(h < F.lit(level_cutoff(lv)), 1).otherwise(0)
@@ -139,8 +148,8 @@ def state_quantiles(
         for q in probs
     ]
     vt = dict(sample.dtypes)[cols[0]]
-    return spark.createDataFrame(
-        out, f"q double, est {vt}, sample_m long, n_total long, level int"
+    return local_df(
+        spark, out, f"q double, est {vt}, sample_m long, n_total long, level int"
     )
 
 
@@ -173,7 +182,23 @@ def track_quantiles(
         src = batch_df.select(
             F.col(value_col).alias("v"), F.col(key_col).alias("k")
         ).where(F.col("v").isNotNull())
-        fp, batch_n, _ = _fingerprint_and_counts(src, "k", MAX_LEVEL)
+        # ONE aggregate over (state ∪ full batch) yields the batch
+        # fingerprint (flag-gated to batch rows) AND the kept counts at
+        # every candidate level — the counts at levels >= the current one
+        # are identical over the full batch and the level-filtered batch,
+        # since cutoff(lv) <= cutoff(level) already implies the keep
+        # predicate.  Two full-batch passes total (this one + the sample
+        # write); the old three-pass shape paid an extra scan because each
+        # foreachBatch action re-reads the batch files.
+        if have_state:
+            union = spark.read.parquet(os.path.join(cur, _SAMPLE)).withColumn(
+                "__st", F.lit(True)
+            ).unionByName(src.withColumn("__st", F.lit(False)))
+        else:
+            union = src.withColumn("__st", F.lit(False))
+        fp, batch_n, counts = _fingerprint_and_counts(
+            union, "k", level, flag_col="__st"
+        )
         if batch_n == 0:
             return
         if applied is not None and (
@@ -181,16 +206,6 @@ def track_quantiles(
         ):
             return  # replayed batch: already applied
 
-        kept = src.where(hash_expr("k", 0) < F.lit(level_cutoff(level)))
-        if have_state:
-            merged = spark.read.parquet(os.path.join(cur, _SAMPLE)).unionByName(
-                kept
-            )
-        else:
-            merged = kept
-        # one pass over the (state ∪ kept-batch) sample: counts at every
-        # deeper level; pick the smallest level that fits cap
-        _, total_kept, counts = _fingerprint_and_counts(merged, "k", level)
         new_level = None
         for off, cnt in enumerate(counts):
             if cnt <= cap:
@@ -201,10 +216,11 @@ def track_quantiles(
                 f"sample exceeds cap={cap} even at level {MAX_LEVEL}: "
                 "raise cap (it must be >= a ~2^-40 fraction of the stream)"
             )
-        if new_level > level:
-            merged = merged.where(
-                hash_expr("k", 0) < F.lit(level_cutoff(new_level))
-            )
+        # the new-level filter applies to state rows too (a deeper level
+        # prunes previously kept rows — the re-leveling rule)
+        merged = union.where(
+            hash_expr("k", 0) < F.lit(level_cutoff(new_level))
+        ).drop("__st")
 
         fps = [fp] if applied is None else (
             [r["fp"] for r in applied.collect()] + [fp]
@@ -212,11 +228,14 @@ def track_quantiles(
         tmp = cur + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        merged.coalesce(1).write.parquet(os.path.join(tmp, _SAMPLE))
-        spark.createDataFrame(
-            [(new_level, n_total + batch_n)], "level int, n_total long"
+        # repartition, NOT coalesce: coalesce(1) would collapse the whole
+        # batch-filter scan into one task; repartition keeps the scan
+        # parallel and shuffles only the <= cap surviving rows to one file
+        merged.repartition(1).write.parquet(os.path.join(tmp, _SAMPLE))
+        local_df(
+            spark, [(new_level, n_total + batch_n)], "level int, n_total long"
         ).coalesce(1).write.parquet(os.path.join(tmp, _META))
-        spark.createDataFrame([(f,) for f in fps], "fp string").coalesce(
+        local_df(spark, [(f,) for f in fps], "fp string").coalesce(
             1
         ).write.parquet(os.path.join(tmp, _APPLIED))
         _promote(tmp, cur)
