@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "psi_drift",
     "bpe_merges",
     "bpe_tokenize",
+    "quant_recall",
+    "export_shards",
     "transitions",
     "value_histogram",
     "pivot_revenue",

@@ -1,0 +1,88 @@
+"""Scalar int8 embedding quantization — the standard 4x compression step
+for embedding stores and ANN indexes (per-vector symmetric linear
+quantization, the "SQ8" of FAISS; complementary to the product-quantization
+codebooks in similarity.py: PQ compresses harder via codebooks, SQ8 keeps
+per-coordinate fidelity and needs no training pass).
+
+Not in the reference (it delegates all vector work to the database,
+/root/reference/etl/etl.py:177-200); a first-class training-data-pipeline
+operator: a 100 TB embedding column becomes 25 TB of int8 + one float
+scale per vector, and similarity search runs on integer dot products.
+
+Design for scale and for the differential oracle at once:
+
+* Quantization is a pure scan-stage projection — ``transform`` over the
+  array, no shuffle, no UDF.  ``q_i = floor(x_i / scale + 0.5)`` with
+  ``scale = maxabs / 127``: every double op is written in ONE fixed order
+  and mirrored textually in the DuckDB oracle, so the integer codes are
+  bit-identical across engines (floor(+0.5) is half-up rounding in both).
+* |q_i| <= 127 by construction: x_i/scale <= maxabs/scale = 127 up to one
+  ulp, and floor(127 + ulp + 0.5) = 127, so no clamp branch is needed.
+* The quantized COSINE needs no dequantization: the per-vector scales
+  cancel, leaving ``dot(qa, qb) / (|qa| * |qb|)`` where dot and the
+  squared norms are exact int64 sums (bounded by 64 * 127^2 < 2^20) — the
+  only doubles are the final sqrt/divide, again in one mirrored order.
+  Recall audits against the exact-cosine ranking are therefore
+  value-checkable to the last bit, not just statistically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Q_MAX = 127  # symmetric int8 range [-127, 127]
+
+
+def _maxabs_expr(vec: Column) -> Column:
+    return F.aggregate(
+        vec, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q_vec",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Append per-vector symmetric int8 codes (as ``array<long>`` so the
+    downstream integer dot products stay in one type) and the dequant
+    scale.  All-zero vectors quantize to all-zero codes with scale 0."""
+    emb = F.col(vec_col).cast("array<double>")
+    maxabs = _maxabs_expr(emb)
+    scale = maxabs / F.lit(float(Q_MAX))
+    q = F.when(
+        maxabs == F.lit(0.0),
+        F.transform(emb, lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            emb, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")
+        )
+    )
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
+def int_dot_expr(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two long-array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_cosine_expr(qa: Column, qb: Column) -> Column:
+    """Cosine of the dequantized vectors — the scales cancel, so this is a
+    pure function of the integer codes; NULL when either code vector is
+    all-zero."""
+    dot = int_dot_expr(qa, qb).cast("double")
+    na = F.sqrt(int_dot_expr(qa, qa).cast("double"))
+    nb = F.sqrt(int_dot_expr(qb, qb).cast("double"))
+    return dot / F.nullif(na * nb, F.lit(0.0))
+
+
+def dequantize_expr(q: Column, scale: Column) -> Column:
+    """Reconstruct ``array<double>`` from codes + scale (error <= scale/2
+    per coordinate by the half-up rounding)."""
+    return F.transform(q, lambda x: x.cast("double") * scale)

@@ -7715,6 +7715,164 @@ FROM toks"""
     )
 
 
+def q_quant_recall(spark, sf_dir):
+    """Scalar int8 embedding quantization audited by recall
+    (operators/quantize.py): quantize the whole corpus (scan-stage
+    transform, no shuffle), score 20 query vectors against it with BOTH the
+    exact cosine and the integer-code cosine (one broadcast pass — the
+    corpus is read once, queries ride along broadcast), and report per
+    query the exact-vs-quantized top-10 overlap, the summed micro-unit
+    score error over the exact top-10, and the query's integer code norm.
+    Every double op is order-mirrored in the oracle, so the codes, both
+    cosines, and the recall counts are bit-identical across engines — the
+    oracle re-derives the entire quantizer in SQL, not just the output
+    shape."""
+    from carto_etl_spark.operators import quantize as qt
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = qt.quantize_int8(e).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        "q_vec",
+    )
+    queries = corpus.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("q_vec").alias("qq"),
+        qt.int_dot_expr(F.col("q_vec"), F.col("q_vec")).alias("q_norm2"),
+    )
+    micro = F.lit(1000000.0)
+    pairs = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "q_norm2",
+        "vec_id",
+        F.round(sim.cosine_expr(F.col("emb"), F.col("qemb")) * micro)
+        .cast("long")
+        .alias("ecos_u"),
+        F.round(
+            qt.quantized_cosine_expr(F.col("q_vec"), F.col("qq")) * micro
+        )
+        .cast("long")
+        .alias("qcos_u"),
+    )
+    w_e = Window.partitionBy("query_id").orderBy(
+        F.desc("ecos_u"), F.col("vec_id")
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos_u"), F.col("vec_id")
+    )
+    ranked = pairs.withColumn("rn_e", F.row_number().over(w_e)).withColumn(
+        "rn_q", F.row_number().over(w_q)
+    )
+    return ranked.groupBy("query_id", "q_norm2").agg(
+        F.sum(
+            F.when((F.col("rn_e") <= 10) & (F.col("rn_q") <= 10), 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("hits"),
+        F.sum(
+            F.when(F.col("rn_e") <= 10, F.abs(F.col("qcos_u") - F.col("ecos_u")))
+        ).alias("sum_err_u"),
+    )
+
+
+ORACLE_QUANT_RECALL = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), qz AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM base
+), codes AS (
+  SELECT vec_id, emb,
+         CASE WHEN scale = 0.0
+              THEN list_transform(emb, x -> CAST(0 AS DOUBLE))
+              ELSE list_transform(emb, x -> floor(x / scale + 0.5)) END AS q
+  FROM qz
+), queries AS (
+  SELECT vec_id AS query_id, emb AS qemb, q AS qq,
+         CAST(list_dot_product(q, q) AS BIGINT) AS q_norm2
+  FROM codes WHERE vec_id < 20
+), pairs AS (
+  SELECT query_id, q_norm2, c.vec_id,
+         CAST(round((list_dot_product(c.emb, qemb)
+               / nullif(sqrt(list_dot_product(c.emb, c.emb))
+                        * sqrt(list_dot_product(qemb, qemb)), 0.0))
+              * 1000000.0) AS BIGINT) AS ecos_u,
+         CAST(round((list_dot_product(c.q, qq)
+               / nullif(sqrt(list_dot_product(c.q, c.q))
+                        * sqrt(list_dot_product(qq, qq)), 0.0))
+              * 1000000.0) AS BIGINT) AS qcos_u
+  FROM codes c, queries
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ecos_u DESC, vec_id) AS rn_e,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qcos_u DESC, vec_id) AS rn_q
+  FROM pairs
+)
+SELECT query_id, q_norm2,
+       CAST(sum(CASE WHEN rn_e <= 10 AND rn_q <= 10 THEN 1 ELSE 0 END)
+            AS INTEGER) AS hits,
+       CAST(sum(CASE WHEN rn_e <= 10 THEN abs(qcos_u - ecos_u) END)
+            AS BIGINT) AS sum_err_u
+FROM ranked GROUP BY query_id, q_norm2
+"""
+
+
+def q_export_shards(spark, sf_dir):
+    """Sharded JSONL dataset export (operators/export.py): write the
+    documents table as 16 deterministic JSONL shards + manifest, then read
+    the ACTUAL files back (text -> from_json) and aggregate per shard —
+    count, key sums, and an md5 content checksum of every text value — so
+    a green row proves the real write/read round-trip preserved every
+    document byte-for-byte and put it in the oracle-predicted shard.  The
+    oracle replays the md5 range-shard assignment and the same aggregates
+    straight from the source table."""
+    import shutil
+    import tempfile
+
+    from carto_etl_spark.operators import export as ex
+
+    docs = load(spark, sf_dir, "documents")
+    workdir = tempfile.mkdtemp(prefix="export-")
+    try:
+        path = f"{workdir}/out"
+        ex.export_jsonl(docs, path, n_shards=16, key_col="doc_id")
+        ex.write_manifest(docs, path, n_shards=16, key_col="doc_id")
+        back = ex.read_jsonl(spark, path, docs.schema)
+        text_ck = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast(
+            "long"
+        )
+        out = back.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("sum_n_chars"),
+            F.sum(text_ck).alias("text_checksum"),
+        )
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_EXPORT_SHARDS = """
+WITH sharded AS (
+  SELECT *,
+         CAST(floor((('0x' || substr(md5('0' || ':' || doc_id), 1, 8))::BIGINT
+                     * 16) / 4294967296.0) AS INTEGER) AS shard
+  FROM documents
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+           AS text_checksum
+FROM sharded GROUP BY shard
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -7759,6 +7917,8 @@ QUERIES = {
     "sample_quantiles": q_sample_quantiles,
     "bpe_merges": q_bpe_merges,
     "bpe_tokenize": q_bpe_tokenize,
+    "quant_recall": q_quant_recall,
+    "export_shards": q_export_shards,
     "group_quantiles": q_group_quantiles,
     "ann_pq": q_ann_pq,
     "image_dhash": q_image_dhash,
@@ -7932,6 +8092,8 @@ ORACLES = {
     "sample_quantiles": _oracle_sample_quantiles(),
     "bpe_merges": _oracle_bpe_merges(),
     "bpe_tokenize": _oracle_bpe_tokenize(),
+    "quant_recall": ORACLE_QUANT_RECALL,
+    "export_shards": ORACLE_EXPORT_SHARDS,
     "group_quantiles": _oracle_group_quantiles(),
     "ann_pq": ORACLE_ANN_PQ,
     "image_dhash": ORACLE_IMAGE_DHASH,
