@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "bpe_tokenize",
     "quant_recall",
     "export_shards",
+    "textrank_keywords",
     "transitions",
     "value_histogram",
     "pivot_revenue",

@@ -580,3 +580,83 @@ SELECT {id_col},
          AS mean_surprisal
 FROM terms GROUP BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (co-occurrence graph -> PageRank)
+# ---------------------------------------------------------------------------
+
+def cooccurrence_edges(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Undirected adjacent-word co-occurrence graph ``(src, dst, w)`` — the
+    edge table of TextRank (Mihalcea & Tarau 2004, window = 2): keyword
+    salience is PageRank over this graph (operators/graph.py supplies the
+    exact-integer iterations).
+
+    One corpus scan: words come from the same engine-portable tokenization
+    as BPE training (``[a-z]+`` after ``lower``), adjacent pairs are a
+    scan-stage ``zip_with`` over the word array (no explode of positions
+    into a shuffle — the pair list stays inside the row until the count
+    aggregate), self-loops are dropped, and the count aggregate is
+    map-side combined so the exchange carries distinct ordered pairs, not
+    corpus positions.  Symmetrization mirrors the counted pairs (two rows
+    per distinct pair) and re-aggregates — both shuffles are vocabulary²-
+    bounded, never corpus-bounded."""
+    w = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    adj = F.when(
+        F.size(w) < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.zip_with(
+            F.slice(w, F.lit(1), F.size(w) - 1),
+            F.slice(w, F.lit(2), F.size(w) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    pairs = (
+        df.select(F.explode(adj).alias("p"))
+        .select("p.w1", "p.w2")
+        .where(F.col("w1") != F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mirrored = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("w1").alias("src"),
+                    F.col("w2").alias("dst"),
+                    F.col("c"),
+                ),
+                F.struct(
+                    F.col("w2").alias("src"),
+                    F.col("w1").alias("dst"),
+                    F.col("c"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    return mirrored.groupBy("src", "dst").agg(F.sum("c").alias("w"))
+
+
+def cooccurrence_edges_sql(source_sql: str, text_col: str = "text") -> str:
+    """DuckDB twin of ``cooccurrence_edges`` (kept beside it so the two
+    cannot drift): same tokenization, same self-loop rule, same
+    mirror-then-sum symmetrization."""
+    toks = f"regexp_extract_all(lower({text_col}), '[a-z]+')"
+    return f"""
+SELECT e.src AS src, e.dst AS dst, CAST(sum(e.c) AS BIGINT) AS w FROM (
+  SELECT unnest([
+           {{'src': w1, 'dst': w2, 'c': c}},
+           {{'src': w2, 'dst': w1, 'c': c}}
+         ]) AS e
+  FROM (
+    SELECT a[i] AS w1, a[i + 1] AS w2, count(*) AS c FROM (
+      SELECT {toks} AS a,
+             unnest(generate_series(1, len({toks}) - 1)) AS i
+      FROM ({source_sql}))
+    WHERE a[i] != a[i + 1]
+    GROUP BY 1, 2)
+) GROUP BY 1, 2
+"""

@@ -7873,6 +7873,41 @@ FROM sharded GROUP BY shard
 """
 
 
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): the corpus
+    word-adjacency graph (text.py:cooccurrence_edges — one scan, pair-table
+    shuffles only) ranked by the exact-integer PageRank of
+    operators/graph.py, top-20 by (rank DESC, word).  A composition entry:
+    the oracle chains the edge-table SQL twin into the unrolled 10-iteration
+    PageRank CTE chain, so the whole text->graph->rank pipeline is
+    value-checked end-to-end.  Top-k is a TakeOrdered tree-aggregate, not a
+    global sort."""
+    from carto_etl_spark.operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    edges = tx.cooccurrence_edges(docs, "text")
+    pr = pagerank(edges, iterations=10, checkpoint_every=10)
+    return (
+        pr.orderBy(F.desc("rank_scaled"), F.col("node"))
+        .limit(20)
+        .select(F.col("node").alias("word"), "rank_scaled")
+    )
+
+
+def _oracle_textrank() -> str:
+    from carto_etl_spark.operators.graph import pagerank_oracle_sql
+    from carto_etl_spark.operators.text import cooccurrence_edges_sql
+
+    edges = cooccurrence_edges_sql("SELECT text FROM documents", "text")
+    return (
+        pagerank_oracle_sql(edges, iterations=10).replace(
+            "SELECT node, rank AS rank_scaled",
+            "SELECT node AS word, rank AS rank_scaled",
+        )
+        + "\nORDER BY rank_scaled DESC, word LIMIT 20"
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -7919,6 +7954,7 @@ QUERIES = {
     "bpe_tokenize": q_bpe_tokenize,
     "quant_recall": q_quant_recall,
     "export_shards": q_export_shards,
+    "textrank_keywords": q_textrank_keywords,
     "group_quantiles": q_group_quantiles,
     "ann_pq": q_ann_pq,
     "image_dhash": q_image_dhash,
@@ -8094,6 +8130,7 @@ ORACLES = {
     "bpe_tokenize": _oracle_bpe_tokenize(),
     "quant_recall": ORACLE_QUANT_RECALL,
     "export_shards": ORACLE_EXPORT_SHARDS,
+    "textrank_keywords": _oracle_textrank(),
     "group_quantiles": _oracle_group_quantiles(),
     "ann_pq": ORACLE_ANN_PQ,
     "image_dhash": ORACLE_IMAGE_DHASH,
