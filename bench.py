@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "quant_recall",
     "export_shards",
     "textrank_keywords",
+    "mixture_epoch",
     "transitions",
     "value_histogram",
     "pivot_revenue",

@@ -7908,6 +7908,44 @@ def _oracle_textrank() -> str:
     )
 
 
+_MIX_WEIGHTS = {"src0": 8.0, "src1": 4.0}
+
+
+def q_mixture_epoch(spark, sf_dir):
+    """Dataset mixture planning + epoch materialization
+    (operators/mixing.py): compose a 3x-corpus training epoch where src0
+    gets 8x weight and src1 4x — over-sampled sources repeat whole passes
+    plus a deterministic hash-sampled fraction, under-sampled ones keep a
+    fraction, all via one broadcast plan + scan-stage explode (no shuffle
+    in the expansion).  Output is per (source, copy) doc/char totals; the
+    oracle re-derives the plan arithmetic (weight normalization, repeat
+    factors, hash-unit thresholds) AND replays the row-level expansion, so
+    every copy decision is value-checked."""
+    from carto_etl_spark.operators import mixing as mx
+
+    docs = load(spark, sf_dir, "documents")
+    plan = mx.epoch_plan(docs, "source", "n_chars", _MIX_WEIGHTS)
+    epoch = mx.materialize_epoch(docs, plan, "source", "doc_id")
+    return epoch.groupBy("source", "copy_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _oracle_mixture_epoch() -> str:
+    from carto_etl_spark.operators.mixing import (
+        epoch_counts_sql,
+        epoch_plan_sql,
+    )
+
+    plan = epoch_plan_sql(
+        "SELECT * FROM documents", "source", "n_chars", _MIX_WEIGHTS
+    )
+    return epoch_counts_sql(
+        "SELECT * FROM documents", plan, "source", "doc_id", "n_chars"
+    ).replace("sum_n_chars", "sum_chars")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -7955,6 +7993,7 @@ QUERIES = {
     "quant_recall": q_quant_recall,
     "export_shards": q_export_shards,
     "textrank_keywords": q_textrank_keywords,
+    "mixture_epoch": q_mixture_epoch,
     "group_quantiles": q_group_quantiles,
     "ann_pq": q_ann_pq,
     "image_dhash": q_image_dhash,
@@ -8131,6 +8170,7 @@ ORACLES = {
     "quant_recall": ORACLE_QUANT_RECALL,
     "export_shards": ORACLE_EXPORT_SHARDS,
     "textrank_keywords": _oracle_textrank(),
+    "mixture_epoch": _oracle_mixture_epoch(),
     "group_quantiles": _oracle_group_quantiles(),
     "ann_pq": ORACLE_ANN_PQ,
     "image_dhash": ORACLE_IMAGE_DHASH,
