@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "export_shards",
     "textrank_keywords",
     "mixture_epoch",
+    "pareto_parts",
     "transitions",
     "value_histogram",
     "pivot_revenue",

@@ -7946,6 +7946,26 @@ def _oracle_mixture_epoch() -> str:
     ).replace("sum_n_chars", "sum_chars")
 
 
+def q_pareto_parts(spark, sf_dir):
+    """Pareto frontier / skyline (operators/skyline.py): the parts not
+    dominated on (retail price, size) — minimize both.  The engine runs the
+    distributed sort-scan (range-bucketed prefix-min, no single-partition
+    window, no O(n²) join); the oracle is the brute-force dominance
+    anti-join, so the two derivations share nothing but the semantics."""
+    from carto_etl_spark.operators.skyline import pareto_frontier
+
+    p = load(spark, sf_dir, "part")
+    return pareto_frontier(p, "p_retailprice", "p_size")
+
+
+def _oracle_pareto() -> str:
+    from carto_etl_spark.operators.skyline import pareto_frontier_sql
+
+    return pareto_frontier_sql(
+        "SELECT p_retailprice, p_size FROM part", "p_retailprice", "p_size"
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -7994,6 +8014,7 @@ QUERIES = {
     "export_shards": q_export_shards,
     "textrank_keywords": q_textrank_keywords,
     "mixture_epoch": q_mixture_epoch,
+    "pareto_parts": q_pareto_parts,
     "group_quantiles": q_group_quantiles,
     "ann_pq": q_ann_pq,
     "image_dhash": q_image_dhash,
@@ -8171,6 +8192,7 @@ ORACLES = {
     "export_shards": ORACLE_EXPORT_SHARDS,
     "textrank_keywords": _oracle_textrank(),
     "mixture_epoch": _oracle_mixture_epoch(),
+    "pareto_parts": _oracle_pareto(),
     "group_quantiles": _oracle_group_quantiles(),
     "ann_pq": ORACLE_ANN_PQ,
     "image_dhash": ORACLE_IMAGE_DHASH,
