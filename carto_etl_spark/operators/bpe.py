@@ -67,10 +67,11 @@ def word_counts(
     words = (
         df.select(
             F.explode(
+                # '[a-z]+' cannot match empty, and explode drops NULL/empty
+                # arrays, so no empty-word filter is needed
                 F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
             ).alias("word")
         )
-        .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -36,7 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from carto_etl_spark.operators.shuffle import _sort_key
+from carto_etl_spark.operators.shuffle import _sort_key, range_shard_expr
 
 SHARD_COL = "shard"
 
@@ -44,15 +44,20 @@ SHARD_COL = "shard"
 def assign_shards(
     df: DataFrame, n_shards: int, key_col: str, seed: int = 0
 ) -> DataFrame:
-    """Append a deterministic ``shard`` column in [0, n_shards)."""
+    """Append a deterministic ``shard`` column in [0, n_shards) — the same
+    md5 range shard as operators/shuffle.py (shared expression, cannot
+    drift).  Refuses input that already carries a ``shard`` column:
+    silently overwriting it would export the synthetic id in place of the
+    user's values."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    h32 = F.conv(F.substring(_sort_key(key_col, seed), 1, 8), 16, 10).cast(
-        "long"
-    )
+    if SHARD_COL in df.columns:
+        raise ValueError(
+            f"input already has a {SHARD_COL!r} column; rename it before "
+            "export (the sink reserves that name for the shard id)"
+        )
     return df.withColumn(
-        SHARD_COL,
-        F.floor((h32 * F.lit(n_shards)) / F.lit(2**32)).cast("int"),
+        SHARD_COL, range_shard_expr(_sort_key(key_col, seed), n_shards)
     )
 
 
@@ -62,6 +67,8 @@ def shards_for_bytes(
     """Shard count so the average shard carries ~``target_bytes`` of
     ``size_col`` (one map-side-combined aggregate; at 100 TB this is the
     knob that keeps every output file loader-sized)."""
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
     total = df.select(F.sum(F.col(size_col).cast("long"))).first()[0] or 0
     return max(1, -(-int(total) // int(target_bytes)))
 
@@ -114,11 +121,27 @@ def manifest_df(staged: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def _write_text_file(spark: SparkSession, path_str: str, content: str) -> None:
+    """Write a small text file through the Hadoop FileSystem of the target
+    path, so the manifest lands beside the shards on ANY filesystem the
+    shard write itself supports (local, hdfs://, s3a://, gs://) — a plain
+    ``open()`` would fail or silently write to the driver's local disk for
+    non-local URIs."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def write_manifest(
     df: DataFrame, path: str, n_shards: int, key_col: str, seed: int = 0
 ) -> None:
     """Write ``manifest.json`` beside the shards (shard stats are tiny —
-    n_shards rows — so a driver-side JSON file is the right container)."""
+    n_shards rows — so one small file is the right container)."""
     rows = (
         manifest_df(assign_shards(df, n_shards, key_col, seed), key_col)
         .orderBy(SHARD_COL)
@@ -137,5 +160,8 @@ def write_manifest(
             for r in rows
         ],
     }
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    _write_text_file(
+        df.sparkSession,
+        os.path.join(path, "manifest.json"),
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )

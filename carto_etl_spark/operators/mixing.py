@@ -50,9 +50,16 @@ def epoch_plan(
 
     One map-side-combined aggregate over the corpus; the scalar total
     attaches via a single-row broadcast (never a driver round-trip), so the
-    plan composes into a larger job without an action."""
-    totals = df.groupBy(source_col).agg(
-        F.sum(F.col(size_col).cast("long")).alias("have")
+    plan composes into a larger job without an action.
+
+    Rows with a NULL source are excluded from BOTH the budget totals and
+    the epoch (materialize_epoch's equi-join would drop them anyway — a
+    NULL group that still inflated the normalization would silently
+    deflate every real source's target)."""
+    totals = (
+        df.where(F.col(source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(F.sum(F.col(size_col).cast("long")).alias("have"))
     )
     grand = totals.select(
         F.sum("have").alias("__total"),
@@ -92,7 +99,20 @@ def materialize_epoch(
     0..full_copies-1 unconditionally plus copy ``full_copies`` iff its hash
     clears the source's fractional threshold.  ``explode(sequence(...))``
     plus the broadcast plan keeps this a single scan-stage pass — row
-    destinations never shuffle."""
+    destinations never shuffle.
+
+    ``key_col`` must be integral: the fractional keep decision runs
+    through ``sampling.hash_expr``, whose ``cast('long')`` turns a string
+    key into NULL and would silently drop the whole fractional pass.
+    String-keyed corpora should derive an integer key first (md5-prefix
+    int, the repo-standard recipe)."""
+    ktype = dict(df.dtypes).get(key_col)
+    if ktype not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"key_col {key_col!r} must be an integral column for the "
+            f"fractional-pass hash, got {ktype!r}; derive an int key "
+            "(e.g. md5-prefix) upstream"
+        )
     staged = df.join(F.broadcast(plan), source_col)
     out = staged.withColumn(
         COPY_COL,
@@ -131,11 +151,12 @@ FROM (
              / CAST(have AS DOUBLE) AS rpt
   FROM (
     SELECT {source_col}, CAST(sum({size_col}) AS BIGINT) AS have FROM
-      ({source_sql}) GROUP BY {source_col}) t
+      ({source_sql}) WHERE {source_col} IS NOT NULL GROUP BY {source_col}) t
   CROSS JOIN (
     SELECT CAST(sum(have) AS BIGINT) AS total, sum({wt}) AS sum_w
     FROM (SELECT {source_col}, CAST(sum({size_col}) AS BIGINT) AS have
-          FROM ({source_sql}) GROUP BY {source_col}))
+          FROM ({source_sql}) WHERE {source_col} IS NOT NULL
+          GROUP BY {source_col}))
 )
 """
 

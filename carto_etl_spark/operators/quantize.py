@@ -48,19 +48,29 @@ def quantize_int8(
 ) -> DataFrame:
     """Append per-vector symmetric int8 codes (as ``array<long>`` so the
     downstream integer dot products stay in one type) and the dequant
-    scale.  All-zero vectors quantize to all-zero codes with scale 0."""
+    scale.  All-zero vectors quantize to all-zero codes with scale 0.
+
+    The scale is materialized as its own projection FIRST and the
+    transform lambda references the resulting attribute: embedding the
+    maxabs fold inside the lambda would re-run the O(d) aggregate per
+    ELEMENT (higher-order functions evaluate their body per element with
+    no loop-invariant hoisting) — O(d²) per row on the hottest scan.  The
+    multiple references below also keep CollapseProject from inlining the
+    non-cheap fold back in."""
     emb = F.col(vec_col).cast("array<double>")
-    maxabs = _maxabs_expr(emb)
-    scale = maxabs / F.lit(float(Q_MAX))
+    staged = df.withColumn(
+        scale_col, _maxabs_expr(emb) / F.lit(float(Q_MAX))
+    )
+    scale = F.col(scale_col)
     q = F.when(
-        maxabs == F.lit(0.0),
+        scale == F.lit(0.0),
         F.transform(emb, lambda x: F.lit(0).cast("long")),
     ).otherwise(
         F.transform(
             emb, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")
         )
     )
-    return df.withColumn(scale_col, scale).withColumn(out_col, q)
+    return staged.withColumn(out_col, q)
 
 
 def int_dot_expr(a: Column, b: Column) -> Column:

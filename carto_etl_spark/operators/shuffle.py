@@ -28,6 +28,16 @@ def _sort_key(key_col: str, seed: int):
     return F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
 
 
+def range_shard_expr(md5_hex, n_shards: int):
+    """Monotone range shard from a digest's top 32 bits:
+    ``floor(h32 * n / 2^32)`` — shared by global_shuffle and the JSONL
+    export sink so the two shard assignments can never drift.  h32 * n <
+    2^53 keeps the double division exact (n_shards is int32), and md5
+    uniformity balances the ranges regardless of key skew."""
+    h32 = F.conv(F.substring(md5_hex, 1, 8), 16, 10).cast("long")
+    return F.floor((h32 * F.lit(n_shards)) / F.lit(2**32)).cast("int")
+
+
 def global_shuffle(
     df: DataFrame,
     key_col: str,
@@ -45,15 +55,12 @@ def global_shuffle(
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     h = _sort_key(key_col, seed)
-    # RANGE-shard on the top 32 digest bits: floor(h32 * n / 2^32) is
-    # monotonic in the digest, so shard boundaries agree with the global
-    # md5 order and concatenating shards 0..n-1 in position order IS the
-    # global shuffle order.  h32*n < 2^53 keeps the double division exact
-    # (n_shards is int32), and md5 uniformity balances the ranges.
-    h32 = F.conv(F.substring(F.col("__h"), 1, 8), 16, 10).cast("long")
+    # RANGE-shard on the top 32 digest bits (range_shard_expr): monotonic
+    # in the digest, so shard boundaries agree with the global md5 order
+    # and concatenating shards 0..n-1 in position order IS the global
+    # shuffle order.
     staged = df.withColumn("__h", h).withColumn(
-        "shard",
-        F.floor((h32 * F.lit(n_shards)) / F.lit(2 ** 32)).cast("int"),
+        "shard", range_shard_expr(F.col("__h"), n_shards)
     )
     w = Window.partitionBy("shard").orderBy("__h", key_col)
     return (

@@ -43,12 +43,17 @@ def pareto_frontier(
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # persist: FOUR separate jobs read the point table (boundary sample,
+    # count, bucket minima, final query) — without the cache each one
+    # re-executes the distinct exchange.  The cache is released by the
+    # context cleaner once the caller drops the result lineage.
     pts = (
         df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
         .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .distinct()
+        .persist()
     )
-    bounds = range_boundaries(pts, "x", n_buckets)
+    bounds = range_boundaries(pts, "x", n_buckets, total=pts.count())
     bucketed = pts.withColumn("__bucket", _bucket_expr("x", bounds))
 
     # per-bucket minima -> exclusive prefix-min across buckets (driver side,

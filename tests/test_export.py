@@ -120,3 +120,15 @@ def test_shards_for_bytes(spark):
 def test_rejects_bad_shard_count(spark):
     with pytest.raises(ValueError):
         assign_shards(_docs(spark, 5), 0, "doc_id")
+
+
+def test_shard_column_collision_rejected(spark):
+    df = spark.createDataFrame([(1, 2)], "doc_id long, shard int")
+    with pytest.raises(ValueError, match="shard"):
+        assign_shards(df, 4, "doc_id")
+
+
+def test_bad_target_bytes_rejected(spark):
+    df = spark.createDataFrame([(1, 10)], "id int, nbytes int")
+    with pytest.raises(ValueError, match="target_bytes"):
+        shards_for_bytes(df, 0, "nbytes")

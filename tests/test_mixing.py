@@ -116,3 +116,26 @@ def test_expansion_is_scan_stage(spark):
     assert "CartesianProduct" not in s and "BatchEvalPython" not in s
     # the corpus side joins the plan via broadcast — no corpus exchange
     assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s
+
+
+def test_null_sources_excluded_everywhere(spark):
+    rows = [(1, "a", 100), (2, "a", 100), (3, None, 1000), (4, "b", 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    plan = epoch_plan(df, "source", "n_chars", {"a": 2.0})
+    got = {r["source"]: r for r in plan.collect()}
+    assert None not in got
+    # totals exclude the NULL row's 1000 chars: total=300, sum_w=3
+    assert got["a"]["target_size"] == (2.0 / 3.0) * 900.0
+    epoch = materialize_epoch(df, plan, "source", "doc_id")
+    assert epoch.where(F.col("source").isNull()).count() == 0
+
+
+def test_string_key_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("k1", "a", 10)], "doc_id string, source string, n_chars long"
+    )
+    plan = epoch_plan(df, "source", "n_chars", {})
+    with pytest.raises(ValueError, match="integral"):
+        materialize_epoch(df, plan, "source", "doc_id")
