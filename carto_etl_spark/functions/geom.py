@@ -576,6 +576,12 @@ _TMERC_PARAMS = {
     # true origin 49N 2W, FE 400 km, FN -100 km, OSGB36 datum (EPSG
     # transformation 1314 via _GEOGRAPHIC_DATUMS[4277]).
     27700: (49.0, -2.0, 0.9996012717, 400000.0, -100000.0, "AIRY1830", 4277),
+    # NAD83 UTM zones 14N/15N (EPSG 269xx): standard UTM constants on
+    # GRS80, NAD83≈WGS84 treated as identity (datum 0) per the module
+    # convention — each zone is exactly one registry row, the proving case
+    # that new EPSG codes are table rows, not code changes.
+    26914: (0.0, -99.0, 0.9996, 500000.0, 0.0, "GRS80", 0),
+    26915: (0.0, -93.0, 0.9996, 500000.0, 0.0, "GRS80", 0),
 }
 
 

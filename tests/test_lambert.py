@@ -425,3 +425,26 @@ def test_tmerc_registry_row_validation(spark):
         assert abs(rb["a"] - 174.78) < 1e-6 and abs(rb["b"] + 41.29) < 1e-6
     finally:
         _TMERC_PARAMS.pop(990101, None)
+
+
+def test_nad83_utm_rows(spark):
+    """NAD83 UTM 14N/15N (EPSG 26914/26915) registry rows: round-trip to
+    1e-6 deg, and coordinates within 1 mm of the WGS84 UTM twin zones
+    (GRS80 vs WGS84 differ by ~0.1 mm of flattening; NAD83≈WGS84 identity
+    datum) — Austin TX and Minneapolis MN."""
+    from carto_etl_spark.functions.geom import transform_point as tp
+
+    for srid, wgs_srid, lon, lat in [
+        (26914, 32614, -97.74, 30.27),
+        (26915, 32615, -93.27, 44.98),
+    ]:
+        x, y = _fwd(spark, lon, lat, srid)
+        xw, yw = _fwd(spark, lon, lat, wgs_srid)
+        assert abs(x - xw) < 1e-3 and abs(y - yw) < 1e-3, (srid, x, xw)
+        df = spark.createDataFrame([(lon, lat)], ["lon", "lat"])
+        back = tp(
+            tp(point_struct(F.col("lon"), F.col("lat"), 4326), 4326, srid),
+            srid, 4326,
+        )
+        r = df.select(st_x(back).alias("a"), st_y(back).alias("b")).first()
+        assert abs(r["a"] - lon) < 1e-6 and abs(r["b"] - lat) < 1e-6
