@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "textrank_keywords",
     "mixture_epoch",
     "pareto_parts",
+    "streaming_export",
     "transitions",
     "value_histogram",
     "pivot_revenue",

@@ -7979,6 +7979,57 @@ def _oracle_pareto() -> str:
     )
 
 
+def q_streaming_export(spark, sf_dir):
+    """Streaming JSONL shard export (streaming/export.py): the documents
+    table replayed as a multi-micro-batch file stream through the
+    exactly-once content-addressed sink, then every complete batch read
+    BACK from disk and aggregated per shard.  Because shard assignment is
+    a pure per-row function shared with the batch sink, the union of the
+    streamed batches equals one batch export of the whole corpus — so the
+    oracle is the SAME per-shard derivation as export_shards, and a green
+    row proves the incremental write path end-to-end (replay/crash
+    behavior is pinned in tests/test_streaming_export.py)."""
+    import shutil
+    import tempfile
+
+    from carto_etl_spark.streaming.export import (
+        read_stream_export,
+        stream_export_jsonl,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    workdir = tempfile.mkdtemp(prefix="sexport-")
+    try:
+        src = f"{workdir}/src"
+        docs.write.parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(src)
+        )
+        q = stream_export_jsonl(
+            stream,
+            f"{workdir}/out",
+            n_shards=16,
+            key_col="doc_id",
+            checkpoint=f"{workdir}/ckpt",
+        )
+        q.awaitTermination(300)
+        back = read_stream_export(spark, f"{workdir}/out", docs.schema)
+        text_ck = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast(
+            "long"
+        )
+        out = back.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("sum_n_chars"),
+            F.sum(text_ck).alias("text_checksum"),
+        )
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -8028,6 +8079,7 @@ QUERIES = {
     "textrank_keywords": q_textrank_keywords,
     "mixture_epoch": q_mixture_epoch,
     "pareto_parts": q_pareto_parts,
+    "streaming_export": q_streaming_export,
     "group_quantiles": q_group_quantiles,
     "ann_pq": q_ann_pq,
     "image_dhash": q_image_dhash,
@@ -8206,6 +8258,7 @@ ORACLES = {
     "textrank_keywords": _oracle_textrank(),
     "mixture_epoch": _oracle_mixture_epoch(),
     "pareto_parts": _oracle_pareto(),
+    "streaming_export": ORACLE_EXPORT_SHARDS,
     "group_quantiles": _oracle_group_quantiles(),
     "ann_pq": ORACLE_ANN_PQ,
     "image_dhash": ORACLE_IMAGE_DHASH,

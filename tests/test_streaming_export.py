@@ -1,0 +1,140 @@
+"""Streaming JSONL export (streaming/export.py): cross-batch completeness
+(multi-batch union equals one batch export), replay idempotency under a
+fresh checkpoint, crash-partial invisibility + overwrite recovery, and
+empty-batch handling."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from carto_etl_spark.operators.export import assign_shards
+from carto_etl_spark.streaming.export import (
+    complete_batch_dirs,
+    read_stream_export,
+    stream_export_jsonl,
+)
+
+SCHEMA = "doc_id long, text string, n long"
+
+
+def _docs(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"text {i}", i * 2) for i in range(lo, hi)], SCHEMA
+    )
+
+
+def _run_stream(spark, src, out, ckpt, max_files=1):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src)
+    )
+    q = stream_export_jsonl(
+        stream, out, n_shards=4, key_col="doc_id", checkpoint=ckpt
+    )
+    q.awaitTermination(120)
+
+
+def test_multi_batch_union_equals_batch_export(spark):
+    work = tempfile.mkdtemp(prefix="sexp-")
+    try:
+        for i, (lo, hi) in enumerate([(0, 40), (40, 80), (80, 120)]):
+            _docs(spark, lo, hi).coalesce(1).write.parquet(
+                f"{work}/src/b{i}"
+            )
+        spark.conf.set("spark.sql.streaming.schemaInference", "false")
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{work}/src")
+        )
+        q = stream_export_jsonl(
+            stream, f"{work}/out", 4, "doc_id", checkpoint=f"{work}/ckpt"
+        )
+        q.awaitTermination(120)
+        assert len(complete_batch_dirs(f"{work}/out")) == 3
+        back = read_stream_export(spark, f"{work}/out", SCHEMA)
+        all_docs = _docs(spark, 0, 120)
+        assert sorted(map(tuple, back.drop("shard").collect())) == sorted(
+            map(tuple, all_docs.collect())
+        )
+        # streamed shard ids equal the batch operator's assignment
+        want = {
+            r["doc_id"]: r["shard"]
+            for r in assign_shards(all_docs, 4, "doc_id").collect()
+        }
+        for r in back.select("doc_id", "shard").collect():
+            assert r["shard"] == want[r["doc_id"]]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_replay_with_fresh_checkpoint_is_idempotent(spark):
+    work = tempfile.mkdtemp(prefix="sexp-")
+    try:
+        _docs(spark, 0, 50).coalesce(1).write.parquet(f"{work}/src")
+        _run_stream(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt1")
+        first = sorted(
+            map(
+                tuple,
+                read_stream_export(spark, f"{work}/out", SCHEMA).collect(),
+            )
+        )
+        # fresh checkpoint => the source replays everything; content
+        # addressing must dedupe it
+        _run_stream(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt2")
+        second = sorted(
+            map(
+                tuple,
+                read_stream_export(spark, f"{work}/out", SCHEMA).collect(),
+            )
+        )
+        assert first == second
+        assert len(complete_batch_dirs(f"{work}/out")) == 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_crash_partial_is_invisible_and_recovered(spark):
+    work = tempfile.mkdtemp(prefix="sexp-")
+    try:
+        _docs(spark, 0, 30).coalesce(1).write.parquet(f"{work}/src")
+        _run_stream(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt1")
+        (real,) = complete_batch_dirs(f"{work}/out")
+        # simulate a crash mid-write: same batch dir, no _SUCCESS, torn file
+        os.remove(os.path.join(real, "_SUCCESS"))
+        with open(os.path.join(real, "torn.txt"), "w") as f:
+            f.write("{not json")
+        assert complete_batch_dirs(f"{work}/out") == []
+        with pytest.raises(ValueError, match="no complete"):
+            read_stream_export(spark, f"{work}/out", SCHEMA)
+        # replay rewrites the batch dir from scratch (overwrite clears it)
+        _run_stream(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt2")
+        assert len(complete_batch_dirs(f"{work}/out")) == 1
+        assert not glob.glob(os.path.join(real, "torn.txt"))
+        back = read_stream_export(spark, f"{work}/out", SCHEMA)
+        assert back.count() == 30
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_round_trip_preserves_values(spark):
+    work = tempfile.mkdtemp(prefix="sexp-")
+    try:
+        df = spark.createDataFrame(
+            [(1, 'quotes " and\nnewline', 5), (2, None, 6)], SCHEMA
+        )
+        df.coalesce(1).write.parquet(f"{work}/src")
+        _run_stream(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt")
+        back = read_stream_export(spark, f"{work}/out", SCHEMA)
+        got = sorted(map(tuple, back.drop("shard").collect()))
+        assert got == sorted(map(tuple, df.collect()))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
