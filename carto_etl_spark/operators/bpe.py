@@ -104,21 +104,86 @@ def _merge_rewrite(col, left: str, right: str):
     return F.replace(merged, F.lit("  "), F.lit(" "))
 
 
+#: below this many distinct words the whole vocabulary is broadcast-sized
+#: and the merge loop runs on the DRIVER — the iterative analogue of a
+#: broadcast join (same precedent as graph.DRIVER_LOOP_MAX_EDGES): 10
+#: distributed iterations cost ~0.4 s EACH in scheduler/persist latency
+#: even on a 31-word vocabulary, while the identical python loop finishes
+#: in milliseconds.  Sized so the worst-case python pass (threshold words
+#: x n_merges rewrites) stays ~1 s; real web-scale vocabularies exceed it
+#: and take the distributed loop unchanged.
+DRIVER_LOOP_MAX_WORDS = 10_000
+
+
+def _train_py(rows, n_merges: int) -> list[tuple]:
+    """The textbook in-memory loop (Sennrich 2016), bit-identical to the
+    distributed iterations: overlap-counted pair stats, (count DESC, left
+    ASC, right ASC) argmax — python str comparison equals Spark's
+    UTF8String order because UTF-8 byte order preserves code points —
+    and left-to-right non-overlapping greedy rewrite."""
+    state: dict[tuple, int] = {}
+    for w, c in rows:
+        if w is None:
+            continue  # the distributed path's explode drops NULLs too
+        key = tuple(w)
+        state[key] = state.get(key, 0) + int(c)
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        pc: dict[tuple, int] = {}
+        for toks, c in state.items():
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        (a, b), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, a + b, c))
+        new: dict[tuple, int] = {}
+        for toks, cnt in state.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + cnt
+        state = new
+    return merges
+
+
 def train_bpe(
     words: DataFrame,
     n_merges: int,
     word_col: str = "word",
     count_col: str = "cnt",
+    driver_threshold_words: int = DRIVER_LOOP_MAX_WORDS,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules from a word-frequency table.
 
     Returns ``(rank, left, right, merged, pair_count)`` — pair_count is
     the weighted adjacency count at the moment the pair was selected.
-    Stops early if no adjacent pair remains.
-    """
+    Stops early if no adjacent pair remains.  Broadcast-sized vocabularies
+    (<= ``driver_threshold_words`` rows, probed with one limit job whose
+    rows are reused as the input) run the identical loop on the driver;
+    larger ones take the distributed iterations."""
     from pyspark import StorageLevel
 
     spark = words.sparkSession
+    probe = (
+        words.select(
+            F.col(word_col).alias("w"), F.col(count_col).cast("long").alias("c")
+        )
+        .limit(driver_threshold_words + 1)
+        .collect()
+    )
+    if len(probe) <= driver_threshold_words:
+        merges = _train_py([(r["w"], r["c"]) for r in probe], n_merges)
+        return local_df(spark, merges, MERGE_SCHEMA)
     cur = words.select(
         _spaced(F.col(word_col)).alias("s"),
         F.col(count_col).cast("long").alias("cnt"),

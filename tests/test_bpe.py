@@ -153,3 +153,14 @@ def test_empty_and_null_docs(spark):
     assert out[1] == []
     assert out[2] is None or out[2] == []
     assert out[3] == ["ab"]
+
+
+def test_driver_and_distributed_loops_are_identical(spark):
+    """The broadcast-vocab driver fast path must equal the distributed
+    iterations merge-for-merge (forced via driver_threshold_words=0) and
+    the textbook reference — on a corpus with overlaps and ties."""
+    words = {"abab": 3, "aaa": 2, "bab": 2, "low": 3, "lower": 2, "xy": 1}
+    wdf = spark.createDataFrame(list(words.items()), "word string, cnt long")
+    via_driver = _got(train_bpe(wdf, 5))
+    via_dist = _got(train_bpe(wdf, 5, driver_threshold_words=0))
+    assert via_driver == via_dist == _ref_bpe(words, 5)
