@@ -36,7 +36,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from carto_etl_spark.operators.shuffle import _sort_key, range_shard_expr
+from carto_etl_spark.operators.shuffle import (
+    _sort_key,
+    md5_prefix_long,
+    range_shard_expr,
+)
 
 SHARD_COL = "shard"
 
@@ -112,9 +116,7 @@ def manifest_df(staged: DataFrame, key_col: str) -> DataFrame:
     """Per-shard manifest: row count and an order-independent key checksum
     (sum of md5-prefix ints — exact int64 arithmetic, recomputable by any
     engine)."""
-    key_ck = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    key_ck = md5_prefix_long(key_col)
     return staged.groupBy(SHARD_COL).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(key_ck).alias("key_checksum"),

@@ -28,6 +28,19 @@ def _sort_key(key_col: str, seed: int):
     return F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
 
 
+def md5_prefix_long(col, salt: str = ""):
+    """First 8 hex chars of ``md5(salt || key-as-string)`` as int64 — the
+    engine-portable content-checksum idiom shared by the export manifest
+    and the streaming batch fingerprint.  NULL keys propagate to NULL
+    (plain concat, not concat_ws), so SUMs of this checksum skip NULL keys
+    in both engines."""
+    keyed = F.col(col) if isinstance(col, str) else col
+    keyed = keyed.cast("string")
+    if salt:
+        keyed = F.concat(F.lit(salt), keyed)
+    return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
+
+
 def range_shard_expr(md5_hex, n_shards: int):
     """Monotone range shard from a digest's top 32 bits:
     ``floor(h32 * n / 2^32)`` — shared by global_shuffle and the JSONL

@@ -43,10 +43,12 @@ def pareto_frontier(
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    # persist: FOUR separate jobs read the point table (boundary sample,
-    # count, bucket minima, final query) — without the cache each one
-    # re-executes the distinct exchange.  The cache is released by the
-    # context cleaner once the caller drops the result lineage.
+    # persist across the THREE driver-side jobs (count, boundary sample,
+    # bucket minima) so each doesn't re-execute the distinct exchange; the
+    # cache is explicitly dropped below — Spark's CacheManager holds SQL
+    # caches strongly, so relying on GC would leak one cached point table
+    # per call for the session lifetime.  The caller's final query then
+    # recomputes the distinct once, exactly as it would have uncached.
     pts = (
         df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
         .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
@@ -59,6 +61,7 @@ def pareto_frontier(
     # per-bucket minima -> exclusive prefix-min across buckets (driver side,
     # O(n_buckets) rows — the same shape as ranking.py's offset cumulation)
     minima = bucketed.groupBy("__bucket").agg(F.min("y").alias("my")).collect()
+    pts.unpersist()
     offsets, running = [], None
     for row in sorted(minima, key=lambda r: r["__bucket"]):
         offsets.append((row["__bucket"], running))

@@ -89,8 +89,12 @@ def local_df(spark: SparkSession, rows, schema) -> "DataFrame":
     same rows, no Python worker in any downstream job.
 
     Falls back to the classic list path when a float cell is NaN (pandas
-    uses NaN as its null marker, so Arrow would turn NaN into NULL) or when
-    the pandas/Arrow conversion cannot represent the rows."""
+    uses NaN as its null marker, so Arrow would turn NaN into NULL), when
+    the schema carries timestamps (pandas localizes naive datetimes in the
+    SESSION time zone while collect()/the list path use the driver's
+    system zone — on a non-UTC driver the Arrow path would silently shift
+    every timestamp), or when the pandas/Arrow conversion cannot represent
+    the rows."""
     from pyspark.sql import types as T
 
     if isinstance(schema, str):
@@ -99,6 +103,11 @@ def local_df(spark: SparkSession, rows, schema) -> "DataFrame":
         schema = _parse_datatype_string(schema)
     rows = list(rows)
     try:
+        if any(
+            isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+            for f in schema.fields
+        ):
+            return spark.createDataFrame(rows, schema)
         float_idx = [
             i
             for i, f in enumerate(schema.fields)

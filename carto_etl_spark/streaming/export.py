@@ -38,20 +38,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from carto_etl_spark.operators.export import SHARD_COL, assign_shards
+from carto_etl_spark.operators.shuffle import md5_prefix_long
 
 _BATCHES = "batches"
-
-
-def _key_ck(key_col: str, salt: str):
-    return F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
 
 
 def _batch_fingerprint(batch_df: DataFrame, key_col: str) -> str | None:
@@ -60,8 +49,8 @@ def _batch_fingerprint(batch_df: DataFrame, key_col: str) -> str | None:
     md5-prefix sums), None for an empty batch."""
     r = batch_df.select(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_key_ck(key_col, "a:")).alias("s1"),
-        F.sum(_key_ck(key_col, "b:")).alias("s2"),
+        F.sum(md5_prefix_long(key_col, "a:")).alias("s1"),
+        F.sum(md5_prefix_long(key_col, "b:")).alias("s2"),
     ).first()
     if not r["n"]:
         return None
@@ -79,6 +68,13 @@ def stream_export_jsonl(
     """Start the export: every micro-batch lands as JSONL shard files under
     its content-addressed batch directory."""
     cols = list(stream_df.columns)
+    if SHARD_COL in cols:
+        # fail fast, like the batch sink — not as an async
+        # StreamingQueryException on the first non-empty batch
+        raise ValueError(
+            f"input already has a {SHARD_COL!r} column; rename it before "
+            "export (the sink reserves that name for the shard id)"
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         fp = _batch_fingerprint(batch_df, key_col)
@@ -119,15 +115,18 @@ def read_stream_export(
     spark: SparkSession, target_dir: str, schema
 ) -> DataFrame:
     """Read every COMPLETE batch back as typed rows + the ``shard``
-    partition column (the streaming twin of operators/export.read_jsonl)."""
-    out = None
-    for d in complete_batch_dirs(target_dir):
-        raw = spark.read.option("basePath", d).text(f"{d}/{SHARD_COL}=*")
-        parsed = raw.select(
-            F.col(SHARD_COL).cast("int").alias(SHARD_COL),
-            F.from_json("value", schema).alias("r"),
-        ).select(SHARD_COL, "r.*")
-        out = parsed if out is None else out.unionByName(parsed)
-    if out is None:
+    partition column (the streaming twin of operators/export.read_jsonl).
+
+    ONE text read over all complete batch directories (shard id recovered
+    from the file path) — a per-batch read chained through union would
+    grow the plan linearly in the number of micro-batches ever written."""
+    dirs = complete_batch_dirs(target_dir)
+    if not dirs:
         raise ValueError(f"no complete export batches under {target_dir}")
-    return out
+    raw = spark.read.text([f"{d}/{SHARD_COL}=*" for d in dirs])
+    shard = F.regexp_extract(
+        F.input_file_name(), f"{SHARD_COL}=(\\d+)/", 1
+    ).cast("int")
+    return raw.select(
+        shard.alias(SHARD_COL), F.from_json("value", schema).alias("r")
+    ).select(SHARD_COL, "r.*")

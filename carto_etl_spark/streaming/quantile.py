@@ -114,7 +114,10 @@ def _fingerprint_and_counts(
         for lv in range(from_level, MAX_LEVEL + 1)
     ]
     row = df.agg(*aggs).collect()[0]
-    n = int(row["__n"])
+    # sum (unlike the old count) is NULL over zero input rows — a fresh
+    # stream whose first batch is all-NULL values must yield n=0, not a
+    # TypeError that kills the streaming query
+    n = int(row["__n"] or 0)
     fp = f"{n}:{row['__s1']}:{row['__s2']}"
     counts = [int(row[f"__lv_{lv}"] or 0) for lv in range(from_level, MAX_LEVEL + 1)]
     return fp, n, counts

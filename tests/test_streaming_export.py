@@ -138,3 +138,20 @@ def test_round_trip_preserves_values(spark):
         assert got == sorted(map(tuple, df.collect()))
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_reserved_shard_column_fails_fast(spark):
+    work = tempfile.mkdtemp(prefix="sexp-")
+    try:
+        spark.createDataFrame(
+            [(1, 0)], "doc_id long, shard int"
+        ).write.parquet(f"{work}/src")
+        stream = spark.readStream.schema("doc_id long, shard int").parquet(
+            f"{work}/src"
+        )
+        with pytest.raises(ValueError, match="shard"):
+            stream_export_jsonl(
+                stream, f"{work}/out", 4, "doc_id", checkpoint=f"{work}/ckpt"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
