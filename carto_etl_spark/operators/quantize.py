@@ -48,7 +48,11 @@ def quantize_int8(
 ) -> DataFrame:
     """Append per-vector symmetric int8 codes (as ``array<long>`` so the
     downstream integer dot products stay in one type) and the dequant
-    scale.  All-zero vectors quantize to all-zero codes with scale 0.
+    scale.  All-zero vectors — and vectors whose maxabs is denormal enough
+    that ``maxabs / 127`` underflows to 0.0 — quantize to all-zero codes
+    with scale 0 (the zero-guard tests the SCALE, not maxabs, so the
+    underflow case cannot divide by zero; the SQL oracle gates the same
+    way).
 
     The scale is materialized as its own projection FIRST and the
     transform lambda references the resulting attribute: embedding the
