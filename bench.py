@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "mixture_epoch",
     "pareto_parts",
     "streaming_export",
+    "ann_ivf_sq8",
     "transitions",
     "value_histogram",
     "pivot_revenue",

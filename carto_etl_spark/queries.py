@@ -8030,6 +8030,71 @@ def q_streaming_export(spark, sf_dir):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_ann_ivf_sq8(spark, sf_dir):
+    """IVF-SQ8 approximate top-5 (the standard FAISS composition): the
+    hash-sampled coarse quantizer prunes to nprobe lists, and candidates
+    are scored with the int8 quantized cosine (operators/quantize.py) —
+    the index stores 4x-compressed codes and the scan does integer dot
+    products.  The oracle re-derives BOTH halves in SQL: the whole IVF
+    index (centroid sample, assignment, probe set) and the whole
+    quantizer (codes, scale-cancelling cosine), so a green row proves the
+    composition end-to-end."""
+    from carto_etl_spark.operators import quantize as qt
+
+    e = load(spark, sf_dir, "embeddings")
+    centroids = sim.sampled_centroids(e, n_lists=8)
+    qz = qt.quantize_int8(e)
+    indexed = sim.assign_ivf_lists(qz, centroids)
+    qrow = qz.filter(F.col("vec_id") == 0).select("embedding", "q_vec").first()
+    query = [float(v) for v in qrow["embedding"]]
+    qq = F.array(*[F.lit(int(v)).cast("long") for v in qrow["q_vec"]])
+    probes = sim.probe_lists(centroids, query, nprobe=3)
+    cands = indexed.filter(F.col("ivf_list").isin(probes))
+    qcos_u = F.round(
+        qt.quantized_cosine_expr(F.col("q_vec"), qq) * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        cands.select("vec_id", qcos_u.alias("qcos_u"))
+        .orderBy(F.desc("qcos_u"), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+ORACLE_ANN_IVF_SQ8 = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qz AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM base
+), codes AS (
+  SELECT vec_id, v,
+         CASE WHEN scale = 0.0
+              THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+              ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q
+  FROM qz
+), cents AS (
+  SELECT vec_id AS cid, v AS cv FROM base
+  ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 8
+), qv AS (SELECT v, q AS qq FROM codes WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM cents, qv ORDER BY list_distance(cv, qv.v), cid LIMIT 3
+), assigned AS (
+  SELECT c.vec_id, c.q,
+         (SELECT cid FROM cents
+          ORDER BY list_distance(cents.cv, c.v), cid LIMIT 1) AS lst
+  FROM codes c
+)
+SELECT a.vec_id,
+       CAST(round((list_dot_product(a.q, qv.qq)
+             / nullif(sqrt(list_dot_product(a.q, a.q))
+                      * sqrt(list_dot_product(qv.qq, qv.qq)), 0.0))
+            * 1000000.0) AS BIGINT) AS qcos_u
+FROM assigned a, qv
+WHERE a.lst IN (SELECT cid FROM probes)
+ORDER BY qcos_u DESC, a.vec_id LIMIT 5
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -8080,6 +8145,7 @@ QUERIES = {
     "mixture_epoch": q_mixture_epoch,
     "pareto_parts": q_pareto_parts,
     "streaming_export": q_streaming_export,
+    "ann_ivf_sq8": q_ann_ivf_sq8,
     "group_quantiles": q_group_quantiles,
     "ann_pq": q_ann_pq,
     "image_dhash": q_image_dhash,
@@ -8259,6 +8325,7 @@ ORACLES = {
     "mixture_epoch": _oracle_mixture_epoch(),
     "pareto_parts": _oracle_pareto(),
     "streaming_export": ORACLE_EXPORT_SHARDS,
+    "ann_ivf_sq8": ORACLE_ANN_IVF_SQ8,
     "group_quantiles": _oracle_group_quantiles(),
     "ann_pq": ORACLE_ANN_PQ,
     "image_dhash": ORACLE_IMAGE_DHASH,

@@ -113,3 +113,31 @@ def test_recall_entry_plan_and_self_hit(spark):
     for r in rows:
         assert 1 <= r["hits"] <= 10
         assert r["q_norm2"] > 0
+
+
+def test_ivf_sq8_self_hit_and_quantized_recall(spark):
+    """IVF-SQ8 composition: the query's own list is always probed, the
+    query ranks first (integer self-cosine is the maximum), and the
+    quantized top-5 equals the exact-cosine top-5 restricted to the same
+    probed candidates at this corpus's separation."""
+    from pyspark.sql import functions as F
+
+    from carto_etl_spark.operators import similarity as sim
+    from carto_etl_spark.queries import q_ann_ivf_sq8
+
+    rows = q_ann_ivf_sq8(spark, "/root/testdata/sf0.001").collect()
+    assert rows[0]["vec_id"] == 0
+    assert rows[0]["qcos_u"] == 1000000
+    # quantized ranking matches exact ranking over the probed candidates
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = [
+        float(v)
+        for v in e.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    exact = [
+        r["vec_id"]
+        for r in sim.ivf_sampled_topk(
+            e, query, k=5, n_lists=8, nprobe=3
+        ).collect()
+    ]
+    assert [r["vec_id"] for r in rows] == exact
