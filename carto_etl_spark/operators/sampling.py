@@ -316,10 +316,18 @@ def temperature_mixture(
     a SINGLE scan-stage hash filter — no shuffle, no state, reproducible on
     any partitioning, and appending data never flips an existing row's
     decision.  ``target_fraction`` sizes the output against the current
-    total (T = floor(N * fraction))."""
+    total (T = floor(N * fraction)).
+
+    Rows with a NULL source are excluded from both the budget totals and
+    the output, matching ``mixing.epoch_plan``'s documented NULL policy
+    (the threshold when-chain already routes NULL to the -1 sentinel, so
+    this keeps the counts consistent with what the filter can emit)."""
     counts = {
         r[source_col]: r["count"]
-        for r in df.groupBy(source_col).count().collect()
+        for r in df.where(F.col(source_col).isNotNull())
+        .groupBy(source_col)
+        .count()
+        .collect()
     }
     total = sum(counts.values())
     target = int(total * target_fraction)

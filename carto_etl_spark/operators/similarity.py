@@ -388,21 +388,27 @@ def semantic_dedup(
     every cosine — dot / (norm_a * norm_b) in that order — is bit-equal to
     the unhoisted form), cutting the interpreted higher-order-function work
     per pair from three array aggregates to one; and the assignment frame is
-    persisted (MEMORY_AND_DISK, evictable) because THREE plan branches read
-    it (both join sides and the final left join) — without it each branch
-    re-scans the corpus and re-evaluates the n_clusters x dim literal argmin.
-    At 100 TB "materialize the assignments, then pair within clusters" is
-    the standard SemDeDup staging anyway.
+    materialized ONCE via ``localCheckpoint(eager=True)`` because THREE plan
+    branches read it (both join sides and the final left join) — without it
+    each branch re-scans the corpus and re-evaluates the n_clusters x dim
+    literal argmin.  localCheckpoint rather than ``persist`` deliberately:
+    Spark's CacheManager holds SQL caches strongly for the session lifetime
+    (see the note in skyline.py), so a per-call ``persist`` leaks one
+    corpus-scale cached frame per invocation, while a checkpointed RDD is
+    released by the ContextCleaner as soon as the returned DataFrame is
+    garbage-collected.  The lineage cut also means no recomputation on
+    executor loss — at 100 TB "materialize the assignments, then pair
+    within clusters" is the standard SemDeDup staging anyway, typically to
+    durable storage; swap in ``.checkpoint()`` with a checkpoint dir for
+    fault-tolerant runs.
 
     Returns the input ids with ``cluster``, ``is_dup`` and ``dup_of`` (the
     smallest cluster-mate id that semantically covers this one; NULL for
     kept items).
     """
-    from pyspark import StorageLevel
-
     centroids = sampled_centroids(df, n_clusters, id_col, vec_col)
     indexed = assign_ivf_lists(df, centroids, vec_col, out_col="cluster")
-    indexed = indexed.persist(StorageLevel.MEMORY_AND_DISK)
+    indexed = indexed.localCheckpoint(eager=True)
     sides = indexed.select(
         F.col(id_col).alias("__id"),
         "cluster",

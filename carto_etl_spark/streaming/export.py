@@ -29,7 +29,6 @@ other streaming state modules (driver-adjacent state directory).
 
 from __future__ import annotations
 
-import glob
 import hashlib
 import os
 
@@ -39,22 +38,37 @@ from pyspark.sql.streaming import StreamingQuery
 
 from carto_etl_spark.operators.export import SHARD_COL, assign_shards
 from carto_etl_spark.operators.shuffle import md5_prefix_long
+from carto_etl_spark.streaming.state import complete_dirs, is_complete
 
 _BATCHES = "batches"
 
 
 def _batch_fingerprint(batch_df: DataFrame, key_col: str) -> str | None:
-    """Order-independent content fingerprint of the batch's key multiset:
-    ONE aggregate over the batch (count + two independently-salted
-    md5-prefix sums), None for an empty batch."""
+    """Order-independent content fingerprint of the batch's FULL row
+    multiset: ONE aggregate over the batch (count + two independently-salted
+    md5-prefix sums over the key + one over every column, canonicalized),
+    None for an empty batch.  Folding the value columns in means two
+    batches with identical keys but different payloads get distinct
+    fingerprints and both land (the r5 fingerprint hashed only the key
+    multiset, silently dropping the second such batch)."""
+    row_repr = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in sorted(batch_df.columns)
+        ],
+    )
     r = batch_df.select(
         F.count(F.lit(1)).alias("n"),
         F.sum(md5_prefix_long(key_col, "a:")).alias("s1"),
         F.sum(md5_prefix_long(key_col, "b:")).alias("s2"),
+        F.sum(md5_prefix_long(row_repr, "v:")).alias("s3"),
     ).first()
     if not r["n"]:
         return None
-    return hashlib.md5(f"{r['n']}:{r['s1']}:{r['s2']}".encode()).hexdigest()
+    return hashlib.md5(
+        f"{r['n']}:{r['s1']}:{r['s2']}:{r['s3']}".encode()
+    ).hexdigest()
 
 
 def stream_export_jsonl(
@@ -81,7 +95,7 @@ def stream_export_jsonl(
         if fp is None:
             return
         dest = os.path.join(target_dir, _BATCHES, fp)
-        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        if is_complete(dest):
             return  # replayed batch: already fully written
         staged = assign_shards(batch_df, n_shards, key_col)
         line = F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value")
@@ -103,12 +117,9 @@ def stream_export_jsonl(
 
 def complete_batch_dirs(target_dir: str) -> list[str]:
     """Batch directories whose write finished (``_SUCCESS`` present) —
-    partial crash leftovers are invisible to readers."""
-    return sorted(
-        d
-        for d in glob.glob(os.path.join(target_dir, _BATCHES, "*"))
-        if os.path.exists(os.path.join(d, "_SUCCESS"))
-    )
+    partial crash leftovers are invisible to readers (the shared
+    ``streaming.state`` _SUCCESS-gating recipe)."""
+    return complete_dirs(os.path.join(target_dir, _BATCHES))
 
 
 def read_stream_export(

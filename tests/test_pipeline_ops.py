@@ -538,3 +538,15 @@ def test_histogram_validation(spark):
         histogram(df, "x", 0.0, 10.0, 0)
     with _pt.raises(ValueError):
         histogram(df, "x", 10.0, 10.0, 5)
+
+
+def test_temperature_mixture_null_sources_excluded(spark):
+    # NULL source rows must neither crash the plan derivation (sorted() over
+    # a None/str mix) nor appear in the output — epoch_plan's NULL policy
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else None))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    out = smp.temperature_mixture(df, "k", "lang", target_fraction=0.5)
+    got = out.collect()
+    assert all(r["lang"] is not None for r in got)
+    assert 0 < len(got) < 2000  # sampled from the 2000 non-null rows only

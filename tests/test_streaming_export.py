@@ -155,3 +155,29 @@ def test_reserved_shard_column_fails_fast(spark):
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_same_keys_different_values_both_land(spark):
+    """The batch fingerprint covers payload columns, not just the key
+    multiset: two batches with identical keys but different values must BOTH
+    export (the r5 key-only fingerprint silently dropped the second)."""
+    src = tempfile.mkdtemp(prefix="sx_src_")
+    out = tempfile.mkdtemp(prefix="sx_out_")
+    ckpt = tempfile.mkdtemp(prefix="sx_ck_")
+    try:
+        # batch 1 and batch 2: same doc_ids, different text/n payloads
+        spark.createDataFrame(
+            [(i, "first", 1) for i in range(5)], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        _run_stream(spark, src, out, ckpt)
+        spark.createDataFrame(
+            [(i, "second", 2) for i in range(5)], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        _run_stream(spark, src, out, ckpt)
+        got = read_stream_export(spark, out, SCHEMA).collect()
+        texts = sorted(r["text"] for r in got)
+        assert len(got) == 10
+        assert texts == ["first"] * 5 + ["second"] * 5
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
