@@ -6476,35 +6476,36 @@ def q_rfm_segments(spark, sf_dir):
     )
     from carto_etl_spark.operators.ranking import (
         ntile_from_rank,
-        with_global_rank,
+        with_global_ranks,
     )
 
     # Three independent total orders over the per-customer aggregate; pin
-    # the (dimension-sized) aggregate once so the three rank passes and the
-    # boundary/count jobs inside them don't re-run the orders scan 9 times.
-    per = per.localCheckpoint(eager=True)
+    # the (dimension-sized) aggregate once, then rank all three axes in ONE
+    # shared pre-pass (with_global_ranks: one count + one joint boundary
+    # sample + one grouping-sets bucket-count for every axis — 3 driver
+    # jobs instead of the 9 three separate with_global_rank calls cost),
+    # with the three windows chained in a single action.  No per-axis
+    # equi-joins back on the customer key either: the ranks land as three
+    # columns on one frame.
+    # lazy checkpoint + count: the count action materializes the checkpoint
+    # in the SAME job (eager=True would pay a separate materialization job)
+    per = per.localCheckpoint(eager=False)
     n = per.count()
-    # Each axis ranks INDEPENDENTLY off the pinned aggregate (chaining them
-    # would make every later axis's boundary/count jobs re-execute the
-    # earlier window stages); the three thin (custkey, band) outputs then
-    # equi-join back on the customer key.
-    r_band = with_global_rank(
-        per.select("o_custkey", "last_order"),
-        ["last_order", "o_custkey"], name="__r", total=n,
-    ).select("o_custkey", ntile_from_rank(F.col("__r"), n, 5).alias("r_band"))
-    f_band = with_global_rank(
-        per.select("o_custkey", "freq"),
-        ["freq", "o_custkey"], name="__r", total=n,
-    ).select("o_custkey", ntile_from_rank(F.col("__r"), n, 5).alias("f_band"))
-    m_band = with_global_rank(
-        per.select("o_custkey", "cents"),
-        ["cents", "o_custkey"], name="__r", total=n,
-    ).select(
-        "o_custkey",
-        ntile_from_rank(F.col("__r"), n, 5).alias("m_band"),
+    ranked = with_global_ranks(
+        per,
+        {
+            "__r_rank": ["last_order", "o_custkey"],
+            "__f_rank": ["freq", "o_custkey"],
+            "__m_rank": ["cents", "o_custkey"],
+        },
+        total=n,
+    )
+    banded = ranked.select(
+        ntile_from_rank(F.col("__r_rank"), n, 5).alias("r_band"),
+        ntile_from_rank(F.col("__f_rank"), n, 5).alias("f_band"),
+        ntile_from_rank(F.col("__m_rank"), n, 5).alias("m_band"),
         "cents",
     )
-    banded = m_band.join(r_band, "o_custkey").join(f_band, "o_custkey")
     return banded.groupBy("r_band", "f_band", "m_band").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("total_cents"),

@@ -192,3 +192,89 @@ def test_prefix_sums_with_duplicate_keys_total_is_exact(spark):
         running += len(group)
         assert group[-1] == running  # last of each tie group exact
         assert group[0] > running - len(group)  # all within the group range
+
+
+def test_with_global_ranks_multi_axis_matches_single_axis(spark):
+    from carto_etl_spark.operators.ranking import with_global_ranks
+
+    df = (
+        spark.range(400)
+        .withColumn("a", (F.col("id") * 37) % 97)
+        .withColumn("b", (F.col("id") * 13) % 11)  # heavy ties
+        .withColumn("s", F.concat(F.lit("k"), (F.col("id") % 50)))
+    )
+    got = with_global_ranks(
+        df,
+        {"ra": ["a", "id"], "rb": ["b", "id"], "rs": ["s", "id"]},
+    )
+    assert unpartitioned_windows(got) == []
+    rows = {r["id"]: (r["ra"], r["rb"], r["rs"]) for r in got.collect()}
+    for i, axis in enumerate([["a", "id"], ["b", "id"], ["s", "id"]]):
+        exp = {
+            r["id"]: r["r"]
+            for r in df.withColumn(
+                "r", F.row_number().over(Window.orderBy(*axis))
+            ).collect()
+        }
+        assert {k: v[i] for k, v in rows.items()} == exp
+
+
+def test_with_global_ranks_reserved_name_collision_raises(spark):
+    from carto_etl_spark.operators.ranking import with_global_ranks
+
+    df = spark.range(10).withColumn("__bucket_0", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        with_global_ranks(df, {"r": ["id"]})
+
+
+def test_with_global_rank_reserved_name_collision_raises(spark):
+    df = spark.range(10).withColumn("__bucket", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        with_global_rank(df, ["id"])
+    df2 = spark.range(10).withColumn("__rn", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        with_global_rank(df2, ["id"])
+
+
+def test_with_prefix_sums_reserved_name_collision_raises(spark):
+    df = spark.range(10).withColumn("__bucket", F.lit(1)).withColumn(
+        "one", F.lit(1)
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        with_prefix_sums(df, ["id"], ["one"])
+
+
+def test_sql_lit_roundtrips_exactly(spark):
+    """The F.expr fast path must produce literals bit-identical to F.lit."""
+    import datetime
+    from decimal import Decimal
+
+    from carto_etl_spark.operators.ranking import _sql_lit
+
+    cases = [
+        1.5,
+        -0.1,
+        1e-300,
+        12345.678901234567,
+        7,
+        -(2**62),
+        "O'Brien \\ backtick`",
+        "plain",
+        Decimal("12345.67"),
+        datetime.date(2020, 2, 29),
+        datetime.datetime(2021, 12, 31, 23, 59, 58),
+        True,
+    ]
+    for v in cases:
+        rendered = _sql_lit(v)
+        assert rendered is not None, v
+        got = spark.sql(f"SELECT {rendered} AS x").collect()[0]["x"]
+        if isinstance(v, datetime.datetime):
+            assert got == v
+        elif isinstance(v, datetime.date):
+            assert got == v
+        else:
+            assert got == v and type(got) is type(v) or got == v
+    # unrenderable types decline instead of guessing
+    assert _sql_lit(b"bytes") is None
+    assert _sql_lit("nul\x00byte") is None
