@@ -14,9 +14,7 @@ Replay semantics: unlike counting (frequency.py needs a content-addressed
 ledger because a replayed batch would double every count), register-max
 merge is IDEMPOTENT — a replayed batch max-merges the same rhos and changes
 nothing — so exactly-once here needs NO ledger.  Crash-safety reduces to
-the atomic promote pair (current -> .old, .tmp -> current) with the same
-``_recover`` healing frequency.py uses; this module imports that machinery
-rather than re-implementing it.
+the shared ``streaming.state.SnapshotState`` promote/recover pair.
 
 Scale posture: state is <= 2^p register rows forever (4 KB at p=10); the
 per-batch cost is one scan of the batch plus an O(2^p) merge.  Estimation
@@ -27,14 +25,13 @@ no contention with the writer beyond the promote rename.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from carto_etl_spark.operators.sketch import hll_build, hll_estimate, hll_merge
-from carto_etl_spark.streaming.frequency import _current, _promote, _recover
 from carto_etl_spark.session import local_df
+from carto_etl_spark.streaming.state import SnapshotState
 
 _REGS = "registers"
 
@@ -43,8 +40,7 @@ def load_cardinality_registers(
     spark: SparkSession, state_dir: str
 ) -> DataFrame:
     """Read the current register table (bucket, max_rho)."""
-    _recover(state_dir)
-    return spark.read.parquet(os.path.join(_current(state_dir), _REGS))
+    return SnapshotState(state_dir).read(spark, _REGS)
 
 
 def estimate_cardinality(
@@ -69,7 +65,7 @@ def track_cardinality(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _recover(state_dir)
+        state = SnapshotState(state_dir)
         regs = [
             (int(r["bucket"]), int(r["max_rho"]))
             for r in hll_build(batch_df, item_col, p=p).collect()
@@ -77,18 +73,13 @@ def track_cardinality(
         if not regs:
             return
         batch_regs = local_df(spark, regs, "bucket int, max_rho int")
-        cur = _current(state_dir)
-        if os.path.exists(cur):
-            merged = hll_merge(
-                spark.read.parquet(os.path.join(cur, _REGS)), batch_regs
-            )
+        if state.exists():
+            merged = hll_merge(state.read(spark, _REGS), batch_regs)
         else:
             merged = batch_regs
-        tmp = cur + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        tmp = state.begin_tmp()
         merged.coalesce(1).write.parquet(os.path.join(tmp, _REGS))
-        _promote(tmp, cur)
+        state.promote()
 
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint:

@@ -21,22 +21,25 @@ exactly-once.  The content-addressing survives checkpoint resets (where
 documented trade-off is that two DISTINCT batches with byte-identical item
 multisets dedupe — if that is a real case upstream, add a batch sequence
 column to the payload.
+
+Storage mechanics (recover / two-rename promote / ledger) come from the
+shared ``streaming.state.SnapshotState`` — this module owns only the
+sketch-merge logic.
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from carto_etl_spark.operators.sketch import cms_build, cms_merge
 from carto_etl_spark.session import local_df
+from carto_etl_spark.streaming.state import SnapshotState
 
 _CELLS = "cells"
-_APPLIED = "applied"
 
 
 def _sketch_fingerprint(cells: list) -> str:
@@ -44,36 +47,10 @@ def _sketch_fingerprint(cells: list) -> str:
     return hashlib.md5(body.encode()).hexdigest()
 
 
-def _current(state_dir: str) -> str:
-    return os.path.join(state_dir, "current")
-
-
-def _recover(state_dir: str) -> None:
-    """If a crash landed between the two promote renames (current moved to
-    .old, replacement not yet moved in), the previous state is intact under
-    .old — restore it.  Every reader/writer calls this first."""
-    cur = _current(state_dir)
-    old = cur + ".old"
-    if not os.path.exists(cur) and os.path.exists(old):
-        os.rename(old, cur)
-
-
-def _promote(tmp: str, cur: str) -> None:
-    swap = cur + ".old"
-    if os.path.exists(swap):  # leftover from a crash after the final rename
-        shutil.rmtree(swap)
-    if os.path.exists(cur):
-        os.rename(cur, swap)
-    os.rename(tmp, cur)
-    if os.path.exists(swap):
-        shutil.rmtree(swap)
-
-
 def load_frequency_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
     """Read the current sketch cell table (seed, bucket, n); point-query it
     with ``operators.sketch.cms_estimate``."""
-    _recover(state_dir)
-    return spark.read.parquet(os.path.join(_current(state_dir), _CELLS))
+    return SnapshotState(state_dir).read(spark, _CELLS)
 
 
 def track_frequencies(
@@ -91,7 +68,7 @@ def track_frequencies(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _recover(state_dir)
+        state = SnapshotState(state_dir)
         batch_sketch = cms_build(batch_df, item_col, depth, width)
         # sketch-sized collect (<= depth*width cells) — the same budget
         # save_bloom spends on its one-row bitmap
@@ -102,28 +79,21 @@ def track_frequencies(
         if not cells:
             return
         fp = _sketch_fingerprint(cells)
-        cur = _current(state_dir)
-        have_state = os.path.exists(cur)
-        if have_state:
-            applied = spark.read.parquet(os.path.join(cur, _APPLIED))
-            if applied.where(applied.fp == fp).limit(1).count() > 0:
+        if state.exists():
+            if state.ledger_contains(spark, fp):
                 return  # replayed batch: already applied
             merged = cms_merge(
-                spark.read.parquet(os.path.join(cur, _CELLS)),
+                state.read(spark, _CELLS),
                 local_df(spark, cells, "seed int, bucket int, n long"),
             )
-            fps = [r["fp"] for r in applied.collect()] + [fp]
+            fps = state.ledger_fps(spark) + [fp]
         else:
             merged = local_df(spark, cells, "seed int, bucket int, n long")
             fps = [fp]
-        tmp = cur + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        tmp = state.begin_tmp()
         merged.coalesce(1).write.parquet(os.path.join(tmp, _CELLS))
-        local_df(spark, [(f,) for f in fps], "fp string").coalesce(
-            1
-        ).write.parquet(os.path.join(tmp, _APPLIED))
-        _promote(tmp, cur)
+        state.write_ledger(spark, tmp, fps)
+        state.promote()
 
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint:

@@ -17,17 +17,20 @@ Crash-safety (single sequential writer — the foreachBatch handler):
 - **Appends are atomic.**  Each batch's bucket rows are written to a
   staging directory OUTSIDE the read path and committed with one
   ``os.rename`` into ``buckets/batch-<token>/``.  A crash mid-write leaves
-  only an orphaned staging dir (swept by ``_recover``), never a partially
+  only an orphaned staging dir (swept by recovery), never a partially
   visible batch — without this, a replayed batch would see its id as
   'seen' (the per-id anti-join) and never complete its bands, permanently
   losing LSH recall for those documents.
 - **Compaction is recoverable.**  ``compact_index`` promotes via the
   rename pair (buckets -> buckets.old, buckets.tmp -> buckets); a crash
-  between the two renames leaves no ``buckets`` dir, and ``_recover`` —
-  called by every reader/writer first, mirroring
-  ``streaming/frequency.py`` — restores ``buckets.old``.  Without it the
-  handler's have-state probe would silently skip near-dup matching and
-  start a fresh index while the full history sat orphaned.
+  between the two renames leaves no ``buckets`` dir, and recovery —
+  run first by every reader/writer — restores ``buckets.old``.  Without
+  it the handler's have-state probe would silently skip near-dup matching
+  and start a fresh index while the full history sat orphaned.
+
+Both recipes come from the shared ``streaming.state.AppendOnlyState``
+(this module's hand-rolled predecessors are where the r4 crash-window
+bugs lived).
 
 Per batch:
 
@@ -59,10 +62,6 @@ when ingest rate makes per-batch scans the bottleneck.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -73,52 +72,25 @@ from carto_etl_spark.operators.dedup import (
     with_minhash,
 )
 from carto_etl_spark.operators.jobs import TargetTable
+from carto_etl_spark.streaming.state import AppendOnlyState
 
 
-def _buckets_path(state_dir: str) -> str:
-    return os.path.join(state_dir, "buckets")
-
-
-def _recover(state_dir: str) -> None:
-    """Restore crash-interrupted state.  Called first by every reader and
-    writer (single-writer discipline — a sweep would race a concurrent
-    appender, which this module does not support):
-
-    - compaction crashed between its two renames -> ``buckets`` is gone but
-      ``buckets.old`` is intact: rename it back;
-    - an append crashed mid-write -> an orphaned ``staging-*`` dir sits
-      outside the read path: delete it."""
-    path = _buckets_path(state_dir)
-    old = path + ".old"
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
-    if os.path.isdir(state_dir):
-        for name in os.listdir(state_dir):
-            if name.startswith("staging-"):
-                shutil.rmtree(
-                    os.path.join(state_dir, name), ignore_errors=True
-                )
+def _state(state_dir: str) -> AppendOnlyState:
+    """The bucket tree as a shared append-only store (staged atomic
+    appends, recoverable compaction — the machinery whose hand-rolled
+    predecessor here grew the two r4 crash-window bugs)."""
+    return AppendOnlyState(state_dir, root_name="buckets")
 
 
 def have_index(state_dir: str) -> bool:
     """True when committed bucket state exists (at least one committed
     batch subdir or compacted data file)."""
-    _recover(state_dir)
-    path = _buckets_path(state_dir)
-    if not os.path.isdir(path):
-        return False
-    return any(
-        not name.startswith(("_", ".")) for name in os.listdir(path)
-    )
+    return _state(state_dir).exists()
 
 
 def _read_index(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The committed (band, bucket, id) state: compacted part files at the
-    root plus per-batch subdirs, read in one recursive listing (hidden
-    ``_``/``.`` files are skipped by Spark's lister)."""
-    return spark.read.option("recursiveFileLookup", "true").parquet(
-        _buckets_path(state_dir)
-    )
+    """The committed (band, bucket, id) state."""
+    return _state(state_dir).read(spark)
 
 
 def batch_buckets(
@@ -157,7 +129,7 @@ def match_against_index(
     candidate-touched ids (semi-join inside verify_pairs_jaccard).  The
     caller checks the index exists (``have_index``; the streaming handler
     does)."""
-    _recover(state_dir)
+    _state(state_dir).recover()
     signed = with_minhash(
         batch.select(id_col, text_col), text_col,
         num_hashes=num_hashes, shingle_words=shingle_words,
@@ -193,28 +165,17 @@ def append_to_index(
 ) -> None:
     """Atomically append a signed batch's bucket rows, id-anti-joined
     against existing state so a replayed batch is a no-op (idempotent per
-    id).  The write lands in a staging dir and becomes visible with one
-    ``os.rename`` — a crash anywhere leaves either the complete batch or
-    nothing (see the module docstring for why partial visibility would be a
-    permanent recall loss)."""
-    _recover(state_dir)
-    path = _buckets_path(state_dir)
+    id).  ``AppendOnlyState.append`` stages the write outside the read path
+    and commits with one ``os.rename`` — a crash anywhere leaves either the
+    complete batch or nothing (see the module docstring for why partial
+    visibility would be a permanent recall loss)."""
+    state = _state(state_dir)
     rows = batch_buckets(df, id_col, bands=bands)
     spark = df.sparkSession
-    if have_index(state_dir):
+    if state.exists():
         seen = _read_index(spark, state_dir).select(id_col).distinct()
         rows = rows.join(seen, on=id_col, how="left_anti")
-    token = uuid.uuid4().hex
-    staging = os.path.join(state_dir, f"staging-{token}")
-    rows.write.mode("overwrite").parquet(staging)
-    # an empty DataFrame still writes a schema-only part file; probe the
-    # staged (local, tiny) parquet so fully-deduplicated batches commit
-    # nothing instead of accreting empty batch dirs
-    if spark.read.parquet(staging).isEmpty():
-        shutil.rmtree(staging, ignore_errors=True)
-        return
-    os.makedirs(path, exist_ok=True)
-    os.rename(staging, os.path.join(path, f"batch-{token}"))
+    state.append(rows)
 
 
 def compact_index(
@@ -222,27 +183,16 @@ def compact_index(
 ) -> int:
     """Rewrite the append-only bucket state sorted by (band, bucket) so
     parquet row-group stats skip misses during the per-batch scan.  Promote
-    is the two-rename pair recovered by ``_recover`` on any crash point.
-    Returns the row count."""
-    _recover(state_dir)
-    path = _buckets_path(state_dir)
+    is ``AppendOnlyState.compact``'s two-rename pair, recovered on any
+    crash point.  Returns the row count."""
+    state = _state(state_dir)
     rows = (
-        _read_index(spark, state_dir)
+        state.read(spark)
         .repartitionByRange(target_files, "band", "bucket")
         .sortWithinPartitions("band", "bucket")
     )
-    tmp = path + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    rows.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    old = path + ".old"
-    if os.path.exists(old):  # leftover from a crash after the final rename
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return n
+    state.compact(rows)
+    return state.read(spark).count()
 
 
 def insert_stream_near_dedup(

@@ -27,9 +27,10 @@ Exactly-once ``n_total``: counting is not idempotent under replay, so the
 state carries a content-addressed ledger of applied batches (count plus two
 independent Lehmer-hash key sums — order-independent, one aggregate pass,
 no driver materialization of the batch).  Ledger, sample and meta live in
-ONE state directory promoted by ONE rename (the frequency.py pattern), so
-no crash point can leave a half-applied batch; ``_recover`` heals the
-window between the two promote renames.  The documented trade-off mirrors
+ONE state directory promoted by ONE rename (the shared
+``streaming.state.SnapshotState``), so
+no crash point can leave a half-applied batch; ``SnapshotState.recover`` heals
+the window between the two promote renames.  The documented trade-off mirrors
 frequency.py: two DISTINCT batches with identical key multisets dedupe —
 carry a batch sequence column if that is a real case upstream.
 
@@ -42,7 +43,6 @@ the same budget class as the CMS cell table or the bloom bitmap).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,10 +51,10 @@ from pyspark.sql.streaming import StreamingQuery
 from carto_etl_spark.operators.quantiles import rank_target
 from carto_etl_spark.operators.sampling import LEHMER_M, hash_expr
 from carto_etl_spark.session import local_df
+from carto_etl_spark.streaming.state import SnapshotState
 
 _SAMPLE = "sample"
 _META = "meta"
-_APPLIED = "applied"
 #: deepest candidate level probed in one pass (cutoff ~ M / 2^40 < 2000 —
 #: a sample that still overflows cap at level 40 means cap < rows/2^40,
 #: i.e. a misconfiguration the handler surfaces as an error)
@@ -65,28 +65,6 @@ def level_cutoff(level: int) -> int:
     """Keep-threshold in hash units at ``level`` (integer halving so both
     engines reproduce the exact boundary)."""
     return LEHMER_M // (2 ** level)
-
-
-def _current(state_dir: str) -> str:
-    return os.path.join(state_dir, "current")
-
-
-def _recover(state_dir: str) -> None:
-    cur = _current(state_dir)
-    old = cur + ".old"
-    if not os.path.exists(cur) and os.path.exists(old):
-        os.rename(old, cur)
-
-
-def _promote(tmp: str, cur: str) -> None:
-    swap = cur + ".old"
-    if os.path.exists(swap):
-        shutil.rmtree(swap)
-    if os.path.exists(cur):
-        os.rename(cur, swap)
-    os.rename(tmp, cur)
-    if os.path.exists(swap):
-        shutil.rmtree(swap)
 
 
 def _fingerprint_and_counts(
@@ -127,10 +105,9 @@ def load_quantile_state(
     spark: SparkSession, state_dir: str
 ) -> tuple[DataFrame, int, int]:
     """(sample_df, level, n_total) for the current state."""
-    _recover(state_dir)
-    cur = _current(state_dir)
-    meta = spark.read.parquet(os.path.join(cur, _META)).collect()[0]
-    sample = spark.read.parquet(os.path.join(cur, _SAMPLE))
+    state = SnapshotState(state_dir)
+    meta = state.read(spark, _META).collect()[0]
+    sample = state.read(spark, _SAMPLE)
     return sample, int(meta["level"]), int(meta["n_total"])
 
 
@@ -172,15 +149,13 @@ def track_quantiles(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _recover(state_dir)
-        cur = _current(state_dir)
-        have_state = os.path.exists(cur)
+        state = SnapshotState(state_dir)
+        have_state = state.exists()
         if have_state:
-            meta = spark.read.parquet(os.path.join(cur, _META)).collect()[0]
+            meta = state.read(spark, _META).collect()[0]
             level, n_total = int(meta["level"]), int(meta["n_total"])
-            applied = spark.read.parquet(os.path.join(cur, _APPLIED))
         else:
-            level, n_total, applied = 0, 0, None
+            level, n_total = 0, 0
 
         src = batch_df.select(
             F.col(value_col).alias("v"), F.col(key_col).alias("k")
@@ -194,7 +169,7 @@ def track_quantiles(
         # write); the old three-pass shape paid an extra scan because each
         # foreachBatch action re-reads the batch files.
         if have_state:
-            union = spark.read.parquet(os.path.join(cur, _SAMPLE)).withColumn(
+            union = state.read(spark, _SAMPLE).withColumn(
                 "__st", F.lit(True)
             ).unionByName(src.withColumn("__st", F.lit(False)))
         else:
@@ -204,9 +179,7 @@ def track_quantiles(
         )
         if batch_n == 0:
             return
-        if applied is not None and (
-            applied.where(applied.fp == fp).limit(1).count() > 0
-        ):
+        if have_state and state.ledger_contains(spark, fp):
             return  # replayed batch: already applied
 
         new_level = None
@@ -225,12 +198,8 @@ def track_quantiles(
             hash_expr("k", 0) < F.lit(level_cutoff(new_level))
         ).drop("__st")
 
-        fps = [fp] if applied is None else (
-            [r["fp"] for r in applied.collect()] + [fp]
-        )
-        tmp = cur + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        fps = state.ledger_fps(spark) + [fp]
+        tmp = state.begin_tmp()
         # repartition, NOT coalesce: coalesce(1) would collapse the whole
         # batch-filter scan into one task; repartition keeps the scan
         # parallel and shuffles only the <= cap surviving rows to one file
@@ -238,10 +207,8 @@ def track_quantiles(
         local_df(
             spark, [(new_level, n_total + batch_n)], "level int, n_total long"
         ).coalesce(1).write.parquet(os.path.join(tmp, _META))
-        local_df(spark, [(f,) for f in fps], "fp string").coalesce(
-            1
-        ).write.parquet(os.path.join(tmp, _APPLIED))
-        _promote(tmp, cur)
+        state.write_ledger(spark, tmp, fps)
+        state.promote()
 
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint:

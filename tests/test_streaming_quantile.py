@@ -10,8 +10,8 @@ import math
 import os
 
 from carto_etl_spark.operators.sampling import LEHMER_A, LEHMER_M
+from carto_etl_spark.streaming.state import SnapshotState
 from carto_etl_spark.streaming.quantile import (
-    _recover,
     level_cutoff,
     load_quantile_state,
     state_quantiles,
@@ -134,7 +134,7 @@ def test_crash_between_promote_renames_recovers(spark, tmp_path):
     cur = os.path.join(state, "current")
     # simulate the crash window: current moved aside, replacement missing
     os.rename(cur, cur + ".old")
-    _recover(state)
+    SnapshotState(state).recover()
     after = load_quantile_state(spark, state)
     assert after[1] == before[1] and after[2] == before[2]
     assert sorted((r["v"], r["k"]) for r in after[0].collect()) == sorted(
