@@ -25,6 +25,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The canonical cross-round comparison frame: round 1's 32 bench queries
+# (BENCH_r01.json order).  Totals swing ±25% run-to-run as the catalog
+# grows, while this frame holds at ~24-27 s — BASELINE.md records its
+# median-of-3 denominator (24.587 s, r5 re-measure) and every bench emission
+# prints the frame subtotal as "frame32" so BENCH_rN.json is
+# self-comparable without manual recomputation.
+FRAME32 = [
+    "pricing_summary", "shipping_priority", "region_volume",
+    "top_orders_per_customer", "locale_float_coercion", "dual_format_dates",
+    "update_merge", "delete_antijoin", "geom_points", "overview_grid",
+    "overview_rollup", "token_counts", "text_quality", "lang_id",
+    "exact_dedup", "shingle_fingerprint", "cosine_topk", "events_window",
+    "asof_join", "sessionize", "running_total", "rollup_revenue",
+    "cube_revenue", "percentiles", "min_cost_supplier", "json_extract",
+    "above_customer_avg", "geocode_lookup", "set_ops", "ingest_coercion",
+    "simhash_pairs", "minhash_dedup",
+]
+
 BENCH_QUERIES = [
     "pricing_summary",
     "shipping_priority",
@@ -227,6 +245,7 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    frame32 = round(sum(timings.get(n, 0.0) for n in FRAME32), 3)
     full = {
         "metric": (
             "total wall-clock of headline queries "
@@ -235,6 +254,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "frame32": frame32,
         "sf": sf_val,
     }
     # The full per-query map (~130 entries) exceeds the driver's 2 KB output
@@ -255,6 +275,7 @@ def main() -> None:
                 "value": full["value"],
                 "unit": "sec",
                 "queries": slowest,
+                "frame32": frame32,
                 "sf": sf_val,
             }
         )
