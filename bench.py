@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "datum_shift",
     "albers_transform",
     "bng_transform",
+    "swiss_transform",
     "audio_features",
     "stratified_sample",
     "temperature_mixture",

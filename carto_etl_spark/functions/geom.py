@@ -213,6 +213,15 @@ _ELLIPSOIDS = {
         6377563.396,
         (1.0 / 299.3249646) * (2.0 - 1.0 / 299.3249646),
     ),
+    "BESSEL1841": (
+        6377397.155,
+        (1.0 / 299.1528128) * (2.0 - 1.0 / 299.1528128),
+    ),
+    # Everest 1830 (1967 definition) — Timbalai 1948 / RSO Borneo
+    "EVEREST1967": (
+        6377298.556,
+        (1.0 / 300.8017) * (2.0 - 1.0 / 300.8017),
+    ),
 }
 
 #: srid -> (lat0_deg, lon0_deg, sp1_deg, sp2_deg, false_e, false_n, ellipsoid)
@@ -564,6 +573,8 @@ _ELLIPSOID_F = {
     "INTL1924": 1.0 / 297.0,
     "CLARKE1866": (6378206.4 - 6356583.8) / 6378206.4,
     "AIRY1830": 1.0 / 299.3249646,
+    "BESSEL1841": 1.0 / 299.1528128,
+    "EVEREST1967": 1.0 / 300.8017,
 }
 
 #: srid -> (lat0_deg, lon0_deg, k0, false_e, false_n, ellipsoid,
@@ -688,6 +699,234 @@ def _tmerc_inverse(easting: Column, northing: Column, srid: int):
     return lon, lat
 
 
+# -- Hotine Oblique Mercator (EPSG method 9812 variant A / 9815 variant B;
+# public formulas: EPSG Guidance Note 7-2 §3.2.6, Snyder ch. 9).  The last
+# common PostGIS-parity family the registry lacked: Alaska state-plane
+# zone 1 (EPSG 26931, variant A on GRS80) and Swiss LV03 (EPSG 21781,
+# variant B on Bessel 1841 behind the CH1903 datum shift) both live here.
+# The aposphere constants (B, A, t0, D, F, H, G, gamma0, lambda0, uc) are
+# driver-side Python floats; the per-row math is _let-staged column
+# expressions like the TM core; the inverse recovers geodetic latitude from
+# the conformal latitude via the SAME delta series the TM inverse uses
+# (_tm_series), so the family needs the ellipsoid's flattening.
+
+#: srid -> (lat_c, lon_c, azimuth_c, rectified_grid_angle, k0, false_e,
+#:          false_n, variant "A"|"B", ellipsoid, datum_srid)
+_OMERC_PARAMS: dict = {
+    # NAD83 / Alaska zone 1 (metres): HOM variant A, centre 57N 133°40'W,
+    # azimuth = rectified angle = 323°07'48.3685", k0 0.9999,
+    # FE 5 000 000, FN -5 000 000; NAD83~WGS84 identity (datum 0).
+    26931: (
+        57.0,
+        -(133.0 + 40.0 / 60.0),
+        323.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
+        323.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
+        0.9999,
+        5000000.0,
+        -5000000.0,
+        "A",
+        "GRS80",
+        0,
+    ),
+    # CH1903 / LV03 (Swiss national grid): HOM variant B with azimuth =
+    # rectified angle = 90 at centre 46°57'08.66"N 7°26'22.5"E (old Bern
+    # observatory), k0 = 1, Ec 600 km / Nc 200 km, Bessel 1841, CH1903
+    # datum (EPSG transformation 1676 via _GEOGRAPHIC_DATUMS[4149]).
+    21781: (
+        46.0 + 57.0 / 60.0 + 8.66 / 3600.0,
+        7.0 + 26.0 / 60.0 + 22.5 / 3600.0,
+        90.0,
+        90.0,
+        1.0,
+        600000.0,
+        200000.0,
+        "B",
+        "BESSEL1841",
+        4149,
+    ),
+    # Timbalai 1948 / RSO Borneo (m): the EPSG GN7-2 §3.2.6 worked example
+    # for variant B (azimuth != 90), Everest 1830 (1967 definition);
+    # Timbalai datum shift left as identity here — the golden test drives
+    # the projection CORE, which is what the worked example specifies.
+    29873: (
+        4.0,
+        115.0,
+        53.0 + 18.0 / 60.0 + 56.9537 / 3600.0,
+        53.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
+        0.99984,
+        590476.87,
+        442857.65,
+        "B",
+        "EVEREST1967",
+        0,
+    ),
+}
+
+
+def _omerc_constants(srid: int):
+    latc, lonc, alphac, gammac, k0, fe, fn, variant, ell, datum = (
+        _OMERC_PARAMS[srid]
+    )
+    a, e2 = _ELLIPSOIDS[ell]
+    e = math.sqrt(e2)
+    phic = math.radians(latc)
+    lamc = math.radians(lonc)
+    alc = math.radians(alphac)
+    gac = math.radians(gammac)
+    sphic, cphic = math.sin(phic), math.cos(phic)
+    big_b = math.sqrt(1.0 + e2 * cphic**4 / (1.0 - e2))
+    big_a = a * big_b * k0 * math.sqrt(1.0 - e2) / (1.0 - e2 * sphic**2)
+    t0 = math.tan(math.pi / 4.0 - phic / 2.0) / (
+        (1.0 - e * sphic) / (1.0 + e * sphic)
+    ) ** (e / 2.0)
+    d = big_b * math.sqrt(1.0 - e2) / (cphic * math.sqrt(1.0 - e2 * sphic**2))
+    d2 = max(d * d, 1.0)
+    sign = 1.0 if latc >= 0 else -1.0
+    big_f = d + math.sqrt(d2 - 1.0) * sign
+    big_h = big_f * t0**big_b
+    big_g = (big_f - 1.0 / big_f) / 2.0
+    gamma0 = math.asin(math.sin(alc) / d)
+    lam0 = lamc - math.asin(big_g * math.tan(gamma0)) / big_b
+    if variant == "B":
+        if abs(alphac - 90.0) < 1e-12:
+            uc = big_a * (lamc - lam0)
+        else:
+            uc = (
+                (big_a / big_b)
+                * math.atan2(math.sqrt(d2 - 1.0), math.cos(alc))
+                * sign
+            )
+    else:
+        uc = 0.0
+    return (
+        big_a, big_b, e, big_h, gamma0, lam0, gac, fe, fn,
+        uc, variant, sign, ell, datum,
+    )
+
+
+def _omerc_core_forward(lon: Column, lat: Column, srid: int):
+    """HOM forward from geographic coordinates ALREADY on the family's
+    datum (EPSG GN7-2 §3.2.6 general case)."""
+    (big_a, big_b, e, big_h, gamma0, lam0, gac, fe, fn,
+     uc, variant, sign, _, _) = _omerc_constants(srid)
+    phi = F.radians(lat)
+    dlam = big_b * (F.radians(lon) - F.lit(lam0))
+    sg0, cg0 = math.sin(gamma0), math.cos(gamma0)
+    sgc, cgc = math.sin(gac), math.cos(gac)
+
+    def body(sphi, dlam):
+        t = F.tan(F.lit(math.pi / 4.0) - F.asin(sphi) / 2.0) / F.pow(
+            (1.0 - F.lit(e) * sphi) / (1.0 + F.lit(e) * sphi),
+            F.lit(e / 2.0),
+        )
+
+        def inner(q):
+            s = (q - 1.0 / q) / 2.0
+            t_ = (q + 1.0 / q) / 2.0
+            v = F.sin(dlam)
+
+            def emit(s, t_, v):
+                u_big = (-v * F.lit(cg0) + s * F.lit(sg0)) / t_
+                v_coord = (
+                    F.lit(big_a)
+                    * F.log((1.0 - u_big) / (1.0 + u_big))
+                    / F.lit(2.0 * big_b)
+                )
+                u_coord = (
+                    F.lit(big_a / big_b)
+                    * F.atan2(s * F.lit(cg0) + v * F.lit(sg0), F.cos(dlam))
+                )
+                if variant == "B":
+                    u_coord = u_coord - F.lit(abs(uc) * sign)
+                return F.struct(
+                    (v_coord * F.lit(cgc) + u_coord * F.lit(sgc) + F.lit(fe))
+                    .alias("e"),
+                    (u_coord * F.lit(cgc) - v_coord * F.lit(sgc) + F.lit(fn))
+                    .alias("n"),
+                )
+
+            return _let(emit, s=s, t_=t_, v=v)
+
+        return _let(inner, q=F.lit(big_h) / F.pow(t, F.lit(big_b)))
+
+    out = _let(body, sphi=F.sin(phi), dlam=dlam)
+    return out["e"], out["n"]
+
+
+def _omerc_core_inverse(easting: Column, northing: Column, srid: int):
+    (big_a, big_b, e, big_h, gamma0, lam0, gac, fe, fn,
+     uc, variant, sign, ell, _) = _omerc_constants(srid)
+    a, _e2 = _ELLIPSOIDS[ell]
+    _, _, _, _, delta = _tm_series(a, _ELLIPSOID_F[ell])
+    sg0, cg0 = math.sin(gamma0), math.cos(gamma0)
+    sgc, cgc = math.sin(gac), math.cos(gac)
+    de, dn = easting - F.lit(fe), northing - F.lit(fn)
+
+    def body(vp, up):
+        qp = F.exp(-(F.lit(big_b) * vp / F.lit(big_a)))
+        bua = F.lit(big_b) * up / F.lit(big_a)
+
+        def inner(qp, bua):
+            sp = (qp - 1.0 / qp) / 2.0
+            tp = (qp + 1.0 / qp) / 2.0
+            vvp = F.sin(bua)
+
+            def emit(sp, tp, vvp):
+                u_big = (vvp * F.lit(cg0) + sp * F.lit(sg0)) / tp
+                t_small = F.pow(
+                    F.lit(big_h) / F.sqrt((1.0 + u_big) / (1.0 - u_big)),
+                    F.lit(1.0 / big_b),
+                )
+                chi = F.lit(math.pi / 2.0) - 2.0 * F.atan(t_small)
+
+                def last(chi):
+                    phi = chi
+                    for j, dj in enumerate(delta, start=1):
+                        phi = phi + dj * F.sin(2.0 * j * chi)
+                    lam = F.lit(lam0) - F.atan2(
+                        sp * F.lit(cg0) - vvp * F.lit(sg0), F.cos(bua)
+                    ) / F.lit(big_b)
+                    return F.struct(
+                        F.degrees(lam).alias("lon"),
+                        F.degrees(phi).alias("lat"),
+                    )
+
+                return _let(last, chi=chi)
+
+            return _let(emit, sp=sp, tp=tp, vvp=vvp)
+
+        return _let(inner, qp=qp, bua=bua)
+
+    up0 = dn * F.lit(cgc) + de * F.lit(sgc)
+    if variant == "B":
+        up0 = up0 + F.lit(abs(uc) * sign)
+    out = _let(body, vp=de * F.lit(cgc) - dn * F.lit(sgc), up=up0)
+    return out["lon"], out["lat"]
+
+
+def _omerc_forward(lon: Column, lat: Column, srid: int):
+    """WGS84 geographic -> projected: datum shift first (when the row names
+    one), then the HOM core."""
+    datum = _OMERC_PARAMS[srid][9]
+    if datum:
+        ell, params = _GEOGRAPHIC_DATUMS[datum]
+        lon, lat = helmert_shift_expr(
+            lon, lat, params, ell, "WGS84", inverse=True
+        )
+    return _omerc_core_forward(lon, lat, srid)
+
+
+def _omerc_inverse(easting: Column, northing: Column, srid: int):
+    """Projected -> WGS84 geographic: HOM core first, then the datum shift
+    back (when the row names one)."""
+    lon, lat = _omerc_core_inverse(easting, northing, srid)
+    datum = _OMERC_PARAMS[srid][9]
+    if datum:
+        ell, params = _GEOGRAPHIC_DATUMS[datum]
+        lon, lat = helmert_shift_expr(lon, lat, params, ell, "WGS84")
+    return lon, lat
+
+
 # -- projected-CRS registry ---------------------------------------------------
 # family -> (param table, forward, inverse).  The SRID dispatcher consults
 # THIS — supporting a new EPSG code of an existing family is one table row
@@ -700,15 +939,20 @@ _PROJECTED_FAMILIES: dict = {
     "lcc": (_LCC_PARAMS, _lcc_forward, _lcc_inverse),
     "aea": (_AEA_PARAMS, _aea_forward, _aea_inverse),
     "tmerc": (_TMERC_PARAMS, _tmerc_forward, _tmerc_inverse),
+    "omerc": (_OMERC_PARAMS, _omerc_forward, _omerc_inverse),
 }
 
 #: per-family parameter arity (validated by register_projection)
-_FAMILY_ARITY = {"laea": 4, "lcc": 7, "aea": 7, "tmerc": 7}
+_FAMILY_ARITY = {"laea": 4, "lcc": 7, "aea": 7, "tmerc": 7, "omerc": 10}
 
 #: index of the ellipsoid name inside each family's parameter tuple (None =
 #: the family is pinned to GRS80), and of the optional datum srid
-_FAMILY_ELLIPSOID_AT = {"laea": None, "lcc": 6, "aea": 6, "tmerc": 5}
-_FAMILY_DATUM_AT = {"laea": None, "lcc": None, "aea": None, "tmerc": 6}
+_FAMILY_ELLIPSOID_AT = {
+    "laea": None, "lcc": 6, "aea": 6, "tmerc": 5, "omerc": 8,
+}
+_FAMILY_DATUM_AT = {
+    "laea": None, "lcc": None, "aea": None, "tmerc": 6, "omerc": 9,
+}
 
 
 def projected_family(srid: int) -> str | None:
@@ -741,10 +985,16 @@ def register_projection(family: str, srid: int, params: tuple) -> None:
         raise ValueError(
             f"unknown ellipsoid {params[ell_at]!r}; known: {sorted(_ELLIPSOIDS)}"
         )
-    if family == "tmerc" and params[5] not in _ELLIPSOID_F:
+    if family in ("tmerc", "omerc"):
+        ell_name = params[_FAMILY_ELLIPSOID_AT[family]]
+        if ell_name not in _ELLIPSOID_F:
+            raise ValueError(
+                f"{family} needs a flattening for {ell_name!r}: add it to "
+                "_ELLIPSOID_F (e2 alone loses precision re-deriving f)"
+            )
+    if family == "omerc" and params[7] not in ("A", "B"):
         raise ValueError(
-            f"tmerc needs a flattening for {params[5]!r}: add it to "
-            "_ELLIPSOID_F (e2 alone loses precision re-deriving f)"
+            f"omerc variant must be 'A' or 'B', got {params[7]!r}"
         )
     datum_at = _FAMILY_DATUM_AT[family]
     if datum_at is not None:
@@ -780,6 +1030,9 @@ _GEOGRAPHIC_DATUMS = {
         "AIRY1830",
         (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
     ),
+    # CH1903 (Bessel 1841): EPSG transformation 1676 (CH1903->WGS84,
+    # 3-parameter geocentric translation)
+    4149: ("BESSEL1841", (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)),
 }
 
 

@@ -996,6 +996,123 @@ FROM tm3
 ORACLE_BNG = _build_oracle_bng()
 
 
+def q_swiss_transform(spark, sf_dir):
+    """Reference F5, the oblique-Mercator family (the last common
+    PostGIS-parity projection gap, /root/reference/etl/etl.py:190-192):
+    WGS84 -> CH1903 / LV03 (EPSG:21781) — 3-parameter Helmert (EPSG tfm
+    1676, inverse) into CH1903, then Hotine Oblique Mercator variant B
+    (azimuth 90, Bessel 1841; EPSG GN7-2 §3.2.6) — the Swiss national grid.
+    Synthesized coords span Switzerland (lon [6.0,10.4) x lat
+    [45.95,47.75)).  Every stage is closed-form, so the oracle re-derives
+    the ENTIRE chain in portable SQL (geodetic->ECEF, translation, Bowring
+    on Bessel, the HOM aposphere math with driver-side constants);
+    integer-metre output absorbs cross-engine libm noise.  Core validated
+    against the EPSG GN7-2 worked example (Timbalai, 2 mm) and swisstopo's
+    Rigi example (sub-mm) in test_lambert."""
+    from carto_etl_spark.functions.geom import transform_geom
+
+    c = load(spark, sf_dir, "customer")
+    src = c.select(
+        "c_custkey",
+        (F.lit(6.0) + (F.col("c_custkey") * 13 % 440) / F.lit(100.0)).alias("lon"),
+        (F.lit(45.95) + (F.col("c_custkey") * 7 % 180) / F.lit(100.0)).alias("lat"),
+    )
+    out = transform_geom(
+        src.withColumn("g", point_struct(F.col("lon"), F.col("lat"), 4326)),
+        "g", 4326, 21781, out_col="sw",
+    )
+    return out.select(
+        "c_custkey",
+        F.round(F.col("sw.x")).cast("long").alias("easting_m"),
+        F.round(F.col("sw.y")).cast("long").alias("northing_m"),
+    )
+
+
+def _build_oracle_swiss() -> str:
+    import math as _m
+
+    from carto_etl_spark.functions.geom import (
+        _ELLIPSOIDS,
+        _GEOGRAPHIC_DATUMS,
+        _omerc_constants,
+    )
+
+    (big_a, big_b, e, big_h, gamma0, lam0, gac, fe, fn,
+     uc, _variant, sign, ell, datum) = _omerc_constants(21781)
+    d_ell, params = _GEOGRAPHIC_DATUMS[datum]
+    dx, dy, dz = (-v for v in params[:3])  # WGS84 -> CH1903 (inverse)
+    a_w, e2_w = _ELLIPSOIDS["WGS84"]
+    a_t, e2_t = _ELLIPSOIDS[d_ell]
+    b_t = a_t * _m.sqrt(1.0 - e2_t)
+    ep2_t = e2_t / (1.0 - e2_t)
+    sg0, cg0 = _m.sin(gamma0), _m.cos(gamma0)
+    sgc, cgc = _m.sin(gac), _m.cos(gac)
+    uoff = abs(uc) * sign
+
+    return f"""
+WITH src AS (
+  SELECT c_custkey,
+         radians(6.0 + (c_custkey * 13 % 440) / 100.0) AS lam,
+         radians(45.95 + (c_custkey * 7 % 180) / 100.0) AS phi
+  FROM customer
+), ecef AS (
+  SELECT c_custkey,
+         ({a_w!r} / sqrt(1.0 - {e2_w!r} * sin(phi) * sin(phi)))
+           * cos(phi) * cos(lam) AS x,
+         ({a_w!r} / sqrt(1.0 - {e2_w!r} * sin(phi) * sin(phi)))
+           * cos(phi) * sin(lam) AS y,
+         ({a_w!r} / sqrt(1.0 - {e2_w!r} * sin(phi) * sin(phi)))
+           * (1.0 - {e2_w!r}) * sin(phi) AS z
+  FROM src
+), shifted AS (
+  SELECT c_custkey, {dx!r} + x AS x, {dy!r} + y AS y, {dz!r} + z AS z
+  FROM ecef
+), bowring AS (
+  SELECT c_custkey, x, y, z, sqrt(x*x + y*y) AS p,
+         atan2(z * {a_t!r}, sqrt(x*x + y*y) * {b_t!r}) AS theta
+  FROM shifted
+), geo AS (
+  SELECT c_custkey,
+         atan2(y, x) AS lam,
+         atan2(
+           z + {ep2_t * b_t!r} * sin(theta) * sin(theta) * sin(theta),
+           p - {e2_t * a_t!r} * cos(theta) * cos(theta) * cos(theta)
+         ) AS phi
+  FROM bowring
+), hom0 AS (
+  SELECT c_custkey, {big_b!r} * (lam - {lam0!r}) AS dlam,
+         tan(pi() / 4.0 - phi / 2.0)
+           / pow((1.0 - {e!r} * sin(phi)) / (1.0 + {e!r} * sin(phi)),
+                 {e / 2.0!r}) AS t
+  FROM geo
+), hom1 AS (
+  SELECT c_custkey, dlam, {big_h!r} / pow(t, {big_b!r}) AS q FROM hom0
+), hom2 AS (
+  SELECT c_custkey, dlam,
+         (q - 1.0 / q) / 2.0 AS s, (q + 1.0 / q) / 2.0 AS tq,
+         sin(dlam) AS v
+  FROM hom1
+), hom3 AS (
+  SELECT c_custkey,
+         {big_a!r} / (2.0 * {big_b!r})
+           * ln((1.0 - (-v * {cg0!r} + s * {sg0!r}) / tq)
+                / (1.0 + (-v * {cg0!r} + s * {sg0!r}) / tq)) AS vc,
+         {big_a / big_b!r}
+           * atan2(s * {cg0!r} + v * {sg0!r}, cos(dlam)) - {uoff!r} AS u
+  FROM hom2
+)
+SELECT c_custkey,
+       cast(round(vc * {cgc!r} + u * {sgc!r} + {fe!r}) AS bigint)
+         AS easting_m,
+       cast(round(u * {cgc!r} - vc * {sgc!r} + {fn!r}) AS bigint)
+         AS northing_m
+FROM hom3
+"""
+
+
+ORACLE_SWISS = _build_oracle_swiss()
+
+
 def q_overview_grid(spark, sf_dir):
     """Reference D5 (CDB_CreateOverviews): finest-zoom grid aggregate over
     web-mercator tiles (zoom 4)."""
@@ -1315,7 +1432,8 @@ def q_cosine_topk(spark, sf_dir):
     emb = F.col("embedding").cast("array<double>")
     q = F.array(*[F.lit(v) for v in query])
     scored = e.select(
-        "vec_id", F.round(sim.cosine_expr(emb, q), 6).alias("cosine")
+        "vec_id",
+        F.round(sim.cosine_fixed_expr(emb, q, len(query)), 6).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.col("vec_id")).limit(5)
 
@@ -2120,7 +2238,8 @@ def q_ann_topk(spark, sf_dir):
     emb = F.col("embedding").cast("array<double>")
     q = F.array(*[F.lit(v) for v in query])
     scored = cands.select(
-        "vec_id", F.round(sim.cosine_expr(emb, q), 6).alias("cosine")
+        "vec_id",
+        F.round(sim.cosine_fixed_expr(emb, q, len(query)), 6).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.col("vec_id")).limit(5)
 
@@ -2183,7 +2302,8 @@ def q_ann_ivf(spark, sf_dir):
     emb = F.col("embedding").cast("array<double>")
     q = F.array(*[F.lit(v) for v in query])
     scored = cands.select(
-        "vec_id", F.round(sim.cosine_expr(emb, q), 6).alias("cosine")
+        "vec_id",
+        F.round(sim.cosine_fixed_expr(emb, q, len(query)), 6).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.col("vec_id")).limit(5)
 
@@ -7760,11 +7880,12 @@ def q_quant_recall(spark, sf_dir):
         "query_id",
         "q_norm2",
         "vec_id",
-        F.round(sim.cosine_expr(F.col("emb"), F.col("qemb")) * micro)
+        F.round(sim.cosine_fixed_expr(F.col("emb"), F.col("qemb"), 64) * micro)
         .cast("long")
         .alias("ecos_u"),
         F.round(
-            qt.quantized_cosine_expr(F.col("q_vec"), F.col("qq")) * micro
+            qt.quantized_cosine_fixed_expr(F.col("q_vec"), F.col("qq"), 64)
+            * micro
         )
         .cast("long")
         .alias("qcos_u"),
@@ -8052,7 +8173,8 @@ def q_ann_ivf_sq8(spark, sf_dir):
     probes = sim.probe_lists(centroids, query, nprobe=3)
     cands = indexed.filter(F.col("ivf_list").isin(probes))
     qcos_u = F.round(
-        qt.quantized_cosine_expr(F.col("q_vec"), qq) * F.lit(1000000.0)
+        qt.quantized_cosine_fixed_expr(F.col("q_vec"), qq, len(query))
+        * F.lit(1000000.0)
     ).cast("long")
     return (
         cands.select("vec_id", qcos_u.alias("qcos_u"))
@@ -8115,6 +8237,7 @@ QUERIES = {
     "stateplane_transform": q_stateplane_transform,
     "albers_transform": q_albers_transform,
     "bng_transform": q_bng_transform,
+    "swiss_transform": q_swiss_transform,
     "datum_shift": q_datum_shift,
     "transactional_lifecycle": q_transactional_lifecycle,
     "morton_tiles": q_morton_tiles,
@@ -8295,6 +8418,7 @@ ORACLES = {
     "stateplane_transform": ORACLE_STATEPLANE,
     "albers_transform": ORACLE_ALBERS,
     "bng_transform": ORACLE_BNG,
+    "swiss_transform": ORACLE_SWISS,
     "datum_shift": ORACLE_DATUM_SHIFT,
     "transactional_lifecycle": ORACLE_TXN_LIFECYCLE,
     "morton_tiles": ORACLE_MORTON,

@@ -448,3 +448,107 @@ def test_nad83_utm_rows(spark):
         )
         r = df.select(st_x(back).alias("a"), st_y(back).alias("b")).first()
         assert abs(r["a"] - lon) < 1e-6 and abs(r["b"] - lat) < 1e-6
+
+
+# -- Hotine oblique Mercator family (omerc): Alaska zone 1, Swiss LV03 ------
+
+
+def test_omerc_core_matches_epsg_worked_example(spark):
+    """EPSG Guidance Note 7-2 §3.2.6 worked example (Timbalai 1948 / RSO
+    Borneo, variant B, azimuth != 90): the published test point must land
+    within centimetres."""
+    from carto_etl_spark.functions.geom import _omerc_core_forward
+
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    df = spark.createDataFrame([(lon, lat)], "lon double, lat double")
+    e, n = _omerc_core_forward(F.col("lon"), F.col("lat"), 29873)
+    r = df.select(e.alias("e"), n.alias("n")).first()
+    assert abs(r["e"] - 679245.73) < 0.01
+    assert abs(r["n"] - 596562.78) < 0.01
+
+
+def test_swiss_core_matches_swisstopo_example(spark):
+    """swisstopo's published LV03 example (Rigi): CH1903 geographic ->
+    projected, sub-centimetre (the azimuth-90 variant-B special case)."""
+    from carto_etl_spark.functions.geom import _omerc_core_forward
+
+    lon = 8 + 29 / 60 + 11.111273 / 3600
+    lat = 47 + 3 / 60 + 28.956559 / 3600
+    df = spark.createDataFrame([(lon, lat)], "lon double, lat double")
+    e, n = _omerc_core_forward(F.col("lon"), F.col("lat"), 21781)
+    r = df.select(e.alias("e"), n.alias("n")).first()
+    assert abs(r["e"] - 679520.05) < 0.01
+    assert abs(r["n"] - 212273.44) < 0.01
+
+
+def test_swiss_full_chain_origin(spark):
+    """WGS84 -> (CH1903 Helmert) -> LV03: the old Bern observatory's WGS84
+    position lands within a metre of the (600000, 200000) grid origin —
+    validates the datum leg, not just the projection core."""
+    df = spark.createDataFrame([(7.4386372, 46.9510811)], "lon double, lat double")
+    g = df.withColumn("g", point_struct(F.col("lon"), F.col("lat"), 4326))
+    out = transform_geom(g, "g", 4326, 21781, out_col="sw").first()
+    assert abs(out["sw"]["x"] - 600000.0) < 1.0
+    assert abs(out["sw"]["y"] - 200000.0) < 1.0
+
+
+@pytest.mark.parametrize(
+    "srid,lon_rng,lat_rng",
+    [
+        (21781, (6.0, 10.5), (45.9, 47.7)),   # Switzerland
+        (26931, (-141.0, -130.0), (54.5, 60.5)),  # AK zone 1 panhandle
+    ],
+)
+def test_omerc_round_trip(spark, srid, lon_rng, lat_rng):
+    rows = [
+        (lon_rng[0] + (lon_rng[1] - lon_rng[0]) * i / 6.0,
+         lat_rng[0] + (lat_rng[1] - lat_rng[0]) * j / 6.0)
+        for i in range(7)
+        for j in range(7)
+    ]
+    df = spark.createDataFrame(rows, "lon double, lat double").withColumn(
+        "g", point_struct(F.col("lon"), F.col("lat"), 4326)
+    )
+    fwd = transform_geom(df, "g", 4326, srid, out_col="p")
+    back = transform_geom(fwd, "p", srid, 4326, out_col="w")
+    m = back.select(
+        F.max(F.abs(F.col("w.x") - F.col("lon"))).alias("dx"),
+        F.max(F.abs(F.col("w.y") - F.col("lat"))).alias("dy"),
+    ).first()
+    assert m["dx"] < 1e-6 and m["dy"] < 1e-6
+
+
+def test_omerc_registry_row_and_validation(spark):
+    from carto_etl_spark.functions.geom import (
+        _OMERC_PARAMS,
+        register_projection,
+        transform_point as tp,
+    )
+
+    # a new HOM code is one registry row (variant A copy of Alaska-1 with
+    # shifted false origin)
+    register_projection(
+        "omerc",
+        990101,
+        (57.0, -(133.0 + 40.0 / 60.0), 323.1301023611111, 323.1301023611111,
+         0.9999, 0.0, 0.0, "A", "GRS80", 0),
+    )
+    try:
+        df = spark.createDataFrame([(-134.0, 57.5)], ["lon", "lat"])
+        back = tp(
+            tp(point_struct(F.col("lon"), F.col("lat"), 4326), 4326, 990101),
+            990101, 4326,
+        )
+        r = df.select(st_x(back).alias("a"), st_y(back).alias("b")).first()
+        assert abs(r["a"] + 134.0) < 1e-6 and abs(r["b"] - 57.5) < 1e-6
+    finally:
+        _OMERC_PARAMS.pop(990101, None)
+
+    with pytest.raises(ValueError, match="variant"):
+        register_projection(
+            "omerc", 990102,
+            (57.0, -133.0, 320.0, 320.0, 1.0, 0.0, 0.0, "C", "GRS80", 0),
+        )
+    with pytest.raises(ValueError, match="parameters"):
+        register_projection("omerc", 990102, (1.0, 2.0))
