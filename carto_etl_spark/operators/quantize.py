@@ -78,12 +78,24 @@ def quantize_int8(
 
 
 def int_dot_expr(a: Column, b: Column) -> Column:
-    """Exact integer dot product of two long-array columns."""
+    """Exact integer dot product of two long-array columns (HOF fold —
+    interpreted; use ``int_dot_fixed_expr`` when the dimension is known)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+
+
+def int_dot_fixed_expr(a: Column, b: Column, dim: int) -> Column:
+    """``int_dot_expr`` expanded over a statically known dimension — exact
+    integer math, so the expansion is trivially identical; it exists purely
+    to keep the hot quantized scans inside whole-stage codegen (HOFs are
+    CodegenFallback, ~100x slower per element)."""
+    acc: Column = F.lit(0).cast("long")
+    for i in range(dim):
+        acc = acc + F.get(a, i) * F.get(b, i)
+    return acc
 
 
 def quantized_cosine_expr(qa: Column, qb: Column) -> Column:
@@ -93,6 +105,15 @@ def quantized_cosine_expr(qa: Column, qb: Column) -> Column:
     dot = int_dot_expr(qa, qb).cast("double")
     na = F.sqrt(int_dot_expr(qa, qa).cast("double"))
     nb = F.sqrt(int_dot_expr(qb, qb).cast("double"))
+    return dot / F.nullif(na * nb, F.lit(0.0))
+
+
+def quantized_cosine_fixed_expr(qa: Column, qb: Column, dim: int) -> Column:
+    """``quantized_cosine_expr`` on the codegen expansion — identical values
+    (integer dots are exact either way)."""
+    dot = int_dot_fixed_expr(qa, qb, dim).cast("double")
+    na = F.sqrt(int_dot_fixed_expr(qa, qa, dim).cast("double"))
+    nb = F.sqrt(int_dot_fixed_expr(qb, qb, dim).cast("double"))
     return dot / F.nullif(na * nb, F.lit(0.0))
 
 
