@@ -111,7 +111,9 @@ BENCH_QUERIES = [
     "hll_registers",
     "hll_grouped",
     "embedding_near_dup",
+    "near_dup_banded",
     "semantic_dedup",
+    "semantic_dedup_bulk",
     "streaming_cardinality",
     "streaming_quantiles",
     "lm_fluency",

@@ -489,6 +489,50 @@ def embedding_near_dup_pairs(
     )
 
 
+def _band_buckets_bulk(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_bands: int,
+    seed: int,
+    out_col: str,
+) -> DataFrame:
+    """All bands' LSH buckets in one numpy matmul per Arrow batch:
+    ``sign(X @ P.T)`` over the stacked (n_bands*n_planes, dim) plane matrix,
+    bits packed per band — the scale path for large band/plane counts where
+    the expanded codegen signature overflows Janino.  Bit values can differ
+    from the codegen path by sign flips on dots within an ulp of zero;
+    bucketing correctness is unaffected (both join sides use the SAME
+    expression), so this path is for scale runs, not oracle replays."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pmat = np.array(
+        [
+            _hyperplanes(dim, n_planes, seed + b)
+            for b in range(n_bands)
+        ],
+        dtype=np.float64,
+    ).reshape(n_bands * n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def _sigs(col):
+        x = np.array(col.tolist(), dtype=np.float64)
+        bits = (x @ pmat.T) >= 0.0  # (n, n_bands*n_planes)
+        out = []
+        for r in bits.reshape(len(x), n_bands, n_planes):
+            out.append([int(band @ weights) for band in r])
+        return pd.Series(out)
+
+    _sigs.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    sigs = pandas_udf(_sigs, "array<long>")
+    return df.withColumn(
+        out_col, sigs(F.col(vec_col).cast("array<double>"))
+    )
+
+
 def embedding_near_dup_banded(
     df: DataFrame,
     threshold: float = 0.95,
@@ -521,21 +565,20 @@ def embedding_near_dup_banded(
     touches candidate pairs only.  Never all-pairs."""
     emb = F.col(vec_col).cast("array<double>")
     dim = len(df.select(vec_col).first()[0])
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                signature_bits_expr(
-                    emb, _hyperplanes(dim, n_planes, seed + b)
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
+    # every band's bucket from ONE Arrow matmul, exploded to (band, bucket)
+    # rows.  Always the Arrow path: n_bands codegen signatures fused into
+    # one generated method overflow Janino's 64 KB limit already at
+    # 3 bands x 6 planes x 64 dims (each failed compile costs seconds
+    # before the interpreted fallback), and the banded operator's oracle
+    # verifies by exact cosine, never by signature replay — the single-band
+    # operator keeps the codegen signature for the oracle-pinned entries.
+    sigged = _band_buckets_bulk(
+        df, vec_col, dim, n_planes, n_bands, seed, out_col="__bands"
     )
-    bucketed = df.select(
-        F.col(id_col).alias("__id"), F.explode(bands).alias("bb")
-    ).select("__id", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket"))
+    bucketed = sigged.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode("__bands").alias("band", "bucket"),
+    )
     a, b_ = bucketed.alias("a"), bucketed.alias("b")
     cand = (
         a.join(

@@ -2362,6 +2362,40 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.99
 """
 
 
+def q_near_dup_banded(spark, sf_dir):
+    """Embedding near-dup pairs via the BANDED (OR-amplified) LSH scale
+    path (operators/similarity.py embedding_near_dup_banded): 3 independent
+    6-plane signatures, candidate dedup across bands, one exact-cosine
+    verify (small band/plane counts: the driver table is 530 rows, and the
+    entry prices the PLAN SHAPE — the scale parameterization is measured
+    separately in SCALING.md).  Same brute-force oracle contract as embedding_near_dup: the
+    DuckDB side recomputes the FULL pairwise cosine, so a green row proves
+    the banded bucketing lost no >=0.99 pair on this corpus (identical
+    planted copies collide in EVERY band; the nearest natural pair sits far
+    from the boundary) and the exact verify admitted nothing below it."""
+    e = load(spark, sf_dir, "embeddings")
+    dup = e.filter(F.col("vec_id") % 30 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    both = e.unionByName(dup)
+    return sim.embedding_near_dup_banded(
+        both, threshold=0.99, n_planes=6, n_bands=3
+    ).select("id_a", "id_b")
+
+
+ORACLE_NEAR_DUP_BANDED = """
+WITH both_v AS (
+  SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, cast(embedding AS double[]) AS v
+  FROM embeddings WHERE vec_id % 30 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM both_v a JOIN both_v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard pairs over documents + planted near-copies,
     via the PPJoin-style prefix-filtered join (rarest-first canonical order,
@@ -7555,6 +7589,22 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_bulk(spark, sf_dir):
+    """The applyInPandas SemDeDup scale path (semantic_dedup_bulk: Arrow
+    bulk coarse assignment + per-cluster normalized Gram-matrix blocks)
+    under the SAME oracle as the DataFrame twin — equality of the two
+    implementations on planted duplicates IS the correctness claim.  The
+    Gram accumulation order differs from the fold by ulps, but every pair
+    on this corpus sits far from the 0.9 boundary (planted copies ~1.0,
+    natural pairs <0.8), so the threshold decision is stable."""
+    e = load(spark, sf_dir, "embeddings")
+    dup = e.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    both = e.unionByName(dup)
+    return sim.semantic_dedup_bulk(both, n_clusters=8, threshold=0.9)
+
+
 ORACLE_SEMANTIC_DEDUP = """
 WITH both_v AS (
   SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
@@ -8277,6 +8327,7 @@ QUERIES = {
     "audio_fingerprint": q_audio_fingerprint,
     "scd2_dimension": q_scd2_dimension,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_bulk": q_semantic_dedup_bulk,
     "streaming_quantiles": q_streaming_quantiles,
     "above_customer_avg": q_above_customer_avg,
     "cube_revenue": q_cube_revenue,
@@ -8293,6 +8344,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
+    "near_dup_banded": q_near_dup_banded,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
@@ -8458,6 +8510,7 @@ ORACLES = {
     "audio_fingerprint": ORACLE_AUDIO_FP,
     "scd2_dimension": ORACLE_SCD2_DIMENSION,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "semantic_dedup_bulk": ORACLE_SEMANTIC_DEDUP,
     "streaming_quantiles": ORACLE_STREAMING_QUANTILES,
     "above_customer_avg": ORACLE_ABOVE_AVG,
     "cube_revenue": ORACLE_CUBE,
@@ -8472,6 +8525,7 @@ ORACLES = {
     "audio_features": ORACLE_AUDIO,
     "compression_ratio": ORACLE_COMPRESSION,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "near_dup_banded": ORACLE_NEAR_DUP_BANDED,
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_ivf": ORACLE_ANN_IVF,
     "minhash_dedup": ORACLE_MINHASH_DEDUP,
