@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "albers_transform",
     "bng_transform",
     "swiss_transform",
+    "polar_transform",
     "audio_features",
     "stratified_sample",
     "temperature_mixture",

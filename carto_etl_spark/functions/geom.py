@@ -927,6 +927,127 @@ def _omerc_inverse(easting: Column, northing: Column, srid: int):
     return lon, lat
 
 
+# -- Polar Stereographic (EPSG method 9810 variant A / 9829 variant B;
+# public formulas: EPSG Guidance Note 7-2 §3.2.4, Snyder ch. 21).  The
+# UPS/polar tail of F5: UPS North/South (5041/5042, variant A with k0),
+# NSIDC Sea Ice North (3413) and Antarctic Polar Stereographic (3031),
+# both variant B (k0 derived from the standard parallel driver-side), plus
+# the GN7-2 variant-B worked example (3032, Australian Antarctic).
+
+#: srid -> (sp_lat, lon0, k0, false_e, false_n, variant "A"|"B",
+#:          ellipsoid, datum_srid).  variant A: sp_lat is the pole (+-90)
+#: and k0 is given; variant B: sp_lat is the standard parallel and k0 is
+#: None (derived).  sp_lat < 0 selects the south-pole aspect.
+_STERE_PARAMS: dict = {
+    5041: (90.0, 0.0, 0.994, 2000000.0, 2000000.0, "A", "WGS84", 0),
+    5042: (-90.0, 0.0, 0.994, 2000000.0, 2000000.0, "A", "WGS84", 0),
+    3413: (70.0, -45.0, None, 0.0, 0.0, "B", "WGS84", 0),
+    3031: (-71.0, 0.0, None, 0.0, 0.0, "B", "WGS84", 0),
+    # Australian Antarctic / Polar Stereographic — the EPSG GN7-2 §3.2.4
+    # variant-B worked example lives on this CRS
+    3032: (-71.0, 70.0, None, 6000000.0, 6000000.0, "B", "WGS84", 0),
+}
+
+
+def _stere_constants(srid: int):
+    sp, lon0, k0, fe, fn, variant, ell, datum = _STERE_PARAMS[srid]
+    a, e2 = _ELLIPSOIDS[ell]
+    e = math.sqrt(e2)
+    south = sp < 0
+    # sqrt((1+e)^(1+e) (1-e)^(1-e)) — the conformal-sphere radius factor
+    cf = math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+    if variant == "B":
+        phi_f = math.radians(abs(sp))
+        s_f = math.sin(phi_f)
+        t_f = math.tan(math.pi / 4.0 - phi_f / 2.0) / (
+            (1.0 - e * s_f) / (1.0 + e * s_f)
+        ) ** (e / 2.0)
+        m_f = math.cos(phi_f) / math.sqrt(1.0 - e2 * s_f * s_f)
+        k0 = m_f * cf / (2.0 * t_f)
+    return a, e, cf, float(k0), math.radians(lon0), fe, fn, south, ell, datum
+
+
+def _stere_core_forward(lon: Column, lat: Column, srid: int):
+    """Polar stereographic forward from geographic coordinates ALREADY on
+    the family's datum.  South aspect computed as the north form on the
+    mirrored latitude with the grid equations flipped (EPSG GN7-2)."""
+    a, e, cf, k0, lam0, fe, fn, south, _, _ = _stere_constants(srid)
+    phi = -F.radians(lat) if south else F.radians(lat)
+    dlam = F.radians(lon) - F.lit(lam0)
+
+    def body(sphi, dlam):
+        t = F.tan(F.lit(math.pi / 4.0) - F.asin(sphi) / 2.0) / F.pow(
+            (1.0 - F.lit(e) * sphi) / (1.0 + F.lit(e) * sphi),
+            F.lit(e / 2.0),
+        )
+        rho = F.lit(2.0 * a * k0 / cf) * t
+        de = rho * F.sin(dlam)
+        dn = rho * F.cos(dlam)
+        if south:
+            return F.struct(
+                (F.lit(fe) + de).alias("e"), (F.lit(fn) + dn).alias("n")
+            )
+        return F.struct(
+            (F.lit(fe) + de).alias("e"), (F.lit(fn) - dn).alias("n")
+        )
+
+    out = _let(body, sphi=F.sin(phi), dlam=dlam)
+    return out["e"], out["n"]
+
+
+def _stere_core_inverse(easting: Column, northing: Column, srid: int):
+    a, e, cf, k0, lam0, fe, fn, south, ell, _ = _stere_constants(srid)
+    ea, _e2 = _ELLIPSOIDS[ell]
+    _, _, _, _, delta = _tm_series(ea, _ELLIPSOID_F[ell])
+    de, dn = easting - F.lit(fe), northing - F.lit(fn)
+
+    def body(de, dn):
+        rho = F.sqrt(de * de + dn * dn)
+        t = rho * F.lit(cf / (2.0 * a * k0))
+        chi = F.lit(math.pi / 2.0) - 2.0 * F.atan(t)
+
+        def last(chi):
+            phi = chi
+            for j, dj in enumerate(delta, start=1):
+                phi = phi + dj * F.sin(2.0 * j * chi)
+            lam = F.lit(lam0) + (
+                F.atan2(de, dn) if south else F.atan2(de, -dn)
+            )
+            if south:
+                phi = -phi
+            # polar aspect spans all longitudes: lam0 + atan2 can leave
+            # (-180, 180] — wrap to [-180, 180)
+            lon_deg = F.degrees(lam)
+            lon_deg = lon_deg - 360.0 * F.floor((lon_deg + 180.0) / 360.0)
+            return F.struct(
+                lon_deg.alias("lon"), F.degrees(phi).alias("lat")
+            )
+
+        return _let(last, chi=chi)
+
+    out = _let(body, de=de, dn=dn)
+    return out["lon"], out["lat"]
+
+
+def _stere_forward(lon: Column, lat: Column, srid: int):
+    datum = _STERE_PARAMS[srid][7]
+    if datum:
+        ell, params = _GEOGRAPHIC_DATUMS[datum]
+        lon, lat = helmert_shift_expr(
+            lon, lat, params, ell, "WGS84", inverse=True
+        )
+    return _stere_core_forward(lon, lat, srid)
+
+
+def _stere_inverse(easting: Column, northing: Column, srid: int):
+    lon, lat = _stere_core_inverse(easting, northing, srid)
+    datum = _STERE_PARAMS[srid][7]
+    if datum:
+        ell, params = _GEOGRAPHIC_DATUMS[datum]
+        lon, lat = helmert_shift_expr(lon, lat, params, ell, "WGS84")
+    return lon, lat
+
+
 # -- projected-CRS registry ---------------------------------------------------
 # family -> (param table, forward, inverse).  The SRID dispatcher consults
 # THIS — supporting a new EPSG code of an existing family is one table row
@@ -940,18 +1061,22 @@ _PROJECTED_FAMILIES: dict = {
     "aea": (_AEA_PARAMS, _aea_forward, _aea_inverse),
     "tmerc": (_TMERC_PARAMS, _tmerc_forward, _tmerc_inverse),
     "omerc": (_OMERC_PARAMS, _omerc_forward, _omerc_inverse),
+    "stere": (_STERE_PARAMS, _stere_forward, _stere_inverse),
 }
 
 #: per-family parameter arity (validated by register_projection)
-_FAMILY_ARITY = {"laea": 4, "lcc": 7, "aea": 7, "tmerc": 7, "omerc": 10}
+_FAMILY_ARITY = {
+    "laea": 4, "lcc": 7, "aea": 7, "tmerc": 7, "omerc": 10, "stere": 8,
+}
 
 #: index of the ellipsoid name inside each family's parameter tuple (None =
 #: the family is pinned to GRS80), and of the optional datum srid
 _FAMILY_ELLIPSOID_AT = {
-    "laea": None, "lcc": 6, "aea": 6, "tmerc": 5, "omerc": 8,
+    "laea": None, "lcc": 6, "aea": 6, "tmerc": 5, "omerc": 8, "stere": 6,
 }
 _FAMILY_DATUM_AT = {
     "laea": None, "lcc": None, "aea": None, "tmerc": 6, "omerc": 9,
+    "stere": 7,
 }
 
 
@@ -985,7 +1110,7 @@ def register_projection(family: str, srid: int, params: tuple) -> None:
         raise ValueError(
             f"unknown ellipsoid {params[ell_at]!r}; known: {sorted(_ELLIPSOIDS)}"
         )
-    if family in ("tmerc", "omerc"):
+    if family in ("tmerc", "omerc", "stere"):
         ell_name = params[_FAMILY_ELLIPSOID_AT[family]]
         if ell_name not in _ELLIPSOID_F:
             raise ValueError(
@@ -996,6 +1121,15 @@ def register_projection(family: str, srid: int, params: tuple) -> None:
         raise ValueError(
             f"omerc variant must be 'A' or 'B', got {params[7]!r}"
         )
+    if family == "stere":
+        if params[5] not in ("A", "B"):
+            raise ValueError(
+                f"stere variant must be 'A' or 'B', got {params[5]!r}"
+            )
+        if params[5] == "A" and abs(params[0]) != 90.0:
+            raise ValueError("stere variant A is polar: sp_lat must be +-90")
+        if params[5] == "A" and params[2] is None:
+            raise ValueError("stere variant A needs an explicit k0")
     datum_at = _FAMILY_DATUM_AT[family]
     if datum_at is not None:
         datum = params[datum_at]

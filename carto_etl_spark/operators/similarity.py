@@ -813,26 +813,27 @@ def pq_encode(
     codebook entry (squared L2; ties to the smaller code).  Codebooks are
     literal expressions — the whole encoding is one codegen projection, no
     join, no shuffle; at 100 TB this is the map-only pass that shrinks an
-    f32 corpus ~(4*dim/n_sub)x for the ADC scan."""
+    f32 corpus ~(4*dim/n_sub)x for the ADC scan.
+
+    Distances are expanded ``(get(i) - lit)^2`` chains, not zip_with folds:
+    the fold form is CodegenFallback and interpreted per ELEMENT — at 505k
+    rows the encode pass was the dominant cost of the whole PQ pipeline
+    (SCALING.md r6).  Same 0.0 seed and term order, so codes are
+    bit-identical to the fold form."""
     emb = F.col(vec_col).cast("array<double>")
     n_sub = len(codebooks)
     w = len(codebooks[0][0])
 
     def code_for(s: int):
-        sub = F.slice(emb, s * w + 1, w)
+        def d2(entry: list[float]) -> Column:
+            acc: Column = F.lit(0.0)
+            for i, x in enumerate(entry):
+                term = F.get(emb, s * w + i) - F.lit(float(x))
+                acc = acc + term * term
+            return acc
+
         choices = F.array(*[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(float(x)) for x in entry]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                F.lit(c).alias("c"),
-            )
+            F.struct(d2(entry).alias("d"), F.lit(c).alias("c"))
             for c, entry in enumerate(codebooks[s])
         ])
         return F.array_min(choices)["c"]

@@ -1113,6 +1113,65 @@ FROM hom3
 ORACLE_SWISS = _build_oracle_swiss()
 
 
+def q_polar_transform(spark, sf_dir):
+    """Reference F5, the polar-stereographic family (the UPS/polar tail):
+    WGS84 -> NSIDC Sea Ice Polar Stereographic North (EPSG:3413, variant B:
+    k0 derived from the 70N standard parallel driver-side; EPSG GN7-2
+    §3.2.4).  Synthesized coords span the Arctic (lon [-180,180) x lat
+    [55,89.5)).  Closed form throughout — the oracle replays t, rho and the
+    grid equations with the same driver-side constants; integer-metre
+    output absorbs libm noise.  Core validated against both GN7-2 worked
+    examples (UPS North variant A, Australian Antarctic variant B) in
+    test_lambert."""
+    from carto_etl_spark.functions.geom import transform_geom
+
+    c = load(spark, sf_dir, "customer")
+    src = c.select(
+        "c_custkey",
+        (F.col("c_custkey") * 37 % 360 - 180 + F.lit(0.25)).cast("double").alias("lon"),
+        (F.lit(55.0) + (F.col("c_custkey") * 11 % 3450) / F.lit(100.0)).alias("lat"),
+    )
+    out = transform_geom(
+        src.withColumn("g", point_struct(F.col("lon"), F.col("lat"), 4326)),
+        "g", 4326, 3413, out_col="ps",
+    )
+    return out.select(
+        "c_custkey",
+        F.round(F.col("ps.x")).cast("long").alias("easting_m"),
+        F.round(F.col("ps.y")).cast("long").alias("northing_m"),
+    )
+
+
+def _build_oracle_polar() -> str:
+    from carto_etl_spark.functions.geom import _stere_constants
+
+    a, e, cf, k0, lam0, fe, fn, south, _, _ = _stere_constants(3413)
+    assert not south
+    return f"""
+WITH src AS (
+  SELECT c_custkey,
+         radians(cast(c_custkey * 37 % 360 - 180 + 0.25 AS double)) AS lam,
+         radians(55.0 + (c_custkey * 11 % 3450) / 100.0) AS phi
+  FROM customer
+), t AS (
+  SELECT c_custkey, lam,
+         tan(pi() / 4.0 - phi / 2.0)
+           / pow((1.0 - {e!r} * sin(phi)) / (1.0 + {e!r} * sin(phi)),
+                 {e / 2.0!r}) AS t
+  FROM src
+), rho AS (
+  SELECT c_custkey, lam, {2.0 * a * k0 / cf!r} * t AS rho FROM t
+)
+SELECT c_custkey,
+       cast(round({fe!r} + rho * sin(lam - {lam0!r})) AS bigint) AS easting_m,
+       cast(round({fn!r} - rho * cos(lam - {lam0!r})) AS bigint) AS northing_m
+FROM rho
+"""
+
+
+ORACLE_POLAR = _build_oracle_polar()
+
+
 def q_overview_grid(spark, sf_dir):
     """Reference D5 (CDB_CreateOverviews): finest-zoom grid aggregate over
     web-mercator tiles (zoom 4)."""
@@ -8288,6 +8347,7 @@ QUERIES = {
     "albers_transform": q_albers_transform,
     "bng_transform": q_bng_transform,
     "swiss_transform": q_swiss_transform,
+    "polar_transform": q_polar_transform,
     "datum_shift": q_datum_shift,
     "transactional_lifecycle": q_transactional_lifecycle,
     "morton_tiles": q_morton_tiles,
@@ -8471,6 +8531,7 @@ ORACLES = {
     "albers_transform": ORACLE_ALBERS,
     "bng_transform": ORACLE_BNG,
     "swiss_transform": ORACLE_SWISS,
+    "polar_transform": ORACLE_POLAR,
     "datum_shift": ORACLE_DATUM_SHIFT,
     "transactional_lifecycle": ORACLE_TXN_LIFECYCLE,
     "morton_tiles": ORACLE_MORTON,

@@ -552,3 +552,81 @@ def test_omerc_registry_row_and_validation(spark):
         )
     with pytest.raises(ValueError, match="parameters"):
         register_projection("omerc", 990102, (1.0, 2.0))
+
+
+# -- Polar stereographic family (stere): UPS, NSIDC, Antarctic --------------
+
+
+def test_stere_variant_a_matches_epsg_worked_example(spark):
+    """EPSG GN7-2 §3.2.4 variant-A worked example (UPS North): 73N 44E ->
+    (3320416.75, 632668.43) within a centimetre."""
+    from carto_etl_spark.functions.geom import _stere_core_forward
+
+    df = spark.createDataFrame([(44.0, 73.0)], "lon double, lat double")
+    e, n = _stere_core_forward(F.col("lon"), F.col("lat"), 5041)
+    r = df.select(e.alias("e"), n.alias("n")).first()
+    assert abs(r["e"] - 3320416.75) < 0.01
+    assert abs(r["n"] - 632668.43) < 0.01
+
+
+def test_stere_variant_b_south_matches_epsg_worked_example(spark):
+    """EPSG GN7-2 §3.2.4 variant-B worked example (Australian Antarctic,
+    EPSG 3032): 75S 120E -> (7255380.79, 7053389.56) within a centimetre —
+    pins the derived k0 AND the south-aspect sign conventions."""
+    from carto_etl_spark.functions.geom import _stere_core_forward
+
+    df = spark.createDataFrame([(120.0, -75.0)], "lon double, lat double")
+    e, n = _stere_core_forward(F.col("lon"), F.col("lat"), 3032)
+    r = df.select(e.alias("e"), n.alias("n")).first()
+    assert abs(r["e"] - 7255380.79) < 0.01
+    assert abs(r["n"] - 7053389.56) < 0.01
+
+
+@pytest.mark.parametrize(
+    "srid,lon_rng,lat_rng",
+    [
+        # lon endpoints exclusive: the inverse wraps to [-180, 180), so
+        # +180 legitimately comes back as -180
+        (5041, (-179.5, 179.5), (60.0, 89.5)),    # UPS North
+        (5042, (-179.5, 179.5), (-89.5, -60.0)),  # UPS South
+        (3413, (-179.5, 179.5), (45.0, 89.5)),    # NSIDC Arctic
+        (3031, (-179.5, 179.5), (-89.5, -55.0)),  # Antarctic
+    ],
+)
+def test_stere_round_trip(spark, srid, lon_rng, lat_rng):
+    rows = [
+        (lon_rng[0] + (lon_rng[1] - lon_rng[0]) * i / 7.0,
+         lat_rng[0] + (lat_rng[1] - lat_rng[0]) * j / 6.0)
+        for i in range(8)
+        for j in range(7)
+    ]
+    df = spark.createDataFrame(rows, "lon double, lat double").withColumn(
+        "g", point_struct(F.col("lon"), F.col("lat"), 4326)
+    )
+    fwd = transform_geom(df, "g", 4326, srid, out_col="p")
+    back = transform_geom(fwd, "p", srid, 4326, out_col="w")
+    m = back.select(
+        F.max(F.abs(F.col("w.x") - F.col("lon"))).alias("dx"),
+        F.max(F.abs(F.col("w.y") - F.col("lat"))).alias("dy"),
+    ).first()
+    assert m["dx"] < 1e-6 and m["dy"] < 1e-6
+
+
+def test_stere_registry_validation(spark):
+    from carto_etl_spark.functions.geom import register_projection
+
+    with pytest.raises(ValueError, match="variant"):
+        register_projection(
+            "stere", 990201,
+            (90.0, 0.0, 0.994, 0.0, 0.0, "C", "WGS84", 0),
+        )
+    with pytest.raises(ValueError, match="polar"):
+        register_projection(
+            "stere", 990201,
+            (75.0, 0.0, 0.994, 0.0, 0.0, "A", "WGS84", 0),
+        )
+    with pytest.raises(ValueError, match="k0"):
+        register_projection(
+            "stere", 990201,
+            (90.0, 0.0, None, 0.0, 0.0, "A", "WGS84", 0),
+        )
