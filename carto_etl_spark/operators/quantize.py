@@ -87,11 +87,22 @@ def int_dot_expr(a: Column, b: Column) -> Column:
     )
 
 
-def int_dot_fixed_expr(a: Column, b: Column, dim: int) -> Column:
+def _int_dot_fixed_sql(a_sql: str, b_sql: str, dim: int) -> str:
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(dim):
+        acc = f"({acc} + (get({a_sql}, {i}) * get({b_sql}, {i})))"
+    return acc
+
+
+def int_dot_fixed_expr(a, b, dim: int) -> Column:
     """``int_dot_expr`` expanded over a statically known dimension — exact
     integer math, so the expansion is trivially identical; it exists purely
     to keep the hot quantized scans inside whole-stage codegen (HOFs are
-    CodegenFallback, ~100x slower per element)."""
+    CodegenFallback, ~100x slower per element).  Operands may be Columns or
+    SQL fragments; prefer strings — the Column form costs ~4 py4j round
+    trips per term at expression-BUILD time."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_int_dot_fixed_sql(a, b, dim))
     acc: Column = F.lit(0).cast("long")
     for i in range(dim):
         acc = acc + F.get(a, i) * F.get(b, i)
@@ -108,9 +119,16 @@ def quantized_cosine_expr(qa: Column, qb: Column) -> Column:
     return dot / F.nullif(na * nb, F.lit(0.0))
 
 
-def quantized_cosine_fixed_expr(qa: Column, qb: Column, dim: int) -> Column:
+def quantized_cosine_fixed_expr(qa, qb, dim: int) -> Column:
     """``quantized_cosine_expr`` on the codegen expansion — identical values
-    (integer dots are exact either way)."""
+    (integer dots are exact either way).  Column or SQL-string operands."""
+    if isinstance(qa, str) and isinstance(qb, str):
+        return F.expr(
+            f"CAST({_int_dot_fixed_sql(qa, qb, dim)} AS DOUBLE) / "
+            f"nullif(sqrt(CAST({_int_dot_fixed_sql(qa, qa, dim)} AS DOUBLE))"
+            f" * sqrt(CAST({_int_dot_fixed_sql(qb, qb, dim)} AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE))"
+        )
     dot = int_dot_fixed_expr(qa, qb, dim).cast("double")
     na = F.sqrt(int_dot_fixed_expr(qa, qa, dim).cast("double"))
     nb = F.sqrt(int_dot_fixed_expr(qb, qb, dim).cast("double"))

@@ -41,26 +41,61 @@ def norm_expr(a):
     )
 
 
+def arr_lit_sql(vals) -> str:
+    """A literal double array as ONE SQL fragment.  ``repr`` of a float is
+    the shortest round-trip decimal and string->double casts are correctly
+    rounded, so each element is bit-identical to ``F.lit(v)``."""
+    return (
+        "array("
+        + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals)
+        + ")"
+    )
+
+
+def _dot_fixed_sql(a_sql: str, b_sql: str, dim: int) -> str:
+    acc = "CAST(0.0 AS DOUBLE)"
+    for i in range(dim):
+        acc = f"({acc} + (get({a_sql}, {i}) * get({b_sql}, {i})))"
+    return acc
+
+
 def dot_fixed_expr(a, b, dim: int):
     """Dot product with a STATICALLY KNOWN dimension, expanded to a chain of
     ``get(a,i) * get(b,i)`` terms — plain arithmetic that stays inside
     whole-stage codegen (~100x the interpreted HOF throughput at 64 dims).
 
     Bit-identical to ``dot_expr``: the expansion starts from the same 0.0
-    seed and adds products in the same left-to-right order, so every IEEE
-    rounding step matches the fold.  ``F.get`` (0-based) returns NULL past
-    the array end instead of the ANSI element_at error, so a short/NULL
-    vector yields NULL exactly like the zip_with path.  ``b`` may be a
-    literal ``F.array`` or any other array column."""
+    seed and adds products in the same left-to-right order (explicit
+    parentheses in the SQL form), so every IEEE rounding step matches the
+    fold.  ``get`` (0-based) returns NULL past the array end instead of the
+    ANSI element_at error, so a short/NULL vector yields NULL exactly like
+    the zip_with path.
+
+    Operands may be Columns OR SQL fragments (strings).  Prefer strings:
+    the Column form costs ~4 py4j round-trips per term (~0.3 s per 64-dim
+    expression, seconds per operator build), while the SQL form is ONE
+    round-trip parsed JVM-side."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_fixed_sql(a, b, dim))
     acc: Column = F.lit(0.0)
     for i in range(dim):
         acc = acc + F.get(a, i) * F.get(b, i)
     return acc
 
 
+def _norm_fixed_sql(a_sql: str, dim: int) -> str:
+    acc = "CAST(0.0 AS DOUBLE)"
+    for i in range(dim):
+        acc = f"({acc} + (get({a_sql}, {i}) * get({a_sql}, {i})))"
+    return f"sqrt({acc})"
+
+
 def norm_fixed_expr(a, dim: int):
     """``norm_expr`` with the expansion of ``dot_fixed_expr`` (same 0.0 seed
-    and term order — bit-identical), codegen-friendly."""
+    and term order — bit-identical), codegen-friendly.  Column or SQL-string
+    operand, same trade-off as ``dot_fixed_expr``."""
+    if isinstance(a, str):
+        return F.expr(_norm_fixed_sql(a, dim))
     acc: Column = F.lit(0.0)
     for i in range(dim):
         acc = acc + F.get(a, i) * F.get(a, i)
@@ -76,7 +111,14 @@ def cosine_fixed_expr(a, b, dim: int):
     """``cosine_expr`` on the codegen expansion (``dot_fixed_expr`` /
     ``norm_fixed_expr``) — bit-identical values, ~100x the scan throughput.
     Use whenever the embedding dimension is known (it always is after one
-    ``len(first()[vec_col])`` probe)."""
+    ``len(first()[vec_col])`` probe).  Column or SQL-string operands (see
+    ``dot_fixed_expr``)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"({_dot_fixed_sql(a, b, dim)}) / "
+            f"nullif({_norm_fixed_sql(a, dim)} * {_norm_fixed_sql(b, dim)},"
+            " CAST(0.0 AS DOUBLE))"
+        )
     return dot_fixed_expr(a, b, dim) / F.nullif(
         norm_fixed_expr(a, dim) * norm_fixed_expr(b, dim), F.lit(0.0)
     )
@@ -95,11 +137,12 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k against one query vector.  The embedding is
     cast to double before arithmetic so results are engine-portable."""
-    q = _query_lit(query_vec)
-    emb = F.col(vec_col).cast("array<double>")
+    emb_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     scored = df.select(
         F.col(id_col),
-        cosine_fixed_expr(emb, q, len(query_vec)).alias("cosine"),
+        cosine_fixed_expr(
+            emb_sql, arr_lit_sql(query_vec), len(query_vec)
+        ).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
@@ -128,7 +171,18 @@ def signature_bits_expr(vec, planes: list[list[float]]):
     packed into a long.  The plane dot products use the codegen expansion
     (``dot_fixed_expr`` — plane length is statically known): the interpreted
     HOF form pinned every core for minutes on a 505k x 64-dim signature
-    scan; the values are bit-identical."""
+    scan; the values are bit-identical.  ``vec`` may be a SQL fragment
+    (string) — then the WHOLE signature is one parsed expression, one py4j
+    round-trip instead of thousands."""
+    if isinstance(vec, str):
+        acc = "CAST(0 AS BIGINT)"
+        for i, plane in enumerate(planes):
+            d = _dot_fixed_sql(vec, arr_lit_sql(plane), len(plane))
+            acc = (
+                f"({acc} + (CASE WHEN ({d}) >= CAST(0.0 AS DOUBLE) "
+                f"THEN {1 << i}L ELSE 0L END))"
+            )
+        return F.expr(acc)
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         d = dot_fixed_expr(
@@ -151,8 +205,8 @@ def with_lsh_buckets(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    emb = F.col(vec_col).cast("array<double>")
-    return df.withColumn(out_col, signature_bits_expr(emb, planes))
+    emb_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    return df.withColumn(out_col, signature_bits_expr(emb_sql, planes))
 
 
 def query_signature(
@@ -319,24 +373,26 @@ def assign_ivf_lists(
     dim = len(centroids[0][1]) if centroids else 0
     if not force_literal and len(centroids) * dim > _LITERAL_ARGMIN_CAP:
         return assign_ivf_lists_bulk(df, centroids, vec_col, out_col)
-    emb = F.col(vec_col).cast("array<double>")
+    emb_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
 
-    def dist(center: list[float]):
+    def dist_sql(center: list[float]) -> str:
         # codegen expansion (same 0.0 seed + term order as the zip_with
-        # fold -> bit-identical; HOFs are interpreted and ~100x slower)
-        acc: Column = F.lit(0.0)
+        # fold -> bit-identical; HOFs are interpreted and ~100x slower);
+        # built as ONE SQL fragment — the Column form cost ~4 py4j round
+        # trips per term (~5 s to BUILD the 8x64 argmin)
+        acc = "CAST(0.0 AS DOUBLE)"
         for i, v in enumerate(center):
-            term = F.get(emb, i) - F.lit(float(v))
-            acc = acc + term * term
-        return F.sqrt(acc)
+            t = f"(get({emb_sql}, {i}) - CAST('{float(v)!r}' AS DOUBLE))"
+            acc = f"({acc} + ({t} * {t}))"
+        return f"sqrt({acc})"
 
-    choices = F.array(
-        *[
-            F.struct(dist(vec).alias("d"), F.lit(cid).alias("cid"))
-            for cid, vec in centroids
-        ]
+    choices = ", ".join(
+        f"named_struct('d', {dist_sql(vec)}, 'cid', {int(cid)}L)"
+        for cid, vec in centroids
     )
-    return df.withColumn(out_col, F.array_min(choices)["cid"])
+    return df.withColumn(
+        out_col, F.expr(f"array_min(array({choices})).cid")
+    )
 
 
 def assign_ivf_lists_bulk(
@@ -481,9 +537,12 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            cosine_fixed_expr(
-                F.col("a.__v"), F.col("b.__v"), dim
-            ).alias("cosine"),
+            # fold, not the codegen expansion: this single-band operator is
+            # ~n^2/2^planes by construction and only ever runs on small
+            # oracle-pinned frames (the scale twin is the banded variant);
+            # the expansion's one-time Janino compile (~6 s) would dominate
+            # every toy-scale run for zero scale benefit here
+            cosine_expr(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -608,9 +667,7 @@ def embedding_near_dup_banded(
               .withColumnRenamed("__v", "__vb"), "id_b")
         .select(
             "id_a", "id_b",
-            cosine_fixed_expr(
-                F.col("__va"), F.col("__vb"), dim
-            ).alias("cosine"),
+            cosine_fixed_expr("__va", "__vb", dim).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -663,14 +720,13 @@ def semantic_dedup(
     kept items).
     """
     centroids = sampled_centroids(df, n_clusters, id_col, vec_col)
-    dim = len(centroids[0][1]) if centroids else 0
     indexed = assign_ivf_lists(df, centroids, vec_col, out_col="cluster")
     indexed = indexed.localCheckpoint(eager=True)
     sides = indexed.select(
         F.col(id_col).alias("__id"),
         "cluster",
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("__n", norm_fixed_expr(F.col("__v"), dim))
+    ).withColumn("__n", norm_expr(F.col("__v")))
     a, b = sides.alias("a"), sides.alias("b")
     dup_of = (
         a.join(
@@ -679,7 +735,11 @@ def semantic_dedup(
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .where(
-            dot_fixed_expr(F.col("a.__v"), F.col("b.__v"), dim)
+            # fold, not the codegen expansion: the n_clusters-pinned oracle
+            # entry runs on toy frames where the expansion's one-time
+            # compile dominates; the scale path (semantic_dedup_bulk)
+            # scores pairs as BLAS Gram blocks instead
+            dot_expr(F.col("a.__v"), F.col("b.__v"))
             / F.nullif(F.col("a.__n") * F.col("b.__n"), F.lit(0.0))
             >= threshold
         )
@@ -820,25 +880,29 @@ def pq_encode(
     rows the encode pass was the dominant cost of the whole PQ pipeline
     (SCALING.md r6).  Same 0.0 seed and term order, so codes are
     bit-identical to the fold form."""
-    emb = F.col(vec_col).cast("array<double>")
+    emb_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     n_sub = len(codebooks)
     w = len(codebooks[0][0])
 
-    def code_for(s: int):
-        def d2(entry: list[float]) -> Column:
-            acc: Column = F.lit(0.0)
+    def code_for(s: int) -> str:
+        def d2(entry: list[float]) -> str:
+            acc = "CAST(0.0 AS DOUBLE)"
             for i, x in enumerate(entry):
-                term = F.get(emb, s * w + i) - F.lit(float(x))
-                acc = acc + term * term
+                t = (
+                    f"(get({emb_sql}, {s * w + i}) - "
+                    f"CAST('{float(x)!r}' AS DOUBLE))"
+                )
+                acc = f"({acc} + ({t} * {t}))"
             return acc
 
-        choices = F.array(*[
-            F.struct(d2(entry).alias("d"), F.lit(c).alias("c"))
+        choices = ", ".join(
+            f"named_struct('d', {d2(entry)}, 'c', {c})"
             for c, entry in enumerate(codebooks[s])
-        ])
-        return F.array_min(choices)["c"]
+        )
+        return f"array_min(array({choices})).c"
 
-    return df.withColumn(out_col, F.array(*[code_for(s) for s in range(n_sub)]))
+    codes = ", ".join(code_for(s) for s in range(n_sub))
+    return df.withColumn(out_col, F.expr(f"array({codes})"))
 
 
 def pq_adc_topk(

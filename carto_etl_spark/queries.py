@@ -1488,11 +1488,13 @@ def q_cosine_topk(spark, sf_dir):
     rows across engines."""
     e = load(spark, sf_dir, "embeddings")
     query = [float(v) for v in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    emb = F.col("embedding").cast("array<double>")
-    q = F.array(*[F.lit(v) for v in query])
+    emb_sql = "CAST(`embedding` AS ARRAY<DOUBLE>)"
     scored = e.select(
         "vec_id",
-        F.round(sim.cosine_fixed_expr(emb, q, len(query)), 6).alias("cosine"),
+        F.round(
+            sim.cosine_fixed_expr(emb_sql, sim.arr_lit_sql(query), len(query)),
+            6,
+        ).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.col("vec_id")).limit(5)
 
@@ -2294,11 +2296,13 @@ def q_ann_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     query = [float(v) for v in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     cands = sim.ann_candidates(e, query, n_planes=8, hamming_radius=2)
-    emb = F.col("embedding").cast("array<double>")
-    q = F.array(*[F.lit(v) for v in query])
+    emb_sql = "CAST(`embedding` AS ARRAY<DOUBLE>)"
     scored = cands.select(
         "vec_id",
-        F.round(sim.cosine_fixed_expr(emb, q, len(query)), 6).alias("cosine"),
+        F.round(
+            sim.cosine_fixed_expr(emb_sql, sim.arr_lit_sql(query), len(query)),
+            6,
+        ).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.col("vec_id")).limit(5)
 
@@ -2358,11 +2362,13 @@ def q_ann_ivf(spark, sf_dir):
     indexed = sim.assign_ivf_lists(e, centroids)
     probes = sim.probe_lists(centroids, query, nprobe=3)
     cands = indexed.filter(F.col("ivf_list").isin(probes))
-    emb = F.col("embedding").cast("array<double>")
-    q = F.array(*[F.lit(v) for v in query])
+    emb_sql = "CAST(`embedding` AS ARRAY<DOUBLE>)"
     scored = cands.select(
         "vec_id",
-        F.round(sim.cosine_fixed_expr(emb, q, len(query)), 6).alias("cosine"),
+        F.round(
+            sim.cosine_fixed_expr(emb_sql, sim.arr_lit_sql(query), len(query)),
+            6,
+        ).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.col("vec_id")).limit(5)
 
@@ -7989,12 +7995,11 @@ def q_quant_recall(spark, sf_dir):
         "query_id",
         "q_norm2",
         "vec_id",
-        F.round(sim.cosine_fixed_expr(F.col("emb"), F.col("qemb"), 64) * micro)
+        F.round(sim.cosine_fixed_expr("emb", "qemb", 64) * micro)
         .cast("long")
         .alias("ecos_u"),
         F.round(
-            qt.quantized_cosine_fixed_expr(F.col("q_vec"), F.col("qq"), 64)
-            * micro
+            qt.quantized_cosine_fixed_expr("q_vec", "qq", 64) * micro
         )
         .cast("long")
         .alias("qcos_u"),
@@ -8278,11 +8283,11 @@ def q_ann_ivf_sq8(spark, sf_dir):
     indexed = sim.assign_ivf_lists(qz, centroids)
     qrow = qz.filter(F.col("vec_id") == 0).select("embedding", "q_vec").first()
     query = [float(v) for v in qrow["embedding"]]
-    qq = F.array(*[F.lit(int(v)).cast("long") for v in qrow["q_vec"]])
+    qq_sql = "array(" + ", ".join(f"{int(v)}L" for v in qrow["q_vec"]) + ")"
     probes = sim.probe_lists(centroids, query, nprobe=3)
     cands = indexed.filter(F.col("ivf_list").isin(probes))
     qcos_u = F.round(
-        qt.quantized_cosine_fixed_expr(F.col("q_vec"), qq, len(query))
+        qt.quantized_cosine_fixed_expr("q_vec", qq_sql, len(query))
         * F.lit(1000000.0)
     ).cast("long")
     return (
