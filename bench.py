@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "hll_grouped",
     "embedding_near_dup",
     "near_dup_banded",
+    "knn_graph",
     "semantic_dedup",
     "semantic_dedup_bulk",
     "streaming_cardinality",

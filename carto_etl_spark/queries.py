@@ -2461,6 +2461,117 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.99
 """
 
 
+def q_knn_graph(spark, sf_dir):
+    """k-NN graph over the embedding corpus: per vector, the top-5 banded-LSH
+    neighbors by exact cosine — the neighbor-graph primitive under
+    diversity sampling, dedup clustering and graph-based curation.
+
+    Candidates come from 3 independent 8-plane signatures (collide in ANY
+    band — the OR-amplified recall shape of near_dup_banded); the exact
+    cosine then ranks candidates per source id with a PARTITIONED window
+    (never global).  Fully oracle-checkable: the hyperplanes are
+    deterministic LCG literals, so DuckDB re-derives every band signature,
+    the candidate set, and the rounded-cosine (+ neighbor-id tie-break)
+    top-k.  At scale the same plan holds: candidates ~ n_bands x n x
+    bucket-occupancy, the window partitions by source id."""
+    e = load(spark, sf_dir, "embeddings")
+    parts = [
+        sim.with_lsh_buckets(e, n_planes=8, dim=64, seed=42 + b).select(
+            "vec_id", F.lit(b).alias("band"), F.col("lsh_bucket").alias("bucket")
+        )
+        for b in range(3)
+    ]
+    bucketed = parts[0]
+    for p in parts[1:]:
+        bucketed = bucketed.unionByName(p)
+    a, b_ = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("nbr")
+        )
+        .dropDuplicates(["src", "nbr"])
+    )
+    vecs = e.select(
+        F.col("vec_id").alias("__vid"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    )
+    scored = (
+        cand.join(
+            vecs.withColumnRenamed("__vid", "src").withColumnRenamed(
+                "__v", "__va"
+            ),
+            "src",
+        )
+        .join(
+            vecs.withColumnRenamed("__vid", "nbr").withColumnRenamed(
+                "__v", "__vb"
+            ),
+            "nbr",
+        )
+        .select(
+            "src",
+            "nbr",
+            F.round(
+                sim.cosine_expr(F.col("__va"), F.col("__vb")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("nbr"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("nbr").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+
+
+def _build_oracle_knn() -> str:
+    from carto_etl_spark.operators.similarity import _hyperplanes
+
+    sig_cols = []
+    for b in range(3):
+        planes = _hyperplanes(dim=64, n_planes=8, seed=42 + b)
+        sig_cols.append(
+            f"{_lsh_sig_sql('cast(embedding AS double[])', planes)} AS s{b}"
+        )
+    sigs = ", ".join(sig_cols)
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, cast(embedding AS double[]) AS v, {sigs} FROM embeddings
+), cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr, a.v AS va, b.v AS vb
+  FROM sigs a JOIN sigs b
+    ON a.vec_id != b.vec_id
+   AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2)
+), scored AS (
+  SELECT src, nbr,
+         round(list_dot_product(va, vb)
+               / nullif(sqrt(list_dot_product(va, va))
+                        * sqrt(list_dot_product(vb, vb)), 0), 6) AS cosine
+  FROM cand
+), ranked AS (
+  SELECT src, nbr, cosine,
+         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nbr)
+           AS rn
+  FROM scored
+)
+SELECT src AS vec_id, nbr AS neighbor_id, cosine
+FROM ranked WHERE rn <= 5
+"""
+
+
+ORACLE_KNN_GRAPH = _build_oracle_knn()
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard pairs over documents + planted near-copies,
     via the PPJoin-style prefix-filtered join (rarest-first canonical order,
@@ -8410,6 +8521,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
     "near_dup_banded": q_near_dup_banded,
+    "knn_graph": q_knn_graph,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
@@ -8592,6 +8704,7 @@ ORACLES = {
     "compression_ratio": ORACLE_COMPRESSION,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "near_dup_banded": ORACLE_NEAR_DUP_BANDED,
+    "knn_graph": ORACLE_KNN_GRAPH,
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_ivf": ORACLE_ANN_IVF,
     "minhash_dedup": ORACLE_MINHASH_DEDUP,

@@ -146,3 +146,39 @@ def test_banded_near_dup_finds_planted_pairs(spark, emb_df):
     # against brute force by construction of the driver table (none expected
     # at 0.999 besides the planted copies)
     assert not extra
+
+
+def test_knn_graph_planted_duplicate_is_top_neighbor(spark, emb_df):
+    from carto_etl_spark.queries import q_knn_graph
+
+    out = q_knn_graph(spark, SF).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["vec_id"], []).append(
+            (r["cosine"], r["neighbor_id"])
+        )
+    # well-formed: at most 5 neighbors, sorted by the window contract
+    for src, lst in by_src.items():
+        assert len(lst) <= 5
+        assert lst == sorted(lst, key=lambda t: (-t[0], t[1]))
+    # identical vectors share every band signature, so each is the other's
+    # top neighbor at cosine ~1.0 — check via a planted copy
+    dup = emb_df.limit(1).select(
+        (F.col("vec_id") + 777000).alias("vec_id"), "embedding", "label"
+    )
+    import tempfile, shutil, os
+    work = tempfile.mkdtemp(prefix="knn_")
+    try:
+        emb_df.unionByName(dup).write.parquet(f"{work}/embeddings.parquet")
+        out2 = q_knn_graph(spark, work).collect()
+        src0 = emb_df.first()["vec_id"]
+        tops = {
+            r["vec_id"]: r
+            for r in out2
+            if r["vec_id"] in (src0, src0 + 777000)
+        }
+        # row_number()=1 rows come first per the ordering assert above
+        first = [r for r in out2 if r["vec_id"] == src0][0]
+        assert first["cosine"] >= 0.999999
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
