@@ -88,10 +88,12 @@ def int_dot_expr(a: Column, b: Column) -> Column:
 
 
 def _int_dot_fixed_sql(a_sql: str, b_sql: str, dim: int) -> str:
-    acc = "CAST(0 AS BIGINT)"
-    for i in range(dim):
-        acc = f"({acc} + (get({a_sql}, {i}) * get({b_sql}, {i})))"
-    return acc
+    # flat left-associative sum — identical tree, linear parse (see
+    # similarity._dot_fixed_sql)
+    terms = " + ".join(
+        f"(get({a_sql}, {i}) * get({b_sql}, {i}))" for i in range(dim)
+    )
+    return f"(CAST(0 AS BIGINT) + {terms})" if dim else "CAST(0 AS BIGINT)"
 
 
 def int_dot_fixed_expr(a, b, dim: int) -> Column:

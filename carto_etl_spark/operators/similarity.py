@@ -53,10 +53,15 @@ def arr_lit_sql(vals) -> str:
 
 
 def _dot_fixed_sql(a_sql: str, b_sql: str, dim: int) -> str:
-    acc = "CAST(0.0 AS DOUBLE)"
-    for i in range(dim):
-        acc = f"({acc} + (get({a_sql}, {i}) * get({b_sql}, {i})))"
-    return acc
+    # FLAT sum, no accumulator parens: SQL + is left-associative, so the
+    # parse tree (and therefore the IEEE evaluation order) is identical to
+    # the explicitly nested form — but ANTLR parses the flat chain
+    # iteratively, while ~400-deep nested parens cost SECONDS per
+    # expression in recursive descent
+    terms = " + ".join(
+        f"(get({a_sql}, {i}) * get({b_sql}, {i}))" for i in range(dim)
+    )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})" if dim else "CAST(0.0 AS DOUBLE)"
 
 
 def dot_fixed_expr(a, b, dim: int):
@@ -84,10 +89,11 @@ def dot_fixed_expr(a, b, dim: int):
 
 
 def _norm_fixed_sql(a_sql: str, dim: int) -> str:
-    acc = "CAST(0.0 AS DOUBLE)"
-    for i in range(dim):
-        acc = f"({acc} + (get({a_sql}, {i}) * get({a_sql}, {i})))"
-    return f"sqrt({acc})"
+    terms = " + ".join(
+        f"(get({a_sql}, {i}) * get({a_sql}, {i}))" for i in range(dim)
+    )
+    body = f"(CAST(0.0 AS DOUBLE) + {terms})" if dim else "CAST(0.0 AS DOUBLE)"
+    return f"sqrt({body})"
 
 
 def norm_fixed_expr(a, dim: int):
@@ -175,14 +181,12 @@ def signature_bits_expr(vec, planes: list[list[float]]):
     (string) — then the WHOLE signature is one parsed expression, one py4j
     round-trip instead of thousands."""
     if isinstance(vec, str):
-        acc = "CAST(0 AS BIGINT)"
-        for i, plane in enumerate(planes):
-            d = _dot_fixed_sql(vec, arr_lit_sql(plane), len(plane))
-            acc = (
-                f"({acc} + (CASE WHEN ({d}) >= CAST(0.0 AS DOUBLE) "
-                f"THEN {1 << i}L ELSE 0L END))"
-            )
-        return F.expr(acc)
+        cases = " + ".join(
+            f"(CASE WHEN ({_dot_fixed_sql(vec, arr_lit_sql(plane), len(plane))})"
+            f" >= CAST(0.0 AS DOUBLE) THEN {1 << i}L ELSE 0L END)"
+            for i, plane in enumerate(planes)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {cases}")
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         d = dot_fixed_expr(
@@ -380,11 +384,11 @@ def assign_ivf_lists(
         # fold -> bit-identical; HOFs are interpreted and ~100x slower);
         # built as ONE SQL fragment — the Column form cost ~4 py4j round
         # trips per term (~5 s to BUILD the 8x64 argmin)
-        acc = "CAST(0.0 AS DOUBLE)"
+        terms = []
         for i, v in enumerate(center):
             t = f"(get({emb_sql}, {i}) - CAST('{float(v)!r}' AS DOUBLE))"
-            acc = f"({acc} + ({t} * {t}))"
-        return f"sqrt({acc})"
+            terms.append(f"({t} * {t})")
+        return f"sqrt(CAST(0.0 AS DOUBLE) + {' + '.join(terms)})"
 
     choices = ", ".join(
         f"named_struct('d', {dist_sql(vec)}, 'cid', {int(cid)}L)"
@@ -886,14 +890,14 @@ def pq_encode(
 
     def code_for(s: int) -> str:
         def d2(entry: list[float]) -> str:
-            acc = "CAST(0.0 AS DOUBLE)"
+            terms = []
             for i, x in enumerate(entry):
                 t = (
                     f"(get({emb_sql}, {s * w + i}) - "
                     f"CAST('{float(x)!r}' AS DOUBLE))"
                 )
-                acc = f"({acc} + ({t} * {t}))"
-            return acc
+                terms.append(f"({t} * {t})")
+            return f"(CAST(0.0 AS DOUBLE) + {' + '.join(terms)})"
 
         choices = ", ".join(
             f"named_struct('d', {d2(entry)}, 'c', {c})"

@@ -2466,8 +2466,11 @@ def q_knn_graph(spark, sf_dir):
     neighbors by exact cosine — the neighbor-graph primitive under
     diversity sampling, dedup clustering and graph-based curation.
 
-    Candidates come from 3 independent 8-plane signatures (collide in ANY
-    band — the OR-amplified recall shape of near_dup_banded); the exact
+    Candidates come from 2 independent 6-plane signatures (collide in ANY
+    band — the OR-amplified recall shape of near_dup_banded; small
+    band/plane counts: the 500-row entry prices the plan shape, and each
+    codegen signature costs a one-time Janino compile that would dominate
+    the toy frame at larger counts); the exact
     cosine then ranks candidates per source id with a PARTITIONED window
     (never global).  Fully oracle-checkable: the hyperplanes are
     deterministic LCG literals, so DuckDB re-derives every band signature,
@@ -2476,10 +2479,10 @@ def q_knn_graph(spark, sf_dir):
     bucket-occupancy, the window partitions by source id."""
     e = load(spark, sf_dir, "embeddings")
     parts = [
-        sim.with_lsh_buckets(e, n_planes=8, dim=64, seed=42 + b).select(
+        sim.with_lsh_buckets(e, n_planes=6, dim=64, seed=42 + b).select(
             "vec_id", F.lit(b).alias("band"), F.col("lsh_bucket").alias("bucket")
         )
-        for b in range(3)
+        for b in range(2)
     ]
     bucketed = parts[0]
     for p in parts[1:]:
@@ -2517,9 +2520,12 @@ def q_knn_graph(spark, sf_dir):
         .select(
             "src",
             "nbr",
-            F.round(
-                sim.cosine_expr(F.col("__va"), F.col("__vb")), 6
-            ).alias("cosine"),
+            # codegen expansion, not the fold: unlike the pinned near-dup
+            # entries, the pair stage here is the genuine workload
+            # (~n^2/2^planes per band pairs scored)
+            F.round(sim.cosine_fixed_expr("__va", "__vb", 64), 6).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("nbr"))
@@ -2538,8 +2544,8 @@ def _build_oracle_knn() -> str:
     from carto_etl_spark.operators.similarity import _hyperplanes
 
     sig_cols = []
-    for b in range(3):
-        planes = _hyperplanes(dim=64, n_planes=8, seed=42 + b)
+    for b in range(2):
+        planes = _hyperplanes(dim=64, n_planes=6, seed=42 + b)
         sig_cols.append(
             f"{_lsh_sig_sql('cast(embedding AS double[])', planes)} AS s{b}"
         )
@@ -2551,7 +2557,7 @@ WITH sigs AS (
   SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr, a.v AS va, b.v AS vb
   FROM sigs a JOIN sigs b
     ON a.vec_id != b.vec_id
-   AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2)
+   AND (a.s0 = b.s0 OR a.s1 = b.s1)
 ), scored AS (
   SELECT src, nbr,
          round(list_dot_product(va, vb)
