@@ -179,7 +179,16 @@ def signature_bits_expr(vec, planes: list[list[float]]):
     HOF form pinned every core for minutes on a 505k x 64-dim signature
     scan; the values are bit-identical.  ``vec`` may be a SQL fragment
     (string) — then the WHOLE signature is one parsed expression, one py4j
-    round-trip instead of thousands."""
+    round-trip instead of thousands.  Signatures are capped at 63 planes:
+    the SQL-string path emits each bit as a ``{1 << i}L`` literal, and the
+    i=63 term (2^63) exceeds Long.MAX — fail loudly here rather than with a
+    parse error (string path) or a sign-flipped bucket (Column path)."""
+    if len(planes) > 63:
+        raise ValueError(
+            f"signature_bits_expr packs bits into a signed 64-bit long; "
+            f"n_planes must be <= 63, got {len(planes)} (use multiple bands "
+            "of <=63 planes each instead)"
+        )
     if isinstance(vec, str):
         cases = " + ".join(
             f"(CASE WHEN ({_dot_fixed_sql(vec, arr_lit_sql(plane), len(plane))})"
@@ -373,7 +382,13 @@ def assign_ivf_lists(
     ties between EXACTLY equal distances resolve to the smallest centroid
     id on both paths, but the two paths' float rounding differs in the
     last ulp (expansion vs direct sum), so force the literal path when an
-    oracle must replay the assignment."""
+    oracle must replay the assignment.
+
+    ``out_col`` carries the centroid id: BIGINT for integral ids on both
+    paths (the literal path emits ``{cid}L`` literals, the bulk path an
+    int64 pandas_udf — widened from the pre-r6 INT so the two paths agree
+    and downstream unions/joins never see a path-dependent schema), STRING
+    for string ids."""
     dim = len(centroids[0][1]) if centroids else 0
     if not force_literal and len(centroids) * dim > _LITERAL_ARGMIN_CAP:
         return assign_ivf_lists_bulk(df, centroids, vec_col, out_col)
@@ -390,8 +405,13 @@ def assign_ivf_lists(
             terms.append(f"({t} * {t})")
         return f"sqrt(CAST(0.0 AS DOUBLE) + {' + '.join(terms)})"
 
+    def cid_lit(cid) -> str:
+        if isinstance(cid, str):
+            return "'" + cid.replace("'", "''") + "'"
+        return f"{int(cid)}L"
+
     choices = ", ".join(
-        f"named_struct('d', {dist_sql(vec)}, 'cid', {int(cid)}L)"
+        f"named_struct('d', {dist_sql(vec)}, 'cid', {cid_lit(cid)})"
         for cid, vec in centroids
     )
     return df.withColumn(
@@ -421,7 +441,12 @@ def assign_ivf_lists_bulk(
     from pyspark.sql.functions import pandas_udf
 
     srt = sorted(centroids)
-    cids = np.array([cid for cid, _ in srt], dtype=np.int64)
+    if srt and isinstance(srt[0][0], str):
+        cids = np.array([cid for cid, _ in srt], dtype=object)
+        cid_type = "string"
+    else:
+        cids = np.array([cid for cid, _ in srt], dtype=np.int64)
+        cid_type = "long"
     cmat = np.array([v for _, v in srt], dtype=np.float64)  # (k, d)
     cnorms = (cmat * cmat).sum(axis=1)  # (k,)
 
@@ -444,7 +469,7 @@ def assign_ivf_lists_bulk(
     # pandas_udf's eval-type inference cannot resolve for a locally
     # imported pandas
     _nearest.__annotations__ = {"col": pd.Series, "return": pd.Series}
-    nearest = pandas_udf(_nearest, "long")
+    nearest = pandas_udf(_nearest, cid_type)
 
     return df.withColumn(
         out_col, nearest(F.col(vec_col).cast("array<double>"))
@@ -788,6 +813,21 @@ def semantic_dedup_bulk(
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql.types import IntegralType, StringType
+
+    id_field = df.schema[id_col].dataType
+    if not isinstance(id_field, (IntegralType, StringType)):
+        # the output schema mirrors the id type and "smallest id" must be a
+        # total order both numpy's sort and Spark agree on — integrals and
+        # strings are the cases with that guarantee (and the only id shapes
+        # the DataFrame twin is oracle-checked on)
+        raise ValueError(
+            f"semantic_dedup_bulk: id column {id_col!r} must be an integral "
+            f"or string type, got {id_field.simpleString()} (use "
+            "semantic_dedup, or add a surrogate integral id)"
+        )
+    id_type = id_field.simpleString()
+
     centroids = sampled_centroids(df, n_clusters, id_col, vec_col)
     indexed = assign_ivf_lists(df, centroids, vec_col, out_col="cluster")
     thr = float(threshold)
@@ -800,7 +840,9 @@ def semantic_dedup_bulk(
         norms[norms == 0.0] = np.inf  # zero vectors match nothing
         xn = x / norms[:, None]
         m = len(pdf)
-        dup_of = np.full(m, -1, dtype=np.int64)
+        # dup_of carries the covering id or None — a null mask, not a -1
+        # sentinel, so negative ids and string ids round-trip untouched
+        dup_of: list = [None] * m
         ids = pdf[id_col].to_numpy()
         for j0 in range(0, m, blk):
             j1 = min(j0 + blk, m)
@@ -814,20 +856,23 @@ def semantic_dedup_bulk(
             {
                 id_col: ids,
                 "cluster": pdf["cluster"],
-                "dup_of": dup_of,
-                "is_dup": dup_of >= 0,
+                "dup_of": pd.Series(dup_of, dtype=object),
+                "is_dup": [d is not None for d in dup_of],
             }
         )
         return out
 
-    sig = f"{id_col} long, cluster long, dup_of long, is_dup boolean"
-    scored = indexed.select(
-        F.col(id_col), F.col("cluster").cast("long").alias("cluster"),
+    # cluster ids are centroid ids: assign_ivf_lists widens integral ids to
+    # BIGINT (path-stable schema), string ids stay STRING
+    cluster_type = "string" if isinstance(id_field, StringType) else "long"
+    sig = (
+        f"{id_col} {id_type}, cluster {cluster_type}, dup_of {id_type}, "
+        "is_dup boolean"
+    )
+    return indexed.select(
+        F.col(id_col), F.col("cluster"),
         F.col(vec_col).cast("array<double>").alias(vec_col),
     ).groupBy("cluster").applyInPandas(score, sig)
-    return scored.withColumn(
-        "dup_of", F.when(F.col("dup_of") >= 0, F.col("dup_of"))
-    )
 
 
 def pq_codebooks(

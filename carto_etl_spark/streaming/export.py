@@ -43,14 +43,25 @@ from carto_etl_spark.streaming.state import complete_dirs, is_complete
 _BATCHES = "batches"
 
 
-def _batch_fingerprint(batch_df: DataFrame, key_col: str) -> str | None:
-    """Order-independent content fingerprint of the batch's FULL row
-    multiset: ONE aggregate over the batch (count + two independently-salted
-    md5-prefix sums over the key + one over every column, canonicalized),
-    None for an empty batch.  Folding the value columns in means two
-    batches with identical keys but different payloads get distinct
-    fingerprints and both land (the r5 fingerprint hashed only the key
-    multiset, silently dropping the second such batch)."""
+def _batch_fingerprints(
+    batch_df: DataFrame, key_col: str
+) -> tuple[str, str] | None:
+    """Order-independent content fingerprints of the batch: ONE aggregate
+    over the batch (count + two independently-salted md5-prefix sums over
+    the key + one over every column, canonicalized), None for an empty
+    batch.  Returns ``(current, legacy)``:
+
+    * ``current`` folds the value columns in, so two batches with identical
+      keys but different payloads get distinct fingerprints and both land
+      (the r5 fingerprint hashed only the key multiset, silently dropping
+      the second such batch).
+    * ``legacy`` is that r5 key-only fingerprint.  A checkpoint replay that
+      straddles the upgrade recomputes the CURRENT fp for a batch that was
+      already exported under its LEGACY name; probing both directories
+      keeps such replays exactly-once instead of duplicating the batch.
+      Fresh target directories never match the legacy probe (md5 collisions
+      aside), so the extra check is inert outside upgrades.
+    """
     row_repr = F.concat_ws(
         "\x1f",
         *[
@@ -66,9 +77,11 @@ def _batch_fingerprint(batch_df: DataFrame, key_col: str) -> str | None:
     ).first()
     if not r["n"]:
         return None
-    return hashlib.md5(
+    current = hashlib.md5(
         f"{r['n']}:{r['s1']}:{r['s2']}:{r['s3']}".encode()
     ).hexdigest()
+    legacy = hashlib.md5(f"{r['n']}:{r['s1']}:{r['s2']}".encode()).hexdigest()
+    return current, legacy
 
 
 def stream_export_jsonl(
@@ -91,12 +104,15 @@ def stream_export_jsonl(
         )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        fp = _batch_fingerprint(batch_df, key_col)
-        if fp is None:
+        fps = _batch_fingerprints(batch_df, key_col)
+        if fps is None:
             return
+        fp, legacy_fp = fps
         dest = os.path.join(target_dir, _BATCHES, fp)
         if is_complete(dest):
             return  # replayed batch: already fully written
+        if is_complete(os.path.join(target_dir, _BATCHES, legacy_fp)):
+            return  # exported under the pre-upgrade key-only fingerprint
         staged = assign_shards(batch_df, n_shards, key_col)
         line = F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value")
         (

@@ -181,3 +181,35 @@ def test_same_keys_different_values_both_land(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_legacy_key_only_fingerprint_dir_is_honored(spark):
+    """A batch exported under the pre-r6 key-only fingerprint must NOT be
+    re-exported when a post-upgrade replay recomputes the payload-folding
+    fingerprint: the sink probes the legacy directory name too."""
+    from carto_etl_spark.streaming.export import _batch_fingerprints
+
+    src = tempfile.mkdtemp(prefix="sl_src_")
+    out = tempfile.mkdtemp(prefix="sl_out_")
+    ck1 = tempfile.mkdtemp(prefix="sl_ck1_")
+    ck2 = tempfile.mkdtemp(prefix="sl_ck2_")
+    try:
+        batch = _docs(spark, 0, 5)
+        batch.coalesce(1).write.mode("append").parquet(src)
+        _run_stream(spark, src, out, ck1)
+        current, legacy = _batch_fingerprints(batch, "doc_id")
+        # simulate a pre-upgrade export: the SAME shard payload sits under
+        # the legacy key-only fingerprint name instead of the current one
+        os.rename(
+            os.path.join(out, "batches", current),
+            os.path.join(out, "batches", legacy),
+        )
+        # post-upgrade replay from a fresh checkpoint re-sees the batch and
+        # computes the CURRENT fingerprint — the legacy probe must skip it
+        _run_stream(spark, src, out, ck2)
+        got = read_stream_export(spark, out, SCHEMA).collect()
+        assert len(got) == 5  # no duplication
+        assert complete_batch_dirs(out) == [os.path.join(out, "batches", legacy)]
+    finally:
+        for d in (src, out, ck1, ck2):
+            shutil.rmtree(d, ignore_errors=True)

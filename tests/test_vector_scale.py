@@ -182,3 +182,53 @@ def test_knn_graph_planted_duplicate_is_top_neighbor(spark, emb_df):
         assert first["cosine"] >= 0.999999
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_signature_bits_caps_at_63_planes(spark):
+    planes64 = sim._hyperplanes(4, 64, seed=1)
+    with pytest.raises(ValueError, match="<= 63"):
+        sim.signature_bits_expr("CAST(embedding AS ARRAY<DOUBLE>)", planes64)
+    with pytest.raises(ValueError, match="<= 63"):
+        sim.signature_bits_expr(F.col("embedding"), planes64)
+
+
+def test_semantic_dedup_bulk_string_and_negative_ids(spark):
+    # string ids: supported with keep-min-id under LEXICOGRAPHIC order, and
+    # negative integral ids must survive (no -1 sentinel collision)
+    vecs = [
+        ("a", [1.0, 0.0, 0.0, 0.0]),
+        ("b", [1.0, 0.001, 0.0, 0.0]),  # near-dup of "a"
+        ("c", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    sdf = spark.createDataFrame(vecs, "vec_id string, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["dup_of"], r["is_dup"])
+        for r in sim.semantic_dedup_bulk(
+            sdf, n_clusters=1, threshold=0.99
+        ).collect()
+    }
+    assert got["a"] == (None, False)
+    assert got["b"] == ("a", True)
+    assert got["c"] == (None, False)
+
+    ndf = spark.createDataFrame(
+        [(-5, [1.0, 0.0, 0.0, 0.0]), (-1, [1.0, 0.001, 0.0, 0.0]),
+         (7, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["dup_of"], r["is_dup"])
+        for r in sim.semantic_dedup_bulk(
+            ndf, n_clusters=1, threshold=0.99
+        ).collect()
+    }
+    assert got[-5] == (None, False)
+    assert got[-1] == (-5, True)  # a negative dup_of, not nulled to "kept"
+    assert got[7] == (None, False)
+
+    # unsupported id types fail loudly, pointing at the DataFrame twin
+    fdf = spark.createDataFrame(
+        [(1.5, [1.0, 0.0, 0.0, 0.0])], "vec_id double, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="integral or string"):
+        sim.semantic_dedup_bulk(fdf, n_clusters=1)
