@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "token_counts",
     "text_quality",
     "lang_id",
+    "quality_classifier",
     "exact_dedup",
     "shingle_fingerprint",
     "cosine_topk",

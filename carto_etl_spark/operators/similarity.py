@@ -685,20 +685,153 @@ def embedding_near_dup_banded(
     # array<double> column enough that AQE picks a broadcast that then
     # fails to build (observed at 505k x 64 dims under a 64 MB threshold);
     # at corpus scale these joins are big-big by nature, so shuffling on id
-    # is the right plan anyway
+    # is the right plan anyway.  Norms are hoisted BEFORE the join (the
+    # semantic_dedup hoist — bit-identical: sqrt of the same expanded sum,
+    # multiplied in the same dot/(na*nb) order): per-PAIR work drops from
+    # three 64-term expansions to one, and — load-bearing, not just a
+    # speedup — the threshold filter Catalyst pushes into the join
+    # CONDITION then carries only the expanded dot.  With the full cosine
+    # inlined, the condition (one unsplittable generated method) overflowed
+    # Janino's 64 KB limit, killing whole-stage codegen for the entire
+    # verify stage (observed: ~6 s failed-compile tax + interpreted join).
     vecs = df.select(
         F.col(id_col).alias("__vid"), emb.alias("__v")
-    ).hint("shuffle_hash")
+    ).withColumn("__n", norm_fixed_expr("__v", dim)).hint("shuffle_hash")
     return (
         cand.join(vecs.withColumnRenamed("__vid", "id_a")
-                  .withColumnRenamed("__v", "__va"), "id_a")
+                  .withColumnRenamed("__v", "__va")
+                  .withColumnRenamed("__n", "__na"), "id_a")
         .join(vecs.withColumnRenamed("__vid", "id_b")
-              .withColumnRenamed("__v", "__vb"), "id_b")
+              .withColumnRenamed("__v", "__vb")
+              .withColumnRenamed("__n", "__nb"), "id_b")
         .select(
             "id_a", "id_b",
-            cosine_fixed_expr("__va", "__vb", dim).alias("cosine"),
+            (
+                dot_fixed_expr("__va", "__vb", dim)
+                / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    n_bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-NN graph over an embedding corpus: per vector, its
+    top-``k`` banded-LSH candidates ranked by EXACT cosine — the
+    neighbor-graph primitive under diversity sampling, dedup clustering
+    and graph-based curation (the q_knn_graph catalog entry pins a toy
+    2-band/6-plane instance for the oracle; this is its parameterized
+    scale twin, the near_dup_banded : embedding_near_dup relationship).
+
+    Plan shape, stage by stage:
+
+    * ``_band_buckets_bulk``: every band signature from ONE numpy matmul
+      per Arrow batch (n_bands codegen signatures fused into one generated
+      method overflow Janino's 64 KB limit — see embedding_near_dup_banded).
+    * Candidate generation: posexplode to (band, bucket) rows, ONE
+      self-join keyed (band, bucket) with ``id_a < id_b`` — half the pair
+      volume of a directed ``!=`` join — deduped across bands, then
+      mirrored into both directions with a ``union`` (map-side, no extra
+      shuffle) so every vector ranks its full candidate set.
+    * Exact verify: candidates join back to the vectors (shuffle_hash
+      hinted — compressed parquet stats understate fat array columns and a
+      mis-chosen broadcast dies at corpus scale); cosine is the codegen
+      expansion (``cosine_fixed_expr``), never an interpreted fold.
+    * Top-k: ``row_number`` over a window PARTITIONED by source id
+      (descending cosine, neighbor id tie-break) — never a global window.
+
+    Cost model: candidate pairs ~ ``n_bands * n^2 / 2^n_planes``; pick
+    ``n_planes ~ log2(n / target_bucket_size)`` so buckets stay O(1)-sized
+    and the join stays ~linear.  Recall of a true neighbor at cosine s is
+    ``1 - (1 - p^r)^L`` with ``p = 1 - arccos(s)/pi`` — raise n_bands for
+    recall, n_planes for precision/cost.  Vectors whose buckets are
+    singletons in every band emit NO rows (no candidates) — at sane
+    parameterizations that is the far-outlier tail; lower n_planes or add
+    bands to pull them in.
+
+    Returns (``id_col``, neighbor_id, cosine, rank), rank 1-based."""
+    from pyspark.sql import Window
+
+    emb = F.col(vec_col).cast("array<double>")
+    dim = len(df.select(vec_col).first()[0])
+    sigged = _band_buckets_bulk(
+        df, vec_col, dim, n_planes, n_bands, seed, out_col="__bands"
+    )
+    bucketed = sigged.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode("__bands").alias("band", "bucket"),
+    )
+    a, b_ = bucketed.alias("a"), bucketed.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # norms hoisted before the join (bit-identical — see the
+    # embedding_near_dup_banded note): one expanded dot per PAIR, one norm
+    # per ROW instead of three expansions per pair.  Cosine is symmetric,
+    # so each UNDIRECTED pair is scored ONCE (id_a < id_b) and the scored
+    # rows are mirrored into both directions afterwards — half the verify
+    # join volume and half the expansion work of mirroring first.
+    vecs = df.select(
+        F.col(id_col).alias("__vid"), emb.alias("__v")
+    ).withColumn("__n", norm_fixed_expr("__v", dim)).hint("shuffle_hash")
+    scored_pairs = (
+        pairs.join(vecs.withColumnRenamed("__vid", "id_a")
+                   .withColumnRenamed("__v", "__va")
+                   .withColumnRenamed("__n", "__na"), "id_a")
+        .join(vecs.withColumnRenamed("__vid", "id_b")
+              .withColumnRenamed("__v", "__vb")
+              .withColumnRenamed("__n", "__nb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                dot_fixed_expr("__va", "__vb", dim)
+                / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0))
+            ).alias("cosine"),
+        )
+    )
+    # map-side mirror via explode — a union of two projections would
+    # duplicate the whole verify-join plan (no exchange reuse across
+    # differing projections); this is one pass, zero recompute
+    scored = scored_pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"), F.col("id_b").alias("nbr")
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"), F.col("id_a").alias("nbr")
+                ),
+            )
+        ).alias("__e"),
+        "cosine",
+    ).select("__e.src", "__e.nbr", "cosine")
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("nbr"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("src").alias(id_col),
+            F.col("nbr").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
     )
 
 
@@ -840,10 +973,17 @@ def semantic_dedup_bulk(
         norms[norms == 0.0] = np.inf  # zero vectors match nothing
         xn = x / norms[:, None]
         m = len(pdf)
-        # dup_of carries the covering id or None — a null mask, not a -1
-        # sentinel, so negative ids and string ids round-trip untouched
-        dup_of: list = [None] * m
         ids = pdf[id_col].to_numpy()
+        # dup_of carries the covering id under a NULL MASK — not a -1
+        # sentinel — so negative ids and string ids round-trip untouched.
+        # Integral ids stay a vectorized int64 buffer + boolean mask
+        # (pandas nullable Int64 -> Arrow int64-with-nulls, no per-row
+        # Python objects); the object path exists only for string ids.
+        integral = ids.dtype.kind in "iu"
+        dup_vals = (
+            np.zeros(m, dtype=np.int64) if integral else [None] * m
+        )
+        found = np.zeros(m, dtype=bool)
         for j0 in range(0, m, blk):
             j1 = min(j0 + blk, m)
             s = xn @ xn[j0:j1].T  # (m, j1-j0)
@@ -851,16 +991,20 @@ def semantic_dedup_bulk(
                 j = j0 + jj
                 hits = np.nonzero(s[:j, jj] >= thr)[0]
                 if hits.size:
-                    dup_of[j] = ids[hits[0]]  # smallest id: rows id-sorted
-        out = pd.DataFrame(
+                    dup_vals[j] = ids[hits[0]]  # smallest id: rows sorted
+                    found[j] = True
+        if integral:
+            dup_series = pd.arrays.IntegerArray(dup_vals, mask=~found)
+        else:
+            dup_series = pd.Series(dup_vals, dtype=object)
+        return pd.DataFrame(
             {
                 id_col: ids,
                 "cluster": pdf["cluster"],
-                "dup_of": pd.Series(dup_of, dtype=object),
-                "is_dup": [d is not None for d in dup_of],
+                "dup_of": dup_series,
+                "is_dup": found,
             }
         )
-        return out
 
     # cluster ids are centroid ids: assign_ivf_lists widens integral ids to
     # BIGINT (path-stable schema), string ids stay STRING

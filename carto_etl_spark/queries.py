@@ -1425,6 +1425,102 @@ FROM scores
 """
 
 
+_QC_DIM, _QC_ITERS, _QC_SCALE = 64, 12, 10**6
+_QC_LR_NUM, _QC_LR_DEN = 1, 16
+#: the planted "low-quality" markers: a threshold on their token RATIO is
+#: exactly a linear function of raw token counts (sum c_j * (24*junk_j - 1)
+#: <= 0), so a linear model on hashed counts can genuinely learn it —
+#: unlike the lang column, whose five languages share one 31-word
+#: vocabulary in the synthetic corpus (AUC pinned ~0.5 by construction)
+_QC_JUNK = ("slow", "dup", "a")
+
+
+def _qc_label_col():
+    toks = tx.tokens_expr(F.col("text"))
+    junk = F.size(F.filter(toks, lambda x: x.isin(*_QC_JUNK)))
+    return (junk * 24 <= F.size(toks)).cast("int").alias("label")
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Trainable quality gate (operators/classifier.py) — the CCNet/GPT-3
+    classifier leg of the pipeline suite: train a linear classifier by
+    12 rounds of full-batch GD over 64-dim hashed bag-of-words (exact
+    fixed-point integers, hard-sigmoid — the pagerank recipe, so the
+    DuckDB oracle UNROLLS the whole training loop and replays every weight
+    bit-for-bit), then score every document at scan stage.  Labels are a
+    planted junk-token-ratio rule (see _QC_JUNK) the hashed features
+    genuinely carry; tests assert the trained AUC.  The reference has no
+    ML surface; this is extension scope."""
+    from carto_etl_spark.operators import classifier as clf
+
+    d = load(spark, sf_dir, "documents")
+    feats = tx.hashed_features(d, "text", ["doc_id"], dim=_QC_DIM)
+    labels = d.select("doc_id", _qc_label_col())
+    w, b = clf.train_quality_classifier(
+        feats, labels, dim=_QC_DIM, iterations=_QC_ITERS,
+        lr_num=_QC_LR_NUM, lr_den=_QC_LR_DEN, scale=_QC_SCALE,
+    )
+    return d.select(
+        "doc_id",
+        _qc_label_col(),
+        clf.quality_score_expr("text", w, b, scale=_QC_SCALE).alias(
+            "score_scaled"
+        ),
+    )
+
+
+def _oracle_quality_classifier() -> str:
+    from carto_etl_spark.operators.classifier import classifier_train_sql
+    from carto_etl_spark.operators.text import hashed_features_oracle_sql
+
+    feats = hashed_features_oracle_sql(
+        "SELECT doc_id, text FROM documents", ["doc_id"], dim=_QC_DIM
+    )
+    junk = ", ".join(f"'{w}'" for w in _QC_JUNK)
+    label_sql = rf"""
+SELECT doc_id,
+       CASE WHEN len(list_filter(t, x -> x IN ({junk}))) * 24 <= len(t)
+            THEN 1 ELSE 0 END AS label
+FROM (SELECT doc_id, list_filter(
+        string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+      FROM documents)"""
+    train = classifier_train_sql(
+        feats,
+        label_sql,
+        dim=_QC_DIM,
+        iterations=_QC_ITERS,
+        lr_num=_QC_LR_NUM,
+        lr_den=_QC_LR_DEN,
+        scale=_QC_SCALE,
+    )
+    return rf"""
+WITH wfin AS ({train}),
+toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(trim(text), '\s+'), x -> x != '')) AS tok
+  FROM documents
+), tw AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_QC_DIM}
+              AS INT) AS feature
+  FROM toks
+), dsum AS (
+  SELECT tw.doc_id, CAST(SUM(w.weight) AS BIGINT) AS m
+  FROM tw JOIN wfin w USING (feature) GROUP BY tw.doc_id
+)
+, labs AS ({label_sql})
+SELECT d.doc_id,
+       CAST(l.label AS INT) AS label,
+       CAST(greatest(0, least({_QC_SCALE},
+            (COALESCE(s.m, 0) + b.weight) // 4 + {_QC_SCALE // 2}))
+            AS BIGINT) AS score_scaled
+FROM documents d
+JOIN labs l ON d.doc_id = l.doc_id
+LEFT JOIN dsum s ON d.doc_id = s.doc_id
+CROSS JOIN (SELECT weight FROM wfin WHERE feature = {_QC_DIM}) b
+"""
+
+
 NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
 
@@ -8479,6 +8575,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
+    "quality_classifier": q_quality_classifier,
     "exact_dedup": q_exact_dedup,
     "shingle_fingerprint": q_shingle_fingerprint,
     "cosine_topk": q_cosine_topk,
@@ -8664,6 +8761,7 @@ ORACLES = {
     "token_counts": ORACLE_TOKEN_COUNTS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "lang_id": ORACLE_LANG_ID,
+    "quality_classifier": _oracle_quality_classifier(),
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "shingle_fingerprint": ORACLE_SHINGLE_FP,
     "cosine_topk": ORACLE_COSINE_TOPK,

@@ -232,3 +232,39 @@ def test_semantic_dedup_bulk_string_and_negative_ids(spark):
     )
     with pytest.raises(ValueError, match="integral or string"):
         sim.semantic_dedup_bulk(fdf, n_clusters=1)
+
+
+def test_knn_graph_operator_planted_copy_is_rank1(spark, emb_df):
+    """Parameterized knn_graph operator (scale twin of the q_knn_graph
+    catalog entry): a planted identical copy must be its source's rank-1
+    neighbor at cosine ~1.0, ranks must be 1..k contiguous per source, and
+    cosine must be non-increasing with rank."""
+    dup = emb_df.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.col("embedding"),
+        "label",
+    )
+    both = emb_df.unionByName(dup)
+    rows = sim.knn_graph(both, k=3, n_planes=8, n_bands=4).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cosine"])
+        )
+    planted = [r["vec_id"] for r in emb_df.filter(F.col("vec_id") % 25 == 0).collect()]
+    assert planted  # non-degenerate fixture
+    for src in planted:
+        nbrs = sorted(by_src[src])
+        # identical copy collides in every band -> always a candidate;
+        # cosine 1.0 beats everything -> rank 1
+        assert nbrs[0][1] == src + 1_000_000
+        assert abs(nbrs[0][2] - 1.0) < 1e-9
+        # and symmetrically the copy's rank-1 is its source
+        back = sorted(by_src[src + 1_000_000])
+        assert back[0][1] == src
+    for src, nbrs in by_src.items():
+        nbrs = sorted(nbrs)
+        assert [n[0] for n in nbrs] == list(range(1, len(nbrs) + 1))
+        assert len(nbrs) <= 3
+        cosines = [n[2] for n in nbrs]
+        assert cosines == sorted(cosines, reverse=True)
