@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "ingest_coercion",
     "simhash_pairs",
     "minhash_dedup",
+    "pipeline_e2e",
     # new r4 operators (per-query numbers are the comparable unit across
     # rounds; the total includes these from r4 on)
     "ngram_jaccard",

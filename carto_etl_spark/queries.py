@@ -2334,6 +2334,174 @@ WHERE doc_id NOT IN (SELECT s FROM reach GROUP BY s HAVING min(d) < s)
 """
 
 
+def q_pipeline_e2e(spark, sf_dir):
+    """The realistic preprocessing COMPOSITION, priced as one entry (r6
+    verdict #4): every stage below is benched solo elsewhere, but a real
+    corpus run chains them, and compositions carry cross-stage costs
+    (recomputation, lost pushdowns, cache boundaries) per-stage benches
+    can't see.  One deterministic messy-corpus synthesis (cookie-banner
+    pages + per-source footers + near-copies of every 10th doc), then:
+
+      line dedup (CCNet boilerplate removal) -> min-token quality gate ->
+      term-blocklist gate -> PII scrub -> MinHash near-dedup
+      (exact-verified, transitive survivorship) -> split assignment ->
+      shard assignment
+
+    — the html_extract/tokenize stages keep their solo entries (the
+    extractor collapses line structure by design, which would blind the
+    line-dedup stage here).  Emits the export manifest row per surviving
+    doc: (doc_id, split, shard, n_tokens, text_md5).  The oracle replays
+    the ENTIRE chain in one WITH-chain, including the recursive-CTE
+    connected components — a green row prices and proves the composition
+    end to end.  Plan posture: synthesis + gates + scrub FUSE into the
+    line-dedup reassembly's output stage (verified: one scan of documents
+    feeds the whole prefix), and the only shuffles are the three inherent
+    ones (line-count agg, doc reassembly, minhash bands/components)."""
+    from carto_etl_spark.operators.blocklist import flag
+    from carto_etl_spark.operators.export import assign_shards
+    from carto_etl_spark.operators.scrub import scrub
+
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    base = d.select("doc_id", "text", "source")
+    near = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        "source",
+    )
+    both = base.unionByName(near)
+    pages = both.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("This site uses cookies to improve your experience"),
+            F.concat(F.lit("Footer for "), F.col("source")),
+        ).alias("text"),
+    )
+    cleaned = dd.drop_repeated_lines(pages)
+    gated = cleaned.where(tx.token_count_expr(F.col("text")) >= 3)
+    allowed = flag(gated, "text", ("hash value", "dup")).where(
+        F.col("n_blocked") <= 2
+    ).select("doc_id", "text")
+    # the cross-stage cost this entry exists to expose: minhash_dedup
+    # references its input from FIVE plan branches (signatures, two verify
+    # join sides, touched-id semi-join, final anti-join), and without a
+    # materialization boundary each branch re-derived the whole prefix —
+    # 8 scans of the corpus parquet (measured; test_pipeline_ops pins the
+    # bound).  One localCheckpoint of the cleaned+scrubbed frame cuts it
+    # to the line-dedup stage's own branches; at 100 TB this is the
+    # "stage output to durable storage" boundary every real pipeline puts
+    # exactly here.
+    scrubbed = (
+        scrub(allowed, "text").select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    survivors = dd.minhash_dedup(
+        scrubbed, "doc_id", "text",
+        threshold=0.5, bands=32, verify_exact=True,
+    )
+    out = smp.dataset_split(
+        survivors, "doc_id",
+        {"train": 0.8, "valid": 0.1, "test": 0.1}, salt=11,
+    )
+    out = assign_shards(out, 16, "doc_id")
+    return out.select(
+        "doc_id",
+        "split",
+        "shard",
+        tx.token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def _oracle_pipeline_e2e() -> str:
+    split = smp.split_sql(
+        "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, salt=11
+    )
+    return rf"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, source FROM documents WHERE text IS NOT NULL
+), both_docs AS (
+  SELECT doc_id, text, source FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra token' AS text, source
+  FROM base WHERE doc_id % 10 = 0
+), pages AS (
+  SELECT doc_id,
+         text || chr(10) ||
+         'This site uses cookies to improve your experience' || chr(10) ||
+         'Footer for ' || source AS text
+  FROM both_docs
+), lines AS (
+  SELECT doc_id, CAST(u.l[2] AS BIGINT) AS pos, u.l[1] AS line
+  FROM pages, unnest(list_zip(string_split(text, chr(10)),
+                     range(0, len(string_split(text, chr(10)))))) AS u(l)
+), boiler AS (
+  SELECT line FROM lines
+  WHERE len(trim(line)) >= 10
+  GROUP BY line HAVING count(*) > 1
+), lsurv AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE len(trim(line)) < 10
+     OR line NOT IN (SELECT line FROM boiler)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM lsurv GROUP BY doc_id
+), gated AS (
+  SELECT doc_id, text FROM rebuilt
+  WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
+                        x -> x != '')) >= 3
+    AND len(regexp_extract_all(text, '(?i)\b(?:hash value|dup)\b')) <= 2
+), scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             'https?://[^\s]+', '<URL>', 'g'),
+             '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}\b',
+             '<EMAIL>', 'g'),
+             '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g'),
+             '\+\d[\d \-]{{6,}}\d\b', '<PHONE>', 'g') AS text
+  FROM gated
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             x -> x != '') AS t
+  FROM scrubbed
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS g FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+  HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.5
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), reach AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+), keep AS (
+  SELECT doc_id, text FROM scrubbed
+  WHERE doc_id NOT IN (SELECT s FROM reach GROUP BY s HAVING min(d) < s)
+)
+SELECT doc_id,
+       {split} AS split,
+       CAST(floor((('0x' || substr(md5('0' || ':' || doc_id), 1, 8))::BIGINT
+                   * 16) / 4294967296.0) AS INTEGER) AS shard,
+       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x != '')) AS BIGINT) AS n_tokens,
+       md5(text) AS text_md5
+FROM keep
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-pairs over documents + mutated near-copies at
     hamming<=3, where the 16-bit-block candidate generation is
@@ -2505,7 +2673,7 @@ def q_embedding_near_dup(spark, sf_dir):
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
     )
     both = e.unionByName(dup)
-    return sim.embedding_near_dup_pairs(both, threshold=0.99).select(
+    return sim.embedding_near_dup_pairs(both, threshold=0.99, dim=64).select(
         "id_a", "id_b"
     )
 
@@ -8616,6 +8784,7 @@ QUERIES = {
     "promotable_suppliers": q_promotable_suppliers,
     "compression_ratio": q_compression_ratio,
     "minhash_dedup": q_minhash_dedup,
+    "pipeline_e2e": q_pipeline_e2e,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
@@ -8812,6 +8981,7 @@ ORACLES = {
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_ivf": ORACLE_ANN_IVF,
     "minhash_dedup": ORACLE_MINHASH_DEDUP,
+    "pipeline_e2e": _oracle_pipeline_e2e(),
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "stratified_sample": ORACLE_STRATIFIED,
     "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,

@@ -48,6 +48,16 @@ def get_spark(
         # no query regressed).
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # HotSpot never JIT-compiles methods past 8000 bytecodes
+        # (-XX:-DontCompileHugeMethods), so a whole-stage-codegen method
+        # bigger than that runs in the BYTECODE INTERPRETER forever —
+        # Spark's default limit (65535) happily emits such monsters for the
+        # expanded vector arithmetic (quant_recall at 505k: 74 s -> 15 s
+        # with this set; every expansion-heavy entry got faster or stayed
+        # flat in a 5-iteration A/B, normal queries are unaffected because
+        # their methods compile under 8000 anyway).  Past the limit Spark
+        # falls back to per-operator codegen, whose smaller methods JIT.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # TIMESTAMP(NANOS) parquet (e.g. the events table) is otherwise
         # illegal for Spark's vectorized reader; read as long + convert.

@@ -550,3 +550,39 @@ def test_temperature_mixture_null_sources_excluded(spark):
     got = out.collect()
     assert all(r["lang"] is not None for r in got)
     assert 0 < len(got) < 2000  # sampled from the 2000 non-null rows only
+
+
+# ---------------------------------------------------------------------------
+# End-to-end preprocessing composition (pipeline_e2e)
+# ---------------------------------------------------------------------------
+
+def test_pipeline_e2e_planted_fates(spark):
+    """The composition must drop exactly what each stage plants: boilerplate
+    lines never reach the output text, planted near-copies lose to their
+    source (min-id survivorship), and every emitted row carries a valid
+    split and shard."""
+    from carto_etl_spark.queries import q_pipeline_e2e
+
+    rows = q_pipeline_e2e(spark, SF).collect()
+    assert rows
+    ids = {r["doc_id"] for r in rows}
+    # near-copies (id + 10^6) are near-dups of their source at Jaccard >> .5
+    # (one extra trailing token): the min-id rule keeps only the source
+    assert not any(i >= 1_000_000 for i in ids)
+    for r in rows:
+        assert r["split"] in ("train", "valid", "test")
+        assert 0 <= r["shard"] < 16
+        assert r["n_tokens"] >= 3  # the quality gate's floor
+
+
+def test_pipeline_e2e_downstream_never_rescans_corpus(spark):
+    """The composition materializes the cleaned+scrubbed frame once
+    (localCheckpoint) before minhash: without that boundary the five
+    minhash plan branches each re-derived the whole prefix — 8 corpus
+    scans (measured).  The final plan must read the corpus parquet ZERO
+    times past the boundary."""
+    from carto_etl_spark.queries import q_pipeline_e2e
+
+    plan = explain_str(q_pipeline_e2e(spark, SF))
+    scans = plan.count("documents.parquet")
+    assert scans == 0, f"composition re-scans the corpus: {scans}"
