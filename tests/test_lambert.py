@@ -630,3 +630,26 @@ def test_stere_registry_validation(spark):
             "stere", 990201,
             (90.0, 0.0, None, 0.0, 0.0, "A", "WGS84", 0),
         )
+
+
+def test_readme_register_projection_example(spark):
+    """The README's F5-envelope worked example (adding NAD83 / Statistics
+    Canada Lambert, EPSG:3347, from published parameters) must keep working
+    verbatim — it is the documented recipe for the unregistered-EPSG tail.
+    Expected values cross-checked against pyproj for Ottawa (-75, 45.4)."""
+    from carto_etl_spark.functions.geom import (
+        _LCC_PARAMS, point_struct, register_projection, transform_geom,
+    )
+
+    if 3347 not in _LCC_PARAMS:  # idempotent under session-scoped reruns
+        register_projection("lcc", 3347, (
+            63.390675, -91.86666666666666, 49.0, 77.0,
+            6200000.0, 3000000.0, "GRS80",
+        ))
+    df = spark.createDataFrame([(-75.0, 45.4)], "lon double, lat double")
+    out = transform_geom(
+        df.withColumn("g", point_struct(F.col("lon"), F.col("lat"), 4326)),
+        "g", 4326, 3347, out_col="p",
+    ).select("p.x", "p.y").first()
+    assert abs(out["x"] - 7525428.18) < 0.5
+    assert abs(out["y"] - 1202530.33) < 0.5
