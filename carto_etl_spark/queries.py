@@ -2743,7 +2743,14 @@ def q_knn_graph(spark, sf_dir):
     bucket-occupancy, the window partitions by source id."""
     e = load(spark, sf_dir, "embeddings")
     parts = [
-        sim.with_lsh_buckets(e, n_planes=6, dim=64, seed=42 + b).select(
+        # fold signatures (bit-identical to the expansion — the oracle
+        # replays them either way): this entry is toy-pinned, and the two
+        # expanded signature trees cost ~4 s of per-build Catalyst
+        # analysis + compile; the parameterized scale twin
+        # (similarity.knn_graph) keeps the Arrow path
+        sim.with_lsh_buckets(
+            e, n_planes=6, dim=64, seed=42 + b, expansion=False
+        ).select(
             "vec_id", F.lit(b).alias("band"), F.col("lsh_bucket").alias("bucket")
         )
         for b in range(2)
@@ -2784,10 +2791,12 @@ def q_knn_graph(spark, sf_dir):
         .select(
             "src",
             "nbr",
-            # codegen expansion, not the fold: unlike the pinned near-dup
-            # entries, the pair stage here is the genuine workload
-            # (~n^2/2^planes per band pairs scored)
-            F.round(sim.cosine_fixed_expr("__va", "__vb", 64), 6).alias(
+            # fold cosine (bit-identical to the expansion): since r7 the
+            # genuine scale workload lives in similarity.knn_graph (the
+            # parameterized twin, norm-hoisted expansion); this pinned
+            # entry prices the oracle plan shape on 500 rows, where the
+            # expansion's build-time analysis dominated
+            F.round(sim.cosine_expr(F.col("__va"), F.col("__vb")), 6).alias(
                 "cosine"
             ),
         )
