@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "near_dup_banded",
     "knn_graph",
+    "incremental_vec_near_dup",
     "semantic_dedup",
     "semantic_dedup_bulk",
     "streaming_cardinality",

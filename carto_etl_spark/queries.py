@@ -2813,6 +2813,92 @@ def q_knn_graph(spark, sf_dir):
     )
 
 
+def _vec_batch_df(spark, sf_dir):
+    """The match batch: 50% near-dups (identical copies of every even id)
+    + 50% novel vectors (REVERSED embeddings of every odd id — a
+    deterministic, SQL-replayable transform far from every history vector
+    in cosine)."""
+    e = load(spark, sf_dir, "embeddings")
+    copies = e.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    novel = e.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    return copies.unionByName(novel)
+
+
+def q_incremental_vec_near_dup(spark, sf_dir):
+    """Incremental embedding near-dup index (streaming/vecindex.py), full
+    lifecycle: the embeddings table is indexed as history (random-plane
+    band buckets into the shared AppendOnlyState), then a batch of 50%
+    identical copies and 50% novel vectors matches against it with exact
+    cosine verification of band-collision candidates.  Identical copies
+    collide in EVERY band and the corpus's nearest natural pair sits far
+    below the 0.99 threshold, so the result equals DuckDB's exact
+    bipartite cosine join — a green row proves signature derivation,
+    candidate generation, state round-trip, and verification at once."""
+    import shutil
+    import tempfile
+
+    from carto_etl_spark.streaming.vecindex import (
+        append_to_vec_index,
+        match_against_vec_index,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="vecindex-")
+    try:
+        hist = load(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        append_to_vec_index(hist, workdir)
+        batch = _vec_batch_df(spark, sf_dir)
+        pairs = match_against_vec_index(
+            spark, batch, hist, workdir, threshold=0.99
+        )
+        agg = pairs.groupBy(F.col("id_a").alias("vec_id")).agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("id_b").alias("best_match"),
+        )
+        out = batch.select("vec_id").join(agg, "vec_id", "left").select(
+            "vec_id",
+            F.coalesce(F.col("n_matches"), F.lit(0))
+            .cast("long")
+            .alias("n_matches"),
+            (F.coalesce(F.col("n_matches"), F.lit(0)) > 0).alias("is_dup"),
+            "best_match",
+        )
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+ORACLE_INCREMENTAL_VEC_NEAR_DUP = """
+WITH batch AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 2 = 0
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id,
+         list_reverse(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings WHERE vec_id % 2 = 1
+), hist AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), m AS (
+  SELECT b.vec_id, count(*) AS n_matches, min(h.vec_id) AS best_match
+  FROM batch b JOIN hist h
+    ON list_cosine_similarity(b.v, h.v) >= 0.99
+  GROUP BY b.vec_id
+)
+SELECT b.vec_id,
+       CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+       coalesce(m.n_matches, 0) > 0 AS is_dup,
+       m.best_match
+FROM batch b LEFT JOIN m USING (vec_id)
+"""
+
+
 def _build_oracle_knn() -> str:
     from carto_etl_spark.operators.similarity import _hyperplanes
 
@@ -8803,6 +8889,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "near_dup_banded": q_near_dup_banded,
     "knn_graph": q_knn_graph,
+    "incremental_vec_near_dup": q_incremental_vec_near_dup,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
@@ -8987,6 +9074,7 @@ ORACLES = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "near_dup_banded": ORACLE_NEAR_DUP_BANDED,
     "knn_graph": ORACLE_KNN_GRAPH,
+    "incremental_vec_near_dup": ORACLE_INCREMENTAL_VEC_NEAR_DUP,
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_ivf": ORACLE_ANN_IVF,
     "minhash_dedup": ORACLE_MINHASH_DEDUP,
