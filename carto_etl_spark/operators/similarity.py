@@ -385,6 +385,7 @@ def assign_ivf_lists(
     vec_col: str = "embedding",
     out_col: str = "ivf_list",
     force_literal: bool = False,
+    expansion: bool = True,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (euclidean; ties broken by
     centroid id).
@@ -411,7 +412,14 @@ def assign_ivf_lists(
     paths (the literal path emits ``{cid}L`` literals, the bulk path an
     int64 pandas_udf — widened from the pre-r6 INT so the two paths agree
     and downstream unions/joins never see a path-dependent schema), STRING
-    for string ids."""
+    for string ids.
+
+    ``expansion=False`` swaps each literal distance for its HOF-fold form
+    (bit-identical: same per-element op, same 0.0 seed, same left-to-right
+    order) — for oracle-pinned TOY entries, where Catalyst's analysis of
+    the ~4-nodes-per-term expanded tree costs seconds per query BUILD and
+    the frame is a few hundred rows; scale paths keep the expansion (or
+    cross the cap into the Arrow path regardless)."""
     dim = len(centroids[0][1]) if centroids else 0
     if not force_literal and len(centroids) * dim > _LITERAL_ARGMIN_CAP:
         return assign_ivf_lists_bulk(df, centroids, vec_col, out_col)
@@ -422,6 +430,12 @@ def assign_ivf_lists(
         # fold -> bit-identical; HOFs are interpreted and ~100x slower);
         # built as ONE SQL fragment — the Column form cost ~4 py4j round
         # trips per term (~5 s to BUILD the 8x64 argmin)
+        if not expansion:
+            return (
+                f"sqrt(aggregate(zip_with({emb_sql}, "
+                f"{arr_lit_sql(center)}, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+            )
         terms = []
         for i, v in enumerate(center):
             t = f"(get({emb_sql}, {i}) - CAST('{float(v)!r}' AS DOUBLE))"
@@ -917,7 +931,12 @@ def semantic_dedup(
     kept items).
     """
     centroids = sampled_centroids(df, n_clusters, id_col, vec_col)
-    indexed = assign_ivf_lists(df, centroids, vec_col, out_col="cluster")
+    indexed = assign_ivf_lists(
+        # fold distances: below the Arrow cap this operator is toy-scale
+        # by contract (see the pair-stage note), and the expansion costs
+        # seconds of per-build analysis; values are bit-identical
+        df, centroids, vec_col, out_col="cluster", expansion=False
+    )
     indexed = indexed.localCheckpoint(eager=True)
     sides = indexed.select(
         F.col(id_col).alias("__id"),
@@ -997,7 +1016,12 @@ def semantic_dedup_bulk(
     id_type = id_field.simpleString()
 
     centroids = sampled_centroids(df, n_clusters, id_col, vec_col)
-    indexed = assign_ivf_lists(df, centroids, vec_col, out_col="cluster")
+    indexed = assign_ivf_lists(
+        # fold distances: below the Arrow cap this operator is toy-scale
+        # by contract (see the pair-stage note), and the expansion costs
+        # seconds of per-build analysis; values are bit-identical
+        df, centroids, vec_col, out_col="cluster", expansion=False
+    )
     thr = float(threshold)
     blk = int(block)
 
