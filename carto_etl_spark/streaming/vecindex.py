@@ -21,7 +21,7 @@ streaming/state.py; this module adds no hand-rolled state machinery.
 Per batch:
 
 1. band buckets for the batch — a map-only projection (one fold signature
-   per band; see the ``expansion`` note below);
+   per band; see the ``signature`` note on vec_band_buckets);
 2. candidates = batch buckets ⋈ state buckets on (band, bucket), batch
    side broadcast: one map pass over the bucket state, history is never
    shuffled;
@@ -59,6 +59,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from carto_etl_spark.operators.jobs import TargetTable
 from carto_etl_spark.operators.similarity import (
+    _band_buckets_bulk,
     _hyperplanes,
     dot_expr,
     norm_expr,
@@ -88,21 +89,44 @@ def vec_band_buckets(
     n_planes: int = 8,
     n_bands: int = 4,
     seed: int = 42,
-    expansion: bool = False,
+    signature: str = "fold",
 ) -> DataFrame:
     """(band, bucket, id) rows for a batch — the exact rows the state
-    stores.  ``expansion=False`` (default) builds each band signature from
-    HOF folds: bit-identical to the codegen expansion, and micro-batches
-    are small enough that the expansion's per-build analysis cost (~3 s per
-    signature tree at 8x64) dominates any runtime gain; flip it for bulk
-    backfills of large static corpora."""
+    stores.  ``signature`` picks the evaluation path:
+
+    * ``"fold"`` (default): HOF-fold band signatures — right for streaming
+      micro-batches, where the expansion's per-build analysis cost (~3 s
+      per 8x64 signature tree) dominates any runtime gain, and the only
+      SQL-replayable form an oracle can check.
+    * ``"arrow"``: ONE numpy matmul per Arrow batch
+      (``_band_buckets_bulk``) — the BACKFILL path for indexing a large
+      static corpus (a 505k x 64-dim fold pass is interpreted at ~0.5 us
+      per element, i.e. minutes; n_bands fused codegen signatures overflow
+      Janino).  CONSISTENCY CONTRACT: fold and arrow agree except on plane
+      dots within an ulp of 0.0 (sign flips from summation order), so an
+      index must be BUILT and QUERIED with one path — record the choice
+      with the index.  Identical-vector collisions are path-safe only
+      within a path.
+    """
+    if signature == "arrow":
+        sigged = _band_buckets_bulk(
+            df, vec_col, dim, n_planes, n_bands, seed, out_col="__bands"
+        )
+        return sigged.select(
+            F.col(id_col),
+            F.posexplode("__bands").alias("band", "bucket"),
+        ).select("band", "bucket", id_col)
+    if signature != "fold":
+        raise ValueError(
+            f"signature must be 'fold' or 'arrow', got {signature!r}"
+        )
     emb_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     bands = [
         F.struct(
             F.lit(b).alias("band"),
             signature_bits_expr(
                 emb_sql, _hyperplanes(dim, n_planes, seed + b),
-                expansion=expansion,
+                expansion=False,
             ).alias("bucket"),
         )
         for b in range(n_bands)
@@ -124,6 +148,7 @@ def match_against_vec_index(
     n_planes: int = 8,
     n_bands: int = 4,
     seed: int = 42,
+    signature: str = "fold",
 ) -> DataFrame:
     """Verified near-dup pairs (id_a = batch id, id_b = history id,
     cosine) between ``batch`` and everything in the index.
@@ -132,7 +157,8 @@ def match_against_vec_index(
     history pass.  Caller checks ``have_vec_index`` first."""
     _state(state_dir).recover()
     bb = vec_band_buckets(
-        batch, id_col, vec_col, dim, n_planes, n_bands, seed
+        batch, id_col, vec_col, dim, n_planes, n_bands, seed,
+        signature=signature,
     )
     state = _read_index(spark, state_dir)
     cand = (
@@ -181,12 +207,15 @@ def append_to_vec_index(
     n_planes: int = 8,
     n_bands: int = 4,
     seed: int = 42,
+    signature: str = "fold",
 ) -> None:
     """Atomically append a batch's bucket rows, id-anti-joined against
-    existing state (idempotent per id under replay)."""
+    existing state (idempotent per id under replay).  ``signature`` must
+    match the index's recorded path (see vec_band_buckets)."""
     state = _state(state_dir)
     rows = vec_band_buckets(
-        df, id_col, vec_col, dim, n_planes, n_bands, seed
+        df, id_col, vec_col, dim, n_planes, n_bands, seed,
+        signature=signature,
     )
     if state.exists():
         seen = _read_index(df.sparkSession, state_dir).select(
@@ -222,6 +251,7 @@ def insert_stream_vec_near_dedup(
     n_planes: int = 8,
     n_bands: int = 4,
     seed: int = 42,
+    signature: str = "fold",
     checkpoint: str | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
@@ -230,7 +260,8 @@ def insert_stream_vec_near_dedup(
     survivors to the target and their buckets to state.  Intra-batch
     near-dups are NOT collapsed here — run the batch
     ``embedding_near_dup_banded`` upstream when the source itself carries
-    duplicates (the lshindex.py contract)."""
+    duplicates (the lshindex.py contract).  ``signature`` must match the
+    path any pre-existing state was built with (vec_band_buckets)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -242,7 +273,7 @@ def insert_stream_vec_near_dedup(
             pairs = match_against_vec_index(
                 spark, batch, history, state_dir, id_col, vec_col, dim,
                 threshold=threshold, n_planes=n_planes, n_bands=n_bands,
-                seed=seed,
+                seed=seed, signature=signature,
             )
             dup_ids = pairs.select(F.col("id_a").alias(id_col)).distinct()
             fresh = batch.join(dup_ids, on=id_col, how="left_anti")
@@ -251,7 +282,8 @@ def insert_stream_vec_near_dedup(
         fresh = fresh.localCheckpoint(eager=True)  # two consumers
         target.append(fresh)
         append_to_vec_index(
-            fresh, state_dir, id_col, vec_col, dim, n_planes, n_bands, seed
+            fresh, state_dir, id_col, vec_col, dim, n_planes, n_bands,
+            seed, signature=signature,
         )
 
     writer = stream_df.writeStream.foreachBatch(handle)

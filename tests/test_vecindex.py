@@ -109,16 +109,20 @@ def test_vec_append_is_idempotent_per_id(spark, tmp_path):
     assert _read_index(spark, state).count() == n1
 
 
-def test_vec_buckets_match_fold_and_expansion(spark):
+def test_vec_buckets_fold_and_arrow_paths_agree(spark):
+    # fold vs Arrow matmul: equal except plane dots within an ulp of 0.0 —
+    # none exist among these fixed deterministic vectors, so exact equality
+    # is a stable assertion (and the cross-path consistency the docstring
+    # contract promises in practice)
     df = spark.createDataFrame(
         [(i, _vec(i)) for i in range(20)], SCHEMA
     )
     kw = dict(dim=DIM, n_planes=6, n_bands=4)
     a = {(r.band, r.vec_id): r.bucket for r in vec_band_buckets(
-        df, expansion=False, **kw).collect()}
+        df, signature="fold", **kw).collect()}
     b = {(r.band, r.vec_id): r.bucket for r in vec_band_buckets(
-        df, expansion=True, **kw).collect()}
-    assert a == b  # bit-identical signatures either path
+        df, signature="arrow", **kw).collect()}
+    assert a == b
 
 
 def test_vec_recover_restores_state_after_compaction_crash(spark, tmp_path):
