@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "text_quality",
     "lang_id",
     "quality_classifier",
+    "quality_mixture",
     "exact_dedup",
     "shingle_fingerprint",
     "cosine_topk",

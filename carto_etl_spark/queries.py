@@ -1521,6 +1521,72 @@ CROSS JOIN (SELECT weight FROM wfin WHERE feature = {_QC_DIM}) b
 """
 
 
+#: quality-mixture bucket thresholds (on the classifier's [0, scale]
+#: score) and keep rates — the CCNet shape: keep everything the gate loves,
+#: downsample the middle, keep a thin slice of the tail for diversity
+_QM_HI, _QM_MID = 450_000, 250_000
+_QM_RATES = {"high": 1.0, "mid": 0.5, "low": 0.125}
+_QM_SALT = 13
+
+
+def q_quality_mixture(spark, sf_dir):
+    """Classifier-driven mixture sampling — what a CCNet-style pipeline
+    DOES with the quality gate's scores: train the fixed-point classifier
+    (operators/classifier.py, same config as quality_classifier), bucket
+    every document by score (high/mid/low), and keep each bucket at its
+    mixture rate via the engine-portable hash sample (operators/sampling.py
+    — scan-stage, partition-invariant, reproducible).  Train + score +
+    bucket + sample is ONE oracle-replayable chain: the DuckDB side unrolls
+    the 12 GD iterations, rescores, and replays the Lehmer hash keep
+    decisions bit-for-bit."""
+    from carto_etl_spark.operators import classifier as clf
+    from carto_etl_spark.operators.sampling import LEHMER_M, hash_expr
+
+    d = load(spark, sf_dir, "documents")
+    feats = tx.hashed_features(d, "text", ["doc_id"], dim=_QC_DIM)
+    labels = d.select("doc_id", _qc_label_col())
+    w, b = clf.train_quality_classifier(
+        feats, labels, dim=_QC_DIM, iterations=_QC_ITERS,
+        lr_num=_QC_LR_NUM, lr_den=_QC_LR_DEN, scale=_QC_SCALE,
+    )
+    s = clf.quality_score_expr("text", w, b, scale=_QC_SCALE)
+    bucket = (
+        F.when(s >= _QM_HI, "high")
+        .when(s >= _QM_MID, "mid")
+        .otherwise("low")
+    )
+    thresh = (
+        F.when(s >= _QM_HI, int(_QM_RATES["high"] * LEHMER_M))
+        .when(s >= _QM_MID, int(_QM_RATES["mid"] * LEHMER_M))
+        .otherwise(int(_QM_RATES["low"] * LEHMER_M))
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        (hash_expr(F.col("doc_id"), _QM_SALT) < thresh).alias("kept"),
+    )
+
+
+def _oracle_quality_mixture() -> str:
+    from carto_etl_spark.operators.sampling import LEHMER_M, hash_sql
+
+    h = hash_sql("doc_id", _QM_SALT)
+    hi_t = int(_QM_RATES["high"] * LEHMER_M)
+    mid_t = int(_QM_RATES["mid"] * LEHMER_M)
+    lo_t = int(_QM_RATES["low"] * LEHMER_M)
+    return f"""
+WITH scored AS ({_oracle_quality_classifier()})
+SELECT doc_id,
+       CASE WHEN score_scaled >= {_QM_HI} THEN 'high'
+            WHEN score_scaled >= {_QM_MID} THEN 'mid'
+            ELSE 'low' END AS bucket,
+       ({h}) < CASE WHEN score_scaled >= {_QM_HI} THEN {hi_t}
+                    WHEN score_scaled >= {_QM_MID} THEN {mid_t}
+                    ELSE {lo_t} END AS kept
+FROM scored
+"""
+
+
 NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
 
@@ -8839,6 +8905,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "quality_classifier": q_quality_classifier,
+    "quality_mixture": q_quality_mixture,
     "exact_dedup": q_exact_dedup,
     "shingle_fingerprint": q_shingle_fingerprint,
     "cosine_topk": q_cosine_topk,
@@ -9027,6 +9094,7 @@ ORACLES = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "lang_id": ORACLE_LANG_ID,
     "quality_classifier": _oracle_quality_classifier(),
+    "quality_mixture": _oracle_quality_mixture(),
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "shingle_fingerprint": ORACLE_SHINGLE_FP,
     "cosine_topk": ORACLE_COSINE_TOPK,

@@ -120,3 +120,26 @@ def test_validation_errors(spark, docs):
         clf.train_quality_classifier(
             feats, _labels(docs).limit(0), dim=8
         )
+
+
+def test_quality_mixture_rates_and_determinism(spark):
+    """The mixture entry must keep ALL of 'high', ~half of 'mid', ~1/8 of
+    'low', and be bit-reproducible across runs (training and the Lehmer
+    sample are both deterministic)."""
+    from carto_etl_spark.queries import q_quality_mixture
+
+    a = {(r["doc_id"]): (r["bucket"], r["kept"])
+         for r in q_quality_mixture(spark, SF).collect()}
+    b = {(r["doc_id"]): (r["bucket"], r["kept"])
+         for r in q_quality_mixture(spark, SF).collect()}
+    assert a == b
+    by_bucket: dict = {}
+    for bucket, kept in a.values():
+        n, k = by_bucket.get(bucket, (0, 0))
+        by_bucket[bucket] = (n + 1, k + int(kept))
+    n, k = by_bucket.get("high", (0, 0))
+    assert n > 0 and k == n  # rate 1.0: every high doc kept
+    for name, rate in (("mid", 0.5), ("low", 0.125)):
+        n, k = by_bucket.get(name, (0, 0))
+        if n >= 40:  # enough mass for a loose binomial band
+            assert abs(k / n - rate) < 0.2, (name, k, n)
