@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "near_dup_banded",
     "knn_graph",
     "incremental_vec_near_dup",
+    "kmeans_embeddings",
     "semantic_dedup",
     "semantic_dedup_bulk",
     "streaming_cardinality",

@@ -2879,6 +2879,31 @@ def q_knn_graph(spark, sf_dir):
     )
 
 
+def q_kmeans_embeddings(spark, sf_dir):
+    """Fixed-point Lloyd k-means (operators/kmeans.py): 3 full Lloyd
+    rounds over the embeddings table in exact integer arithmetic
+    (quantize-once coordinates, integer argmin, truncating-division
+    centroid means — the pagerank/classifier recipe), then the final
+    assignment.  The DuckDB oracle unrolls every round and replays each
+    centroid bit-for-bit, so a green row proves init sampling, the argmin
+    tie-break, the empty-cluster rule, and all updates at once.  (The
+    driver table is isotropic — clustering QUALITY on a separable corpus
+    is asserted in tests/test_kmeans.py; the entry pins exactness.)"""
+    from carto_etl_spark.operators import kmeans as km
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = km.kmeans_fit(e, k=10, iterations=3)
+    return km.assign_clusters(e, cents).select("vec_id", "cluster")
+
+
+def _oracle_kmeans() -> str:
+    from carto_etl_spark.operators.kmeans import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings", k=10, iterations=3
+    )
+
+
 def _vec_batch_df(spark, sf_dir):
     """The match batch: 50% near-dups (identical copies of every even id)
     + 50% novel vectors (REVERSED embeddings of every odd id — a
@@ -8957,6 +8982,7 @@ QUERIES = {
     "near_dup_banded": q_near_dup_banded,
     "knn_graph": q_knn_graph,
     "incremental_vec_near_dup": q_incremental_vec_near_dup,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
@@ -9143,6 +9169,7 @@ ORACLES = {
     "near_dup_banded": ORACLE_NEAR_DUP_BANDED,
     "knn_graph": ORACLE_KNN_GRAPH,
     "incremental_vec_near_dup": ORACLE_INCREMENTAL_VEC_NEAR_DUP,
+    "kmeans_embeddings": _oracle_kmeans(),
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_ivf": ORACLE_ANN_IVF,
     "minhash_dedup": ORACLE_MINHASH_DEDUP,

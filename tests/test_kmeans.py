@@ -1,0 +1,80 @@
+"""Fixed-point Lloyd k-means (operators/kmeans.py): recovers planted
+separable clusters, is bit-deterministic across runs and partitionings,
+obeys the empty-cluster and tie-break rules, and its catalog entry's
+oracle replay is covered by the differential harness (kmeans_embeddings).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from carto_etl_spark.operators import kmeans as km
+
+DIM = 8
+SCHEMA = "vec_id long, embedding array<double>, label int"
+
+
+def _clustered(spark, per_cluster: int = 40, k: int = 4):
+    """Deterministic well-separated clusters: center c at 4*unit(c) with
+    small sin-based jitter — inter-center distance ~5.6, jitter <= 0.5."""
+    rows = []
+    vid = 0
+    for c in range(k):
+        center = [4.0 if i == c else 0.0 for i in range(DIM)]
+        for j in range(per_cluster):
+            jit = [0.5 * math.sin(vid * 31 + i * 7) for i in range(DIM)]
+            rows.append((vid, [center[i] + jit[i] for i in range(DIM)], c))
+            vid += 1
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    df = _clustered(spark)
+    cents = km.kmeans_fit(df, k=4, iterations=5, scale=10**6)
+    out = km.assign_clusters(df, cents).select("label", "cluster").collect()
+    # purity: every planted label maps to exactly one fitted cluster
+    mapping: dict = {}
+    agree = 0
+    for r in out:
+        by = mapping.setdefault(r["label"], {})
+        by[r["cluster"]] = by.get(r["cluster"], 0) + 1
+    for label, by in mapping.items():
+        agree += max(by.values())
+    assert agree / len(out) > 0.97, mapping
+    # and the 4 fitted clusters are all used
+    assert len({max(by, key=by.get) for by in mapping.values()}) == 4
+
+
+def test_kmeans_is_partition_invariant_and_deterministic(spark):
+    df = _clustered(spark)
+    a = km.kmeans_fit(df, k=4, iterations=3)
+    b = km.kmeans_fit(df.repartition(13), k=4, iterations=3)
+    assert a == b  # integer sums are order-independent
+    ca = {r["vec_id"]: r["cluster"]
+          for r in km.assign_clusters(df, a).collect()}
+    cb = {r["vec_id"]: r["cluster"]
+          for r in km.assign_clusters(df.repartition(7), b).collect()}
+    assert ca == cb
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # two coincident points, k=2: one centroid captures both (tie-break to
+    # the lower cid), the other is empty every round and must stay at its
+    # seed instead of NaN-ing or vanishing
+    df = spark.createDataFrame(
+        [(1, [1.0] * DIM, 0), (2, [1.0] * DIM, 0)], SCHEMA
+    )
+    cents = km.kmeans_fit(df, k=2, iterations=2)
+    assert len(cents) == 2
+    out = {r["vec_id"]: r["cluster"]
+           for r in km.assign_clusters(df, cents).collect()}
+    assert set(out.values()) == {0}  # all points on the lower cid
+
+
+def test_kmeans_validation(spark):
+    df = _clustered(spark, per_cluster=2, k=2)
+    with pytest.raises(ValueError, match=">= 1"):
+        km.kmeans_fit(df, k=0)
