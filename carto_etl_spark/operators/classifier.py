@@ -61,9 +61,14 @@ __all__ = [
 #: driver (one collect, zero per-iteration scheduling) — the graph.py
 #: DRIVER_LOOP_MAX_EDGES pattern.  Bit-identical to the distributed path
 #: by construction (equality-tested): integer sums are order-independent
-#: and the update rule is the same code.  5M rows of (id, int, long) is
-#: ~100 MB driver-side — comfortably under default driver memory.
-DRIVER_LOOP_MAX_ROWS = 5_000_000
+#: and the update rule is the same code.  The probe materializes via
+#: Arrow (``toArrow``), so the transfer footprint is near the raw column
+#: size (~50 MB at the threshold); the real driver cost is the Python-side
+#: per-row structures ``_train_py`` builds (~100-150 B/row in dict-of-list
+#: form), so 2M rows is ~300 MB peak — sized against that, not the raw
+#: bytes (the pre-r8 5M threshold under row-object collect() was ~GBs of
+#: Row overhead right at the limit it existed to avoid).
+DRIVER_LOOP_MAX_ROWS = 2_000_000
 
 
 def _tdiv(a: int, b: int) -> int:
@@ -157,11 +162,26 @@ def train_quality_classifier(
         F.col(label_col).cast("long").alias("__y"),
     )
     if driver_threshold_rows > 0:
-        probe = f.limit(driver_threshold_rows + 1).collect()
-        if len(probe) <= driver_threshold_rows:
+        # Arrow-batched probe: columnar buffers at ~raw-data size instead
+        # of one PySpark Row object per feature row (~100+ B each — the
+        # Row path made the probe itself the OOM risk at the threshold)
+        probe = f.limit(driver_threshold_rows + 1).toArrow()
+        if probe.num_rows <= driver_threshold_rows:
+            lab_t = lab.toArrow()
             return _train_py(
-                [(r["__id"], r["__f"], r["__c"]) for r in probe],
-                [(r["__id"], r["__y"]) for r in lab.collect()],
+                list(
+                    zip(
+                        probe.column("__id").to_pylist(),
+                        probe.column("__f").to_pylist(),
+                        probe.column("__c").to_pylist(),
+                    )
+                ),
+                list(
+                    zip(
+                        lab_t.column("__id").to_pylist(),
+                        lab_t.column("__y").to_pylist(),
+                    )
+                ),
                 dim, iterations, lr_num, lr_den, scale,
             )
     f = f.localCheckpoint(eager=True)

@@ -121,6 +121,12 @@ def kmeans_fit(
         F.expr(_q_sql(vec_col, scale)).alias("__q")
     ).localCheckpoint(eager=True)
     centroids = _init_centroids(df, k, id_col, vec_col, scale)
+    if len(centroids) < k:
+        # fail loudly: padding k down would silently diverge from the
+        # unrolled oracle (which would emit fewer cids for the same k)
+        raise ValueError(
+            f"k={k} exceeds the number of rows ({len(centroids)})"
+        )
     for _ in range(iterations):
         assigned = qdf.withColumn(
             "__cl", _argmin_expr("__q", centroids)

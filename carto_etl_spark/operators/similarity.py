@@ -871,6 +871,11 @@ def knn_graph(
         ).alias("__e"),
         "cosine",
     ).select("__e.src", "__e.nbr", "cosine")
+    # zero-norm vectors score cosine NULL against every collision (the
+    # nullif guard); those are non-edges, not neighbors — drop them before
+    # ranking or they consume top-k slots (NULLS LAST under desc, but they
+    # would still be emitted once real candidates run out)
+    scored = scored.filter(F.col("cosine").isNotNull())
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("nbr"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

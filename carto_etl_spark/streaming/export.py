@@ -30,6 +30,7 @@ other streaming state modules (driver-adjacent state directory).
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +42,29 @@ from carto_etl_spark.operators.shuffle import md5_prefix_long
 from carto_etl_spark.streaming.state import complete_dirs, is_complete
 
 _BATCHES = "batches"
+
+#: fingerprint-version marker stamped inside every batch directory this
+#: sink writes.  Its ABSENCE marks a directory written by the pre-r6
+#: key-only-fingerprint sink, and the legacy-fingerprint probe only runs
+#: while such directories exist (see ``_has_pre_upgrade_dirs``).
+_FP_MARKER = "_FPV2"
+
+_log = logging.getLogger(__name__)
+
+
+def _has_pre_upgrade_dirs(target_dir: str) -> bool:
+    """True iff the target holds at least one COMPLETE batch directory
+    without the ``_FPV2`` marker — i.e. written by the pre-upgrade
+    key-only-fingerprint sink.  Only then may the legacy probe suppress a
+    batch: on a target written entirely by this version, a new batch whose
+    KEY multiset collides with an old batch's (but whose payload differs)
+    must land, and an unconditional legacy probe would silently drop it —
+    re-introducing the exact data-loss mode the payload-folding
+    fingerprint was built to fix."""
+    return any(
+        not os.path.exists(os.path.join(d, _FP_MARKER))
+        for d in complete_dirs(os.path.join(target_dir, _BATCHES))
+    )
 
 
 def _batch_fingerprints(
@@ -59,8 +83,11 @@ def _batch_fingerprints(
       straddles the upgrade recomputes the CURRENT fp for a batch that was
       already exported under its LEGACY name; probing both directories
       keeps such replays exactly-once instead of duplicating the batch.
-      Fresh target directories never match the legacy probe (md5 collisions
-      aside), so the extra check is inert outside upgrades.
+      The legacy probe only runs while the target actually CONTAINS
+      pre-upgrade (marker-less) batch directories — see
+      ``_has_pre_upgrade_dirs`` — so on a target written entirely by this
+      version the probe is off and a new batch with a colliding key
+      multiset but different payload always lands.
     """
     row_repr = F.concat_ws(
         "\x1f",
@@ -111,8 +138,25 @@ def stream_export_jsonl(
         dest = os.path.join(target_dir, _BATCHES, fp)
         if is_complete(dest):
             return  # replayed batch: already fully written
-        if is_complete(os.path.join(target_dir, _BATCHES, legacy_fp)):
-            return  # exported under the pre-upgrade key-only fingerprint
+        if (
+            _has_pre_upgrade_dirs(target_dir)
+            and is_complete(os.path.join(target_dir, _BATCHES, legacy_fp))
+        ):
+            # exported under the pre-upgrade key-only fingerprint.  The
+            # probe is GATED on the target actually containing pre-upgrade
+            # directories: on a marker-only target this suppression would
+            # be the r5 data-loss mode (same keys, different payload,
+            # second batch silently dropped).  Log loudly either way so a
+            # suppressed export is observable, never silent.
+            _log.warning(
+                "stream_export_jsonl: batch %s suppressed by LEGACY "
+                "key-only fingerprint %s under %s (pre-upgrade batch "
+                "directories present); if this batch is genuinely new "
+                "data with a colliding key multiset, migrate the legacy "
+                "directories to their payload-folding fingerprints",
+                fp, legacy_fp, target_dir,
+            )
+            return
         staged = assign_shards(batch_df, n_shards, key_col)
         line = F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value")
         (
@@ -122,6 +166,10 @@ def stream_export_jsonl(
             .mode("overwrite")
             .text(dest)
         )
+        # stamp the fingerprint version AFTER the successful write: a
+        # complete dir without it is, by definition, pre-upgrade
+        with open(os.path.join(dest, _FP_MARKER), "w"):
+            pass
 
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint:

@@ -78,3 +78,12 @@ def test_kmeans_validation(spark):
     df = _clustered(spark, per_cluster=2, k=2)
     with pytest.raises(ValueError, match=">= 1"):
         km.kmeans_fit(df, k=0)
+
+
+def test_kmeans_k_exceeding_rows_raises(spark):
+    # 4 rows, k=9: must fail loudly instead of the pre-r8 IndexError from
+    # indexing the short seed list (and instead of silently diverging from
+    # the unrolled oracle, which would emit fewer cids)
+    df = _clustered(spark, per_cluster=2, k=2)  # 4 rows
+    with pytest.raises(ValueError, match="exceeds the number of rows"):
+        km.kmeans_fit(df, k=9, iterations=1)

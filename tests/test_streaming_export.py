@@ -183,11 +183,18 @@ def test_same_keys_different_values_both_land(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
-def test_legacy_key_only_fingerprint_dir_is_honored(spark):
+def test_legacy_key_only_fingerprint_dir_is_honored(spark, caplog):
     """A batch exported under the pre-r6 key-only fingerprint must NOT be
     re-exported when a post-upgrade replay recomputes the payload-folding
-    fingerprint: the sink probes the legacy directory name too."""
-    from carto_etl_spark.streaming.export import _batch_fingerprints
+    fingerprint: the sink probes the legacy directory name too — and logs
+    the suppression loudly (it is indistinguishable, by construction, from
+    a new batch with a colliding key multiset)."""
+    import logging
+
+    from carto_etl_spark.streaming.export import (
+        _FP_MARKER,
+        _batch_fingerprints,
+    )
 
     src = tempfile.mkdtemp(prefix="sl_src_")
     out = tempfile.mkdtemp(prefix="sl_out_")
@@ -199,17 +206,65 @@ def test_legacy_key_only_fingerprint_dir_is_honored(spark):
         _run_stream(spark, src, out, ck1)
         current, legacy = _batch_fingerprints(batch, "doc_id")
         # simulate a pre-upgrade export: the SAME shard payload sits under
-        # the legacy key-only fingerprint name instead of the current one
+        # the legacy key-only fingerprint name, with NO version marker
+        # (pre-upgrade sinks didn't write one)
         os.rename(
             os.path.join(out, "batches", current),
             os.path.join(out, "batches", legacy),
         )
+        os.remove(os.path.join(out, "batches", legacy, _FP_MARKER))
         # post-upgrade replay from a fresh checkpoint re-sees the batch and
         # computes the CURRENT fingerprint — the legacy probe must skip it
-        _run_stream(spark, src, out, ck2)
+        with caplog.at_level(
+            logging.WARNING, logger="carto_etl_spark.streaming.export"
+        ):
+            _run_stream(spark, src, out, ck2)
         got = read_stream_export(spark, out, SCHEMA).collect()
         assert len(got) == 5  # no duplication
         assert complete_batch_dirs(out) == [os.path.join(out, "batches", legacy)]
+        assert any(
+            "LEGACY" in r.message for r in caplog.records
+        ), "legacy suppression must be observable in the log"
     finally:
         for d in (src, out, ck1, ck2):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_legacy_probe_gated_off_without_pre_upgrade_dirs(spark):
+    """The legacy key-only probe must be INERT on a target containing only
+    marker-stamped (post-upgrade) batch directories: a directory that
+    happens to occupy a batch's legacy fingerprint name but carries the
+    version marker must not suppress that batch — otherwise a genuinely
+    new batch whose key multiset collides with an old one (different
+    payload) would silently vanish, the r5 data-loss mode."""
+    from carto_etl_spark.streaming.export import _batch_fingerprints
+
+    src1 = tempfile.mkdtemp(prefix="sg_src1_")
+    src2 = tempfile.mkdtemp(prefix="sg_src2_")
+    out = tempfile.mkdtemp(prefix="sg_out_")
+    ck1 = tempfile.mkdtemp(prefix="sg_ck1_")
+    ck2 = tempfile.mkdtemp(prefix="sg_ck2_")
+    try:
+        # batch 1: keys 0..4 payload "text i"; exported post-upgrade
+        _docs(spark, 0, 5).coalesce(1).write.mode("append").parquet(src1)
+        _run_stream(spark, src1, out, ck1)
+        # batch 2: SAME key multiset, different payload
+        batch2 = spark.createDataFrame(
+            [(i, "other", 9) for i in range(5)], SCHEMA
+        )
+        current1, _ = _batch_fingerprints(_docs(spark, 0, 5), "doc_id")
+        _, legacy2 = _batch_fingerprints(batch2, "doc_id")
+        # place batch 1's (marker-stamped) export at batch 2's legacy name
+        os.rename(
+            os.path.join(out, "batches", current1),
+            os.path.join(out, "batches", legacy2),
+        )
+        batch2.coalesce(1).write.mode("append").parquet(src2)
+        _run_stream(spark, src2, out, ck2)
+        got = read_stream_export(spark, out, SCHEMA).collect()
+        texts = sorted(r["text"] for r in got)
+        assert len(got) == 10, "colliding-key batch must land, not vanish"
+        assert texts == ["other"] * 5 + [f"text {i}" for i in range(5)]
+    finally:
+        for d in (src1, src2, out, ck1, ck2):
             shutil.rmtree(d, ignore_errors=True)
