@@ -21,9 +21,12 @@ real cluster geometry.
 Distributed shape per iteration (centroids are driver-resident, k x dim
 longs — the data never leaves executors):
 
-1. assignment: ONE scan-stage argmin expression over the k centroid
-   literals (``array_min`` of (distance, cid) structs; fold distances —
-   see assign_ivf_lists for when an expansion/Arrow path earns its keep);
+1. assignment: below ``_FOLD_ARGMIN_CAP`` centroid-dims, ONE scan-stage
+   argmin expression over the k centroid literals (``array_min`` of
+   (distance, cid) structs); above it, ONE numpy int64 matmul per Arrow
+   batch (``_assign_bulk_q``) — and because the distances are exact
+   integers, the two paths are BIT-IDENTICAL (same values, same lower-cid
+   tie rule), so even the unrolled oracle replays either;
 2. update: ONE ``groupBy(cluster)`` hash-aggregate with dim+1 partial-agg
    columns (count + per-dimension sums), k rows collected.
 
@@ -71,6 +74,89 @@ def _argmin_expr(q_sql: str, centroids: list[list[int]]):
     return F.expr(f"array_min(array({choices})).c")
 
 
+#: centroid-dims (k * dim) above which assignment dispatches to the Arrow
+#: matmul path.  The fold argmin is an interpreted higher-order function
+#: (~0.5 us per ELEMENT — the SCALING.md r6 cliff), i.e. ~k*dim*0.5 us per
+#: ROW; the Arrow path is one numpy int64 matmul per batch.  Unlike the
+#: float cosine paths, the two are BIT-IDENTICAL (exact integer
+#: arithmetic, same tie-break), so the dispatch threshold is purely a
+#: performance knob — small instances keep the fold's zero build cost, and
+#: the oracle replays either path.
+_FOLD_ARGMIN_CAP = 256
+
+
+def _overflow_guard(cmat, dim: int) -> int:
+    """Max |q| the c.c - 2 q.c distance stays exact-in-int64 for; the
+    Spark fold raises on overflow (ANSI), so the Arrow path must too
+    rather than silently wrapping (numpy int64 wraps)."""
+    import numpy as np
+
+    maxc = int(np.abs(cmat).max()) if cmat.size else 0
+    if maxc == 0:
+        return 2**62
+    # |c.c| <= dim*maxc^2; |2 q.c| <= 2*dim*maxq*maxc — require the sum
+    # under 2^62 (headroom for the subtraction)
+    return max(0, (2**62 - dim * maxc * maxc) // (2 * dim * maxc))
+
+
+def _assign_bulk_q(
+    df: DataFrame,
+    q_sql: str,
+    centroids: list[list[int]],
+    out_col: str,
+    scale: int | None = None,
+    raw_col: str | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE numpy int64 matmul per Arrow
+    batch — the scale path (see ``_FOLD_ARGMIN_CAP``).
+
+    argmin_c sum((q-c)^2) = argmin_c (c.c - 2 q.c): the q.q term is
+    constant per row, and in INTEGER arithmetic dropping it preserves
+    ties exactly, so the argmin — first minimum over centroids in cid
+    order, numpy's tie rule == ``array_min``'s lower-cid rule — is
+    bit-identical to the fold.  With ``raw_col`` set the batch quantizes
+    inside the UDF (``np.floor(x*scale+0.5)`` — the identical IEEE double
+    ops as ``_q_sql``); otherwise the input column already carries
+    quantized longs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.array(centroids, dtype=np.int64)  # (k, d) in cid order
+    cnorm = (cmat * cmat).sum(axis=1)  # (k,)
+    dim = cmat.shape[1]
+    maxq_ok = _overflow_guard(cmat, dim)
+    s = float(scale) if scale is not None else None
+
+    def _nearest(col):
+        if col.isna().any():
+            raise ValueError("kmeans assignment: NULL embedding in batch")
+        x = np.array(col.tolist(), dtype=np.float64 if s else np.int64)
+        if x.ndim != 2 or x.shape[1] != dim:
+            raise ValueError(
+                f"kmeans assignment: expected fixed dim {dim}, "
+                f"got shape {x.shape}"
+            )
+        q = np.floor(x * s + 0.5).astype(np.int64) if s else x
+        if q.size and int(np.abs(q).max()) > maxq_ok:
+            raise ArithmeticError(
+                "kmeans assignment: quantized coordinate magnitude "
+                f"{int(np.abs(q).max())} exceeds the int64-exact envelope "
+                f"({maxq_ok}); lower scale"
+            )
+        d2 = cnorm - 2 * (q @ cmat.T)  # (b, k) exact int64
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    _nearest.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    nearest = pandas_udf(_nearest, "int")
+    src = (
+        F.col(raw_col).cast("array<double>")
+        if raw_col is not None
+        else F.expr(q_sql)
+    )
+    return df.withColumn(out_col, nearest(src))
+
+
 def _init_centroids(
     df: DataFrame, k: int, id_col: str, vec_col: str, scale: int
 ) -> list[list[int]]:
@@ -89,15 +175,34 @@ def _init_centroids(
     return [[int(v) for v in q] for _, q in ordered]
 
 
+def _pick_method(method: str, centroids: list[list[int]]) -> str:
+    if method not in ("auto", "fold", "arrow"):
+        raise ValueError(f"method must be auto|fold|arrow, got {method!r}")
+    if method != "auto":
+        return method
+    work = len(centroids) * (len(centroids[0]) if centroids else 0)
+    return "arrow" if work > _FOLD_ARGMIN_CAP else "fold"
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[list[int]],
     vec_col: str = "embedding",
     scale: int = 10**6,
     out_col: str = "cluster",
+    method: str = "auto",
 ) -> DataFrame:
     """Nearest-centroid assignment (squared integer L2; ties to the lower
-    cluster id) — one scan-stage expression, no join, no shuffle."""
+    cluster id).  ``method="fold"`` is one scan-stage expression — no
+    join, no shuffle; ``"arrow"`` is one numpy int64 matmul per Arrow
+    batch; ``"auto"`` picks arrow above ``_FOLD_ARGMIN_CAP`` centroid-dims
+    (the interpreted-HOF cliff).  The two are bit-identical — exact
+    integer distances, same lower-cid tie rule (equality-tested in
+    tests/test_kmeans.py)."""
+    if _pick_method(method, centroids) == "arrow":
+        return _assign_bulk_q(
+            df, "", centroids, out_col, scale=scale, raw_col=vec_col
+        )
     return df.withColumn(
         out_col, _argmin_expr(_q_sql(vec_col, scale), centroids)
     )
@@ -110,10 +215,14 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 10**6,
+    method: str = "auto",
 ) -> list[list[int]]:
     """Run ``iterations`` Lloyd rounds; returns the final centroid table
     (k lists of dim quantized longs) for ``assign_clusters``.
-    Deterministic: md5-sampled init, integer arithmetic, no RNG."""
+    Deterministic: md5-sampled init, integer arithmetic, no RNG.
+    ``method`` picks the per-iteration assignment path (see
+    ``assign_clusters``) — the fold and Arrow paths are bit-identical, so
+    the fitted centroids do not depend on the choice."""
     if k < 1 or iterations < 0:
         raise ValueError("k must be >= 1, iterations >= 0")
     dim = len(df.select(vec_col).first()[0])
@@ -128,9 +237,12 @@ def kmeans_fit(
             f"k={k} exceeds the number of rows ({len(centroids)})"
         )
     for _ in range(iterations):
-        assigned = qdf.withColumn(
-            "__cl", _argmin_expr("__q", centroids)
-        )
+        if _pick_method(method, centroids) == "arrow":
+            assigned = _assign_bulk_q(qdf, "__q", centroids, "__cl")
+        else:
+            assigned = qdf.withColumn(
+                "__cl", _argmin_expr("__q", centroids)
+            )
         agg = assigned.groupBy("__cl").agg(
             F.count(F.lit(1)).alias("__n"),
             *[

@@ -80,6 +80,60 @@ def test_kmeans_validation(spark):
         km.kmeans_fit(df, k=0)
 
 
+def test_assign_fold_and_arrow_paths_are_bit_identical(spark):
+    """The Arrow int64-matmul assignment must equal the fold argmin
+    EXACTLY — distances are exact integers (c.c - 2q.c preserves ties),
+    numpy's first-min tie rule == array_min's lower-cid rule.  Includes
+    negative coordinates and exact-tie rows (coincident with two
+    centroids' midpoint)."""
+    rows = [
+        (i, [((-1.0) ** i) * 0.25 * ((i * 7 + j * 3) % 11) for j in range(DIM)], 0)
+        for i in range(60)
+    ]
+    # exact ties: rows equidistant from centroid 0 and centroid 1
+    rows += [(100 + i, [0.5] * DIM, 0) for i in range(4)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    cents = km.kmeans_fit(df, k=5, iterations=2, method="fold")
+    assert cents == km.kmeans_fit(df, k=5, iterations=2, method="arrow")
+    fold = {r["vec_id"]: r["cluster"] for r in
+            km.assign_clusters(df, cents, method="fold").collect()}
+    arrow = {r["vec_id"]: r["cluster"] for r in
+             km.assign_clusters(df, cents, method="arrow").collect()}
+    assert fold == arrow
+
+
+def test_assign_auto_dispatches_to_arrow_above_cap(spark):
+    df = _clustered(spark)
+    # k*DIM = 4*8 = 32 <= cap -> fold (no ArrowEvalPython in plan)
+    cents = km.kmeans_fit(df, k=4, iterations=1)
+    plan_small = (
+        km.assign_clusters(df, cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan_small
+    # k*dim above the cap -> arrow
+    big = [[i * 1000] * DIM for i in range(km._FOLD_ARGMIN_CAP // DIM + 1)]
+    plan_big = (
+        km.assign_clusters(df, big)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan_big
+
+
+def test_arrow_overflow_envelope_raises(spark):
+    # coordinates far outside the int64-exact envelope at a huge scale
+    # must raise (the fold path raises via ANSI; silent numpy wrap would
+    # give WRONG clusters)
+    df = spark.createDataFrame(
+        [(1, [1.0e12] * DIM, 0), (2, [-1.0e12] * DIM, 0)], SCHEMA
+    )
+    cents = [[9 * 10**17] * DIM, [-(9 * 10**17)] * DIM]
+    with pytest.raises(Exception, match="envelope|ARITHMETIC|overflow"):
+        km.assign_clusters(
+            df, cents, scale=10**6, method="arrow"
+        ).collect()
+
+
 def test_kmeans_k_exceeding_rows_raises(spark):
     # 4 rows, k=9: must fail loudly instead of the pre-r8 IndexError from
     # indexing the short seed list (and instead of silently diverging from
