@@ -626,41 +626,72 @@ def embedding_near_dup_pairs(
     )
 
 
+def _band_plane_counts(n_planes: float, n_bands: int) -> list[int]:
+    """Per-band plane counts for OCCUPANCY-TARGETED banding: a fractional
+    ``n_planes`` f splits the bands between floor(f) and ceil(f) planes in
+    proportion, so EXPECTED bucket occupancy tracks ``n / 2^f``
+    fractionally instead of jumping 2x at every integer step.  The
+    integer-step jump is the superlinear-candidate cliff SCALING.md r7
+    named: between 50.5k and 505k rows the integer ``log2`` step moved
+    12 -> 15 while the corpus grew 10x, driving candidate volume 12.5x.
+    With mixed counts the candidate volume interpolates:
+    ``n_bands * n^2 * ((1-frac)/2^lo + frac/2^(lo+1))``."""
+    lo = int(math.floor(n_planes))
+    if float(n_planes) == lo:
+        return [lo] * n_bands
+    n_hi = int(round((float(n_planes) - lo) * n_bands))
+    # ceil-plane (smaller-bucket) bands FIRST: with few bands the rounding
+    # must still move occupancy toward the target
+    return [lo + 1] * n_hi + [lo] * (n_bands - n_hi)
+
+
 def _band_buckets_bulk(
     df: DataFrame,
     vec_col: str,
     dim: int,
-    n_planes: int,
+    n_planes: float,
     n_bands: int,
     seed: int,
     out_col: str,
 ) -> DataFrame:
     """All bands' LSH buckets in one numpy matmul per Arrow batch:
-    ``sign(X @ P.T)`` over the stacked (n_bands*n_planes, dim) plane matrix,
-    bits packed per band — the scale path for large band/plane counts where
-    the expanded codegen signature overflows Janino.  Bit values can differ
-    from the codegen path by sign flips on dots within an ulp of zero;
-    bucketing correctness is unaffected (both join sides use the SAME
-    expression), so this path is for scale runs, not oracle replays."""
+    ``sign(X @ P.T)`` over the stacked plane matrix, bits packed per band —
+    the scale path for large band/plane counts where the expanded codegen
+    signature overflows Janino.  ``n_planes`` may be FRACTIONAL — bands
+    then mix floor/ceil plane counts (see ``_band_plane_counts``) so
+    expected occupancy tracks the target between integer steps.  Bit
+    values can differ from the codegen path by sign flips on dots within
+    an ulp of zero; bucketing correctness is unaffected (both join sides
+    use the SAME expression), so this path is for scale runs, not oracle
+    replays."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    pmat = np.array(
+    counts = _band_plane_counts(n_planes, n_bands)
+    pmat = np.concatenate(
         [
-            _hyperplanes(dim, n_planes, seed + b)
-            for b in range(n_bands)
+            np.array(_hyperplanes(dim, c, seed + b), dtype=np.float64)
+            for b, c in enumerate(counts)
         ],
-        dtype=np.float64,
-    ).reshape(n_bands * n_planes, dim)
-    weights = (1 << np.arange(n_planes, dtype=np.int64))
+        axis=0,
+    )  # (sum(counts), dim)
+    offs = np.cumsum([0] + counts)
+    weights = [
+        (1 << np.arange(c, dtype=np.int64)) for c in counts
+    ]
 
     def _sigs(col):
         x = np.array(col.tolist(), dtype=np.float64)
-        bits = (x @ pmat.T) >= 0.0  # (n, n_bands*n_planes)
+        bits = (x @ pmat.T) >= 0.0  # (n, sum(counts))
         out = []
-        for r in bits.reshape(len(x), n_bands, n_planes):
-            out.append([int(band @ weights) for band in r])
+        for r in bits:
+            out.append(
+                [
+                    int(r[offs[b]: offs[b + 1]] @ weights[b])
+                    for b in range(len(counts))
+                ]
+            )
         return pd.Series(out)
 
     _sigs.__annotations__ = {"col": pd.Series, "return": pd.Series}
@@ -670,12 +701,112 @@ def _band_buckets_bulk(
     )
 
 
+def _banded_candidates(
+    bucketed: DataFrame,
+    other: DataFrame | None = None,
+    broadcast_left: bool = False,
+) -> DataFrame:
+    """Distinct candidate pairs from (``__id``, band, bucket) rows — the
+    shared stage under the banded near-dup, k-NN graph and incremental
+    vector index paths (each used to hand-roll it).
+
+    Self mode (``other`` is None): ONE self-join keyed (band, bucket) with
+    ``id_a < id_b`` — half the pair volume of a directed join — deduped
+    across bands.  Bipartite mode: left x other on (band, bucket), with
+    ``broadcast_left`` for the micro-batch-vs-state shape where the left
+    side is small and the state must never shuffle."""
+    a = bucketed.alias("a")
+    if other is None:
+        b_ = bucketed.alias("b")
+        cond = (
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id"))
+        )
+    else:
+        b_ = other.alias("b")
+        cond = (F.col("a.band") == F.col("b.band")) & (
+            F.col("a.bucket") == F.col("b.bucket")
+        )
+    left = F.broadcast(a) if broadcast_left else a
+    return (
+        left.join(b_, cond)
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _hoisted_vecs(
+    df: DataFrame, id_col: str, vec_col: str, dim: int | None = None
+) -> DataFrame:
+    """(``__vid``, ``__v``, ``__n``) with the per-row norm hoisted BEFORE
+    any pair join (bit-identical to computing it per pair — sqrt of the
+    same expanded sum): per-PAIR work drops from three array aggregates to
+    one, and the threshold filter Catalyst pushes into the join CONDITION
+    then carries only the dot (with the full cosine inlined, the condition
+    — one unsplittable generated method — overflowed Janino's 64 KB limit,
+    killing whole-stage codegen for the entire verify stage).  ``dim``
+    picks the codegen expansion; None keeps the fold (right for toy/
+    micro-batch slivers where the expansion's per-build analysis cost
+    dominates)."""
+    emb = F.col(vec_col).cast("array<double>")
+    out = df.select(F.col(id_col).alias("__vid"), emb.alias("__v"))
+    n = (
+        norm_fixed_expr("__v", dim)
+        if dim is not None
+        else norm_expr(F.col("__v"))
+    )
+    return out.withColumn("__n", n)
+
+
+def _verified_cosine(
+    cand: DataFrame,
+    vecs_a: DataFrame,
+    vecs_b: DataFrame | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """EXACT cosine for each (id_a, id_b) candidate, joining back to
+    ``_hoisted_vecs`` frames (``vecs_b`` defaults to ``vecs_a`` — the
+    self-corpus shape).  ``dim`` as in ``_hoisted_vecs``.  Callers apply
+    their own threshold/ranking; zero-norm vectors yield cosine NULL (the
+    nullif guard) — threshold filters drop those, rankers must."""
+    if vecs_b is None:
+        vecs_b = vecs_a
+    va = (
+        vecs_a.withColumnRenamed("__vid", "id_a")
+        .withColumnRenamed("__v", "__va")
+        .withColumnRenamed("__n", "__na")
+    )
+    vb = (
+        vecs_b.withColumnRenamed("__vid", "id_b")
+        .withColumnRenamed("__v", "__vb")
+        .withColumnRenamed("__n", "__nb")
+    )
+    dot = (
+        dot_fixed_expr("__va", "__vb", dim)
+        if dim is not None
+        else dot_expr(F.col("__va"), F.col("__vb"))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                dot / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0))
+            ).alias("cosine"),
+        )
+    )
+
+
 def embedding_near_dup_banded(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
+    n_planes: float = 16,
     n_bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
@@ -692,7 +823,10 @@ def embedding_near_dup_banded(
     signatures of ``n_planes`` bits each; a pair is a candidate if it
     collides in ANY band — recall ``1 - (1 - p^r)^L`` (p = 1 - theta/pi per
     hyperplane), pair volume ~``n_bands * n^2 / 2^n_planes``, tuned
-    per-corpus so buckets stay O(1)-sized.  Candidates dedupe across bands,
+    per-corpus so buckets stay O(1)-sized.  ``n_planes`` may be FRACTIONAL
+    — bands then mix floor/ceil plane counts so expected occupancy tracks
+    the target between integer steps (see ``_band_plane_counts``; pass
+    ``log2(n / target)`` unrounded).  Candidates dedupe across bands,
     then ONE exact-cosine verification joins the (id_a, id_b) sliver back
     to the vectors — signature noise can never flip a decision, exactly the
     minhash_dedup contract.
@@ -700,7 +834,6 @@ def embedding_near_dup_banded(
     Scale shape: bucket computation is scan-stage (n_bands x n_planes dot
     products per row), the self-join shuffles (band, bucket) keys, verify
     touches candidate pairs only.  Never all-pairs."""
-    emb = F.col(vec_col).cast("array<double>")
     dim = len(df.select(vec_col).first()[0])
     # every band's bucket from ONE Arrow matmul, exploded to (band, bucket)
     # rows.  Always the Arrow path: n_bands codegen signatures fused into
@@ -716,58 +849,24 @@ def embedding_near_dup_banded(
         F.col(id_col).alias("__id"),
         F.posexplode("__bands").alias("band", "bucket"),
     )
-    a, b_ = bucketed.alias("a"), bucketed.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _banded_candidates(bucketed)
     # verify joins are hinted shuffle_hash: the vector side's size estimate
     # comes from compressed parquet stats, which understate a fat
     # array<double> column enough that AQE picks a broadcast that then
     # fails to build (observed at 505k x 64 dims under a 64 MB threshold);
     # at corpus scale these joins are big-big by nature, so shuffling on id
-    # is the right plan anyway.  Norms are hoisted BEFORE the join (the
-    # semantic_dedup hoist — bit-identical: sqrt of the same expanded sum,
-    # multiplied in the same dot/(na*nb) order): per-PAIR work drops from
-    # three 64-term expansions to one, and — load-bearing, not just a
-    # speedup — the threshold filter Catalyst pushes into the join
-    # CONDITION then carries only the expanded dot.  With the full cosine
-    # inlined, the condition (one unsplittable generated method) overflowed
-    # Janino's 64 KB limit, killing whole-stage codegen for the entire
-    # verify stage (observed: ~6 s failed-compile tax + interpreted join).
-    vecs = df.select(
-        F.col(id_col).alias("__vid"), emb.alias("__v")
-    ).withColumn("__n", norm_fixed_expr("__v", dim)).hint("shuffle_hash")
-    return (
-        cand.join(vecs.withColumnRenamed("__vid", "id_a")
-                  .withColumnRenamed("__v", "__va")
-                  .withColumnRenamed("__n", "__na"), "id_a")
-        .join(vecs.withColumnRenamed("__vid", "id_b")
-              .withColumnRenamed("__v", "__vb")
-              .withColumnRenamed("__n", "__nb"), "id_b")
-        .select(
-            "id_a", "id_b",
-            (
-                dot_fixed_expr("__va", "__vb", dim)
-                / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0))
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    # is the right plan anyway.  Norm hoisting + the condition-splitting
+    # rationale live on _hoisted_vecs.
+    vecs = _hoisted_vecs(df, id_col, vec_col, dim).hint("shuffle_hash")
+    return _verified_cosine(cand, vecs, dim=dim).filter(
+        F.col("cosine") >= threshold
     )
 
 
 def knn_graph(
     df: DataFrame,
     k: int = 5,
-    n_planes: int = 16,
+    n_planes: float = 16,
     n_bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -799,17 +898,21 @@ def knn_graph(
 
     Cost model: candidate pairs ~ ``n_bands * n^2 / 2^n_planes``; pick
     ``n_planes ~ log2(n / target_bucket_size)`` so buckets stay O(1)-sized
-    and the join stays ~linear.  Recall of a true neighbor at cosine s is
-    ``1 - (1 - p^r)^L`` with ``p = 1 - arccos(s)/pi`` — raise n_bands for
-    recall, n_planes for precision/cost.  Vectors whose buckets are
-    singletons in every band emit NO rows (no candidates) — at sane
-    parameterizations that is the far-outlier tail; lower n_planes or add
-    bands to pull them in.
+    and the join stays ~linear.  ``n_planes`` may be FRACTIONAL
+    (occupancy-targeted banding, r7 verdict #4): the integer-only step
+    made candidate volume jump up to 2x per step — at 10x rows the step
+    12 -> 15 drove candidate volume 12.5x; mixed floor/ceil plane counts
+    across bands (``_band_plane_counts``) interpolate expected occupancy
+    between the steps, so pass ``log2(n / target)`` UNROUNDED.  Recall of
+    a true neighbor at cosine s is ``1 - (1 - p^r)^L`` with
+    ``p = 1 - arccos(s)/pi`` — raise n_bands for recall, n_planes for
+    precision/cost.  Vectors whose buckets are singletons in every band
+    emit NO rows (no candidates) — at sane parameterizations that is the
+    far-outlier tail; lower n_planes or add bands to pull them in.
 
     Returns (``id_col``, neighbor_id, cosine, rank), rank 1-based."""
     from pyspark.sql import Window
 
-    emb = F.col(vec_col).cast("array<double>")
     dim = len(df.select(vec_col).first()[0])
     sigged = _band_buckets_bulk(
         df, vec_col, dim, n_planes, n_bands, seed, out_col="__bands"
@@ -818,43 +921,14 @@ def knn_graph(
         F.col(id_col).alias("__id"),
         F.posexplode("__bands").alias("band", "bucket"),
     )
-    a, b_ = bucketed.alias("a"), bucketed.alias("b")
-    pairs = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # norms hoisted before the join (bit-identical — see the
-    # embedding_near_dup_banded note): one expanded dot per PAIR, one norm
-    # per ROW instead of three expansions per pair.  Cosine is symmetric,
-    # so each UNDIRECTED pair is scored ONCE (id_a < id_b) and the scored
-    # rows are mirrored into both directions afterwards — half the verify
-    # join volume and half the expansion work of mirroring first.
-    vecs = df.select(
-        F.col(id_col).alias("__vid"), emb.alias("__v")
-    ).withColumn("__n", norm_fixed_expr("__v", dim)).hint("shuffle_hash")
-    scored_pairs = (
-        pairs.join(vecs.withColumnRenamed("__vid", "id_a")
-                   .withColumnRenamed("__v", "__va")
-                   .withColumnRenamed("__n", "__na"), "id_a")
-        .join(vecs.withColumnRenamed("__vid", "id_b")
-              .withColumnRenamed("__v", "__vb")
-              .withColumnRenamed("__n", "__nb"), "id_b")
-        .select(
-            "id_a", "id_b",
-            (
-                dot_fixed_expr("__va", "__vb", dim)
-                / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0))
-            ).alias("cosine"),
-        )
-    )
+    pairs = _banded_candidates(bucketed)
+    # Cosine is symmetric, so each UNDIRECTED pair is scored ONCE
+    # (id_a < id_b) and the scored rows are mirrored into both directions
+    # afterwards — half the verify join volume and half the expansion work
+    # of mirroring first.  Norm hoisting + shuffle_hash rationale live on
+    # _hoisted_vecs / embedding_near_dup_banded.
+    vecs = _hoisted_vecs(df, id_col, vec_col, dim).hint("shuffle_hash")
+    scored_pairs = _verified_cosine(pairs, vecs, dim=dim)
     # map-side mirror via explode — a union of two projections would
     # duplicate the whole verify-join plan (no exchange reuse across
     # differing projections); this is one pass, zero recompute

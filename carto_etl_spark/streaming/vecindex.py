@@ -60,9 +60,10 @@ from pyspark.sql.streaming import StreamingQuery
 from carto_etl_spark.operators.jobs import TargetTable
 from carto_etl_spark.operators.similarity import (
     _band_buckets_bulk,
+    _banded_candidates,
+    _hoisted_vecs,
     _hyperplanes,
-    dot_expr,
-    norm_expr,
+    _verified_cosine,
     signature_bits_expr,
 )
 from carto_etl_spark.streaming.state import AppendOnlyState
@@ -161,40 +162,22 @@ def match_against_vec_index(
         signature=signature,
     )
     state = _read_index(spark, state_dir)
-    cand = (
-        F.broadcast(bb.select("band", "bucket", F.col(id_col).alias("id_a")))
-        .join(
-            state.select("band", "bucket", F.col(id_col).alias("id_b")),
-            ["band", "bucket"],
-        )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _banded_candidates(
+        bb.select("band", "bucket", F.col(id_col).alias("__id")),
+        other=state.select("band", "bucket", F.col(id_col).alias("__id")),
+        broadcast_left=True,
     )
-    # exact verify on the candidate-touched sliver only; norms hoisted so
-    # the threshold pushed into the join condition carries just the dot
-    # (fold forms: a micro-batch's candidate sliver is small, and the
-    # expansion's per-build cost dominates at streaming cadence)
-    emb = F.col(vec_col).cast("array<double>")
-    bvec = batch.select(
-        F.col(id_col).alias("id_a"), emb.alias("__va")
-    ).withColumn("__na", norm_expr(F.col("__va")))
+    # exact verify on the candidate-touched sliver only (fold forms — dim
+    # None: a micro-batch's candidate sliver is small, and the expansion's
+    # per-build cost dominates at streaming cadence); history vectors are
+    # read only for candidate-touched ids, never a full pass
+    bvec = _hoisted_vecs(batch, id_col, vec_col)
     hids = cand.select(F.col("id_b").alias(id_col)).distinct()
-    hvec = (
-        history_vecs.join(hids, id_col, "left_semi")
-        .select(F.col(id_col).alias("id_b"), emb.alias("__vb"))
-        .withColumn("__nb", norm_expr(F.col("__vb")))
+    hvec = _hoisted_vecs(
+        history_vecs.join(hids, id_col, "left_semi"), id_col, vec_col
     )
-    return (
-        cand.join(bvec, "id_a")
-        .join(hvec, "id_b")
-        .select(
-            "id_a", "id_b",
-            (
-                dot_expr(F.col("__va"), F.col("__vb"))
-                / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0))
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    return _verified_cosine(cand, bvec, hvec).filter(
+        F.col("cosine") >= threshold
     )
 
 

@@ -184,6 +184,45 @@ def test_knn_graph_planted_duplicate_is_top_neighbor(spark, emb_df):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_band_plane_counts_interpolates():
+    # integer input: uniform bands, integer-exactly
+    assert sim._band_plane_counts(16, 8) == [16] * 8
+    assert sim._band_plane_counts(16.0, 8) == [16] * 8
+    # fractional input: floor/ceil mix in proportion, ceil bands first
+    assert sim._band_plane_counts(15.5, 4) == [16, 16, 15, 15]
+    assert sim._band_plane_counts(12.25, 8) == [13, 13] + [12] * 6
+    # expected occupancy interpolation: mean of 2^-c weights sits between
+    # the two integer steps
+    counts = sim._band_plane_counts(12.75, 4)
+    assert sorted(counts) == [12, 13, 13, 13]
+
+
+def test_banded_near_dup_fractional_planes_keeps_planted_recall(
+    spark, emb_df
+):
+    # identical planted copies collide in EVERY band regardless of the
+    # per-band plane count, so fractional (occupancy-targeted) banding
+    # must keep perfect recall while shrinking expected bucket occupancy
+    dup = emb_df.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.col("embedding"),
+        "label",
+    )
+    both = emb_df.unionByName(dup)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_near_dup_banded(
+            both, threshold=0.999, n_planes=10.5, n_bands=6
+        ).collect()
+    }
+    planted = {
+        (r["vec_id"], r["vec_id"] + 1_000_000)
+        for r in emb_df.filter(F.col("vec_id") % 25 == 0).collect()
+    }
+    assert planted <= got
+    assert not (got - planted)  # exact verify still kills signature noise
+
+
 def test_signature_bits_caps_at_63_planes(spark):
     planes64 = sim._hyperplanes(4, 64, seed=1)
     with pytest.raises(ValueError, match="<= 63"):

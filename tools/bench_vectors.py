@@ -88,7 +88,11 @@ def _run_scaled(name: str, spark, sf_dir: str, n: int):
         # The aggregate folds planted-pair recall in (every 100th vector
         # has a near-identical partner at id + 10^9): `planted_found` must
         # equal the planted count or the banded stage lost a real pair.
-        planes = max(10, int(math.log2(max(n, 2) / 4.0)))
+        # UNROUNDED log2: occupancy-targeted banding (mixed floor/ceil
+        # plane counts across bands) keeps expected bucket occupancy at
+        # the n/4 target between integer steps — the integer-only step
+        # made candidate volume jump up to 2x per step (SCALING.md r7)
+        planes = max(10.0, math.log2(max(n, 2) / 4.0))
         pairs = sim.embedding_near_dup_banded(
             e, threshold=0.999, n_planes=planes, n_bands=6
         )
@@ -107,12 +111,24 @@ def _run_scaled(name: str, spark, sf_dir: str, n: int):
         return q8.select(
             F.sum(F.element_at("q_vec", 1)).alias("s")
         )
+    if name == "kmeans_scaled":
+        # fixed k (not sqrt(n)) so per-row work is constant and the
+        # quick gate's linear-scaling check stays meaningful: the
+        # regression class this row exists to catch is the interpreted
+        # fold (k*dim*0.5us/row) silently replacing the Arrow matmul
+        from carto_etl_spark.operators import kmeans as km
+
+        cents = km.kmeans_fit(e, k=64, iterations=2)
+        return km.assign_clusters(e, cents).groupBy("cluster").count()
     if name == "knn_scaled":
         # k-NN graph with size-appropriate buckets (2^planes ~ n/8) and the
         # same 4-band OR amplification the near-dup scale path uses; the
         # aggregate also measures planted-dup recall (every 100th vector
         # has a near-identical partner at id + 10^9 — it must be rank 1)
-        planes = max(10, int(math.log2(max(n, 2) / 8.0)))
+        # UNROUNDED log2 -> occupancy-targeted banding (see the near-dup
+        # row above); at 505k this was the r7 superlinear driver: the
+        # integer step 12 -> 15 at 10x rows drove candidate volume 12.5x
+        planes = max(10.0, math.log2(max(n, 2) / 8.0))
         g = sim.knn_graph(e, k=5, n_planes=planes, n_bands=4)
         return g.groupBy().agg(
             F.count(F.lit(1)).alias("edges"),
@@ -140,7 +156,7 @@ def _time(fn, iters: int = 2) -> float:
 
 
 SCALED = ["ivf_scaled", "semdedup_scaled", "sq8_scaled",
-          "neardup_banded_scaled", "knn_scaled"]
+          "neardup_banded_scaled", "knn_scaled", "kmeans_scaled"]
 
 
 def _planted_sources(spark, sf_dir: str) -> int:
