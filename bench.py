@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "minhash_dedup",
     "pipeline_e2e",
+    "pipeline_ccnet",
     # new r4 operators (per-query numbers are the comparable unit across
     # rounds; the total includes these from r4 on)
     "ngram_jaccard",

@@ -1469,30 +1469,41 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
-def _oracle_quality_classifier() -> str:
-    from carto_etl_spark.operators.classifier import classifier_train_sql
-    from carto_etl_spark.operators.text import hashed_features_oracle_sql
-
-    feats = hashed_features_oracle_sql(
-        "SELECT doc_id, text FROM documents", ["doc_id"], dim=_QC_DIM
-    )
+def _qc_label_sql() -> str:
     junk = ", ".join(f"'{w}'" for w in _QC_JUNK)
-    label_sql = rf"""
+    return rf"""
 SELECT doc_id,
        CASE WHEN len(list_filter(t, x -> x IN ({junk}))) * 24 <= len(t)
             THEN 1 ELSE 0 END AS label
 FROM (SELECT doc_id, list_filter(
         string_split_regex(trim(text), '\s+'), x -> x != '') AS t
       FROM documents)"""
-    train = classifier_train_sql(
+
+
+def _qc_train_sql() -> str:
+    """The unrolled 12-iteration training WITH-chain over the raw labeled
+    corpus — shared by the quality_classifier / quality_mixture /
+    pipeline_ccnet oracles."""
+    from carto_etl_spark.operators.classifier import classifier_train_sql
+    from carto_etl_spark.operators.text import hashed_features_oracle_sql
+
+    feats = hashed_features_oracle_sql(
+        "SELECT doc_id, text FROM documents", ["doc_id"], dim=_QC_DIM
+    )
+    return classifier_train_sql(
         feats,
-        label_sql,
+        _qc_label_sql(),
         dim=_QC_DIM,
         iterations=_QC_ITERS,
         lr_num=_QC_LR_NUM,
         lr_den=_QC_LR_DEN,
         scale=_QC_SCALE,
     )
+
+
+def _oracle_quality_classifier() -> str:
+    train = _qc_train_sql()
+    label_sql = _qc_label_sql()
     return rf"""
 WITH wfin AS ({train}),
 toks AS (
@@ -2400,31 +2411,14 @@ WHERE doc_id NOT IN (SELECT s FROM reach GROUP BY s HAVING min(d) < s)
 """
 
 
-def q_pipeline_e2e(spark, sf_dir):
-    """The realistic preprocessing COMPOSITION, priced as one entry (r6
-    verdict #4): every stage below is benched solo elsewhere, but a real
-    corpus run chains them, and compositions carry cross-stage costs
-    (recomputation, lost pushdowns, cache boundaries) per-stage benches
-    can't see.  One deterministic messy-corpus synthesis (cookie-banner
-    pages + per-source footers + near-copies of every 10th doc), then:
-
-      line dedup (CCNet boilerplate removal) -> min-token quality gate ->
-      term-blocklist gate -> PII scrub -> MinHash near-dedup
-      (exact-verified, transitive survivorship) -> split assignment ->
-      shard assignment
-
-    — the html_extract/tokenize stages keep their solo entries (the
-    extractor collapses line structure by design, which would blind the
-    line-dedup stage here).  Emits the export manifest row per surviving
-    doc: (doc_id, split, shard, n_tokens, text_md5).  The oracle replays
-    the ENTIRE chain in one WITH-chain, including the recursive-CTE
-    connected components — a green row prices and proves the composition
-    end to end.  Plan posture: synthesis + gates + scrub FUSE into the
-    line-dedup reassembly's output stage (verified: one scan of documents
-    feeds the whole prefix), and the only shuffles are the three inherent
-    ones (line-count agg, doc reassembly, minhash bands/components)."""
+def _pipeline_messy_scrubbed(spark, sf_dir):
+    """Shared pipeline PREFIX (pipeline_e2e + pipeline_ccnet): the
+    deterministic messy-corpus synthesis, then line dedup -> min-token
+    gate -> blocklist gate -> PII scrub.  Returns the scrubbed
+    (doc_id, text) frame, NOT yet checkpointed — callers place their own
+    materialization boundary (see the localCheckpoint note in
+    q_pipeline_e2e)."""
     from carto_etl_spark.operators.blocklist import flag
-    from carto_etl_spark.operators.export import assign_shards
     from carto_etl_spark.operators.scrub import scrub
 
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
@@ -2449,19 +2443,15 @@ def q_pipeline_e2e(spark, sf_dir):
     allowed = flag(gated, "text", ("hash value", "dup")).where(
         F.col("n_blocked") <= 2
     ).select("doc_id", "text")
-    # the cross-stage cost this entry exists to expose: minhash_dedup
-    # references its input from FIVE plan branches (signatures, two verify
-    # join sides, touched-id semi-join, final anti-join), and without a
-    # materialization boundary each branch re-derived the whole prefix —
-    # 8 scans of the corpus parquet (measured; test_pipeline_ops pins the
-    # bound).  One localCheckpoint of the cleaned+scrubbed frame cuts it
-    # to the line-dedup stage's own branches; at 100 TB this is the
-    # "stage output to durable storage" boundary every real pipeline puts
-    # exactly here.
-    scrubbed = (
-        scrub(allowed, "text").select("doc_id", "text")
-        .localCheckpoint(eager=True)
-    )
+    return scrub(allowed, "text").select("doc_id", "text")
+
+
+def _pipeline_finish(scrubbed):
+    """Shared pipeline TAIL: MinHash near-dedup (exact-verified,
+    transitive survivorship) over an already-materialized frame, then
+    split + shard assignment and the export-manifest projection."""
+    from carto_etl_spark.operators.export import assign_shards
+
     survivors = dd.minhash_dedup(
         scrubbed, "doc_id", "text",
         threshold=0.5, bands=32, verify_exact=True,
@@ -2480,12 +2470,82 @@ def q_pipeline_e2e(spark, sf_dir):
     )
 
 
-def _oracle_pipeline_e2e() -> str:
-    split = smp.split_sql(
-        "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, salt=11
+def q_pipeline_e2e(spark, sf_dir):
+    """The realistic preprocessing COMPOSITION, priced as one entry (r6
+    verdict #4): every stage below is benched solo elsewhere, but a real
+    corpus run chains them, and compositions carry cross-stage costs
+    (recomputation, lost pushdowns, cache boundaries) per-stage benches
+    can't see.  One deterministic messy-corpus synthesis (cookie-banner
+    pages + per-source footers + near-copies of every 10th doc), then:
+
+      line dedup (CCNet boilerplate removal) -> min-token quality gate ->
+      term-blocklist gate -> PII scrub -> MinHash near-dedup
+      (exact-verified, transitive survivorship) -> split assignment ->
+      shard assignment
+
+    — the html_extract/tokenize stages keep their solo entries (the
+    extractor collapses line structure by design, which would blind the
+    line-dedup stage here).  Emits the export manifest row per surviving
+    doc: (doc_id, split, shard, n_tokens, text_md5).  The oracle replays
+    the ENTIRE chain in one WITH-chain, including the recursive-CTE
+    connected components — a green row prices and proves the composition
+    end to end.  Plan posture: synthesis + gates + scrub FUSE into the
+    line-dedup reassembly's output stage (verified: one scan of documents
+    feeds the whole prefix), and the only shuffles are the three inherent
+    ones (line-count agg, doc reassembly, minhash bands/components).
+
+    The cross-stage cost this entry exists to expose: minhash_dedup
+    references its input from FIVE plan branches (signatures, two verify
+    join sides, touched-id semi-join, final anti-join), and without a
+    materialization boundary each branch re-derived the whole prefix —
+    8 scans of the corpus parquet (measured; test_pipeline_ops pins the
+    bound).  One localCheckpoint of the cleaned+scrubbed frame cuts it
+    to the line-dedup stage's own branches; at 100 TB this is the
+    "stage output to durable storage" boundary every real pipeline puts
+    exactly here.  (q_pipeline_ccnet adds the trained classifier quality
+    gate to this same chain.)"""
+    scrubbed = _pipeline_messy_scrubbed(spark, sf_dir).localCheckpoint(
+        eager=True
     )
-    return rf"""
-WITH RECURSIVE base AS (
+    return _pipeline_finish(scrubbed)
+
+
+#: classifier-gate threshold for pipeline_ccnet, on the [0, _QC_SCALE]
+#: hard-sigmoid score — the quality_mixture "mid" boundary: keep documents
+#: the trained gate does not actively dislike
+_PC_TAU = _QM_MID
+
+
+def q_pipeline_ccnet(spark, sf_dir):
+    """pipeline_e2e completed into the FULL CCNet shape (r7 verdict #3):
+    the same messy-corpus synthesis and line-dedup/blocklist/scrub prefix,
+    then the TRAINED quality classifier gates the corpus at scan stage
+    before near-dedup — train (12 fixed-point GD iterations on the raw
+    labeled seed corpus, operators/classifier.py) -> score every scrubbed
+    doc with ``quality_score_expr`` -> keep score >= tau -> MinHash
+    near-dedup -> split -> shard.  The oracle unrolls TRAINING and replays
+    the whole chain (including the recursive-CTE connected components) in
+    one statement — a green row proves the composition of the round's two
+    flagship pieces.  Plan posture: the score expression is one more
+    scan-stage predicate on the fused prefix (no new shuffle, no UDF); the
+    localCheckpoint boundary stays where pipeline_e2e pinned it."""
+    from carto_etl_spark.operators import classifier as clf
+
+    d_raw = load(spark, sf_dir, "documents")
+    feats = tx.hashed_features(d_raw, "text", ["doc_id"], dim=_QC_DIM)
+    labels = d_raw.select("doc_id", _qc_label_col())
+    w, b = clf.train_quality_classifier(
+        feats, labels, dim=_QC_DIM, iterations=_QC_ITERS,
+        lr_num=_QC_LR_NUM, lr_den=_QC_LR_DEN, scale=_QC_SCALE,
+    )
+    scrubbed = _pipeline_messy_scrubbed(spark, sf_dir)
+    gated = scrubbed.where(
+        clf.quality_score_expr("text", w, b, scale=_QC_SCALE) >= _PC_TAU
+    ).localCheckpoint(eager=True)
+    return _pipeline_finish(gated)
+
+
+_PIPE_PREFIX_CTES = r"""base AS (
   SELECT doc_id, text, source FROM documents WHERE text IS NOT NULL
 ), both_docs AS (
   SELECT doc_id, text, source FROM base
@@ -2522,17 +2582,28 @@ WITH RECURSIVE base AS (
   SELECT doc_id,
          regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
              'https?://[^\s]+', '<URL>', 'g'),
-             '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}\b',
+             '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b',
              '<EMAIL>', 'g'),
-             '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g'),
-             '\+\d[\d \-]{{6,}}\d\b', '<PHONE>', 'g') AS text
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d[\d \-]{6,}\d\b', '<PHONE>', 'g') AS text
   FROM gated
-), toks AS (
+)"""
+
+
+def _pipeline_tail_sql(src: str) -> str:
+    """Shared pipeline-oracle TAIL (pipeline_e2e + pipeline_ccnet): the
+    MinHash-equivalent exact near-dedup (3-gram Jaccard >= 0.5, transitive
+    survivorship via a recursive CTE) over ``src``, then the split/shard
+    manifest projection — parameterized on the CTE feeding the dedup."""
+    split = smp.split_sql(
+        "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, salt=11
+    )
+    return rf""", toks AS (
   SELECT doc_id,
          list_filter(string_split(
              trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
              x -> x != '') AS t
-  FROM scrubbed
+  FROM {src}
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
@@ -2554,7 +2625,7 @@ WITH RECURSIVE base AS (
   UNION
   SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
 ), keep AS (
-  SELECT doc_id, text FROM scrubbed
+  SELECT doc_id, text FROM {src}
   WHERE doc_id NOT IN (SELECT s FROM reach GROUP BY s HAVING min(d) < s)
 )
 SELECT doc_id,
@@ -2566,6 +2637,49 @@ SELECT doc_id,
        md5(text) AS text_md5
 FROM keep
 """
+
+
+def _oracle_pipeline_e2e() -> str:
+    return "WITH RECURSIVE " + _PIPE_PREFIX_CTES + _pipeline_tail_sql(
+        "scrubbed"
+    )
+
+
+def _oracle_pipeline_ccnet() -> str:
+    """The ccnet composition oracle: the shared prefix, then the ENTIRE
+    classifier training unrolled (12 GD iterations over the raw labeled
+    corpus — the quality_classifier oracle's wfin), the scrubbed docs
+    rescored through the trained weights, the tau gate, and the shared
+    dedup/manifest tail over the gated set."""
+    train = _qc_train_sql()
+    score_ctes = rf""", wfin AS MATERIALIZED (
+  SELECT feature, weight FROM ({train}) t
+), ptoks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(trim(text), '\s+'), x -> x != '')) AS tok
+  FROM scrubbed
+), pdsum AS (
+  SELECT doc_id, CAST(SUM(w.weight) AS BIGINT) AS m
+  FROM (SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                    % {_QC_DIM} AS INT) AS feature
+        FROM ptoks) tw
+  JOIN wfin w USING (feature) GROUP BY doc_id
+), qgated AS (
+  SELECT s.doc_id, s.text
+  FROM scrubbed s
+  LEFT JOIN pdsum m ON s.doc_id = m.doc_id
+  CROSS JOIN (SELECT weight FROM wfin WHERE feature = {_QC_DIM}) b
+  WHERE greatest(0, least({_QC_SCALE},
+          (COALESCE(m.m, 0) + b.weight) // 4 + {_QC_SCALE // 2}))
+        >= {_PC_TAU}
+)"""
+    return (
+        "WITH RECURSIVE "
+        + _PIPE_PREFIX_CTES
+        + score_ctes
+        + _pipeline_tail_sql("qgated")
+    )
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -8972,6 +9086,7 @@ QUERIES = {
     "compression_ratio": q_compression_ratio,
     "minhash_dedup": q_minhash_dedup,
     "pipeline_e2e": q_pipeline_e2e,
+    "pipeline_ccnet": q_pipeline_ccnet,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
@@ -9174,6 +9289,7 @@ ORACLES = {
     "ann_ivf": ORACLE_ANN_IVF,
     "minhash_dedup": ORACLE_MINHASH_DEDUP,
     "pipeline_e2e": _oracle_pipeline_e2e(),
+    "pipeline_ccnet": _oracle_pipeline_ccnet(),
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "stratified_sample": ORACLE_STRATIFIED,
     "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,

