@@ -225,7 +225,41 @@ BENCH_QUERIES = [
     "lsh_match_steady",
     "html_extract",
     "blocklist_filter",
+    # r8: previously-unbenched catalog entries (r7 verdict #5 — no silent
+    # gaps; the few deliberate exclusions live in EXCLUDED with reasons)
+    "approx_stats",
+    "compression_ratio",
+    "image_dhash",
+    "lcc_transform",
+    "mktsegment_stats",
+    "morton_tiles",
+    "multimodal_features",
+    "quality_scores",
+    "salted_join",
+    "threeway_fanout",
+    "transactional_lifecycle",
+    "utm_transform",
 ]
+
+#: catalog entries deliberately NOT in BENCH_QUERIES — every exclusion
+#: needs a reason here; tests/test_registry.py asserts
+#: catalog == BENCH_QUERIES (disjoint-)union EXCLUDED, so an entry can
+#: never silently go unbenched again.
+EXCLUDED = {
+    "ann_ivf": (
+        "vector-family scaling is priced per-round by tools/"
+        "bench_vectors.py at 50k/505k rows; the toy-sf reading adds host "
+        "noise without information (ann_ivf_sq8 + quant_recall stay in "
+        "BENCH_QUERIES as the family's bench canaries)"
+    ),
+    "ann_pq": "same policy as ann_ivf (bench_vectors.py covers it)",
+    "ann_topk": "same policy as ann_ivf (bench_vectors.py covers it)",
+    "incremental_near_dup": (
+        "combined build+match lifecycle; priced per PHASE by the "
+        "lsh_index_build + lsh_match_steady rows (see the r5 note above) "
+        "— its bench line would equal their sum"
+    ),
+}
 
 
 def main() -> None:

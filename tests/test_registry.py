@@ -34,6 +34,25 @@ def test_bench_list_is_a_subset_of_the_catalog():
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
 
 
+def test_every_catalog_entry_is_benched_or_excluded_with_reason():
+    """No silently-unbenched entry (r7 verdict #5): the catalog must be
+    EXACTLY the disjoint union of BENCH_QUERIES and bench.EXCLUDED, and
+    every exclusion must carry a non-trivial reason string."""
+    from carto_etl_spark.queries import QUERIES
+
+    import bench
+
+    benched = set(bench.BENCH_QUERIES)
+    excluded = set(bench.EXCLUDED)
+    assert not benched & excluded, benched & excluded
+    unaccounted = set(QUERIES) - benched - excluded
+    assert not unaccounted, f"silently unbenched: {sorted(unaccounted)}"
+    stale = excluded - set(QUERIES)
+    assert not stale, f"EXCLUDED names not in catalog: {sorted(stale)}"
+    for name, reason in bench.EXCLUDED.items():
+        assert isinstance(reason, str) and len(reason) > 20, name
+
+
 def test_driver_entry_module_mirrors_the_catalog():
     from carto_etl_spark.queries import ORACLES, QUERIES
 
