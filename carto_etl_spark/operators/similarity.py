@@ -1054,6 +1054,8 @@ def semantic_dedup_bulk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block: int = 1024,
+    iterations: int = 0,
+    scale: int = 10**6,
 ) -> DataFrame:
     """SemDeDup at corpus scale: identical keep-min-id semantics to
     ``semantic_dedup``, with BOTH hot stages vectorized —
@@ -1073,6 +1075,19 @@ def semantic_dedup_bulk(
     Shuffle shape: ONE exchange keyed by cluster (the applyInPandas
     grouping); memory per task is O(cluster_size x dim + cluster_size x
     block) — pick ``n_clusters ~ n / target_cluster_size`` to bound it.
+
+    ``iterations > 0`` Lloyd-refines the coarse stage (r7 verdict #7):
+    instead of raw one-shot sampled centroids, run that many rounds of
+    fixed-point k-means (operators/kmeans.py — seeded from the SAME md5
+    sample, exact integer arithmetic at ``scale``, Arrow-matmul
+    assignments) before assigning.  Refined centroids cut within-cluster
+    variance, i.e. fewer near-dup pairs split across cluster boundaries
+    (the only miss mode SemDeDup has — identical vectors can never split,
+    any shared assignment map sends them to one cluster).  The refinement
+    stays oracle-replayable: the kmeans unroll composes into the dedup
+    oracle the same way the classifier unroll composes into
+    pipeline_ccnet.  Costs one extra shuffle per iteration (the Lloyd
+    update agg); the default 0 keeps the original one-shot behavior.
 
     Returns (id_col, cluster, dup_of, is_dup) — same contract as
     ``semantic_dedup``."""
@@ -1094,13 +1109,31 @@ def semantic_dedup_bulk(
         )
     id_type = id_field.simpleString()
 
-    centroids = sampled_centroids(df, n_clusters, id_col, vec_col)
-    indexed = assign_ivf_lists(
-        # fold distances: below the Arrow cap this operator is toy-scale
-        # by contract (see the pair-stage note), and the expansion costs
-        # seconds of per-build analysis; values are bit-identical
-        df, centroids, vec_col, out_col="cluster", expansion=False
-    )
+    if iterations > 0:
+        from carto_etl_spark.operators.kmeans import (
+            assign_clusters,
+            kmeans_fit,
+        )
+
+        qcents = kmeans_fit(
+            df, k=n_clusters, iterations=iterations,
+            id_col=id_col, vec_col=vec_col, scale=scale,
+        )
+        indexed = assign_clusters(
+            df, qcents, vec_col=vec_col, scale=scale, out_col="cluster"
+        ).withColumn(
+            # match assign_ivf_lists' path-stable BIGINT cluster ids
+            "cluster", F.col("cluster").cast("long")
+        )
+    else:
+        centroids = sampled_centroids(df, n_clusters, id_col, vec_col)
+        indexed = assign_ivf_lists(
+            # fold distances: below the Arrow cap this operator is
+            # toy-scale by contract (see the pair-stage note), and the
+            # expansion costs seconds of per-build analysis; values are
+            # bit-identical
+            df, centroids, vec_col, out_col="cluster", expansion=False
+        )
     thr = float(threshold)
     blk = int(block)
 

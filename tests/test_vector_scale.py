@@ -184,6 +184,84 @@ def test_knn_graph_planted_duplicate_is_top_neighbor(spark, emb_df):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_semantic_dedup_bulk_lloyd_refinement(spark):
+    """iterations > 0 Lloyd-refines the coarse stage: on a separable
+    synthetic frame the refined centroids must (a) not lose any planted
+    near-dup pair the one-shot assignment finds (identical copies can
+    never split — same assignment map — so recall is monotone here), and
+    (b) strictly reduce total within-cluster squared distance versus the
+    raw md5-sampled seeds (Lloyd's descent property, preserved by the
+    fixed-point rounding on a frame this separable)."""
+    import hashlib
+
+    from carto_etl_spark.operators import kmeans as km
+
+    def _jit(vid, i):
+        # md5-mixed deterministic jitter in [-0.4, 0.4): sin-phase jitter
+        # RECURS (29*13 ~ 120*pi) and produced accidental near-identical
+        # cluster-mates
+        h = hashlib.md5(f"{vid}:{i}".encode()).hexdigest()
+        return (int(h[:8], 16) / 2**32 - 0.5) * 0.8
+
+    DIMS = 8
+    rows = []
+    vid = 0
+    for c in range(4):
+        center = [6.0 if i == c else 0.0 for i in range(DIMS)]
+        for _ in range(50):
+            rows.append(
+                (vid, [center[i] + _jit(vid, i) for i in range(DIMS)])
+            )
+            vid += 1
+    # planted duplicates: identical copies of every 10th vector
+    rows += [
+        (v + 10_000, list(e)) for v, e in rows if v % 10 == 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planted = {
+        (v, v + 10_000) for v, _ in rows if v < 10_000 and v % 10 == 0
+    }
+
+    def dups(iters):
+        # threshold tight enough that ONLY the identical planted copies
+        # match (cluster-mates sit near cosine ~0.995 in this geometry)
+        out = sim.semantic_dedup_bulk(
+            df, n_clusters=4, threshold=0.999999, iterations=iters
+        ).collect()
+        return {
+            (r["dup_of"], r["vec_id"]) for r in out if r["is_dup"]
+        }
+
+    base, refined = dups(0), dups(2)
+    assert base == planted
+    assert refined == planted  # recall preserved under refinement
+
+    # Lloyd descent: within-cluster SSQ strictly drops vs the raw seeds
+    def ssq(cents):
+        q = km.assign_clusters(df, cents)
+        import pyspark.sql.functions as SF
+
+        dist = SF.expr(
+            "aggregate(zip_with(transform(embedding, "
+            "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)), c, "
+            "(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+        )
+        cent_arr = SF.expr(
+            "array(" + ", ".join(
+                "array(" + ", ".join(f"{v}L" for v in c) + ")"
+                for c in cents
+            ) + ")"
+        )
+        return (
+            q.withColumn("c", cent_arr[SF.col("cluster")])
+            .agg(SF.sum(dist).alias("s")).first()["s"]
+        )
+
+    seeds = km.kmeans_fit(df, k=4, iterations=0)
+    fitted = km.kmeans_fit(df, k=4, iterations=2)
+    assert ssq(fitted) < ssq(seeds)
+
+
 def test_band_plane_counts_interpolates():
     # integer input: uniform bands, integer-exactly
     assert sim._band_plane_counts(16, 8) == [16] * 8

@@ -1,0 +1,139 @@
+"""Codegen-size diagnostic: find generated methods past HotSpot's JIT
+ceiling (r7 verdict #8).
+
+The round-7 headline finding (SCALING.md r7): HotSpot never JIT-compiles
+methods over 8000 bytecodes, so whole-stage-codegen methods that fuse wide
+expressions silently run in the BYTECODE INTERPRETER — quant_recall at 505k
+was 76.6 s instead of 8.4 s for two rounds before anyone looked.
+``session.py`` now caps ``spark.sql.codegen.hugeMethodLimit=8000`` so Spark
+falls back to per-operator codegen at exactly the unJITtable boundary, but
+nothing GUARDED the boundary: a new wide-expression operator whose fused
+method lands past 8000 would quietly take the fallback (or, pre-cap, the
+interpreter) with no signal.  This tool is that signal.
+
+For every catalog entry (or the names given), it executes the query once at
+a toy scale factor — method SIZE is data-independent, so sf0.001 prices the
+check — then walks the AQE-final plan's WholeStageCodegen subtrees via
+Spark's own ``debug.codegenStringSeq`` (compiles each subtree with Janino
+and reports ``ByteCodeStats``) and flags any subtree whose
+``maxMethodCodeSize`` exceeds the 8000-bytecode JIT ceiling.  A flagged
+subtree means "this stage does NOT run as one JITted fused method — it
+takes the hugeMethodLimit fallback"; that can be a deliberate trade (the
+expanded vector expressions accept per-operator codegen) but must never be
+a surprise.
+
+Usage:
+    python tools/check_codegen.py [sf_dir] [names...]
+    (defaults: /root/testdata/sf0.001, all catalog entries; ~minutes)
+
+Exit 0 = no subtree past the ceiling (or every flagged one listed with its
+first plan line); exit 1 if any entry flags — read the listing and either
+shrink the expression, split the stage, or record the fallback as
+intentional in the operator's docstring.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+JIT_CEILING = 8000
+
+#: entries whose oversized fused method is a DOCUMENTED, measured trade —
+#: the expanded-literal vector/hash expressions accept the hugeMethodLimit
+#: fallback (per-operator codegen) because the expansion still beats the
+#: interpreted HOF fold by ~100x and the 505k datapoints confirm the
+#: fallback's cost (SCALING.md r7/r8).  The gate FAILS only on entries NOT
+#: in this dict: a new wide-expression operator must either stay under the
+#: ceiling or be added here with its measurement.
+INTENTIONAL = {
+    "cosine_topk": "64-term expanded cosine (one row-side literal query)",
+    "quant_recall": (
+        "int8 scale-cancelling integer cosine, 64-term expansion; 505k = "
+        "8.4 s post-hugeMethodLimit (SCALING.md r7)"
+    ),
+    "ann_ivf_sq8": (
+        "same int8 expansion; 505k = 3.3 s post-hugeMethodLimit"
+    ),
+    "near_dup_banded": (
+        "expanded dot in the verify-join condition (deliberately ONLY the "
+        "dot — the full cosine overflowed Janino outright); 505k = 11-20 s"
+    ),
+    "bloom_dedup": (
+        "md5 content-key chains fused with the bitmap probe; scan-stage, "
+        "map-only"
+    ),
+}
+
+
+def _codegen_stats(df) -> list[tuple[int, str]]:
+    """(maxMethodCodeSize, subtree head line) per WholeStageCodegen subtree
+    of the EXECUTED plan (AQE's final plan — the pre-execution plan has no
+    materialized subtrees)."""
+    jvm = df.sparkSession._jvm
+    mod = getattr(
+        getattr(jvm.org.apache.spark.sql.execution.debug, "package$"),
+        "MODULE$",
+    )
+    seq = mod.codegenStringSeq(df._jdf.queryExecution().executedPlan())
+    out = []
+    for i in range(seq.length()):
+        t = seq.apply(i)
+        stats = getattr(t, "_3")()
+        head = str(getattr(t, "_1")()).strip().splitlines()
+        out.append((int(stats.maxMethodCodeSize()), head[0] if head else ""))
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from carto_etl_spark.queries import QUERIES
+    from carto_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="codegen-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    flagged: list[str] = []
+    errors: list[str] = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.collect()  # materialize so AQE finalizes the plan
+            stats = _codegen_stats(df)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(name)
+            print(f"ERR   {name}: {str(exc).splitlines()[0][:160]}")
+            continue
+        worst = max((s for s, _ in stats), default=0)
+        over = [(s, h) for s, h in stats if s > JIT_CEILING]
+        known = name in INTENTIONAL
+        tag = "known" if (over and known) else ("FLAG" if over else "ok")
+        print(
+            f"{tag:5} {name}: {len(stats)} wscg subtrees, "
+            f"max method {worst} bytecodes [{time.time() - t0:.1f}s]"
+        )
+        for s, h in over:
+            if not known:
+                flagged.append(name)
+            print(f"      > {s} bytecodes past JIT ceiling in: {h[:140]}")
+    print()
+    if flagged:
+        print(f"FLAGGED past the {JIT_CEILING}-bytecode JIT ceiling "
+              f"(NOT in INTENTIONAL): {sorted(set(flagged))}")
+    if errors:
+        print(f"errors (entry failed to run, not a codegen verdict): "
+              f"{sorted(errors)}")
+    print("CODEGEN GATE:", "FLAG" if flagged else "PASS")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
