@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "knn_graph",
     "incremental_vec_near_dup",
     "kmeans_embeddings",
+    "embedding_decontam",
     "semantic_dedup",
     "semantic_dedup_bulk",
     "streaming_cardinality",

@@ -963,6 +963,75 @@ def knn_graph(
     )
 
 
+def embedding_decontam(
+    train: DataFrame,
+    evals: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: float = 8,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """SEMANTIC eval-set decontamination: flag every eval vector whose
+    cosine to ANY training vector reaches ``threshold`` — the
+    embedding-space complement of the n-gram overlap check
+    (operators/decontam.py), catching paraphrased/reworded benchmark
+    leakage that token n-grams cannot see (the reference, a SQL-text ETL
+    client at /root/reference/etl/, has no ML surface; extension scope).
+
+    Plan shape — the incremental vector index's bipartite stages, batch
+    form (shared scaffold): ``_band_buckets_bulk`` signatures on BOTH
+    sides (one Arrow matmul each; the same expression on both sides, so
+    an identical train/eval pair collides in EVERY band),
+    ``_banded_candidates`` bipartite with the eval side broadcast (the
+    eval set is benchmark-sized; the 100 TB training corpus is never
+    shuffled), then ``_verified_cosine`` — exact, so signature noise can
+    never flip a verdict.  Returns one row per EVAL id:
+    (``id_col``, n_matches, is_contaminated, contaminated_by) with
+    contaminated_by = the smallest matching train id (NULL when clean).
+
+    Recall contract is the banded operator's: a true near-pair at cosine s
+    below exact-duplicate level is caught with probability
+    ``1 - (1 - p^r)^L``; size bands for the leakage regime you care about
+    (verbatim + light paraphrase sit near s = 1 where recall ~ 1)."""
+    dim = len(train.select(vec_col).first()[0])
+    tb = _band_buckets_bulk(
+        train, vec_col, dim, n_planes, n_bands, seed, out_col="__bands"
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode("__bands").alias("band", "bucket"),
+    )
+    eb = _band_buckets_bulk(
+        evals, vec_col, dim, n_planes, n_bands, seed, out_col="__bands"
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode("__bands").alias("band", "bucket"),
+    )
+    cand = _banded_candidates(eb, other=tb, broadcast_left=True)
+    ev = _hoisted_vecs(evals, id_col, vec_col)
+    tv = _hoisted_vecs(train, id_col, vec_col)
+    hits = (
+        _verified_cosine(cand, ev, tv)
+        .filter(F.col("cosine") >= threshold)
+        .groupBy(F.col("id_a").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("id_b").alias("contaminated_by"),
+        )
+    )
+    return evals.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_matches"), F.lit(0))
+        .cast("long")
+        .alias("n_matches"),
+        (F.coalesce(F.col("n_matches"), F.lit(0)) > 0).alias(
+            "is_contaminated"
+        ),
+        "contaminated_by",
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     n_clusters: int,

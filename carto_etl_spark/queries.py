@@ -3079,6 +3079,46 @@ def q_incremental_vec_near_dup(spark, sf_dir):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_embedding_decontam(spark, sf_dir):
+    """Semantic eval-set decontamination (similarity.embedding_decontam):
+    the embeddings table is the training corpus; the eval set is 50%
+    verbatim copies of every even id (leaked) + 50% reversed embeddings of
+    every odd id (clean, far from everything in cosine).  Identical
+    vectors collide in every band and the corpus's nearest natural pair
+    sits far below the 0.99 threshold, so the banded-LSH + exact-verify
+    result equals DuckDB's exact bipartite cosine join — a green row
+    proves both-side signature derivation, the broadcast bipartite
+    candidate join, and the verify in one shot."""
+    train = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    evals = _vec_batch_df(spark, sf_dir)
+    return sim.embedding_decontam(train, evals, threshold=0.99)
+
+
+ORACLE_EMBEDDING_DECONTAM = """
+WITH evals AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 2 = 0
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id,
+         list_reverse(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings WHERE vec_id % 2 = 1
+), train AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), m AS (
+  SELECT e.vec_id, count(*) AS n_matches, min(t.vec_id) AS contaminated_by
+  FROM evals e JOIN train t
+    ON list_cosine_similarity(e.v, t.v) >= 0.99
+  GROUP BY e.vec_id
+)
+SELECT e.vec_id,
+       CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+       coalesce(m.n_matches, 0) > 0 AS is_contaminated,
+       m.contaminated_by
+FROM evals e LEFT JOIN m USING (vec_id)
+"""
+
+
 ORACLE_INCREMENTAL_VEC_NEAR_DUP = """
 WITH batch AS (
   SELECT vec_id + 1000000 AS vec_id,
@@ -9098,6 +9138,7 @@ QUERIES = {
     "knn_graph": q_knn_graph,
     "incremental_vec_near_dup": q_incremental_vec_near_dup,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "embedding_decontam": q_embedding_decontam,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
@@ -9285,6 +9326,7 @@ ORACLES = {
     "knn_graph": ORACLE_KNN_GRAPH,
     "incremental_vec_near_dup": ORACLE_INCREMENTAL_VEC_NEAR_DUP,
     "kmeans_embeddings": _oracle_kmeans(),
+    "embedding_decontam": ORACLE_EMBEDDING_DECONTAM,
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_ivf": ORACLE_ANN_IVF,
     "minhash_dedup": ORACLE_MINHASH_DEDUP,

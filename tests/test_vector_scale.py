@@ -184,6 +184,39 @@ def test_knn_graph_planted_duplicate_is_top_neighbor(spark, emb_df):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_embedding_decontam_planted_leakage(spark, emb_df):
+    """Verbatim copies must flag as contaminated with contaminated_by =
+    their train source; reversed vectors (far in cosine from the whole
+    corpus) must come back clean — and every eval id must appear exactly
+    once in the report (left-join completeness)."""
+    from pyspark.sql import functions as SF
+
+    leaked = emb_df.filter(SF.col("vec_id") % 20 == 0).select(
+        (SF.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+    )
+    clean = emb_df.filter(SF.col("vec_id") % 20 == 7).select(
+        (SF.col("vec_id") + 600_000).alias("vec_id"),
+        SF.reverse("embedding").alias("embedding"),
+    )
+    evals = leaked.unionByName(clean)
+    out = {
+        r["vec_id"]: r
+        for r in sim.embedding_decontam(
+            emb_df.select("vec_id", "embedding"), evals, threshold=0.99,
+            n_planes=6.5, n_bands=4,  # fractional planes on the bipartite path
+        ).collect()
+    }
+    n_evals = evals.count()
+    assert len(out) == n_evals
+    for vid, r in out.items():
+        if vid >= 600_000:
+            assert not r["is_contaminated"], r
+            assert r["contaminated_by"] is None
+        else:
+            assert r["is_contaminated"], r
+            assert r["contaminated_by"] == vid - 500_000
+
+
 def test_semantic_dedup_bulk_lloyd_refinement(spark):
     """iterations > 0 Lloyd-refines the coarse stage: on a separable
     synthetic frame the refined centroids must (a) not lose any planted
