@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "incremental_vec_near_dup",
     "kmeans_embeddings",
     "embedding_decontam",
+    "streaming_kmeans",
     "semantic_dedup",
     "semantic_dedup_bulk",
     "streaming_cardinality",

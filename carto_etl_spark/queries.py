@@ -3079,6 +3079,54 @@ def q_incremental_vec_near_dup(spark, sf_dir):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_streaming_kmeans(spark, sf_dir):
+    """Incremental mini-batch k-means lifecycle (streaming/kmeansstate.py):
+    the embeddings table arrives as three deterministic batches
+    (vec_id % 3 == 0, 1, 2, in order) folding into the crash-safe centroid
+    state — seed from batch 0's md5(id) order, one exact-integer
+    running-mean update per batch — then every vector is assigned to the
+    final centroids.  The DuckDB oracle unrolls the WHOLE lifecycle
+    (seeding, every per-batch assignment + update, final assignment) and
+    replays it bit-for-bit: a green row proves the online update rule, the
+    batch ordering, the untouched-cluster rule and the serving assignment
+    at once.  (Replay/ledger semantics are pinned by
+    tests/test_streaming_kmeans.py — a replayed batch is a no-op.)"""
+    import shutil
+    import tempfile
+
+    from carto_etl_spark.streaming.kmeansstate import (
+        apply_kmeans_batch,
+        assign_from_state,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="kmstate-")
+    try:
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        for b in range(3):
+            apply_kmeans_batch(
+                e.filter(F.col("vec_id") % 3 == b), workdir, k=8
+            )
+        out = assign_from_state(spark, e, workdir).select(
+            "vec_id", "cluster"
+        )
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _oracle_streaming_kmeans() -> str:
+    from carto_etl_spark.streaming.kmeansstate import (
+        streaming_kmeans_oracle_sql,
+    )
+
+    return streaming_kmeans_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings",
+        k=8,
+        n_batches=3,
+        batch_sql="vec_id % 3",
+    )
+
+
 def q_embedding_decontam(spark, sf_dir):
     """Semantic eval-set decontamination (similarity.embedding_decontam):
     the embeddings table is the training corpus; the eval set is 50%
@@ -9139,6 +9187,7 @@ QUERIES = {
     "incremental_vec_near_dup": q_incremental_vec_near_dup,
     "kmeans_embeddings": q_kmeans_embeddings,
     "embedding_decontam": q_embedding_decontam,
+    "streaming_kmeans": q_streaming_kmeans,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
@@ -9327,6 +9376,7 @@ ORACLES = {
     "incremental_vec_near_dup": ORACLE_INCREMENTAL_VEC_NEAR_DUP,
     "kmeans_embeddings": _oracle_kmeans(),
     "embedding_decontam": ORACLE_EMBEDDING_DECONTAM,
+    "streaming_kmeans": _oracle_streaming_kmeans(),
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_ivf": ORACLE_ANN_IVF,
     "minhash_dedup": ORACLE_MINHASH_DEDUP,

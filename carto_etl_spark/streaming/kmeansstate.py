@@ -1,0 +1,287 @@
+"""Incremental (mini-batch) k-means over an embedding stream — the online
+form of the batch fixed-point Lloyd operator (operators/kmeans.py), and the
+fourth operator on the shared fixed-point iteration recipe (pagerank, GD
+classifier, Lloyd): every centroid update is exact integer arithmetic, so
+the ENTIRE lifecycle — seed from the first batch, one assignment + one
+running-mean update per batch — unrolls into portable SQL and the catalog
+oracle replays every centroid and every final assignment bit-for-bit.
+The reference (a SQL-text ETL client, /root/reference/etl/) has no ML or
+streaming surface; this is extension scope for the LLM-pipeline suite
+(online corpus cartography: cluster an unbounded document/embedding stream
+without ever re-scanning history).
+
+Update rule (Sculley 2010 mini-batch k-means, arXiv-free web-scale form,
+restated in exact integers): with per-centroid running count ``cnt`` and
+a batch contributing ``n`` rows with coordinate sums ``s``,
+
+    cnt' = cnt + n
+    v'_i = (v_i * cnt + s_i) div cnt'        (truncating division)
+
+i.e. the exact running integer mean of everything ever assigned to the
+centroid — the ``eta = n / cnt'`` learning-rate schedule of the paper,
+with the division deferred so the state stays integral.  Clusters with no
+batch rows are untouched.  Spark ``div`` and DuckDB ``//`` both truncate
+toward zero (verified incl. negatives), so the oracle replays updates
+exactly; Python-side updates go through ``_tdiv``.
+
+Distributed shape per batch (the parameter-server shape of kmeans_fit):
+assignment is ONE scan-stage pass over the batch (Arrow int64-matmul above
+the fold cap — bit-identical, see operators/kmeans.py), the update is ONE
+``groupBy(cluster)`` hash-aggregate collecting k rows; state is k x (dim+1)
+longs — sketch-sized, never proportional to the stream.
+
+Crash-safety and replay are entirely the shared ``SnapshotState`` +
+content-addressed-ledger recipe (streaming/state.py): the running-mean
+merge is NOT idempotent, so each batch's content fingerprint is recorded
+inside the same atomically-promoted snapshot as the centroids, and a
+replayed batch (checkpoint reset, foreachBatch retry) is a no-op.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from carto_etl_spark.operators.classifier import _tdiv
+from carto_etl_spark.operators.kmeans import (
+    _init_centroids,
+    _pick_method,
+    _assign_bulk_q,
+    _argmin_expr,
+    _q_sql,
+)
+from carto_etl_spark.session import local_df
+from carto_etl_spark.streaming.state import SnapshotState
+
+__all__ = [
+    "apply_kmeans_batch",
+    "load_kmeans_state",
+    "track_clusters",
+    "assign_from_state",
+    "streaming_kmeans_oracle_sql",
+]
+
+_CENTROIDS = "centroids"
+
+
+def _batch_fingerprint(batch_df: DataFrame, id_col: str, vec_col: str) -> str | None:
+    """Order-independent content fingerprint (the frequency.py ledger
+    convention): row count + two independently salted md5-prefix sums over
+    id and the quantized-coordinate repr.  None for an empty batch."""
+    from carto_etl_spark.operators.shuffle import md5_prefix_long
+
+    rep = F.concat_ws(
+        ":",
+        F.col(id_col).cast("string"),
+        F.col(vec_col).cast("array<double>").cast("string"),
+    )
+    r = batch_df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(md5_prefix_long(rep, "a:")).alias("s1"),
+        F.sum(md5_prefix_long(rep, "b:")).alias("s2"),
+    ).first()
+    if not r["n"]:
+        return None
+    return hashlib.md5(f"{r['n']}:{r['s1']}:{r['s2']}".encode()).hexdigest()
+
+
+def load_kmeans_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[list[list[int]], list[int]]:
+    """(centroids, counts) from committed state — centroids in cid order,
+    ready for ``operators.kmeans.assign_clusters``."""
+    rows = (
+        SnapshotState(state_dir)
+        .read(spark, _CENTROIDS)
+        .orderBy("cid")
+        .collect()
+    )
+    return (
+        [[int(x) for x in r["v"]] for r in rows],
+        [int(r["cnt"]) for r in rows],
+    )
+
+
+def apply_kmeans_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    method: str = "auto",
+) -> bool:
+    """Fold one batch into the cluster state; returns False for a skipped
+    batch (empty, or a ledger-recorded replay).  First ever batch seeds
+    the k centroids from its md5(id)-ordered rows (the engine-portable
+    sample every sketch here uses) before folding itself in."""
+    spark = batch_df.sparkSession
+    state = SnapshotState(state_dir)
+    fp = _batch_fingerprint(batch_df, id_col, vec_col)
+    if fp is None:
+        return False
+    if state.exists():
+        if state.ledger_contains(spark, fp):
+            return False
+        centroids, counts = load_kmeans_state(spark, state_dir)
+        fps = state.ledger_fps(spark) + [fp]
+    else:
+        centroids = _init_centroids(batch_df, k, id_col, vec_col, scale)
+        if len(centroids) < k:
+            raise ValueError(
+                f"k={k} exceeds the first batch's row count "
+                f"({len(centroids)}); seed from a bigger batch"
+            )
+        counts = [0] * k
+        fps = [fp]
+    dim = len(centroids[0])
+    qdf = batch_df.select(F.expr(_q_sql(vec_col, scale)).alias("__q"))
+    if _pick_method(method, centroids) == "arrow":
+        assigned = _assign_bulk_q(qdf, "__q", centroids, "__cl")
+    else:
+        assigned = qdf.withColumn("__cl", _argmin_expr("__q", centroids))
+    agg = assigned.groupBy("__cl").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}")
+            for i in range(dim)
+        ],
+    ).collect()
+    for r in agg:
+        c = int(r["__cl"])
+        n = int(r["__n"])
+        cnt_new = counts[c] + n
+        centroids[c] = [
+            _tdiv(centroids[c][i] * counts[c] + int(r[f"__s{i}"]), cnt_new)
+            for i in range(dim)
+        ]
+        counts[c] = cnt_new
+    tmp = state.begin_tmp()
+    local_df(
+        spark,
+        [(cid, centroids[cid], counts[cid]) for cid in range(k)],
+        "cid int, v array<bigint>, cnt bigint",
+    ).coalesce(1).write.parquet(os.path.join(tmp, _CENTROIDS))
+    state.write_ledger(spark, tmp, fps)
+    state.promote()
+    return True
+
+
+def assign_from_state(
+    spark: SparkSession,
+    df: DataFrame,
+    state_dir: str,
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Assign any frame to the CURRENT centroids (one scan-stage pass; the
+    usual serving read of an online clustering state)."""
+    from carto_etl_spark.operators.kmeans import assign_clusters
+
+    centroids, _ = load_kmeans_state(spark, state_dir)
+    return assign_clusters(
+        df, centroids, vec_col=vec_col, scale=scale, out_col=out_col
+    )
+
+
+def streaming_kmeans_oracle_sql(
+    rows_sql: str,
+    k: int,
+    n_batches: int,
+    batch_sql: str,
+    id_col: str = "vec_id",
+    vec_sql: str = "CAST(embedding AS DOUBLE[])",
+    scale: int = 10**6,
+    dim: int = 64,
+) -> str:
+    """The whole lifecycle unrolled for DuckDB (the kmeans_oracle_sql
+    pattern with running counts): seeds from batch 0's md5(id) order, one
+    assignment + one running-mean update CTE pair per batch, final
+    assignment of every row — each CTE MATERIALIZED (referenced twice per
+    step; plain CTEs inline per reference).  ``batch_sql`` must compute
+    the 0-based batch number from ``{id_col}``; batches apply in order.
+    Emits (id_col, cluster)."""
+    dist = (
+        "list_sum(list_transform(list_zip(q, c.v), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    parts = [
+        f"""q0 AS MATERIALIZED (
+  SELECT {id_col}, CAST({batch_sql} AS INT) AS b,
+         list_transform({vec_sql},
+                        x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS q
+  FROM ({rows_sql}) r)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY {id_col}) - 1 AS INT) AS cid,
+         q AS v, CAST(0 AS BIGINT) AS cnt
+  FROM (SELECT {id_col}, q FROM q0 WHERE b = 0
+        ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {k}))""",
+    ]
+    for t in range(1, n_batches + 1):
+        p = t - 1
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT {id_col}, q,
+         (SELECT c.cid FROM c{p} c ORDER BY {dist}, c.cid LIMIT 1) AS cl
+  FROM q0 WHERE b = {t - 1})"""
+        )
+        parts.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT cid, v, cnt FROM (
+    SELECT u.cid,
+           list(CAST((cv.v[u.pos] * cv.cnt + u.s) // (cv.cnt + u.n)
+                     AS BIGINT) ORDER BY u.pos) AS v,
+           cv.cnt + u.n AS cnt
+    FROM (
+      SELECT cl AS cid, CAST(uu.l[2] AS INT) AS pos,
+             CAST(SUM(uu.l[1]) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM a{t}, unnest(list_zip(q, range(1, {dim + 1}))) AS uu(l)
+      GROUP BY cl, pos) u
+    JOIN c{p} cv ON cv.cid = u.cid
+    GROUP BY u.cid, cv.cnt, u.n) upd
+  UNION ALL
+  SELECT cid, v, cnt FROM c{p}
+  WHERE cid NOT IN (SELECT DISTINCT cl FROM a{t}))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT {id_col},
+       CAST((SELECT c.cid FROM c{n_batches} c
+             ORDER BY {dist}, c.cid LIMIT 1) AS INT) AS cluster
+FROM q0"""
+    )
+
+
+def track_clusters(
+    stream_df: DataFrame,
+    state_dir: str,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the online clusterer: every micro-batch folds into the
+    centroid state via ``apply_kmeans_batch`` (ledgered, replay-safe)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        apply_kmeans_batch(
+            batch_df, state_dir, k, id_col=id_col, vec_col=vec_col,
+            scale=scale,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
