@@ -378,6 +378,12 @@ def sampled_centroids(
 #: Past the cap, assignment dispatches to the Arrow/numpy bulk path.
 _LITERAL_ARGMIN_CAP = 2048
 
+#: list count at which semantic_dedup_bulk's coarse stage switches from the
+#: flat bulk matmul (exact argmin, O(n*k*dim)) to the two-level
+#: assign_ivf_lists_hier (approximate, O(n*2*sqrt(k)*dim)) — with the
+#: SemDeDup k ~ n/target sizing the flat form is quadratic in the corpus
+_HIER_ASSIGN_MIN_LISTS = 512
+
 
 def assign_ivf_lists(
     df: DataFrame,
@@ -508,6 +514,100 @@ def assign_ivf_lists_bulk(
     _nearest.__annotations__ = {"col": pd.Series, "return": pd.Series}
     nearest = pandas_udf(_nearest, cid_type)
 
+    return df.withColumn(
+        out_col, nearest(F.col(vec_col).cast("array<double>"))
+    )
+
+
+def assign_ivf_lists_hier(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_list",
+    n_super: int | None = None,
+) -> DataFrame:
+    """TWO-LEVEL (hierarchical) nearest-centroid assignment — the FAISS
+    IVF-on-IVF shape for LARGE coarse quantizers, where even the bulk
+    matmul's O(n * k * dim) bites: with SemDeDup-style ``k ~ n/200`` the
+    flat assignment is quadratic in the corpus (505k x 2525 x 64 ~ 8e10
+    multiply-adds — the one SUPRALINEAR row left in the r8 vector bench).
+
+    Stage 1 clusters the CENTROIDS driver-side (numpy Lloyd, deterministic:
+    cid-order seeds, 3 rounds, empty supers keep their seed) into
+    ``n_super ~ sqrt(k)`` super-centroids; stage 2 assigns each row to its
+    nearest super (one n x sqrt(k) matmul), then argmins only within that
+    super's member centroids — O(n * 2*sqrt(k) * dim), ~25x less compute
+    at k=2525.
+
+    APPROXIMATE by design: a row whose true nearest centroid lives in a
+    different super-cluster gets its best same-super centroid instead —
+    the standard IVF trade, acceptable exactly where this operator is
+    meant to be used (SemDeDup coarse stages, where the paper's own
+    clustering is approximate and dedup correctness rests on the exact
+    in-cluster verify).  Duplicate centroid VECTORS are collapsed to
+    their smallest cid before assignment: BLAS matmul kernels are
+    row/column-position dependent, so two identical centroid columns can
+    break their exact-zero tie differently for identical input rows in
+    different batches (observed) — collapsing removes the only exact-tie
+    pathology, after which identical rows map identically whenever their
+    nearest centroid wins by more than float noise (any real geometry;
+    adversarially equidistant rows may flip between DISTINCT centroids,
+    which SemDeDup's exact in-cluster verify tolerates).  For strict
+    smallest-cid tie semantics keep ``assign_ivf_lists`` /
+    ``assign_ivf_lists_bulk``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    srt = sorted(centroids)
+    seen: dict = {}
+    kept = []
+    for cid, v in srt:
+        key = tuple(v)
+        if key not in seen:
+            seen[key] = cid
+            kept.append((cid, v))
+    cids = np.array([cid for cid, _ in kept], dtype=np.int64)
+    cmat = np.array([v for _, v in kept], dtype=np.float64)  # (k, d)
+    k, dim = cmat.shape
+    ns = n_super or max(1, int(math.isqrt(k)))
+    # driver-side Lloyd over the k centroids (k x dim floats — tiny)
+    smat = cmat[:ns].copy()  # cid-order seeds, deterministic
+    for _ in range(3):
+        d2 = (smat * smat).sum(axis=1) - 2.0 * (cmat @ smat.T)
+        owner = np.argmin(d2, axis=1)
+        for s in range(ns):
+            m = owner == s
+            if m.any():
+                smat[s] = cmat[m].mean(axis=0)
+    d2 = (smat * smat).sum(axis=1) - 2.0 * (cmat @ smat.T)
+    owner = np.argmin(d2, axis=1)
+    # drop empty supers: stage 2 needs >= 1 member centroid per super
+    live = np.unique(owner)
+    smat = smat[live]
+    members = [np.nonzero(owner == s)[0] for s in live]
+    snorm = (smat * smat).sum(axis=1)
+    subnorms = [(cmat[idx] * cmat[idx]).sum(axis=1) for idx in members]
+
+    def _nearest(col):
+        if col.isna().any():
+            raise ValueError("assign_ivf_lists_hier: NULL embedding")
+        x = np.array(col.tolist(), dtype=np.float64)
+        if x.ndim != 2 or x.shape[1] != dim:
+            raise ValueError(
+                f"assign_ivf_lists_hier: expected dim {dim}, got {x.shape}"
+            )
+        sup = np.argmin(snorm - 2.0 * (x @ smat.T), axis=1)
+        out = np.empty(len(x), dtype=np.int64)
+        for s in np.unique(sup):
+            m = sup == s
+            idx = members[s]
+            d = subnorms[s] - 2.0 * (x[m] @ cmat[idx].T)
+            out[m] = cids[idx[np.argmin(d, axis=1)]]
+        return pd.Series(out)
+
+    _nearest.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    nearest = pandas_udf(_nearest, "long")
     return df.withColumn(
         out_col, nearest(F.col(vec_col).cast("array<double>"))
     )
@@ -1193,6 +1293,21 @@ def semantic_dedup_bulk(
         ).withColumn(
             # match assign_ivf_lists' path-stable BIGINT cluster ids
             "cluster", F.col("cluster").cast("long")
+        )
+    elif (
+        n_clusters >= _HIER_ASSIGN_MIN_LISTS
+        and not isinstance(id_field, StringType)
+    ):
+        # SemDeDup sizes k ~ n/target, so the FLAT bulk assignment is
+        # O(n * k * dim) = quadratic in the corpus — the one supralinear
+        # row left in the r8 vector bench.  The two-level assignment cuts
+        # it to O(n * 2*sqrt(k) * dim); its approximation (best same-super
+        # centroid) only moves boundary rows BETWEEN clusters, which the
+        # SemDeDup contract tolerates — identical vectors still map
+        # identically, and in-cluster dup decisions stay exact-verified.
+        centroids = sampled_centroids(df, n_clusters, id_col, vec_col)
+        indexed = assign_ivf_lists_hier(
+            df, centroids, vec_col, out_col="cluster"
         )
     else:
         centroids = sampled_centroids(df, n_clusters, id_col, vec_col)

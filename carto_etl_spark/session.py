@@ -58,6 +58,19 @@ def get_spark(
         # their methods compile under 8000 anyway).  Past the limit Spark
         # falls back to per-operator codegen, whose smaller methods JIT.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # File-packing is byte-based like AQE coalescing, and bites the
+        # same way (r8): the default 128MB target packs a 130MB/32-file
+        # vector corpus into 2-3 scan partitions, so a compute-DENSE
+        # Arrow stage right on the scan (centroid-assignment matmuls:
+        # ~14 CPU-seconds per 505k rows, ~4MB-on-disk per CPU-second)
+        # runs 1-3-wide on a 32-core box and its wall-clock swings 4-37 s
+        # with OpenBLAS thread-contention luck.  16MB keeps such scans
+        # ~corpus-file-count wide (measured: semdedup_scaled 505k fresh
+        # 37.6 s -> 12.3 s min-of-2, warm ~3 s); scan-bound relational
+        # queries see only a few extra ~ms task launches.  On a real
+        # cluster you size this to compute density the same way —
+        # embedding tables want SMALLER scan partitions than fact tables.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # TIMESTAMP(NANOS) parquet (e.g. the events table) is otherwise
         # illegal for Spark's vectorized reader; read as long + convert.

@@ -184,6 +184,57 @@ def test_knn_graph_planted_duplicate_is_top_neighbor(spark, emb_df):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_hierarchical_assignment_and_semdedup_path(spark):
+    """assign_ivf_lists_hier: every centroid ROW must map to its own cid
+    (its super contains it by construction, distance 0 wins), identical
+    vectors always map identically, and the semantic_dedup_bulk auto-hier
+    path (n_clusters >= 512) still finds every planted identical dup with
+    zero false positives at a tight threshold."""
+    import hashlib
+
+    from pyspark.sql import functions as SF
+
+    def vec(vid):
+        return [
+            (int(hashlib.md5(f"{vid}:{i}".encode()).hexdigest()[:8], 16)
+             / 2**32 - 0.5) * 4.0
+            for i in range(16)
+        ]
+
+    rows = [(v, vec(v)) for v in range(1500)]
+    rows += [(v + 100_000, list(e)) for v, e in rows if v % 50 == 0]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = sim.sampled_centroids(df, 600)
+    hier = sim.assign_ivf_lists_hier(df, cents, out_col="cl")
+    got = {r["vec_id"]: r["cl"] for r in hier.collect()}
+    # a centroid row maps to the SMALLEST cid carrying its exact vector
+    # (duplicate centroid vectors are collapsed before assignment — the
+    # BLAS exact-tie pathology this test originally caught)
+    min_cid_for_vec: dict = {}
+    for cid, v in cents:
+        key = tuple(v)
+        min_cid_for_vec[key] = min(min_cid_for_vec.get(key, cid), cid)
+    for cid, v in cents:
+        assert got[cid] == min_cid_for_vec[tuple(v)], (cid, got[cid])
+    for v in range(0, 1500, 50):
+        assert got[v] == got[v + 100_000]  # identical vectors never split
+
+    out = sim.semantic_dedup_bulk(
+        df, n_clusters=600, threshold=0.999999
+    ).collect()
+    dups = {(r["dup_of"], r["vec_id"]) for r in out if r["is_dup"]}
+    assert dups == {
+        (v, v + 100_000) for v in range(0, 1500, 50)
+    }
+    # and the plan really took the Arrow hier path (one pandas UDF, no
+    # giant literal argmin)
+    plan = sim.semantic_dedup_bulk(
+        df, n_clusters=600, threshold=0.999999
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+
+
 def test_embedding_decontam_planted_leakage(spark, emb_df):
     """Verbatim copies must flag as contaminated with contaminated_by =
     their train source; reversed vectors (far in cosine from the whole
