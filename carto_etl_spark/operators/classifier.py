@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "train_quality_classifier",
     "quality_score_expr",
+    "quality_scores_arrow",
     "quality_score_sql",
     "classifier_train_sql",
 ]
@@ -249,10 +250,79 @@ def quality_score_expr(
         f"CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT) % {dim}"
         " AS INT) + 1))"
     )
+    # coalesce: NULL text must score like empty text (bias only) — without
+    # it the NULL aggregate rides through div/+, Spark's least/greatest
+    # SKIP null operands, and a NULL doc silently scores `scale` (full
+    # quality) while the DuckDB twin coalesces to bias-only
     return F.expr(
         f"greatest(0L, least({scale}L, "
-        f"({tok_sum} + {int(bias)}L) div 4 + {scale // 2}L))"
+        f"(coalesce({tok_sum}, 0L) + {int(bias)}L) div 4 + {scale // 2}L))"
     )
+
+
+def quality_scores_arrow(
+    df: DataFrame,
+    text_col: str,
+    weights: list[int],
+    bias: int,
+    scale: int = 10**6,
+    out_col: str = "score_scaled",
+) -> DataFrame:
+    """Arrow-batched twin of ``quality_score_expr``: appends ``out_col``
+    (BIGINT, same [0, scale] hard-sigmoid score) via ``mapInPandas`` —
+    still scan-stage (no shuffle, no join; batches stream through the
+    Python worker once), for corpora where the interpreted per-token HOF
+    fold is the scan bottleneck.
+
+    BIT-IDENTICAL to the expression path (equality-tested): same token
+    split (the Java ``\\s`` class ``[ \\t\\n\\x0B\\f\\r]``, blanks
+    dropped — ``trim`` in the expression only strips a leading blank the
+    filter drops anyway), same md5-prefix bucket, Python arbitrary-
+    precision integer sums (order-independent), same truncating division.
+    Per batch, distinct tokens are bucketed once through a memo dict —
+    Zipfian corpora hit the memo far more often than the md5."""
+    import re
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    dim = len(weights)
+    if dim <= 0:
+        raise ValueError("weights must be non-empty")
+    w = [int(x) for x in weights]
+    b, half = int(bias), scale // 2
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, LongType(), False)]
+    )
+    split = re.compile("[ \t\n\x0b\f\r]+").split
+
+    def _score_batches(batches):
+        import hashlib
+
+        memo: dict = {}
+
+        def bucket_w(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = w[
+                    int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                    % dim
+                ]
+                memo[tok] = v
+            return v
+
+        for pdf in batches:
+            scores = []
+            for t in pdf[text_col]:
+                tot = b
+                if t is not None:
+                    for tok in split(t):
+                        if tok:
+                            tot += bucket_w(tok)
+                scores.append(max(0, min(scale, _tdiv(tot, 4) + half)))
+            pdf[out_col] = scores
+            yield pdf
+
+    return df.mapInPandas(_score_batches, schema=out_schema)
 
 
 def quality_score_sql(

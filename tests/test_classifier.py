@@ -143,3 +143,40 @@ def test_quality_mixture_rates_and_determinism(spark):
         n, k = by_bucket.get(name, (0, 0))
         if n >= 40:  # enough mass for a loose binomial band
             assert abs(k / n - rate) < 0.2, (name, k, n)
+
+
+def test_arrow_scores_bit_identical_to_expr(spark, docs):
+    """quality_scores_arrow must agree with quality_score_expr on every
+    document — including whitespace edge cases the Java \\s class defines
+    (tabs, newlines, vertical tab, NBSP which is NOT Java \\s, empty and
+    NULL text) — because pipeline gates may dispatch either path."""
+    feats = tx.hashed_features(docs, "text", ["doc_id"], dim=32)
+    labels = _labels(docs)
+    w, b = clf.train_quality_classifier(
+        feats, labels, dim=32, iterations=4, lr_num=1, lr_den=16
+    )
+    edge = spark.createDataFrame(
+        [
+            (10**6, "a\tb\nc\x0bd\fe\rf"),
+            (10**6 + 1, "  leading and trailing  "),
+            (10**6 + 2, "nbsp is one token in java regex"),
+            (10**6 + 3, ""),
+            (10**6 + 4, None),
+            (10**6 + 5, "unicode tøkens ünd emoji \U0001f600 ok"),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(edge)
+    via_expr = {
+        r["doc_id"]: r["s"]
+        for r in d.select(
+            "doc_id",
+            clf.quality_score_expr("text", w, b).alias("s"),
+        ).collect()
+    }
+    via_arrow = {
+        r["doc_id"]: r["score_scaled"]
+        for r in clf.quality_scores_arrow(d, "text", w, b).collect()
+    }
+    assert via_expr == via_arrow
+    assert len(via_arrow) == d.count()
