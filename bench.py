@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "golden_records",
     "label_centroids",
     "quantize_int8",
+    "random_projection",
+    "split_leakage",
     "seasonal_residuals",
     "drawdown",
     "shortest_paths",

@@ -1132,6 +1132,141 @@ def embedding_decontam(
     )
 
 
+def rp_sign_matrix(
+    dim: int, out_dim: int, seed: int = 97
+) -> list[list[int]]:
+    """Deterministic +-1 sign matrix for the sparse JL projection
+    (Achlioptas 2003, "Database-friendly random projections": +-1 entries
+    satisfy the Johnson-Lindenstrauss bound with the same constants as
+    Gaussians).  md5-derived like ``_hyperplanes`` — reproducible by any
+    engine, no RNG state; computed driver-side and embedded as literals,
+    so neither engine hashes anything at run time."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"rp:{seed}:{r}:{d}".encode()).hexdigest()[:8],
+                16,
+            )
+            % 2
+            == 0
+            else -1
+            for d in range(dim)
+        ]
+        for r in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    scale: int = 10**6,
+    seed: int = 97,
+    method: str = "auto",
+    arrow_threshold_rows: int = 100_000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    embedding onto ``out_dim`` +-1 sign vectors — the standard cheapening
+    step in front of LSH banding / k-NN / clustering when the native
+    dimension is wide (pairwise cosines are preserved within the JL
+    distortion bound at out_dim ~ O(log n / eps^2)).
+
+    EXACT FIXED-POINT: coordinates quantize once via the cross-engine
+    floor(x*scale + 0.5) (quantize.py), and a +-1 dot product is an
+    integer SUM — order-independent, so the interpreted-fold path, the
+    Arrow int64-matmul path, and the DuckDB oracle are all bit-identical
+    (the same no-float-caveat argument as the k-means assignment).
+    Output is ``array<bigint>`` in units of 1/scale.
+
+    Overflow envelope: |q_i| <= scale * max|x| and the sum spans ``dim``
+    terms — BIGINT-exact up to dim * max|x| ~ 9 * 10^12 at the default
+    scale; unit-normalized embeddings are ~10^8.
+
+    ``method``: 'fold' = scan-stage HOF expression (engine-portable, the
+    pinned-oracle form); 'arrow' = one numpy int64 matmul per batch (the
+    scale path: out_dim*dim multiplies per row run as BLAS-shaped batch
+    work instead of ~0.5 us/element interpretation); 'auto' = fold below
+    ``arrow_threshold_rows`` (probed with a LIMIT-bounded count, so the
+    probe never scans past the threshold), arrow at or above."""
+    dim = len(df.select(vec_col).first()[0])
+    signs = rp_sign_matrix(dim, out_dim, seed)
+    if method == "auto":
+        probe = df.limit(arrow_threshold_rows).count()
+        method = "arrow" if probe >= arrow_threshold_rows else "fold"
+    if method == "fold":
+        q = (
+            f"transform(CAST(`{vec_col}` AS ARRAY<DOUBLE>), "
+            f"x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT))"
+        )
+        rows = ", ".join(
+            "aggregate(zip_with({q}, {s}, (x, y) -> x * y), 0L, "
+            "(acc, v) -> acc + v)".format(
+                q=q, s="array(" + ", ".join(f"{v}L" for v in srow) + ")"
+            )
+            for srow in signs
+        )
+        return df.withColumn(out_col, F.expr(f"array({rows})"))
+    if method != "arrow":
+        raise ValueError(f"unknown method {method!r}")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    smat = np.array(signs, dtype=np.int64)  # (out_dim, dim)
+
+    def _project(col):
+        if col.isna().any():
+            raise ValueError("random_projection: NULL embedding in batch")
+        x = np.array(col.tolist(), dtype=np.float64)
+        if x.ndim != 2 or x.shape[1] != smat.shape[1]:
+            raise ValueError(
+                f"random_projection: expected fixed dim {smat.shape[1]}, "
+                f"got shape {x.shape}"
+            )
+        q = np.floor(x * float(scale) + 0.5).astype(np.int64)
+        return pd.Series(list(q @ smat.T))
+
+    _project.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    project = pandas_udf(_project, "array<bigint>")
+    return df.withColumn(
+        out_col, project(F.col(vec_col).cast("array<double>"))
+    )
+
+
+def rp_quantize_sql(vec_sql: str, scale: int = 10**6) -> str:
+    """DuckDB quantization half of the ``random_projection`` twin —
+    compute ONCE (in a CTE) and feed the name to ``rp_project_sql``."""
+    return (
+        f"list_transform({vec_sql}, "
+        f"x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT))"
+    )
+
+
+def rp_project_sql(
+    q_sql: str, dim: int, out_dim: int, seed: int = 97
+) -> str:
+    """DuckDB projection half: list literal of per-output signed integer
+    sums over an ALREADY-QUANTIZED bigint list named by ``q_sql`` (same
+    signs, value-exact; quantize separately so the oracle does not
+    re-expand the transform dim*out_dim times)."""
+    signs = rp_sign_matrix(dim, out_dim, seed)
+    rows = ", ".join(
+        "("
+        + " + ".join(
+            f"{'' if s > 0 else '-'}{q_sql}[{d + 1}]"
+            for d, s in enumerate(srow)
+        )
+        + ")"
+        for srow in signs
+    )
+    return f"[{rows}]"
+
+
 def semantic_dedup(
     df: DataFrame,
     n_clusters: int,

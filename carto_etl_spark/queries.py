@@ -3280,6 +3280,55 @@ HAVING count(*) / (a.sz + b.sz - count(*)) >= 0.6
 """
 
 
+#: split weights shared by the split_leakage audit — same shape as the
+#: dataset_split entry so the two read as one contract
+_SL_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def q_split_leakage(spark, sf_dir):
+    """Cross-split LEAKAGE AUDIT — the eval-integrity check Lee et al.
+    (arXiv:2107.06499 §6.2) run after splitting: near-duplicate document
+    pairs that landed in DIFFERENT splits (a test doc with a train
+    near-copy inflates eval).  Pure composition, zero new shuffles beyond
+    the pair join: exact prefix-filtered n-gram Jaccard pairs
+    (dedup.ngram_jaccard_pairs_prefix) + the deterministic hash-split
+    label applied DIRECTLY to each pair id (split_expr is a pure function
+    of id and salt — no join back to the corpus, the label rides the
+    pair-output stage).  Planted near-copies hash independently of their
+    sources, so ~1/3 of true pairs cross splits at 80/10/10."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker")).alias("text"),
+    )
+    both = d.unionByName(near)
+    pairs = dd.ngram_jaccard_pairs_prefix(
+        both, "doc_id", "text", n=3, min_jaccard=0.6
+    )
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "union_sz",
+        smp.split_expr(F.col("id_a"), _SL_WEIGHTS, salt=11).alias("split_a"),
+        smp.split_expr(F.col("id_b"), _SL_WEIGHTS, salt=11).alias("split_b"),
+    )
+    return out.filter(F.col("split_a") != F.col("split_b"))
+
+
+ORACLE_SPLIT_LEAKAGE = f"""
+WITH pairs AS ({ORACLE_NGRAM_JACCARD}),
+lab AS (
+  SELECT id_a, id_b, inter, union_sz,
+         {smp.split_sql("id_a", _SL_WEIGHTS, salt=11)} AS split_a,
+         {smp.split_sql("id_b", _SL_WEIGHTS, salt=11)} AS split_b
+  FROM pairs
+)
+SELECT id_a, id_b, inter, union_sz, split_a, split_b
+FROM lab WHERE split_a != split_b
+"""
+
+
 def q_quality_scores(spark, sf_dir):
     """Composite document quality score (C4/Gopher-style blend of length,
     word-shape, stopword, punctuation components).  Every component is plain
@@ -6818,6 +6867,33 @@ FROM m CROSS JOIN range(64) t
 """
 
 
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss +-1 sign projection 64 -> 16 dims
+    (similarity.random_projection) — the standard cheapening step in
+    front of LSH banding / k-NN when the native dimension is wide.  Exact
+    fixed-point: quantize once via the cross-engine floor(+0.5), then a
+    +-1 dot product is an integer sum — order-independent, so the fold
+    path, the Arrow matmul scale path, and this oracle are bit-identical
+    (tests assert fold == arrow).  Emitted exploded (vec_id, dim, p) like
+    quantize_int8, in units of 1/10^6."""
+    e = load(spark, sf_dir, "embeddings")
+    p = sim.random_projection(e, out_dim=16, method="fold")
+    return p.select("vec_id", F.posexplode("proj").alias("dim", "p"))
+
+
+ORACLE_RANDOM_PROJECTION = f"""
+WITH q AS (
+  SELECT vec_id,
+         {sim.rp_quantize_sql("CAST(embedding AS DOUBLE[])")} AS qv
+  FROM embeddings
+), p AS (
+  SELECT vec_id, {sim.rp_project_sql("qv", 64, 16)} AS proj FROM q
+)
+SELECT vec_id, CAST(t.range AS INT) AS dim, proj[t.range + 1] AS p
+FROM p CROSS JOIN range(16) t
+"""
+
+
 def q_seasonal_residuals(spark, sf_dir):
     """Seasonal decomposition, the exact-arithmetic way: the hour-of-day
     profile per event_type is an exact decimal (sum, n) pair, the mean is
@@ -9268,6 +9344,8 @@ QUERIES = {
     "golden_records": q_golden_records,
     "label_centroids": q_label_centroids,
     "quantize_int8": q_quantize_int8,
+    "random_projection": q_random_projection,
+    "split_leakage": q_split_leakage,
     "seasonal_residuals": q_seasonal_residuals,
     "drawdown": q_drawdown,
     "shortest_paths": q_shortest_paths,
@@ -9461,6 +9539,8 @@ ORACLES = {
     "golden_records": ORACLE_GOLDEN_RECORDS,
     "label_centroids": ORACLE_CENTROIDS,
     "quantize_int8": ORACLE_QUANTIZE,
+    "random_projection": ORACLE_RANDOM_PROJECTION,
+    "split_leakage": ORACLE_SPLIT_LEAKAGE,
     "seasonal_residuals": ORACLE_SEASONAL,
     "drawdown": ORACLE_DRAWDOWN,
     "shortest_paths": _oracle_shortest_paths(),

@@ -469,3 +469,69 @@ def test_knn_graph_operator_planted_copy_is_rank1(spark, emb_df):
         assert len(nbrs) <= 3
         cosines = [n[2] for n in nbrs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_random_projection_fold_arrow_identical(spark, emb_df):
+    """The JL sign projection's two paths must be BIT-identical: +-1 dot
+    products over quantized integers are exact sums in both, so numpy
+    int64 matmul == interpreted fold, value for value."""
+    fold = {
+        r["vec_id"]: r["proj"]
+        for r in sim.random_projection(
+            emb_df, out_dim=16, method="fold"
+        ).select("vec_id", "proj").collect()
+    }
+    arrow = {
+        r["vec_id"]: r["proj"]
+        for r in sim.random_projection(
+            emb_df, out_dim=16, method="arrow"
+        ).select("vec_id", "proj").collect()
+    }
+    assert fold == arrow
+    assert all(len(v) == 16 for v in fold.values())
+
+
+def test_random_projection_preserves_cosine_geometry(spark, emb_df):
+    """JL contract: pairwise cosines in the 16-dim projected space track
+    the 64-dim originals within modest distortion — identical vectors
+    project identically (cosine exactly 1), and the mean absolute cosine
+    error over sampled pairs stays inside the JL band for out_dim=16."""
+    import math
+
+    rows = emb_df.select("vec_id", "embedding").limit(60).collect()
+    proj = {
+        r["vec_id"]: r["proj"]
+        for r in sim.random_projection(
+            emb_df.limit(60), out_dim=16, method="fold"
+        ).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    errs = []
+    for i in range(0, len(rows) - 1, 2):
+        a, b = rows[i], rows[i + 1]
+        c_orig = cos(
+            [float(x) for x in a["embedding"]],
+            [float(x) for x in b["embedding"]],
+        )
+        c_proj = cos(proj[a["vec_id"]], proj[b["vec_id"]])
+        errs.append(abs(c_orig - c_proj))
+        c_self = cos(proj[a["vec_id"]], proj[a["vec_id"]])
+        assert abs(c_self - 1.0) < 1e-12
+    assert errs and sum(errs) / len(errs) < 0.2
+
+
+def test_random_projection_validation(spark):
+    fdf = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.5, -0.25])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="unknown method"):
+        sim.random_projection(fdf, out_dim=4, method="nope")
+    out = sim.random_projection(fdf, out_dim=4, method="fold").first()
+    assert len(out["proj"]) == 4
