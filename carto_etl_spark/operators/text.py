@@ -398,6 +398,7 @@ def hashed_features(
     text_col: str,
     id_cols: list[str],
     dim: int = 64,
+    ngram: int = 1,
 ) -> DataFrame:
     """Feature-hashing (hashing-trick) bag-of-words: each whitespace token
     is bucketed by the first 8 hex digits of its md5, mod ``dim``, and
@@ -412,8 +413,28 @@ def hashed_features(
     Plan shape: explode tokens -> hash -> groupBy(ids, feature) with
     map-side partial aggregation; shuffle volume is the distinct
     (doc, bucket) pair count, capped at rows * dim.
+
+    ``ngram=2`` ADDS word-bigram features ("a b" joined with one space)
+    to the unigrams — the fastText convention (Joulin et al. 2016,
+    arXiv:1607.01759 §2: bag of words + bag of n-grams, one shared
+    hashing space).  Same bucket function, so the classifier and the
+    unrolled training oracle work unchanged; explode volume grows to
+    ~2n-1 tokens per doc.
     """
-    tok = F.explode(tokens_expr(F.col(text_col))).alias("__tok")
+    toks = tokens_expr(F.col(text_col))
+    if ngram == 1:
+        tok_arr = toks
+    elif ngram == 2:
+        n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+        bi = F.zip_with(
+            F.slice(toks, F.lit(1), n1),
+            F.slice(toks, F.lit(2), n1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        tok_arr = F.concat(toks, bi)
+    else:
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    tok = F.explode(tok_arr).alias("__tok")
     bucket = (
         F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10)
         .cast("long")
@@ -428,18 +449,30 @@ def hashed_features(
 
 
 def hashed_features_oracle_sql(
-    rows_sql: str, id_cols: list[str], dim: int = 64
+    rows_sql: str, id_cols: list[str], dim: int = 64, ngram: int = 1
 ) -> str:
     """Mirror of `hashed_features` for DuckDB: ``rows_sql`` must yield the
     id columns plus a ``text`` column; tokens split on whitespace with
-    blanks dropped, bucket = ('0x' || first 8 md5 hex chars) % dim."""
+    blanks dropped, bucket = ('0x' || first 8 md5 hex chars) % dim.
+    ``ngram=2`` appends space-joined word bigrams, matching the operator."""
     ids = ", ".join(id_cols)
+    base = (
+        "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+    )
+    if ngram == 1:
+        arr = "t"
+    elif ngram == 2:
+        arr = (
+            f"list_concat(t, list_transform(range(1, greatest(len(t), 1)), "
+            "i -> t[i] || ' ' || t[i+1]))"
+        )
+    else:
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
     return f"""
-WITH toks AS (
-  SELECT {ids}, unnest(list_filter(
-           string_split_regex(trim(text), '\\s+'), x -> x != ''))
-         AS tok
-  FROM ({rows_sql}) r
+WITH base AS (
+  SELECT {ids}, {base} AS t FROM ({rows_sql}) r
+), toks AS (
+  SELECT {ids}, unnest({arr}) AS tok FROM base
 )
 SELECT {ids},
        CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {dim}

@@ -180,3 +180,39 @@ def test_arrow_scores_bit_identical_to_expr(spark, docs):
     }
     assert via_expr == via_arrow
     assert len(via_arrow) == d.count()
+
+
+def test_hashed_features_bigrams_match_duckdb(spark, docs):
+    """fastText-style ngram=2 features (unigrams + space-joined bigrams in
+    one hashing space) must agree row-for-row with the DuckDB oracle twin,
+    including single-token and empty documents (zero bigrams)."""
+    import duckdb
+
+    edge = spark.createDataFrame(
+        [(10**6, "solo"), (10**6 + 1, ""), (10**6 + 2, "a b")],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(edge)
+    got = {
+        (r["doc_id"], r["feature"]): r["count"]
+        for r in tx.hashed_features(d, "text", ["doc_id"], dim=32, ngram=2)
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_pd", d.toPandas())
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            tx.hashed_features_oracle_sql(
+                "SELECT doc_id, text FROM docs_pd", ["doc_id"],
+                dim=32, ngram=2,
+            )
+        ).fetchall()
+    }
+    assert got == want
+    # bigrams genuinely present: the "a b" doc has its bigram bucket
+    two = tx.hashed_features(
+        spark.createDataFrame([(1, "a b")], "doc_id long, text string"),
+        "text", ["doc_id"], dim=32, ngram=2,
+    ).agg(F.sum("count")).first()[0]
+    assert two == 3  # 'a', 'b', 'a b'
