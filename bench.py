@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "quantize_int8",
     "random_projection",
     "split_leakage",
+    "dsir_sample",
     "seasonal_residuals",
     "drawdown",
     "shortest_paths",

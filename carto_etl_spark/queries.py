@@ -3329,6 +3329,56 @@ FROM lab WHERE split_a != split_b
 """
 
 
+#: DSIR hashed-feature space (the paper uses 10k buckets at CommonCrawl
+#: scale; 1024 keeps the toy fit dense enough that most buckets are
+#: observed) and the Gumbel redraw salt.
+_DSIR_DIM = 1024
+_DSIR_N = 100
+_DSIR_SALT = 7
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR data selection (Xie et al. arXiv:2302.03169, operators/dsir.py):
+    fit hashed word-{1,2}-gram unigram models on a small in-domain TARGET
+    (the French docs) and on the selection POOL (the English docs), weight
+    each feature by its smoothed log-likelihood ratio in exact micro-nats,
+    score every pool doc by its count-weighted LLR sum, and Gumbel-top-k
+    resample n=100 — "give me the pool documents that look most like the
+    target domain", the published alternative to the CCNet classifier gate
+    (quality_mixture).  Fit is two dim-bounded hash-aggregates + one
+    dim-row join; scoring is one sparse-feature shuffle + a broadcast
+    weight join; selection is TakeOrderedAndProject.  Everything after the
+    per-feature round() is exact int64, so the oracle replays fit + score
+    + resample value-for-value."""
+    from carto_etl_spark.operators import dsir as ds
+
+    d = load(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "fr")
+    pool = d.filter(F.col("lang") == "en")
+    tc = ds.feature_counts(target, "text", dim=_DSIR_DIM, ngram=2)
+    rc = ds.feature_counts(pool, "text", dim=_DSIR_DIM, ngram=2)
+    w, tt, rt = ds.dsir_weights(tc, rc, dim=_DSIR_DIM)
+    scores = ds.dsir_scores(
+        pool, "text", "doc_id", w, tt, rt, dim=_DSIR_DIM, ngram=2
+    )
+    return ds.dsir_select(scores, "doc_id", n=_DSIR_N, salt=_DSIR_SALT)
+
+
+def _oracle_dsir_sample() -> str:
+    from carto_etl_spark.operators.dsir import dsir_oracle_sql
+
+    return dsir_oracle_sql(
+        "SELECT text FROM documents WHERE lang = 'fr'",
+        "SELECT text FROM documents WHERE lang = 'en'",
+        "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+        "doc_id",
+        dim=_DSIR_DIM,
+        ngram=2,
+        n=_DSIR_N,
+        salt=_DSIR_SALT,
+    )
+
+
 def q_quality_scores(spark, sf_dir):
     """Composite document quality score (C4/Gopher-style blend of length,
     word-shape, stopword, punctuation components).  Every component is plain
@@ -9346,6 +9396,7 @@ QUERIES = {
     "quantize_int8": q_quantize_int8,
     "random_projection": q_random_projection,
     "split_leakage": q_split_leakage,
+    "dsir_sample": q_dsir_sample,
     "seasonal_residuals": q_seasonal_residuals,
     "drawdown": q_drawdown,
     "shortest_paths": q_shortest_paths,
@@ -9541,6 +9592,7 @@ ORACLES = {
     "quantize_int8": ORACLE_QUANTIZE,
     "random_projection": ORACLE_RANDOM_PROJECTION,
     "split_leakage": ORACLE_SPLIT_LEAKAGE,
+    "dsir_sample": _oracle_dsir_sample(),
     "seasonal_residuals": ORACLE_SEASONAL,
     "drawdown": ORACLE_DRAWDOWN,
     "shortest_paths": _oracle_shortest_paths(),
