@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "random_projection",
     "split_leakage",
     "dsir_sample",
+    "c4_rules",
     "seasonal_residuals",
     "drawdown",
     "shortest_paths",

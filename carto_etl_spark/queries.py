@@ -3379,6 +3379,60 @@ def _oracle_dsir_sample() -> str:
     )
 
 
+#: every 6 whitespace-separated words become one period-terminated line —
+#: the deterministic "sentence-ifier" that gives the punctuation-free
+#: synthetic corpus a page structure for the C4 rules to act on.
+_C4_SENT_RE = r"(\S+ \S+ \S+ \S+ \S+ \S+) "
+
+
+def q_c4_rules(spark, sf_dir):
+    """The C4 heuristic cleaning rules (Raffel et al. arXiv:1910.10683
+    §2.2, operators/c4rules.py) over a deterministically structured copy
+    of the corpus: each doc is split into 6-word period-terminated lines
+    (the tail words stay unpunctuated, so every page exercises the
+    terminal-punct line rule), and selected ids get a trailing
+    "lorem ipsum" or curly-brace/javascript line to trip the page rules.
+    Output: per-doc cleaned text + line/sentence counts + the page-keep
+    flag.  One scan-stage projection — no shuffle anywhere."""
+    from carto_etl_spark.operators import c4rules as c4
+
+    d = load(spark, sf_dir, "documents")
+    base = F.regexp_replace(F.col("text"), _C4_SENT_RE, "$1.\n")
+    txt = (
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(base, F.lit("\nlorem ipsum dolor sit amet.")),
+        )
+        .when(
+            F.col("doc_id") % 41 == 0,
+            F.concat(base, F.lit("\nwidget { javascript beacon }")),
+        )
+        .otherwise(base)
+    )
+    prepared = d.select("doc_id", txt.alias("text"))
+    return c4.c4_filter(
+        prepared, "text", ["doc_id"], min_words=3, min_sentences=5
+    )
+
+
+def _oracle_c4_rules() -> str:
+    from carto_etl_spark.operators.c4rules import c4_oracle_sql
+
+    rows = rf"""
+SELECT doc_id,
+       CASE WHEN doc_id % 37 = 0
+              THEN s || chr(10) || 'lorem ipsum dolor sit amet.'
+            WHEN doc_id % 41 = 0
+              THEN s || chr(10) || 'widget {{ javascript beacon }}'
+            ELSE s END AS text
+FROM (SELECT doc_id,
+             regexp_replace(text, '{_C4_SENT_RE}',
+                            '\1.' || chr(10), 'g') AS s
+      FROM documents)
+"""
+    return c4_oracle_sql(rows, ["doc_id"], min_words=3, min_sentences=5)
+
+
 def q_quality_scores(spark, sf_dir):
     """Composite document quality score (C4/Gopher-style blend of length,
     word-shape, stopword, punctuation components).  Every component is plain
@@ -9397,6 +9451,7 @@ QUERIES = {
     "random_projection": q_random_projection,
     "split_leakage": q_split_leakage,
     "dsir_sample": q_dsir_sample,
+    "c4_rules": q_c4_rules,
     "seasonal_residuals": q_seasonal_residuals,
     "drawdown": q_drawdown,
     "shortest_paths": q_shortest_paths,
@@ -9593,6 +9648,7 @@ ORACLES = {
     "random_projection": ORACLE_RANDOM_PROJECTION,
     "split_leakage": ORACLE_SPLIT_LEAKAGE,
     "dsir_sample": _oracle_dsir_sample(),
+    "c4_rules": _oracle_c4_rules(),
     "seasonal_residuals": ORACLE_SEASONAL,
     "drawdown": ORACLE_DRAWDOWN,
     "shortest_paths": _oracle_shortest_paths(),
