@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "split_leakage",
     "dsir_sample",
     "c4_rules",
+    "gopher_repetition",
     "seasonal_residuals",
     "drawdown",
     "shortest_paths",

@@ -1,0 +1,256 @@
+"""Gopher repetition filters (Rae et al. 2021, arXiv:2112.11446 Table A1)
+— the within-document repetition rule table that Gopher/MassiveText
+introduced and FineWeb/Dolma-style pipelines still apply:
+
+- fraction of characters in the MOST FREQUENT word n-gram, n in {2,3,4}
+  (thresholds 0.20 / 0.18 / 0.16);
+- fraction of characters in DUPLICATED word n-grams (n-grams occurring
+  more than once), n in {5..10} (thresholds 0.15 down to 0.10);
+- fraction of duplicate lines (0.30) and of characters in duplicate
+  lines (0.20).
+
+Character accounting (documented because published implementations vary):
+tokens are whitespace-split, a gram's char length is the length of its
+space-joined string (internal spaces count), and the denominator is the
+length of the space-joined token stream — so every ratio is a quotient of
+two exact integers, one IEEE division on both engines, no libm anywhere;
+rounded to 6dp for display only, thresholds compared on the raw quotient.
+Duplicated-gram char mass counts every occurrence (overlaps between
+different n are inherent to the published rule; each n is its own signal).
+
+Distributed shape: ONE explode of per-n tagged gram structs (sum over n
+of L-n+1 rows/doc, ~9L), ``groupBy(doc, n, gram)`` with map-side combine,
+then a conditional-aggregation pivot down to one row per doc; lines take
+the same two-step shape at lines/doc volume.  No windows, no per-doc
+quadratic HOFs (an array-side count-within-array is O(L^2) interpreted —
+fine at 10 lines/doc, lethal at 10^4); shuffle volume is bounded by the
+distinct (doc, n, gram) count.  At 100 TB every stage partial-aggregates
+before the exchange, and AQE splits skewed hot documents.
+
+The reference has no text-analysis surface (/root/reference/etl/etl.py
+delegates to PostgreSQL); this module extends the LLM-pipeline suite
+beside c4rules.py (line/page rules) and text.py (occurrence-level
+repetition, dup_ngram_fraction_expr).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from carto_etl_spark.operators.text import tokens_expr
+
+__all__ = [
+    "TOP_NGRAM_THRESHOLDS",
+    "DUP_NGRAM_THRESHOLDS",
+    "DUP_LINE_FRAC_MAX",
+    "DUP_LINE_CHAR_FRAC_MAX",
+    "gopher_repetition",
+    "gopher_repetition_sql",
+]
+
+#: Table A1 thresholds: max char-fraction of the top n-gram.
+TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+#: Table A1 thresholds: max char-fraction in duplicated n-grams.
+DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+DUP_LINE_FRAC_MAX = 0.30
+DUP_LINE_CHAR_FRAC_MAX = 0.20
+
+
+def _tagged_grams(toks: Column, ns: list[int]) -> Column:
+    """array<struct<n:int, gram:string>> of all word n-grams for every n in
+    ``ns`` — one flatten feeds one explode, so all 9 gram families ride a
+    single shuffle."""
+    # NB: the per-n closure must come from a factory so the lambda keeps
+    # arity 1 — `lambda i, n=n: ...` has two parameters, which pyspark
+    # resolves as the (element, index) form and silently feeds the ARRAY
+    # INDEX into `n` (cousin of the point-free F.trim trap in c4rules.py).
+    def gram_fn(n: int):
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+        )
+
+    per_n = [
+        F.when(
+            F.size(toks) - F.lit(n - 1) <= 0,
+            F.array().cast("array<struct<n:int,gram:string>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+                gram_fn(n),
+            )
+        )
+        for n in ns
+    ]
+    return F.flatten(F.array(*per_n))
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Gopher repetition signals + the overall ``passes``
+    flag.  Empty / gram-less documents report 0.0 fractions (they carry no
+    repeated mass; Gopher's word-count bound, not this filter, is what
+    removes them)."""
+    ns_top = sorted(TOP_NGRAM_THRESHOLDS)
+    ns_dup = sorted(DUP_NGRAM_THRESHOLDS)
+
+    # ONE wide scan: tokens ride the tagged explode as 1-grams (their
+    # aggregate recovers both the joined-char denominator and the word
+    # count), lines ride it tagged n = -1 — so every signal shares a
+    # single exchange instead of re-scanning the corpus per family.  A
+    # second, id-column-only scan backstops documents that explode to
+    # nothing (empty text).
+    toks = df.select(
+        id_col,
+        tokens_expr(F.col(text_col)).alias("__t"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("__lines"),
+    )
+    tagged = F.concat(
+        _tagged_grams(F.col("__t"), [1] + ns_top + ns_dup),
+        F.transform(
+            F.col("__lines"),
+            lambda l: F.struct(F.lit(-1).alias("n"), l.alias("gram")),
+        ),
+    )
+    rows = toks.select(id_col, F.explode(tagged).alias("g")).select(
+        id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
+    counts = rows.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("__c"))
+
+    is_n = lambda n: F.col("n") == n  # noqa: E731
+    mass = F.col("__c") * F.length("gram")
+    dup = F.col("__c") >= 2
+    per_doc = counts.groupBy(id_col).agg(
+        # joined-char denominator: token chars + (L-1) separating spaces
+        (
+            F.sum(F.when(is_n(1), mass).otherwise(0))
+            + F.greatest(F.sum(F.when(is_n(1), F.col("__c")).otherwise(0)) - 1, F.lit(0))
+        ).alias("__chars"),
+        *[F.max(F.when(is_n(n), mass)).alias(f"__top{n}") for n in ns_top],
+        *[
+            F.sum(F.when(is_n(n) & dup, mass).otherwise(0)).alias(f"__dup{n}")
+            for n in ns_dup
+        ],
+        F.sum(F.when(is_n(-1), F.col("__c")).otherwise(0)).alias("__nlines"),
+        F.sum(F.when(is_n(-1) & dup, F.col("__c")).otherwise(0)).alias("__duplines"),
+        F.sum(F.when(is_n(-1), mass).otherwise(0)).alias("__linechars"),
+        F.sum(F.when(is_n(-1) & dup, mass).otherwise(0)).alias("__duplinechars"),
+    )
+    out = df.select(id_col).join(per_doc, [id_col], "left")
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    chars = F.coalesce(F.col("__chars"), F.lit(0))
+    cols, ok = [], F.lit(True)
+    for n in ns_top:
+        f = frac(F.coalesce(F.col(f"__top{n}"), F.lit(0)), chars)
+        cols.append(F.round(f, 6).alias(f"top{n}gram_char_frac"))
+        ok = ok & (f <= F.lit(TOP_NGRAM_THRESHOLDS[n]))
+    for n in ns_dup:
+        f = frac(F.coalesce(F.col(f"__dup{n}"), F.lit(0)), chars)
+        cols.append(F.round(f, 6).alias(f"dup{n}gram_char_frac"))
+        ok = ok & (f <= F.lit(DUP_NGRAM_THRESHOLDS[n]))
+    lf = frac(F.coalesce(F.col("__duplines"), F.lit(0)),
+              F.coalesce(F.col("__nlines"), F.lit(0)))
+    lcf = frac(F.coalesce(F.col("__duplinechars"), F.lit(0)),
+               F.coalesce(F.col("__linechars"), F.lit(0)))
+    cols += [
+        F.round(lf, 6).alias("dup_line_frac"),
+        F.round(lcf, 6).alias("dup_line_char_frac"),
+    ]
+    ok = ok & (lf <= F.lit(DUP_LINE_FRAC_MAX)) & (lcf <= F.lit(DUP_LINE_CHAR_FRAC_MAX))
+    return out.select(id_col, chars.cast("long").alias("n_chars_joined"), *cols,
+                      ok.alias("passes"))
+
+
+def gopher_repetition_sql(rows_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin; ``rows_sql`` must yield (id, text).  Same char
+    accounting, same conditional-aggregation pivot."""
+    ns_top = sorted(TOP_NGRAM_THRESHOLDS)
+    ns_dup = sorted(DUP_NGRAM_THRESHOLDS)
+    all_ns = ", ".join(str(n) for n in ns_top + ns_dup)
+
+    gram_aggs = ",\n         ".join(
+        [
+            f"max(CASE WHEN n = {n} THEN c * length(gram) END) AS top{n}"
+            for n in ns_top
+        ]
+        + [
+            f"COALESCE(sum(CASE WHEN n = {n} AND c >= 2 THEN c * length(gram) "
+            f"ELSE 0 END), 0) AS dup{n}"
+            for n in ns_dup
+        ]
+    )
+    out_cols, ok_terms = [], []
+    for n in ns_top:
+        f = f"CASE WHEN chars > 0 THEN CAST(COALESCE(top{n}, 0) AS DOUBLE) / chars ELSE 0.0 END"
+        out_cols.append(f"round({f}, 6) AS top{n}gram_char_frac")
+        ok_terms.append(f"({f}) <= {TOP_NGRAM_THRESHOLDS[n]}")
+    for n in ns_dup:
+        f = f"CASE WHEN chars > 0 THEN CAST(COALESCE(dup{n}, 0) AS DOUBLE) / chars ELSE 0.0 END"
+        out_cols.append(f"round({f}, 6) AS dup{n}gram_char_frac")
+        ok_terms.append(f"({f}) <= {DUP_NGRAM_THRESHOLDS[n]}")
+    lf = "CASE WHEN nlines > 0 THEN CAST(COALESCE(duplines, 0) AS DOUBLE) / nlines ELSE 0.0 END"
+    lcf = "CASE WHEN linechars > 0 THEN CAST(COALESCE(duplinechars, 0) AS DOUBLE) / linechars ELSE 0.0 END"
+    out_cols += [
+        f"round({lf}, 6) AS dup_line_frac",
+        f"round({lcf}, 6) AS dup_line_char_frac",
+    ]
+    ok_terms += [f"({lf}) <= {DUP_LINE_FRAC_MAX}", f"({lcf}) <= {DUP_LINE_CHAR_FRAC_MAX}"]
+    ok = " AND ".join(ok_terms)
+    sel = ",\n       ".join(out_cols)
+
+    return rf"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'),
+                     x -> x != '') AS t,
+         COALESCE(text, '') AS raw
+  FROM ({rows_sql}) r
+), base AS (
+  SELECT {id_col}, t,
+         CAST(length(array_to_string(t, ' ')) AS BIGINT) AS chars,
+         string_split(raw, chr(10)) AS lines
+  FROM toks
+), grams AS (
+  SELECT {id_col}, nn.n AS n, array_to_string(t[ii.i:ii.i+nn.n-1], ' ') AS gram
+  FROM base,
+       unnest([{all_ns}]) AS nn(n),
+       unnest(range(1, greatest(len(t) - nn.n + 1, 0) + 1)) AS ii(i)
+), gcounts AS (
+  SELECT {id_col}, n, gram, count(*) AS c FROM grams GROUP BY {id_col}, n, gram
+), per_doc_grams AS (
+  SELECT {id_col},
+         {gram_aggs}
+  FROM gcounts GROUP BY {id_col}
+), lrows AS (
+  SELECT {id_col}, unnest(lines) AS line FROM base
+), lcounts AS (
+  SELECT {id_col}, line, count(*) AS c FROM lrows GROUP BY {id_col}, line
+), per_doc_lines AS (
+  SELECT {id_col},
+         sum(c) AS nlines,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS duplines,
+         sum(c * length(line)) AS linechars,
+         sum(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END) AS duplinechars
+  FROM lcounts GROUP BY {id_col}
+), joined AS (
+  SELECT b.{id_col}, b.chars,
+         g.top2, g.top3, g.top4, g.dup5, g.dup6, g.dup7, g.dup8, g.dup9,
+         g.dup10, l.nlines, l.duplines, l.linechars, l.duplinechars
+  FROM base b
+  LEFT JOIN per_doc_grams g ON b.{id_col} = g.{id_col}
+  LEFT JOIN per_doc_lines l ON b.{id_col} = l.{id_col}
+)
+SELECT {id_col}, CAST(chars AS BIGINT) AS n_chars_joined,
+       {sel},
+       ({ok}) AS passes
+FROM joined
+"""

@@ -3433,6 +3433,43 @@ FROM (SELECT doc_id,
     return c4_oracle_sql(rows, ["doc_id"], min_words=3, min_sentences=5)
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """The full Gopher repetition rule table (Rae et al. arXiv:2112.11446
+    Table A1, operators/gopher.py): top-{2,3,4}-gram char fractions,
+    duplicated-{5..10}-gram char fractions, duplicate-line fraction and
+    char fraction, and the combined ``passes`` flag.  Runs over the same
+    sentence-ified corpus as c4_rules, with every 11th doc given a twice-
+    repeated line so the line-level signals fire; the 50-word synthetic
+    vocabulary makes the n-gram mass genuinely non-trivial.  One tagged
+    explode carries all nine gram families through a single shuffle."""
+    from carto_etl_spark.operators.gopher import gopher_repetition
+
+    d = load(spark, sf_dir, "documents")
+    base = F.regexp_replace(F.col("text"), _C4_SENT_RE, "$1.\n")
+    txt = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(base, F.lit("\nrepeat me twice now.\nrepeat me twice now.")),
+    ).otherwise(base)
+    return gopher_repetition(d.select("doc_id", txt.alias("text")))
+
+
+def _oracle_gopher_repetition() -> str:
+    from carto_etl_spark.operators.gopher import gopher_repetition_sql
+
+    rows = rf"""
+SELECT doc_id,
+       CASE WHEN doc_id % 11 = 0
+              THEN s || chr(10) || 'repeat me twice now.'
+                     || chr(10) || 'repeat me twice now.'
+            ELSE s END AS text
+FROM (SELECT doc_id,
+             regexp_replace(text, '{_C4_SENT_RE}',
+                            '\1.' || chr(10), 'g') AS s
+      FROM documents)
+"""
+    return gopher_repetition_sql(rows, "doc_id")
+
+
 def q_quality_scores(spark, sf_dir):
     """Composite document quality score (C4/Gopher-style blend of length,
     word-shape, stopword, punctuation components).  Every component is plain
@@ -9452,6 +9489,7 @@ QUERIES = {
     "split_leakage": q_split_leakage,
     "dsir_sample": q_dsir_sample,
     "c4_rules": q_c4_rules,
+    "gopher_repetition": q_gopher_repetition,
     "seasonal_residuals": q_seasonal_residuals,
     "drawdown": q_drawdown,
     "shortest_paths": q_shortest_paths,
@@ -9649,6 +9687,7 @@ ORACLES = {
     "split_leakage": ORACLE_SPLIT_LEAKAGE,
     "dsir_sample": _oracle_dsir_sample(),
     "c4_rules": _oracle_c4_rules(),
+    "gopher_repetition": _oracle_gopher_repetition(),
     "seasonal_residuals": ORACLE_SEASONAL,
     "drawdown": ORACLE_DRAWDOWN,
     "shortest_paths": _oracle_shortest_paths(),
