@@ -3440,11 +3440,14 @@ def q_gopher_repetition(spark, sf_dir):
     char fraction, and the combined ``passes`` flag.  Runs over the same
     sentence-ified corpus as c4_rules, with every 11th doc given a twice-
     repeated line so the line-level signals fire; the 50-word synthetic
-    vocabulary makes the n-gram mass genuinely non-trivial.  One tagged
-    explode carries all nine gram families through a single shuffle."""
+    vocabulary makes the n-gram mass genuinely non-trivial.  Runs the
+    map-only Arrow counting path (no exchange at all; bit-identical to the
+    relational twin — operators/gopher.py method="expr" — which pays a
+    shuffle plus interpreted HOFs to say "count within each doc" in
+    relational algebra: 9.4 s vs 1.5 s at sf0.1)."""
     from carto_etl_spark.operators.gopher import gopher_repetition
 
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"), spark)
     base = F.regexp_replace(F.col("text"), _C4_SENT_RE, "$1.\n")
     txt = F.when(
         F.col("doc_id") % 11 == 0,

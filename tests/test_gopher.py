@@ -15,9 +15,27 @@ from carto_etl_spark.operators.gopher import (
 )
 
 
-def _run(spark, rows):
+def _run(spark, rows, method="arrow"):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    return {r["doc_id"]: r.asDict() for r in gopher_repetition(df).collect()}
+    out = gopher_repetition(df, method=method)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_arrow_and_expr_paths_identical(spark):
+    """The map-only Arrow path and the relational explode path must agree
+    row-for-row, including unicode/odd whitespace (Java \\s vs Python \\s
+    is the classic divergence) and duplicate lines."""
+    rows = [
+        (1, "x y x y z"),
+        (2, "a b c d e a b c d e"),
+        (3, "same line.\nsame line.\n\tTabbed  words nbsp here."),
+        (4, ""),
+        (5, None),
+        (6, "one\x0btwo\fthree  four\r\nfive"),
+    ]
+    a = _run(spark, rows, method="arrow")
+    b = _run(spark, rows, method="expr")
+    assert a == b
 
 
 def test_tagged_grams_tag_n_not_index(spark):
