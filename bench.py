@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "dsir_sample",
     "c4_rules",
     "gopher_repetition",
+    "pipeline_fineweb",
     "seasonal_residuals",
     "drawdown",
     "shortest_paths",

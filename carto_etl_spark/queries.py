@@ -2682,6 +2682,97 @@ def _oracle_pipeline_ccnet() -> str:
     )
 
 
+def q_pipeline_fineweb(spark, sf_dir):
+    """The FineWeb-shaped composition (Penedo et al. arXiv:2406.17557
+    order: heuristic quality rules BEFORE dedup): sentence-ified messy
+    corpus (cookie banner + per-source footer lines, near-copies of every
+    10th doc) -> C4 line+page rules (operators/c4rules.py — here the
+    punct-less banner/footer lines die at the LINE rule, so C4 does the
+    boilerplate removal that pipeline_e2e's cross-doc line dedup performs)
+    -> Gopher repetition gate (operators/gopher.py, map-only Arrow
+    counting) -> MinHash near-dedup -> split -> shard manifest (the shared
+    tail).  The oracle replays the whole chain — both new rule tables
+    nested as CTEs — in one statement.
+
+    Two materialization boundaries, one per stage output that fans out:
+    the C4-cleaned frame feeds the Gopher scorer AND the survivor join
+    (without it the c4 prefix runs once per branch), and the gated frame
+    feeds minhash_dedup's five plan branches (the pipeline_e2e lesson,
+    pinned by test_pipeline_ops)."""
+    from carto_etl_spark.operators import c4rules as c4
+    from carto_etl_spark.operators.gopher import gopher_repetition
+
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sent = F.regexp_replace(F.col("text"), _C4_SENT_RE, "$1.\n")
+    base = d.select("doc_id", sent.alias("text"), "source")
+    near = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("\nnear copy extra line.")).alias("text"),
+        "source",
+    )
+    both = base.unionByName(near)
+    pages = both.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("This site uses cookies to improve your experience"),
+            F.concat(F.lit("Footer for "), F.col("source")),
+        ).alias("text"),
+    )
+    c4out = c4.c4_filter(pages, "text", ["doc_id"], min_words=3, min_sentences=5)
+    c4kept = (
+        c4out.where("doc_kept")
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    gop = gopher_repetition(c4kept, "text", "doc_id")
+    gated = c4kept.join(
+        gop.where("passes").select("doc_id"), ["doc_id"], "left_semi"
+    ).localCheckpoint(eager=True)
+    return _pipeline_finish(gated)
+
+
+def _oracle_pipeline_fineweb() -> str:
+    from carto_etl_spark.operators.c4rules import c4_oracle_sql
+    from carto_etl_spark.operators.gopher import gopher_repetition_sql
+
+    c4o = c4_oracle_sql(
+        "SELECT doc_id, text FROM fpages", ["doc_id"],
+        min_words=3, min_sentences=5,
+    )
+    gopo = gopher_repetition_sql("SELECT doc_id, text FROM c4kept", "doc_id")
+    prefix = rf"""fbase AS (
+  SELECT doc_id,
+         regexp_replace(text, '{_C4_SENT_RE}', '\1.' || chr(10), 'g') AS text,
+         source
+  FROM documents WHERE text IS NOT NULL
+), fboth AS (
+  SELECT doc_id, text, source FROM fbase
+  UNION ALL
+  SELECT doc_id + 1000000,
+         text || chr(10) || 'near copy extra line.', source
+  FROM fbase WHERE doc_id % 10 = 0
+), fpages AS (
+  SELECT doc_id,
+         text || chr(10) ||
+         'This site uses cookies to improve your experience' || chr(10) ||
+         'Footer for ' || source AS text
+  FROM fboth
+), c4o AS (
+  {c4o}
+), c4kept AS (
+  SELECT doc_id, clean_text AS text FROM c4o WHERE doc_kept
+), gopo AS (
+  {gopo}
+), fgated AS (
+  SELECT k.doc_id, k.text
+  FROM c4kept k JOIN gopo g ON k.doc_id = g.doc_id
+  WHERE g.passes
+)"""
+    return "WITH RECURSIVE " + prefix + _pipeline_tail_sql("fgated")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-pairs over documents + mutated near-copies at
     hamming<=3, where the 16-bit-block candidate generation is
@@ -9395,6 +9486,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "pipeline_e2e": q_pipeline_e2e,
     "pipeline_ccnet": q_pipeline_ccnet,
+    "pipeline_fineweb": q_pipeline_fineweb,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
@@ -9607,6 +9699,7 @@ ORACLES = {
     "minhash_dedup": ORACLE_MINHASH_DEDUP,
     "pipeline_e2e": _oracle_pipeline_e2e(),
     "pipeline_ccnet": _oracle_pipeline_ccnet(),
+    "pipeline_fineweb": _oracle_pipeline_fineweb(),
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "stratified_sample": ORACLE_STRATIFIED,
     "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,

@@ -613,3 +613,34 @@ def test_pipeline_ccnet_gate_composition(spark):
     plan = explain_str(df)
     scans = plan.count("documents.parquet")
     assert scans == 0, f"ccnet composition re-scans the corpus: {scans}"
+
+
+def test_pipeline_fineweb_stage_fates(spark):
+    """pipeline_fineweb plants one fate per stage: cookie-banner and footer
+    lines die at the C4 LINE rule (no cross-doc line dedup in this chain),
+    short docs die at the page sentence bound, repetitive docs die at the
+    Gopher gate, near-copies (id + 10^6) lose min-id survivorship at
+    near-dedup, and the manifest invariants hold.  The double
+    materialization boundary (c4kept, gated) must leave the final plan
+    reading the corpus parquet zero times."""
+    from carto_etl_spark.queries import q_pipeline_fineweb
+
+    df = q_pipeline_fineweb(spark, SF)
+    rows = df.collect()
+    assert rows
+    ids = {r["doc_id"] for r in rows}
+    # A near-copy may survive as an ORPHAN: its extra terminal-punct line
+    # can carry a 4-sentence source over the C4 page bound the source
+    # itself failed.  What can never happen is copy AND source both
+    # surviving — if the source is in the output, the copy near-dups it
+    # and loses min-id survivorship.
+    both = {i for i in ids if i >= 1_000_000 and i - 1_000_000 in ids}
+    assert not both, f"copy+source pairs survived dedup: {sorted(both)[:5]}"
+    for r in rows:
+        assert r["split"] in ("train", "valid", "test")
+        assert 0 <= r["shard"] < 16
+        # C4 kept lines have >= 3 words, pages have >= 5 sentences
+        assert r["n_tokens"] >= 3
+    plan = explain_str(df)
+    scans = plan.count("documents.parquet")
+    assert scans == 0, f"fineweb composition re-scans the corpus: {scans}"
