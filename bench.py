@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "c4_rules",
     "gopher_repetition",
     "pipeline_fineweb",
+    "source_reputation",
     "seasonal_residuals",
     "drawdown",
     "shortest_paths",

@@ -1598,6 +1598,62 @@ FROM scored
 """
 
 
+#: source-reputation gate: mean classifier score the group must clear
+#: (the quality_mixture "mid" boundary) and the minimum certifiable size.
+_SR_MIN_DOCS = 3
+
+
+def q_source_reputation(spark, sf_dir):
+    """Domain-level reputation gating (operators/reputation.py — the
+    FineWeb/RefinedWeb whole-domain filter): train the fixed-point quality
+    classifier, score every document, roll scores up to exact per-SOURCE
+    (n_docs, sum_score), and pass each source iff its MEAN score clears
+    tau — compared without division (sum*den >= num*n, exact int64).
+    Documents ride or die with their source; the verdict frame (one row
+    per source) broadcasts back, so the gate is a scan-stage filter on
+    the corpus side.  The oracle unrolls training AND replays the rollup."""
+    from carto_etl_spark.operators import classifier as clf
+    from carto_etl_spark.operators import reputation as rp
+
+    d = load(spark, sf_dir, "documents")
+    feats = tx.hashed_features(d, "text", ["doc_id"], dim=_QC_DIM)
+    labels = d.select("doc_id", _qc_label_col())
+    w, b = clf.train_quality_classifier(
+        feats, labels, dim=_QC_DIM, iterations=_QC_ITERS,
+        lr_num=_QC_LR_NUM, lr_den=_QC_LR_DEN, scale=_QC_SCALE,
+    )
+    scored = d.select(
+        "doc_id", "source",
+        clf.quality_score_expr("text", w, b, scale=_QC_SCALE).alias(
+            "score_scaled"
+        ),
+    )
+    out = rp.gate_by_reputation(
+        scored, "source", "score_scaled",
+        tau_num=_QM_MID, tau_den=1, min_docs=_SR_MIN_DOCS,
+    )
+    return out.select("doc_id", "source", "n_docs", "sum_score", "grp_ok")
+
+
+def _oracle_source_reputation() -> str:
+    return f"""
+WITH scored AS ({_oracle_quality_classifier()}),
+docs AS (
+  SELECT d.doc_id, d.source, s.score_scaled
+  FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+), rep AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(score_scaled) AS BIGINT) AS sum_score
+  FROM docs GROUP BY source
+)
+SELECT d.doc_id, d.source, r.n_docs, r.sum_score,
+       (r.n_docs >= {_SR_MIN_DOCS}
+        AND r.sum_score * 1 >= {_QM_MID} * r.n_docs) AS grp_ok
+FROM docs d LEFT JOIN rep r ON d.source = r.source
+"""
+
+
 NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
 
@@ -9585,6 +9641,7 @@ QUERIES = {
     "dsir_sample": q_dsir_sample,
     "c4_rules": q_c4_rules,
     "gopher_repetition": q_gopher_repetition,
+    "source_reputation": q_source_reputation,
     "seasonal_residuals": q_seasonal_residuals,
     "drawdown": q_drawdown,
     "shortest_paths": q_shortest_paths,
@@ -9784,6 +9841,7 @@ ORACLES = {
     "dsir_sample": _oracle_dsir_sample(),
     "c4_rules": _oracle_c4_rules(),
     "gopher_repetition": _oracle_gopher_repetition(),
+    "source_reputation": _oracle_source_reputation(),
     "seasonal_residuals": ORACLE_SEASONAL,
     "drawdown": ORACLE_DRAWDOWN,
     "shortest_paths": _oracle_shortest_paths(),
