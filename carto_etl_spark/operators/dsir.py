@@ -72,10 +72,6 @@ def feature_counts(
     """Global hashed-n-gram counts ``(feature, count)`` for one corpus —
     ``hashed_features`` with no id columns, so the groupBy collapses to a
     <= ``dim``-row frame with full map-side combining."""
-    return feature_counts_df(df, text_col, dim, ngram)
-
-
-def feature_counts_df(df, text_col, dim, ngram):
     return hashed_features(df, text_col, [], dim=dim, ngram=ngram)
 
 
