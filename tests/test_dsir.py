@@ -145,3 +145,33 @@ def test_bigram_features_change_fit(spark, domain_corpora):
     assert min(rows[i] for i in range(0, 100, 5)) > max(
         rows[i] for i in range(100) if i % 5 != 0
     )
+
+
+def test_arrow_scoring_twin_bit_identical(spark, domain_corpora):
+    """dsir_scores_arrow must equal dsir_scores row-for-row — same Java-\\s
+    tokens, same md5 buckets, integer sums, engine-evaluated default —
+    for both ngram settings and for docs with unseen/odd tokens."""
+    target, pool = domain_corpora
+    extra = _corpus(
+        spark,
+        [(900, "zz-unseen zz-unseen boson"), (901, ""), (902, None),
+         (903, "tab\tsep\x0bodd\fws tokens here")],
+    )
+    probe = pool.unionByName(extra)
+    for ngram in (1, 2):
+        tc = ds.feature_counts(target, "text", dim=DIM, ngram=ngram)
+        rc = ds.feature_counts(pool, "text", dim=DIM, ngram=ngram)
+        w, tt, rt = ds.dsir_weights(tc, rc, dim=DIM)
+        a = sorted(
+            tuple(r)
+            for r in ds.dsir_scores(
+                probe, "text", "doc_id", w, tt, rt, dim=DIM, ngram=ngram
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in ds.dsir_scores_arrow(
+                probe, "text", "doc_id", w, tt, rt, dim=DIM, ngram=ngram
+            ).collect()
+        )
+        assert a == b, f"ngram={ngram}"
