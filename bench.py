@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "gopher_repetition",
     "pipeline_fineweb",
     "source_reputation",
+    "paragraph_dedup",
     "seasonal_residuals",
     "drawdown",
     "shortest_paths",

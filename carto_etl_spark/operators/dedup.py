@@ -902,13 +902,18 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def doc_lines(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    sep: str = "\n",
 ) -> DataFrame:
-    """One row per (doc, position, line) — position preserves reassembly
-    order.  NULL texts produce no rows (handled by the caller's left join)."""
+    """One row per (doc, position, unit) — position preserves reassembly
+    order.  NULL texts produce no rows (handled by the caller's left join).
+    ``sep`` is the unit boundary: "\\n" for lines (default), "\\n\\n" for
+    paragraphs (the RefinedWeb granularity); it must be a regex that
+    matches itself literally since reassembly re-joins with the same
+    string."""
     return df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     )
 
 
@@ -942,11 +947,15 @@ def drop_repeated_lines(
     id_col: str = "doc_id",
     max_occurrences: int = 1,
     min_line_chars: int = 10,
+    sep: str = "\n",
 ) -> DataFrame:
     """CCNet-style cross-document line dedup: remove every occurrence of any
     substantive line that appears more than ``max_occurrences`` times in the
     corpus (navigation chrome, cookie banners, license boilerplate), then
-    reassemble documents in original line order.
+    reassemble documents in original line order.  ``sep="\\n\\n"`` turns
+    this into RefinedWeb-style PARAGRAPH dedup — same plan, coarser unit
+    (raise ``min_line_chars`` accordingly; a paragraph under ~20 chars is
+    structural).
 
     Output = input schema with ``text_col`` rewritten, plus ``n_lines_kept``
     / ``n_lines_dropped``.  Documents whose every line is dropped survive
@@ -957,7 +966,7 @@ def drop_repeated_lines(
     doc_id regroup for reassembly) plus the anti-join of lines against the
     repeated set, which AQE skew-splits if a hot line dominates.  Nothing
     driver-side, no UDFs."""
-    lines = doc_lines(df, text_col, id_col)
+    lines = doc_lines(df, text_col, id_col, sep)
     boiler = repeated_lines(lines, max_occurrences, min_line_chars)
     kept = lines.withColumn(
         "__eligible", F.length(F.trim(F.col("line"))) >= min_line_chars
@@ -976,12 +985,12 @@ def drop_repeated_lines(
                     F.array_sort(F.collect_list(F.struct("pos", "line"))),
                     lambda s: s["line"],
                 ),
-                "\n",
+                sep,
             ).alias("__clean"),
             F.count(F.lit(1)).alias("n_lines_kept"),
         )
     )
-    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    n_lines = F.size(F.split(F.col(text_col), sep))
     out = (
         df.join(rebuilt, on=id_col, how="left")
         .withColumn(

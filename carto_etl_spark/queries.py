@@ -1598,6 +1598,68 @@ FROM scored
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """RefinedWeb-style cross-document PARAGRAPH dedup — drop_repeated_lines
+    with sep="\\n\\n" (operators/dedup.py): every doc gets a corpus-wide
+    boilerplate paragraph (dropped everywhere) and a per-source footer
+    paragraph (dropped wherever the source has >= 2 docs), around its own
+    unique body.  Same two-shuffle plan as line dedup — the unit boundary
+    is the only difference."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.col("text"),
+            F.lit("subscribe to our newsletter and join the community"),
+            F.concat(F.lit("Footer for "), F.col("source")),
+        ).alias("text"),
+    )
+    out = dd.drop_repeated_lines(
+        pages, "text", "doc_id", max_occurrences=1, min_line_chars=15,
+        sep="\n\n",
+    )
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"),
+        "n_lines_kept", "n_lines_dropped",
+    )
+
+
+ORACLE_PARAGRAPH_DEDUP = r"""
+WITH pages AS (
+  SELECT doc_id,
+         text || chr(10) || chr(10)
+              || 'subscribe to our newsletter and join the community'
+              || chr(10) || chr(10) || 'Footer for ' || source AS text
+  FROM documents WHERE text IS NOT NULL
+), paras AS (
+  SELECT doc_id, CAST(u.l[2] AS BIGINT) AS pos, u.l[1] AS line
+  FROM pages, unnest(list_zip(
+         string_split(text, chr(10) || chr(10)),
+         range(0, len(string_split(text, chr(10) || chr(10)))))) AS u(l)
+), boiler AS (
+  SELECT line FROM paras
+  WHERE len(trim(line)) >= 15
+  GROUP BY line HAVING count(*) > 1
+), surv AS (
+  SELECT doc_id, pos, line FROM paras
+  WHERE len(trim(line)) < 15
+     OR line NOT IN (SELECT line FROM boiler)
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) || chr(10) ORDER BY pos) AS clean,
+         count(*) AS n_kept
+  FROM surv GROUP BY doc_id
+)
+SELECT p.doc_id,
+       md5(COALESCE(r.clean, '')) AS text_md5,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(len(string_split(p.text, chr(10) || chr(10)))
+            - COALESCE(r.n_kept, 0) AS BIGINT) AS n_lines_dropped
+FROM pages p LEFT JOIN rebuilt r ON p.doc_id = r.doc_id
+"""
+
+
 #: source-reputation gate: mean classifier score the group must clear
 #: (the quality_mixture "mid" boundary) and the minimum certifiable size.
 _SR_MIN_DOCS = 3
@@ -9652,6 +9714,7 @@ QUERIES = {
     "c4_rules": q_c4_rules,
     "gopher_repetition": q_gopher_repetition,
     "source_reputation": q_source_reputation,
+    "paragraph_dedup": q_paragraph_dedup,
     "seasonal_residuals": q_seasonal_residuals,
     "drawdown": q_drawdown,
     "shortest_paths": q_shortest_paths,
@@ -9852,6 +9915,7 @@ ORACLES = {
     "c4_rules": _oracle_c4_rules(),
     "gopher_repetition": _oracle_gopher_repetition(),
     "source_reputation": _oracle_source_reputation(),
+    "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "seasonal_residuals": ORACLE_SEASONAL,
     "drawdown": ORACLE_DRAWDOWN,
     "shortest_paths": _oracle_shortest_paths(),

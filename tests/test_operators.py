@@ -1401,3 +1401,27 @@ def test_audio_fingerprint_stereo_uses_first_channel(spark):
     fps = {r["media_id"]: (r["dh_lo"], r["dh_hi"], r["n_frames"])
            for r in audio_fingerprint(df).collect()}
     assert fps[1] == fps[2]
+
+
+def test_drop_repeated_lines_paragraph_separator(spark):
+    """sep="\\n\\n" dedups at PARAGRAPH granularity: the shared paragraph
+    vanishes, intra-paragraph newlines survive untouched, and reassembly
+    re-joins with the same separator."""
+    from carto_etl_spark.operators.dedup import drop_repeated_lines
+
+    shared = "all rights reserved worldwide"
+    rows = [
+        (1, "unique body one\nsecond line" + "\n\n" + shared),
+        (2, "another body here" + "\n\n" + shared),
+        (3, "third doc stands alone" + "\n\n" + shared),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in drop_repeated_lines(
+            df, min_line_chars=10, sep="\n\n"
+        ).collect()
+    }
+    assert out[1]["text"] == "unique body one\nsecond line"
+    assert out[2]["text"] == "another body here"
+    assert out[1]["n_lines_kept"] == 1 and out[1]["n_lines_dropped"] == 1
