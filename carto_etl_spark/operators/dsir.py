@@ -100,9 +100,16 @@ def dsir_weights(
 
     Returns ``(weights_df(feature, llr_micro), t_total, r_total)`` — the
     totals come back so callers can form the unseen-feature default with
-    the same expression.  The two ``collect_totals`` are single longs
+    the same expression.  The two totals are single longs
     (parameter-server scalar state); the join output is <= ``dim`` rows.
+
+    Each counts frame is localCheckpoint-ed first: it is <= ``dim`` rows
+    but its LINEAGE is a full corpus scan, and without the boundary the
+    total and the join side would each re-run that scan (4 corpus reads
+    for a 2-corpus fit).  After the boundary each corpus is read once.
     """
+    target_counts = target_counts.localCheckpoint(eager=True)
+    raw_counts = raw_counts.localCheckpoint(eager=True)
     t_total = target_counts.agg(F.coalesce(F.sum("count"), F.lit(0))).first()[0]
     r_total = raw_counts.agg(F.coalesce(F.sum("count"), F.lit(0))).first()[0]
     tc = target_counts.withColumnRenamed("count", "__tc")
