@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "pipeline_fineweb",
     "source_reputation",
     "paragraph_dedup",
+    "hard_negatives",
     "seasonal_residuals",
     "drawdown",
     "shortest_paths",

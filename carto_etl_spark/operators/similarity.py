@@ -1063,6 +1063,60 @@ def knn_graph(
     )
 
 
+def rank_triplets(
+    edges: DataFrame,
+    labels: DataFrame,
+    k_pos: int = 2,
+    k_neg: int = 2,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-triplet mining over a scored neighbor edge list — the
+    contrastive-training data recipe: per anchor, the ``k_pos`` nearest
+    SAME-label neighbors ("pos" — positives) and the ``k_neg`` nearest
+    WRONG-label neighbors ("neg" — hard negatives, the informative ones a
+    random negative sample essentially never draws).  ``edges`` is any
+    (id, neighbor_id, cosine) frame — `knn_graph`'s output at scale, or
+    an exact pinned candidate set (q_hard_negatives); ``labels`` maps id
+    -> label.
+
+    Plan: two keyed joins to attach anchor/neighbor labels (corpus-sized
+    label table — shuffle hash joins AQE can skew-split; broadcast it
+    yourself upstream if it is dimension-sized), then ONE window
+    partitioned by (anchor, kind) — never global.  Anchors with no
+    same-label (or no wrong-label) candidates simply emit fewer rows;
+    widen the candidate set (knn_graph k / bands) if slates come back
+    short.  Returns (id, kind, rank, neighbor_id, cosine), rank 1-based
+    within kind."""
+    from pyspark.sql import Window
+
+    if k_pos < 0 or k_neg < 0 or (k_pos == 0 and k_neg == 0):
+        raise ValueError("need k_pos >= 0, k_neg >= 0, and one positive")
+    alab = labels.select(
+        F.col(id_col).alias("__aid"), F.col(label_col).alias("__alab")
+    )
+    nlab = labels.select(
+        F.col(id_col).alias("__nid"), F.col(label_col).alias("__nlab")
+    )
+    j = (
+        edges.join(alab, edges[id_col] == alab["__aid"])
+        .join(nlab, edges["neighbor_id"] == nlab["__nid"])
+        .withColumn(
+            "kind",
+            F.when(F.col("__alab") == F.col("__nlab"), "pos").otherwise("neg"),
+        )
+    )
+    w = Window.partitionBy(id_col, "kind").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    cap = F.when(F.col("kind") == "pos", F.lit(k_pos)).otherwise(F.lit(k_neg))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= cap)
+        .select(id_col, "kind", "rank", "neighbor_id", "cosine")
+    )
+
+
 def embedding_decontam(
     train: DataFrame,
     evals: DataFrame,

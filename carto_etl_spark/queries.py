@@ -3131,6 +3131,24 @@ def q_knn_graph(spark, sf_dir):
     top-k.  At scale the same plan holds: candidates ~ n_bands x n x
     bucket-occupancy, the window partitions by source id."""
     e = load(spark, sf_dir, "embeddings")
+    scored = _pinned_knn_scored(e)
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("nbr"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("nbr").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+
+
+def _pinned_knn_scored(e):
+    """The oracle-pinned LSH candidate set, exact-cosine scored: the shared
+    prefix of q_knn_graph (top-k per source) and q_hard_negatives (per-kind
+    triplet slates).  2 independent 6-plane fold signatures, OR-amplified;
+    deterministic LCG hyperplanes so DuckDB re-derives everything."""
     parts = [
         # fold signatures (bit-identical to the expansion — the oracle
         # replays them either way): this entry is toy-pinned, and the two
@@ -3190,16 +3208,59 @@ def q_knn_graph(spark, sf_dir):
             ),
         )
     )
-    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("nbr"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .select(
-            F.col("src").alias("vec_id"),
-            F.col("nbr").alias("neighbor_id"),
-            "cosine",
-        )
+    return scored
+
+
+#: triplet-mining slate sizes for the hard_negatives entry
+_HN_K_POS, _HN_K_NEG = 2, 2
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-triplet mining for embedding-model training (the standard
+    contrastive-data recipe: positives = nearest same-label vectors, hard
+    negatives = nearest WRONG-label vectors — the informative negatives a
+    random sample never finds).  Reuses the oracle-pinned LSH candidate
+    set of q_knn_graph, joins the anchor and neighbor labels, and ranks a
+    per-(anchor, kind) slate with a partitioned window
+    (similarity.rank_triplets).  At scale the same ranker composes onto
+    similarity.knn_graph's parameterized edge list — mining is a
+    projection + two keyed joins + one partitioned window over edges that
+    already exist for dedup/diversity work."""
+    e = load(spark, sf_dir, "embeddings")
+    scored = _pinned_knn_scored(e)
+    edges = scored.select(
+        F.col("src").alias("vec_id"),
+        F.col("nbr").alias("neighbor_id"),
+        "cosine",
     )
+    labels = e.select("vec_id", "label")
+    return sim.rank_triplets(
+        edges, labels, k_pos=_HN_K_POS, k_neg=_HN_K_NEG,
+        id_col="vec_id", label_col="label",
+    )
+
+
+def _oracle_hard_negatives() -> str:
+    return _build_oracle_knn_prefix() + f""", lab AS (
+  SELECT vec_id, label FROM embeddings
+), kinds AS (
+  SELECT s.src, s.nbr, s.cosine,
+         CASE WHEN la.label = lb.label THEN 'pos' ELSE 'neg' END AS kind
+  FROM scored s
+  JOIN lab la ON s.src = la.vec_id
+  JOIN lab lb ON s.nbr = lb.vec_id
+), ranked AS (
+  SELECT src, nbr, cosine, kind,
+         row_number() OVER (PARTITION BY src, kind
+                            ORDER BY cosine DESC, nbr) AS rn
+  FROM kinds
+)
+SELECT src AS vec_id, kind, CAST(rn AS INT) AS rank,
+       nbr AS neighbor_id, cosine
+FROM ranked
+WHERE (kind = 'pos' AND rn <= {_HN_K_POS})
+   OR (kind = 'neg' AND rn <= {_HN_K_NEG})
+"""
 
 
 def q_kmeans_embeddings(spark, sf_dir):
@@ -3401,7 +3462,9 @@ FROM batch b LEFT JOIN m USING (vec_id)
 """
 
 
-def _build_oracle_knn() -> str:
+def _build_oracle_knn_prefix() -> str:
+    """Shared sigs/cand/scored WITH-prefix of the knn_graph and
+    hard_negatives oracles — the DuckDB replay of `_pinned_knn_scored`."""
     from carto_etl_spark.operators.similarity import _hyperplanes
 
     sig_cols = []
@@ -3425,7 +3488,11 @@ WITH sigs AS (
                / nullif(sqrt(list_dot_product(va, va))
                         * sqrt(list_dot_product(vb, vb)), 0), 6) AS cosine
   FROM cand
-), ranked AS (
+)"""
+
+
+def _build_oracle_knn() -> str:
+    return _build_oracle_knn_prefix() + """, ranked AS (
   SELECT src, nbr, cosine,
          row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nbr)
            AS rn
@@ -9624,6 +9691,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "near_dup_banded": q_near_dup_banded,
     "knn_graph": q_knn_graph,
+    "hard_negatives": q_hard_negatives,
     "incremental_vec_near_dup": q_incremental_vec_near_dup,
     "kmeans_embeddings": q_kmeans_embeddings,
     "embedding_decontam": q_embedding_decontam,
@@ -9820,6 +9888,7 @@ ORACLES = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "near_dup_banded": ORACLE_NEAR_DUP_BANDED,
     "knn_graph": ORACLE_KNN_GRAPH,
+    "hard_negatives": _oracle_hard_negatives(),
     "incremental_vec_near_dup": ORACLE_INCREMENTAL_VEC_NEAR_DUP,
     "kmeans_embeddings": _oracle_kmeans(),
     "embedding_decontam": ORACLE_EMBEDDING_DECONTAM,

@@ -535,3 +535,38 @@ def test_random_projection_validation(spark):
         sim.random_projection(fdf, out_dim=4, method="nope")
     out = sim.random_projection(fdf, out_dim=4, method="fold").first()
     assert len(out["proj"]) == 4
+
+
+def test_rank_triplets_slates(spark):
+    """Hard-triplet mining: per anchor, pos = top same-label by cosine,
+    neg = top wrong-label; independent ranks per kind; anchors missing a
+    kind emit fewer rows; caps respected."""
+    from carto_etl_spark.operators.similarity import rank_triplets
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [
+            # anchor 1: same-label {2: .9, 3: .7}, wrong-label {4: .95, 5: .5}
+            (1, 2, 0.9), (1, 3, 0.7), (1, 4, 0.95), (1, 5, 0.5),
+            # anchor 2: only wrong-label candidates
+            (2, 4, 0.8), (2, 5, 0.6),
+            # tie on cosine -> neighbor-id tie-break
+            (3, 5, 0.4), (3, 4, 0.4),
+        ],
+        ["vec_id", "neighbor_id", "cosine"],
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20)], ["vec_id", "label"]
+    )
+    out = rank_triplets(edges, labels, k_pos=1, k_neg=2)
+    rows = {(r["vec_id"], r["kind"], r["rank"]): r for r in out.collect()}
+    assert rows[(1, "pos", 1)]["neighbor_id"] == 2  # best same-label
+    assert rows[(1, "neg", 1)]["neighbor_id"] == 4  # hardest negative
+    assert rows[(1, "neg", 2)]["neighbor_id"] == 5
+    assert (1, "pos", 2) not in rows  # k_pos=1 cap
+    assert (2, "pos", 1) not in rows  # anchor 2 has no same-label edge
+    assert rows[(2, "neg", 1)]["neighbor_id"] == 4
+    assert rows[(3, "neg", 1)]["neighbor_id"] == 4  # tie broken by id
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rank_triplets(edges, labels, k_pos=0, k_neg=0)
