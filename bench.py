@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "source_reputation",
     "paragraph_dedup",
     "hard_negatives",
+    "diversity_sample",
     "seasonal_residuals",
     "drawdown",
     "shortest_paths",

@@ -46,7 +46,14 @@ from pyspark.sql import functions as F
 
 from carto_etl_spark.operators.classifier import _tdiv
 
-__all__ = ["kmeans_fit", "assign_clusters", "kmeans_oracle_sql"]
+__all__ = [
+    "kmeans_fit",
+    "assign_clusters",
+    "assign_with_distance",
+    "diversity_sample",
+    "kmeans_oracle_sql",
+    "diversity_oracle_sql",
+]
 
 
 def _q_sql(vec_col: str, scale: int) -> str:
@@ -208,6 +215,127 @@ def assign_clusters(
     )
 
 
+def assign_with_distance(
+    df: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    method: str = "auto",
+) -> DataFrame:
+    """`assign_clusters` that also emits the EXACT squared integer L2 to
+    the winning centroid (``cluster`` int, ``dist`` long) — the quantity
+    diversity sampling, medoid picking, and outlier triage rank on.
+
+    ``method="fold"`` reuses the scan-stage argmin struct and reads both
+    fields; ``"arrow"`` extends the matmul path with the q.q term (the
+    argmin drops it as a per-row constant, the true distance needs it
+    back) and returns a struct column from one pandas_udf.  Bit-identical
+    by the same argument as `assign_clusters` — exact integers, lower-cid
+    ties (equality-tested)."""
+    if _pick_method(method, centroids) == "arrow":
+        return _assign_bulk_q_dist(df, centroids, vec_col, scale)
+    q = _q_sql(vec_col, scale)
+    choices = ", ".join(
+        f"named_struct('d', {_dist_sql(q, c)}, 'c', {cid})"
+        for cid, c in enumerate(centroids)
+    )
+    best = F.expr(f"array_min(array({choices}))")
+    out = df.withColumn("__best", best)
+    return (
+        out.withColumn("cluster", F.col("__best.c").cast("int"))
+        .withColumn("dist", F.col("__best.d").cast("long"))
+        .drop("__best")
+    )
+
+
+def _assign_bulk_q_dist(
+    df: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str,
+    scale: int,
+) -> DataFrame:
+    """Arrow twin of the with-distance fold: d(q,c) = c.c - 2 q.c + q.q,
+    all exact int64.  The overflow guard tightens to the FULL distance
+    (dim * (maxq + maxc)^2 must stay under 2^62 — the argmin-only path
+    could drop the q.q term, this one cannot)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.array(centroids, dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+    dim = cmat.shape[1]
+    maxc = int(np.abs(cmat).max()) if cmat.size else 0
+    maxq_ok = max(0, int((2**62 // max(dim, 1)) ** 0.5) - maxc - 1)
+    s = float(scale)
+
+    def _nearest(col):
+        if col.isna().any():
+            raise ValueError("kmeans assignment: NULL embedding in batch")
+        x = np.array(col.tolist(), dtype=np.float64)
+        if x.ndim != 2 or x.shape[1] != dim:
+            raise ValueError(
+                f"kmeans assignment: expected fixed dim {dim}, "
+                f"got shape {x.shape}"
+            )
+        q = np.floor(x * s + 0.5).astype(np.int64)
+        if q.size and int(np.abs(q).max()) > maxq_ok:
+            raise ArithmeticError(
+                "kmeans assignment: quantized coordinate magnitude "
+                f"{int(np.abs(q).max())} exceeds the int64-exact distance "
+                f"envelope ({maxq_ok}); lower scale"
+            )
+        qnorm = (q * q).sum(axis=1)
+        d2 = cnorm - 2 * (q @ cmat.T) + qnorm[:, None]
+        cid = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {
+                "c": cid.astype(np.int32),
+                "d": d2[np.arange(len(cid)), cid].astype(np.int64),
+            }
+        )
+
+    _nearest.__annotations__ = {"col": pd.Series, "return": pd.DataFrame}
+    nearest = pandas_udf(_nearest, "struct<c:int,d:bigint>")
+    out = df.withColumn("__best", nearest(F.col(vec_col).cast("array<double>")))
+    return (
+        out.withColumn("cluster", F.col("__best.c"))
+        .withColumn("dist", F.col("__best.d"))
+        .drop("__best")
+    )
+
+
+def diversity_sample(
+    df: DataFrame,
+    k: int,
+    m: int = 2,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Cluster-stratified diversity sampling (the SemDeDup-adjacent
+    curation move: cover the embedding space, don't sample it i.i.d.):
+    fixed-point Lloyd fit, exact-distance assignment, and the ``m``
+    nearest-to-centroid representatives per cluster — every step exact
+    integers, so the whole chain unrolls into `diversity_oracle_sql`.
+    Returns (id, cluster, dist, rank), rank 1-based within cluster; one
+    window PARTITIONED by cluster, never global."""
+    from pyspark.sql import Window
+
+    cents = kmeans_fit(
+        df, k, iterations=iterations, id_col=id_col, vec_col=vec_col,
+        scale=scale,
+    )
+    ad = assign_with_distance(df, cents, vec_col=vec_col, scale=scale)
+    w = Window.partitionBy("cluster").orderBy("dist", F.col(id_col))
+    return (
+        ad.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= m)
+        .select(id_col, "cluster", "dist", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int,
@@ -261,20 +389,18 @@ def kmeans_fit(
     return centroids
 
 
-def kmeans_oracle_sql(
+def _oracle_chain(
     rows_sql: str,
     k: int,
-    iterations: int = 3,
-    id_col: str = "vec_id",
-    vec_sql: str = "CAST(embedding AS DOUBLE[])",
-    scale: int = 10**6,
-    dim: int = 64,
-) -> str:
-    """The whole fit + final assignment unrolled into a WITH-chain DuckDB
-    replays bit-for-bit (one assignment + one centroid CTE per iteration,
-    every CTE MATERIALIZED — plain CTEs inline per reference and the
-    chain references each round twice).  ``rows_sql`` must yield
-    (``id_col``, the embedding column).  Emits (id_col, cluster)."""
+    iterations: int,
+    id_col: str,
+    vec_sql: str,
+    scale: int,
+    dim: int,
+) -> tuple[list, str]:
+    """The unrolled fit WITH-chain (quantize, init, one assignment + one
+    centroid CTE per Lloyd round) shared by `kmeans_oracle_sql` and
+    `diversity_oracle_sql`; returns (parts, dist_expr)."""
     dist = (
         "list_sum(list_transform(list_zip(q, c.v), "
         "p -> (p[1] - p[2]) * (p[1] - p[2])))"
@@ -311,6 +437,26 @@ def kmeans_oracle_sql(
   SELECT cid, v FROM c{p}
   WHERE cid NOT IN (SELECT DISTINCT cl FROM a{t}))"""
         )
+    return parts, dist
+
+
+def kmeans_oracle_sql(
+    rows_sql: str,
+    k: int,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_sql: str = "CAST(embedding AS DOUBLE[])",
+    scale: int = 10**6,
+    dim: int = 64,
+) -> str:
+    """The whole fit + final assignment unrolled into a WITH-chain DuckDB
+    replays bit-for-bit (one assignment + one centroid CTE per iteration,
+    every CTE MATERIALIZED — plain CTEs inline per reference and the
+    chain references each round twice).  ``rows_sql`` must yield
+    (``id_col``, the embedding column).  Emits (id_col, cluster)."""
+    parts, dist = _oracle_chain(
+        rows_sql, k, iterations, id_col, vec_sql, scale, dim
+    )
     return (
         "WITH "
         + ",\n".join(parts)
@@ -319,4 +465,43 @@ SELECT {id_col},
        CAST((SELECT c.cid FROM c{iterations} c
              ORDER BY {dist}, c.cid LIMIT 1) AS INT) AS cluster
 FROM q0"""
+    )
+
+
+def diversity_oracle_sql(
+    rows_sql: str,
+    k: int,
+    m: int = 2,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_sql: str = "CAST(embedding AS DOUBLE[])",
+    scale: int = 10**6,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of `diversity_sample`: the shared fit chain, then per
+    row the winning centroid AND its exact distance (two scalar
+    subqueries over the same ordering), then the per-cluster
+    nearest-first ranking."""
+    parts, dist = _oracle_chain(
+        rows_sql, k, iterations, id_col, vec_sql, scale, dim
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+fin AS MATERIALIZED (
+  SELECT {id_col},
+         CAST((SELECT c.cid FROM c{iterations} c
+               ORDER BY {dist}, c.cid LIMIT 1) AS INT) AS cluster,
+         CAST((SELECT {dist} FROM c{iterations} c
+               ORDER BY {dist}, c.cid LIMIT 1) AS BIGINT) AS dist
+  FROM q0)
+SELECT {id_col}, cluster, dist,
+       CAST(rn AS INT) AS rank
+FROM (
+  SELECT {id_col}, cluster, dist,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY dist, {id_col}) AS rn
+  FROM fin)
+WHERE rn <= {m}"""
     )

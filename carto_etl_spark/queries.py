@@ -3288,6 +3288,28 @@ def _oracle_kmeans() -> str:
     )
 
 
+def q_diversity_sample(spark, sf_dir):
+    """Cluster-stratified diversity sampling (operators/kmeans.py
+    diversity_sample): fixed-point Lloyd fit (k=8, 2 rounds), EXACT
+    integer distance-to-centroid assignment, and the 3 nearest-to-centroid
+    representatives per cluster — the "cover the embedding space" curation
+    move beside SemDeDup.  The whole chain is exact integers, so the
+    oracle unrolls the fit AND replays the per-cluster nearest-first
+    ranking value-for-value."""
+    from carto_etl_spark.operators import kmeans as km
+
+    e = load(spark, sf_dir, "embeddings")
+    return km.diversity_sample(e, k=8, m=3, iterations=2)
+
+
+def _oracle_diversity() -> str:
+    from carto_etl_spark.operators.kmeans import diversity_oracle_sql
+
+    return diversity_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings", k=8, m=3, iterations=2
+    )
+
+
 def _vec_batch_df(spark, sf_dir):
     """The match batch: 50% near-dups (identical copies of every even id)
     + 50% novel vectors (REVERSED embeddings of every odd id — a
@@ -9692,6 +9714,7 @@ QUERIES = {
     "near_dup_banded": q_near_dup_banded,
     "knn_graph": q_knn_graph,
     "hard_negatives": q_hard_negatives,
+    "diversity_sample": q_diversity_sample,
     "incremental_vec_near_dup": q_incremental_vec_near_dup,
     "kmeans_embeddings": q_kmeans_embeddings,
     "embedding_decontam": q_embedding_decontam,
@@ -9889,6 +9912,7 @@ ORACLES = {
     "near_dup_banded": ORACLE_NEAR_DUP_BANDED,
     "knn_graph": ORACLE_KNN_GRAPH,
     "hard_negatives": _oracle_hard_negatives(),
+    "diversity_sample": _oracle_diversity(),
     "incremental_vec_near_dup": ORACLE_INCREMENTAL_VEC_NEAR_DUP,
     "kmeans_embeddings": _oracle_kmeans(),
     "embedding_decontam": ORACLE_EMBEDDING_DECONTAM,

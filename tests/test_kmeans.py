@@ -141,3 +141,47 @@ def test_kmeans_k_exceeding_rows_raises(spark):
     df = _clustered(spark, per_cluster=2, k=2)  # 4 rows
     with pytest.raises(ValueError, match="exceeds the number of rows"):
         km.kmeans_fit(df, k=9, iterations=1)
+
+
+def test_assign_with_distance_fold_and_arrow_identical(spark):
+    """The with-distance fold and the Arrow struct twin must agree on BOTH
+    fields — exact integer distances, lower-cid tie rule."""
+    df = _clustered(spark, per_cluster=15, k=3)
+    cents = km.kmeans_fit(df, k=3, iterations=2)
+    a = sorted(
+        (r["vec_id"], r["cluster"], r["dist"])
+        for r in km.assign_with_distance(df, cents, method="fold").collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster"], r["dist"])
+        for r in km.assign_with_distance(df, cents, method="arrow").collect()
+    )
+    assert a == b
+    # distance really is the squared integer L2 to the WINNING centroid
+    row = next(r for r in km.assign_with_distance(df, cents).collect())
+    q = [int(math.floor(x * 10**6 + 0.5)) for x in
+         df.filter(F.col("vec_id") == row["vec_id"]).first()["embedding"]]
+    want = sum((qi - ci) ** 2 for qi, ci in zip(q, cents[row["cluster"]]))
+    assert row["dist"] == want
+
+
+def test_diversity_sample_covers_every_cluster(spark):
+    """m nearest-to-centroid reps per cluster: every planted cluster is
+    represented, ranks are 1..m nearest-first, and the selection is
+    deterministic across runs."""
+    df = _clustered(spark, per_cluster=20, k=4)
+    out = km.diversity_sample(df, k=4, m=2, iterations=2)
+    rows = out.collect()
+    assert len(rows) == 8
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert len(by_cluster) == 4
+    for reps in by_cluster.values():
+        ranks = sorted(r["rank"] for r in reps)
+        assert ranks == [1, 2]
+        d = {r["rank"]: r["dist"] for r in reps}
+        assert d[1] <= d[2]
+    again = sorted(tuple(r) for r in km.diversity_sample(
+        df, k=4, m=2, iterations=2).collect())
+    assert again == sorted(tuple(r) for r in rows)
