@@ -158,8 +158,13 @@ WITH base AS (
   FROM base
 ), joined AS (
   SELECT {ids}, raw, lines, kept,
-         array_to_string(list_transform(kept,
-             l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')), chr(10))
+         -- COALESCE: DuckDB array_to_string([]) is NULL where Spark's
+         -- array_join([]) is '' — a doc whose every line is dropped must
+         -- come back as empty text, not NULL (caught by the builder
+         -- differential test, invisible on corpora where every doc keeps
+         -- a line)
+         COALESCE(array_to_string(list_transform(kept,
+             l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')), chr(10)), '')
            AS clean_text
   FROM cleaned
 )

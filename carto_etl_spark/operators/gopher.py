@@ -348,7 +348,11 @@ WITH toks AS (
   FROM ({rows_sql}) r
 ), base AS (
   SELECT {id_col}, t,
-         CAST(length(array_to_string(t, ' ')) AS BIGINT) AS chars,
+         -- COALESCE: DuckDB array_to_string([]) is NULL (Spark joins []
+         -- to ''), so a token-less doc must report 0 chars, not NULL
+         -- (builder differential test)
+         CAST(COALESCE(length(array_to_string(t, ' ')), 0) AS BIGINT)
+           AS chars,
          string_split(raw, chr(10)) AS lines
   FROM toks
 ), grams AS (
