@@ -1759,10 +1759,10 @@ def q_shingle_fingerprint(spark, sf_dir):
 
 ORACLE_SHINGLE_FP = rf"""
 SELECT doc_id,
-       array_to_string(
+       COALESCE(array_to_string(
          list_sort(list_transform(range(1, greatest(len(norm) - 7, 0) + 1),
                                   i -> md5(substr(norm, cast(i AS int), 8))))[1:4],
-         '|') AS fingerprint
+         '|'), '') AS fingerprint
 FROM (SELECT doc_id, {NORM_SQL} AS norm FROM documents)
 """
 
@@ -8119,11 +8119,14 @@ parts AS (
                         ':(\d+)$', 1) AS port,
          CASE scheme WHEN 'http' THEN '80' WHEN 'https' THEN '443'
               WHEN 'ftp' THEN '21' END AS dport,
-         array_to_string(list_sort(list_filter(
+         -- COALESCE: array_to_string([]) is NULL in DuckDB, and an
+         -- all-tracking-param query must canonicalize like an empty one
+         -- (NULL would null the whole canonical_url through the CASE)
+         COALESCE(array_to_string(list_sort(list_filter(
              string_split(rawquery, '&'),
              x -> NOT regexp_matches(x,
                  '^(?:utm_[^=]*|ref|fbclid|gclid|msclkid|mc_eid)=')
-                  AND x <> '')), '&') AS cq
+                  AND x <> '')), '&'), '') AS cq
   FROM parts
 ), canon AS (
   SELECT * EXCLUDE (scheme, auth, rawpath, rawquery, port, dport, cq),
@@ -9256,7 +9259,7 @@ toks AS (
 )
 SELECT doc_id,
        CAST(len(tk) AS INTEGER) AS n_tokens,
-       array_to_string(tk, ' ') AS token_str
+       COALESCE(array_to_string(tk, ' '), '') AS token_str
 FROM toks"""
     )
 
