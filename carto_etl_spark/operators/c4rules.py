@@ -47,8 +47,13 @@ __all__ = [
 ]
 
 #: terminal-punctuation line endings the paper keeps: period, exclamation,
-#: question mark, straight and curly end quotes.
-TERMINAL_PUNCT_RE = '[.!?"”]$'
+#: question mark, and a closing quote.  The published C4 set is
+#: {. ? ! "}; we extend it with BOTH curly closers ” (U+201D) and
+#: ’ (U+2019) so smart-quoted prose is treated symmetrically with
+#: straight-quoted prose — a documented deviation (r8 ADVICE: carrying
+#: only ” dropped lines ending in a curly-apostrophe quotation while
+#: keeping their straight-quote twins).
+TERMINAL_PUNCT_RE = '[.!?"”’]$'
 
 _SENTENCE_RE = "[.!?]"
 

@@ -907,13 +907,20 @@ def doc_lines(
 ) -> DataFrame:
     """One row per (doc, position, unit) — position preserves reassembly
     order.  NULL texts produce no rows (handled by the caller's left join).
-    ``sep`` is the unit boundary: "\\n" for lines (default), "\\n\\n" for
-    paragraphs (the RefinedWeb granularity); it must be a regex that
-    matches itself literally since reassembly re-joins with the same
-    string."""
+    ``sep`` is the unit boundary STRING: "\\n" for lines (default),
+    "\\n\\n" for paragraphs (the RefinedWeb granularity).  It is treated
+    literally on both sides of the round-trip: the split regex-escapes it
+    (F.split takes a regex) so a separator carrying regex metacharacters
+    ("|", ".") splits exactly where reassembly's literal array_join will
+    re-join (r8 ADVICE: the literal/regex duality used to live only in a
+    docstring)."""
+    import re as _re
+
     return df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "line"),
     )
 
 

@@ -178,9 +178,10 @@ def dsir_scores_arrow(
     """Arrow twin of `dsir_scores` for md5-bound corpora: the weight table
     collects to the driver (<= dim rows — parameter-server state, the
     classifier pattern), and one ``mapInPandas`` pass tokenizes, buckets
-    through a per-batch md5 MEMO (Zipfian corpora hit the memo far more
-    often than the hash), and integer-sums — no explode, no shuffle, no
-    join.  BIT-IDENTICAL to the join path (equality-tested): same Java-\\s
+    through a PER-PARTITION md5 memo (one dict built in `_score_batches`
+    and shared across that partition's batches — strictly better than a
+    per-batch lifetime; Zipfian corpora hit the memo far more often than
+    the hash), and integer-sums — no explode, no shuffle, no join.  BIT-IDENTICAL to the join path (equality-tested): same Java-\\s
     token split, same md5-prefix bucket, Python arbitrary-precision sums,
     and the unseen-feature default is EVALUATED BY THE ENGINE once (one
     ln round-trip) so no Python libm value enters the result.

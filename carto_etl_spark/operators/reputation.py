@@ -16,8 +16,9 @@ combine; output is one row per domain — millions at web scale, far under
 broadcast limits), then the per-group verdict BROADCAST back onto the
 corpus: the second pass is a scan-stage broadcast-hash-join filter, no
 shuffle of the corpus.  At 100 TB the same plan holds as long as the
-domain count stays broadcastable (~10^7 rows); past that the join
-degrades gracefully to a shuffle join on the group key.
+domain count stays broadcastable (~10^7 rows); past that pass
+``broadcast=False`` — the explicit hint is honored regardless of size,
+so the caller, not the optimizer, must choose the shuffle-join plan.
 
 The reference has no quality surface (/root/reference/etl/etl.py
 delegates to PostgreSQL); part of the LLM-pipeline extension suite with
@@ -66,13 +67,19 @@ def gate_by_reputation(
     tau_num: int,
     tau_den: int,
     min_docs: int = 2,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Documents annotated with their group verdict: the input columns
-    plus (n_docs, sum_score, grp_ok).  Consumers filter ``grp_ok``; the
-    verdict frame is broadcast (one row per group), so the gate is a
-    scan-stage filter on the corpus side."""
+    plus (n_docs, sum_score, grp_ok).  Consumers filter ``grp_ok``.
+
+    ``broadcast=True`` (default) hints the one-row-per-group verdict frame
+    to broadcast, making the gate a scan-stage filter on the corpus side.
+    The hint is honored REGARDLESS of size (r8 ADVICE), so past ~10^7
+    groups the caller must pass ``broadcast=False`` — the join then plans
+    as an ordinary shuffle join on the group key; the corpus shuffles
+    once, but nothing OOMs."""
     rep = group_reputation(df, group_col, score_col, tau_num, tau_den, min_docs)
-    return df.join(F.broadcast(rep), [group_col], "left")
+    return df.join(F.broadcast(rep) if broadcast else rep, [group_col], "left")
 
 
 def reputation_sql(
