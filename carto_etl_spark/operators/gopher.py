@@ -47,6 +47,10 @@ __all__ = [
     "DUP_LINE_CHAR_FRAC_MAX",
     "gopher_repetition",
     "gopher_repetition_sql",
+    "GOPHER_STOPWORDS",
+    "BULLET_PREFIXES",
+    "gopher_quality",
+    "gopher_quality_sql",
 ]
 
 #: Table A1 thresholds: max char-fraction of the top n-gram.
@@ -389,4 +393,347 @@ SELECT {id_col}, CAST(chars AS BIGINT) AS n_chars_joined,
        {sel},
        ({ok}) AS passes
 FROM joined
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher QUALITY rule table (Rae et al. 2021, arXiv:2112.11446 §A.1.1)
+# ---------------------------------------------------------------------------
+#
+# The non-repetition half of the published MassiveWeb filter; FineWeb
+# applies BOTH halves.  Rules (document removed when violated):
+#   - word count outside [50, 100_000]
+#   - mean word length outside [3, 10]
+#   - symbol-to-word ratio > 0.1 for EITHER '#' or the ellipsis
+#   - > 90% of lines start with a bullet point
+#   - > 30% of lines end with an ellipsis
+#   - < 80% of words contain at least one alphabetic character
+#   - fewer than 2 distinct words from the 8-word stop list
+#     (the, be, to, of, and, that, have, with)
+#
+# Accounting pinned (published implementations vary): words are
+# whitespace tokens (same split as the repetition table); symbol counts
+# scan the RAW text left-to-right non-overlapping with '...' and the
+# one-char '…' as ellipsis forms; a "bullet line" is one whose first
+# char after leading whitespace is in BULLET_PREFIXES; an "ellipsis
+# line" ends (after trailing-whitespace strip) in an ellipsis form;
+# "alphabetic" is Unicode letter category L*; the stop-word rule counts
+# DISTINCT lowercase-token hits.  Every ratio is a quotient of two exact
+# integers — one IEEE division on every engine — with 0-denominator
+# ratios defined as 0.0 (such documents already fail the word-count
+# rule).
+
+#: Published thresholds.
+WORD_COUNT_MIN = 50
+WORD_COUNT_MAX = 100_000
+MEAN_WORD_LEN_MIN = 3.0
+MEAN_WORD_LEN_MAX = 10.0
+SYMBOL_WORD_RATIO_MAX = 0.1
+BULLET_LINE_FRAC_MAX = 0.90
+ELLIPSIS_LINE_FRAC_MAX = 0.30
+ALPHA_WORD_FRAC_MIN = 0.80
+MIN_STOPWORDS = 2
+
+#: Gopher's 8-word stop list (§A.1.1, verbatim).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: First-character bullet markers (the paper says "bullet point" without
+#: enumerating; this set — the common typographic bullets plus the two
+#: markdown markers — is pinned here and mirrored by the SQL twin).
+BULLET_PREFIXES = ("•", "‣", "▪", "●", "-", "*")
+
+#: Non-overlapping left-to-right ellipsis scan: three dots or U+2026.
+_ELLIPSIS_RE = r"\.\.\.|…"
+
+_QUALITY_INT_COLS = [
+    "__words", "__wchars", "__hash", "__ellipsis", "__alpha_words",
+    "__stops", "__nlines", "__bullet_lines", "__ellipsis_lines",
+]
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "expr",
+    *,
+    word_count_min: int = WORD_COUNT_MIN,
+    word_count_max: int = WORD_COUNT_MAX,
+    min_stopwords: int = MIN_STOPWORDS,
+) -> DataFrame:
+    """Per-document Gopher quality signals + per-rule flags + ``passes``.
+
+    Unlike the repetition table there is NO within-document n-gram
+    counting here, so the default path is the pure projection
+    (``method="expr"``): every signal is scan-stage column math — no
+    explode, no aggregation, NO SHUFFLE AT ALL; at 100 TB this is a
+    map-only pass whatever the corpus size.  ``method="arrow"`` is the
+    mapInPandas twin kept to the repetition table's bit-identity
+    contract: both paths produce the same exact integers and share
+    `_quality_projection`, so they can only agree or both be wrong
+    (equality-tested, including over arbitrary unicode).
+
+    ``word_count_min`` / ``word_count_max`` / ``min_stopwords`` are
+    data-scale knobs (published defaults); toy corpora with synthetic
+    vocabularies override them the way pipeline compositions override
+    C4's ``min_words`` — the rule SHAPE is what is pinned.
+    """
+    if method == "arrow":
+        ints = _quality_ints_arrow(df, text_col, id_col)
+    elif method == "expr":
+        ints = _quality_ints_expr(df, text_col, id_col)
+    else:
+        raise ValueError(f"method must be 'expr' or 'arrow', got {method!r}")
+    return _quality_projection(
+        ints, id_col,
+        word_count_min=word_count_min,
+        word_count_max=word_count_max,
+        min_stopwords=min_stopwords,
+    )
+
+
+def _quality_ints_expr(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Integer signals as pure column expressions (whole-stage codegen).
+
+    Tokens and lines are staged in their own projection so CollapseProject
+    does not rebuild the split chain once per referencing signal (the
+    word_ngrams_expr lesson, text.py)."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        id_col,
+        # tokenize the COALESCED text: NULL must report 0 words like the
+        # Arrow twin, not size(NULL)=NULL
+        tokens_expr(raw).alias("__t"),
+        F.split(raw, "\n").alias("__lines"),
+        raw.alias("__raw"),
+    )
+    toks = F.col("__t")
+    stops = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    bullets = F.array(*[F.lit(b) for b in BULLET_PREFIXES])
+    lstripped = lambda l: F.regexp_replace(l, r"^\s+", "")  # noqa: E731
+    rstripped = lambda l: F.regexp_replace(l, r"\s+$", "")  # noqa: E731
+    ends_ellipsis = lambda l: (  # noqa: E731
+        rstripped(l).endswith("...") | rstripped(l).endswith("…")
+    )
+    return staged.select(
+        id_col,
+        F.size(toks).cast("long").alias("__words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("__wchars"),
+        F.regexp_count(F.col("__raw"), F.lit("#")).cast("long").alias("__hash"),
+        F.regexp_count(F.col("__raw"), F.lit(_ELLIPSIS_RE))
+        .cast("long").alias("__ellipsis"),
+        F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}")))
+        .cast("long").alias("__alpha_words"),
+        F.size(
+            F.array_intersect(F.transform(toks, F.lower), stops)
+        ).cast("long").alias("__stops"),
+        F.size(F.col("__lines")).cast("long").alias("__nlines"),
+        F.size(
+            F.filter(
+                F.col("__lines"),
+                lambda l: F.array_contains(
+                    bullets, F.substring(lstripped(l), 1, 1)
+                ),
+            )
+        ).cast("long").alias("__bullet_lines"),
+        F.size(F.filter(F.col("__lines"), ends_ellipsis))
+        .cast("long").alias("__ellipsis_lines"),
+    )
+
+
+def _quality_ints_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Arrow twin: same exact integers, one map-only ``mapInPandas`` pass."""
+    import re
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [id_field]
+        + [StructField(c, LongType(), False) for c in _QUALITY_INT_COLS]
+    )
+    split = re.compile(_JAVA_WS).split
+    lstrip_re = re.compile(r"^[ \t\n\x0b\f\r]+")
+    rstrip_re = re.compile(r"[ \t\n\x0b\f\r]+$")
+    ell_re = re.compile(_ELLIPSIS_RE)
+    stopset = set(GOPHER_STOPWORDS)
+    bulletset = set(BULLET_PREFIXES)
+
+    def _count_batches(batches):
+        for pdf in batches:
+            rows = {c: [] for c in _QUALITY_INT_COLS}
+            for text in pdf[text_col]:
+                raw = text if text is not None else ""
+                toks = [t for t in split(raw) if t]
+                rows["__words"].append(len(toks))
+                rows["__wchars"].append(sum(len(t) for t in toks))
+                rows["__hash"].append(raw.count("#"))
+                rows["__ellipsis"].append(len(ell_re.findall(raw)))
+                rows["__alpha_words"].append(
+                    sum(1 for t in toks if any(ch.isalpha() for ch in t))
+                )
+                rows["__stops"].append(
+                    len({t.lower() for t in toks} & stopset)
+                )
+                lines = raw.split("\n")
+                rows["__nlines"].append(len(lines))
+                rows["__bullet_lines"].append(
+                    sum(
+                        1
+                        for l in lines
+                        if lstrip_re.sub("", l)[:1] in bulletset
+                    )
+                )
+                rows["__ellipsis_lines"].append(
+                    sum(
+                        1
+                        for l in lines
+                        if rstrip_re.sub("", l).endswith(("...", "…"))
+                    )
+                )
+            out = pdf[[id_col]].copy()
+            for c in _QUALITY_INT_COLS:
+                out[c] = rows[c]
+            yield out
+
+    return df.mapInPandas(_count_batches, schema=out_schema)
+
+
+def _quality_projection(
+    int_df: DataFrame,
+    id_col: str,
+    *,
+    word_count_min: int,
+    word_count_max: int,
+    min_stopwords: int,
+) -> DataFrame:
+    """Shared final projection (both paths end here — the repetition
+    table's bit-identity contract): integer signals -> rounded ratios,
+    per-rule flags, and the conjunction ``passes``.  Thresholds compare
+    the RAW quotient; round(6) is display-only."""
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    words = F.col("__words")
+    mwl = frac(F.col("__wchars"), words)
+    hashr = frac(F.col("__hash"), words)
+    ellr = frac(F.col("__ellipsis"), words)
+    alphaf = frac(F.col("__alpha_words"), words)
+    bulletf = frac(F.col("__bullet_lines"), F.col("__nlines"))
+    elllf = frac(F.col("__ellipsis_lines"), F.col("__nlines"))
+    flags = {
+        "word_count_ok": (words >= word_count_min) & (words <= word_count_max),
+        "mean_word_len_ok": (mwl >= MEAN_WORD_LEN_MIN) & (mwl <= MEAN_WORD_LEN_MAX),
+        "hash_ratio_ok": hashr <= SYMBOL_WORD_RATIO_MAX,
+        "ellipsis_ratio_ok": ellr <= SYMBOL_WORD_RATIO_MAX,
+        "bullet_lines_ok": bulletf <= BULLET_LINE_FRAC_MAX,
+        "ellipsis_lines_ok": elllf <= ELLIPSIS_LINE_FRAC_MAX,
+        "alpha_frac_ok": alphaf >= ALPHA_WORD_FRAC_MIN,
+        "stopwords_ok": F.col("__stops") >= min_stopwords,
+    }
+    passes = F.lit(True)
+    for f in flags.values():
+        passes = passes & f
+    return int_df.select(
+        id_col,
+        words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(hashr, 6).alias("hash_word_ratio"),
+        F.round(ellr, 6).alias("ellipsis_word_ratio"),
+        F.round(alphaf, 6).alias("alpha_word_frac"),
+        F.col("__stops").alias("n_stopwords"),
+        F.round(bulletf, 6).alias("bullet_line_frac"),
+        F.round(elllf, 6).alias("ellipsis_line_frac"),
+        *[c.alias(n) for n, c in flags.items()],
+        passes.alias("passes"),
+    )
+
+
+def gopher_quality_sql(
+    rows_sql: str,
+    id_col: str = "doc_id",
+    *,
+    word_count_min: int = WORD_COUNT_MIN,
+    word_count_max: int = WORD_COUNT_MAX,
+    min_stopwords: int = MIN_STOPWORDS,
+) -> str:
+    """DuckDB twin; ``rows_sql`` must yield (id, text).  Same token split,
+    same non-overlapping ellipsis scan (RE2 and Java agree on the
+    alternation), same ASCII-\\s line strips, same L*-letter test
+    (RE2 ``\\pL`` == Java ``\\p{L}``), same distinct-stop-word count."""
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    bullets = ", ".join(f"'{b}'" for b in BULLET_PREFIXES)
+
+    def ratio(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE) / {den} "
+            "ELSE 0.0 END"
+        )
+
+    mwl = ratio("wchars", "words")
+    hashr = ratio("hashes", "words")
+    ellr = ratio("ellipses", "words")
+    alphaf = ratio("alpha_words", "words")
+    bulletf = ratio("bullet_lines", "nlines")
+    elllf = ratio("ellipsis_lines", "nlines")
+    flags = {
+        "word_count_ok": f"(words >= {word_count_min} AND words <= {word_count_max})",
+        "mean_word_len_ok": f"(({mwl}) >= {MEAN_WORD_LEN_MIN} AND ({mwl}) <= {MEAN_WORD_LEN_MAX})",
+        "hash_ratio_ok": f"(({hashr}) <= {SYMBOL_WORD_RATIO_MAX})",
+        "ellipsis_ratio_ok": f"(({ellr}) <= {SYMBOL_WORD_RATIO_MAX})",
+        "bullet_lines_ok": f"(({bulletf}) <= {BULLET_LINE_FRAC_MAX})",
+        "ellipsis_lines_ok": f"(({elllf}) <= {ELLIPSIS_LINE_FRAC_MAX})",
+        "alpha_frac_ok": f"(({alphaf}) >= {ALPHA_WORD_FRAC_MIN})",
+        "stopwords_ok": f"(stops >= {min_stopwords})",
+    }
+    flag_sel = ",\n       ".join(f"{sql} AS {name}" for name, sql in flags.items())
+    passes = " AND ".join(flags.values())
+    return rf"""
+WITH __q_base AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'),
+                     x -> x != '') AS t,
+         COALESCE(text, '') AS raw
+  FROM ({rows_sql}) r
+), __q_ints AS (
+  SELECT {id_col},
+         CAST(len(t) AS BIGINT) AS words,
+         CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+              AS BIGINT) AS wchars,
+         CAST(length(raw) - length(replace(raw, '#', '')) AS BIGINT)
+           AS hashes,
+         CAST(len(regexp_extract_all(raw, '\.\.\.|…')) AS BIGINT)
+           AS ellipses,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '\pL'))) AS BIGINT)
+           AS alpha_words,
+         CAST(len(list_intersect(list_transform(t, x -> lower(x)),
+                                 [{stops}])) AS BIGINT) AS stops,
+         CAST(len(string_split(raw, chr(10))) AS BIGINT) AS nlines,
+         CAST(len(list_filter(string_split(raw, chr(10)),
+              l -> list_contains([{bullets}],
+                     substr(regexp_replace(l, '^\s+', ''), 1, 1))))
+              AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(string_split(raw, chr(10)),
+              l -> ends_with(regexp_replace(l, '\s+$', ''), '...')
+                   OR ends_with(regexp_replace(l, '\s+$', ''), '…')))
+              AS BIGINT) AS ellipsis_lines
+  FROM __q_base
+)
+SELECT {id_col},
+       words AS n_words,
+       round({mwl}, 6) AS mean_word_len,
+       round({hashr}, 6) AS hash_word_ratio,
+       round({ellr}, 6) AS ellipsis_word_ratio,
+       round({alphaf}, 6) AS alpha_word_frac,
+       stops AS n_stopwords,
+       round({bulletf}, 6) AS bullet_line_frac,
+       round({elllf}, 6) AS ellipsis_line_frac,
+       {flag_sel},
+       ({passes}) AS passes
+FROM __q_ints
 """

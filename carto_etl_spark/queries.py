@@ -2807,10 +2807,13 @@ def q_pipeline_fineweb(spark, sf_dir):
     10th doc) -> C4 line+page rules (operators/c4rules.py — here the
     punct-less banner/footer lines die at the LINE rule, so C4 does the
     boilerplate removal that pipeline_e2e's cross-doc line dedup performs)
-    -> Gopher repetition gate (operators/gopher.py, map-only Arrow
-    counting) -> MinHash near-dedup -> split -> shard manifest (the shared
-    tail).  The oracle replays the whole chain — both new rule tables
-    nested as CTEs — in one statement.
+    -> BOTH Gopher halves (operators/gopher.py): the QUALITY rule table
+    (scan-stage projection, zero shuffle; toy-scale word-count/stop-word
+    knobs the way this chain already relaxes C4's min_words) AND the
+    repetition table (map-only Arrow counting) -> MinHash near-dedup ->
+    split -> shard manifest (the shared tail).  The oracle replays the
+    whole chain — all three rule tables nested as CTEs — in one
+    statement.
 
     Two materialization boundaries, one per stage output that fans out:
     the C4-cleaned frame feeds the Gopher scorer AND the survivor join
@@ -2818,7 +2821,7 @@ def q_pipeline_fineweb(spark, sf_dir):
     feeds minhash_dedup's five plan branches (the pipeline_e2e lesson,
     pinned by test_pipeline_ops)."""
     from carto_etl_spark.operators import c4rules as c4
-    from carto_etl_spark.operators.gopher import gopher_repetition
+    from carto_etl_spark.operators.gopher import gopher_quality, gopher_repetition
 
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     sent = F.regexp_replace(F.col("text"), _C4_SENT_RE, "$1.\n")
@@ -2844,8 +2847,17 @@ def q_pipeline_fineweb(spark, sf_dir):
         .select("doc_id", F.col("clean_text").alias("text"))
         .localCheckpoint(eager=True)
     )
-    gop = gopher_repetition(c4kept, "text", "doc_id")
-    gated = c4kept.join(
+    # quality first (zero-shuffle projection prunes the corpus before the
+    # repetition table's per-doc counting pass), then repetition — AND of
+    # two per-doc gates, so the order is a cost choice, not semantics
+    qual = gopher_quality(
+        c4kept, "text", "doc_id", word_count_min=10, min_stopwords=1
+    )
+    qkept = c4kept.join(
+        qual.where("passes").select("doc_id"), ["doc_id"], "left_semi"
+    )
+    gop = gopher_repetition(qkept, "text", "doc_id")
+    gated = qkept.join(
         gop.where("passes").select("doc_id"), ["doc_id"], "left_semi"
     ).localCheckpoint(eager=True)
     return _pipeline_finish(gated)
@@ -2853,13 +2865,20 @@ def q_pipeline_fineweb(spark, sf_dir):
 
 def _oracle_pipeline_fineweb() -> str:
     from carto_etl_spark.operators.c4rules import c4_oracle_sql
-    from carto_etl_spark.operators.gopher import gopher_repetition_sql
+    from carto_etl_spark.operators.gopher import (
+        gopher_quality_sql,
+        gopher_repetition_sql,
+    )
 
     c4o = c4_oracle_sql(
         "SELECT doc_id, text FROM fpages", ["doc_id"],
         min_words=3, min_sentences=5,
     )
-    gopo = gopher_repetition_sql("SELECT doc_id, text FROM c4kept", "doc_id")
+    qualo = gopher_quality_sql(
+        "SELECT doc_id, text FROM c4kept", "doc_id",
+        word_count_min=10, min_stopwords=1,
+    )
+    gopo = gopher_repetition_sql("SELECT doc_id, text FROM qkept", "doc_id")
     prefix = rf"""fbase AS (
   SELECT doc_id,
          regexp_replace(text, '{_C4_SENT_RE}', '\1.' || chr(10), 'g') AS text,
@@ -2881,11 +2900,17 @@ def _oracle_pipeline_fineweb() -> str:
   {c4o}
 ), c4kept AS (
   SELECT doc_id, clean_text AS text FROM c4o WHERE doc_kept
+), qualo AS (
+  {qualo}
+), qkept AS (
+  SELECT k.doc_id, k.text
+  FROM c4kept k JOIN qualo q ON k.doc_id = q.doc_id
+  WHERE q.passes
 ), gopo AS (
   {gopo}
 ), fgated AS (
   SELECT k.doc_id, k.text
-  FROM c4kept k JOIN gopo g ON k.doc_id = g.doc_id
+  FROM qkept k JOIN gopo g ON k.doc_id = g.doc_id
   WHERE g.passes
 )"""
     return "WITH RECURSIVE " + prefix + _pipeline_tail_sql("fgated")
@@ -3769,6 +3794,61 @@ FROM (SELECT doc_id,
       FROM documents)
 """
     return gopher_repetition_sql(rows, "doc_id")
+
+
+def q_gopher_quality(spark, sf_dir):
+    """The Gopher QUALITY rule table (Rae et al. arXiv:2112.11446 §A.1.1,
+    operators/gopher.py — the non-repetition half FineWeb also applies):
+    word-count bounds, mean word length 3-10, '#'/ellipsis symbol-to-word
+    ratios, bullet-start and ellipsis-end line fractions, >=80% alphabetic
+    words, and the >=2-distinct-stop-words rule, each as a per-rule flag
+    plus the conjunction ``passes``.  Runs the default pure-projection
+    path: every signal is scan-stage column math — NO shuffle, NO explode;
+    at 100 TB this is a map-only pass (the Arrow twin exists only to hold
+    the bit-identity contract).  Corpus mutations exercise every rule:
+    every 7th doc gains bullet lines, every 5th an ellipsis-ended line +
+    '…' forms, every 13th a '#' burst."""
+    from carto_etl_spark.operators.gopher import gopher_quality
+
+    d = widen(load(spark, sf_dir, "documents"), spark)
+    base = F.regexp_replace(F.col("text"), _C4_SENT_RE, "$1.\n")
+    txt = F.concat(
+        base,
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\n• bullet point line\n- dash bullet\n* star bullet"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("\nto be continued...\ntrailing form…   "),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit("\n## ## # hash burst")
+        ).otherwise(F.lit("")),
+    )
+    return gopher_quality(d.select("doc_id", txt.alias("text")))
+
+
+def _oracle_gopher_quality() -> str:
+    from carto_etl_spark.operators.gopher import gopher_quality_sql
+
+    rows = rf"""
+SELECT doc_id,
+       regexp_replace(text, '{_C4_SENT_RE}', '\1.' || chr(10), 'g')
+       || CASE WHEN doc_id % 7 = 0
+               THEN chr(10) || '• bullet point line' || chr(10)
+                    || '- dash bullet' || chr(10) || '* star bullet'
+               ELSE '' END
+       || CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || 'to be continued...' || chr(10)
+                    || 'trailing form…   '
+               ELSE '' END
+       || CASE WHEN doc_id % 13 = 0
+               THEN chr(10) || '## ## # hash burst'
+               ELSE '' END AS text
+FROM documents
+"""
+    return gopher_quality_sql(rows, "doc_id")
 
 
 def q_quality_scores(spark, sf_dir):
@@ -9807,6 +9887,7 @@ QUERIES = {
     "dsir_sample": q_dsir_sample,
     "c4_rules": q_c4_rules,
     "gopher_repetition": q_gopher_repetition,
+    "gopher_quality": q_gopher_quality,
     "source_reputation": q_source_reputation,
     "paragraph_dedup": q_paragraph_dedup,
     "seasonal_residuals": q_seasonal_residuals,
@@ -10010,6 +10091,7 @@ ORACLES = {
     "dsir_sample": _oracle_dsir_sample(),
     "c4_rules": _oracle_c4_rules(),
     "gopher_repetition": _oracle_gopher_repetition(),
+    "gopher_quality": _oracle_gopher_quality(),
     "source_reputation": _oracle_source_reputation(),
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "seasonal_residuals": ORACLE_SEASONAL,

@@ -38,3 +38,20 @@ def test_arrow_and_expr_agree_on_arbitrary_unicode(spark, docs):
     a = sorted(tuple(r) for r in gopher_repetition(df, method="arrow").collect())
     b = sorted(tuple(r) for r in gopher_repetition(df, method="expr").collect())
     assert a == b
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=30))
+def test_quality_arrow_and_expr_agree_on_arbitrary_unicode(spark, docs):
+    """Same contract for the QUALITY rule table: the scan-stage projection
+    and the mapInPandas twin must agree exactly — including the Java-\\s
+    line strips, the L*-letter test (isalpha vs \\p{L}), and the
+    non-overlapping ellipsis scan."""
+    from carto_etl_spark.operators.gopher import gopher_quality
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    a = sorted(tuple(r) for r in gopher_quality(df, method="arrow").collect())
+    b = sorted(tuple(r) for r in gopher_quality(df, method="expr").collect())
+    assert a == b

@@ -71,3 +71,31 @@ def test_gopher_oracle_builder_matches_both_paths(spark):
     for method in ("arrow", "expr"):
         got = _norm(gopher_repetition(df, method=method).collect())
         assert got == want, method
+
+
+def test_gopher_quality_oracle_builder_matches_both_paths(spark):
+    from carto_etl_spark.operators.gopher import (
+        gopher_quality,
+        gopher_quality_sql,
+    )
+
+    extra = DOCS + [
+        (8, "• bullet\n- dash\n* star\nnormal the of line."),
+        (9, "dots...\nmore…\n##hash the of be"),
+        (10, "ünïcöde wörds 漢字 and the " * 12),
+    ]
+    df = spark.createDataFrame(extra, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {_lit(t)})" for i, t in extra)
+        + ") AS v(doc_id, text)"
+    )
+    want = _norm(
+        con.execute(
+            gopher_quality_sql("SELECT doc_id, text FROM docs")
+        ).fetchall()
+    )
+    for method in ("arrow", "expr"):
+        got = _norm(gopher_quality(df, method=method).collect())
+        assert got == want, method
