@@ -58,19 +58,20 @@ def get_spark(
         # their methods compile under 8000 anyway).  Past the limit Spark
         # falls back to per-operator codegen, whose smaller methods JIT.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
-        # File-packing is byte-based like AQE coalescing, and bites the
-        # same way (r8): the default 128MB target packs a 130MB/32-file
-        # vector corpus into 2-3 scan partitions, so a compute-DENSE
-        # Arrow stage right on the scan (centroid-assignment matmuls:
-        # ~14 CPU-seconds per 505k rows, ~4MB-on-disk per CPU-second)
-        # runs 1-3-wide on a 32-core box and its wall-clock swings 4-37 s
-        # with OpenBLAS thread-contention luck.  16MB keeps such scans
-        # ~corpus-file-count wide (measured: semdedup_scaled 505k fresh
-        # 37.6 s -> 12.3 s min-of-2, warm ~3 s); scan-bound relational
-        # queries see only a few extra ~ms task launches.  On a real
-        # cluster you size this to compute density the same way —
-        # embedding tables want SMALLER scan partitions than fact tables.
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # File-packing (spark.sql.files.maxPartitionBytes) stays at Spark's
+        # 128MB default HERE.  Compute-DENSE scans — an Arrow matmul stage
+        # right on an embedding-corpus read, ~4MB-on-disk per CPU-second —
+        # want ~16MB packing so the scan runs corpus-file-count wide
+        # (measured r8: semdedup_scaled 505k fresh 37.6 s -> 12.3 s), but
+        # compute density is a PER-TABLE property: applying 16MB session-wide
+        # (r8, commit bc2ea1f) launched ~8x more scan tasks for every small
+        # relational query and regressed the frame32 bench 22.7 -> 27.5 s
+        # (pricing_summary alone 0.456 -> 0.835 s, r8 verdict A/B).  Callers
+        # that read dense vector corpora scope it themselves via
+        # ``dense_scan_conf()`` below / ``extra_conf`` — see
+        # tools/bench_vectors.py; on a real cluster you'd set it per-job or
+        # per-table the same way (embedding tables want SMALLER scan
+        # partitions than fact tables).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # TIMESTAMP(NANOS) parquet (e.g. the events table) is otherwise
         # illegal for Spark's vectorized reader; read as long + convert.
@@ -98,6 +99,34 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+#: Scan packing for compute-dense (vector/embedding) corpora: ~16MB splits
+#: keep an Arrow matmul stage that sits right on the scan as wide as the
+#: corpus file count instead of 128MB-packed onto 2-3 tasks (measured r8:
+#: semdedup_scaled at 505k rows, fresh 37.6 s -> 12.3 s).
+DENSE_SCAN_MAX_PARTITION_BYTES = 16 * 1024 * 1024
+
+
+def dense_scan_conf(spark: SparkSession | None = None) -> dict[str, str]:
+    """Conf fragment for jobs whose scans feed compute-dense Arrow stages.
+
+    ``spark.sql.files.maxPartitionBytes`` is read at EXECUTION planning, not
+    at ``spark.read`` time, so there is no per-DataFrame scoping for a lazy
+    plan — the narrowest safe unit is the session/job.  Pass the returned
+    dict to ``get_spark(extra_conf=...)`` for a dedicated vector job, or
+    call with a live ``spark`` to apply it immediately (the conf is
+    runtime-settable).  Do NOT set this session-wide in a mixed
+    relational+vector workload: r8 applied it globally and every small
+    relational scan paid ~8x task-launch overhead (frame32 22.7 -> 27.5 s).
+    """
+    conf = {
+        "spark.sql.files.maxPartitionBytes": str(DENSE_SCAN_MAX_PARTITION_BYTES)
+    }
+    if spark is not None:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+    return conf
 
 
 def local_df(spark: SparkSession, rows, schema) -> "DataFrame":

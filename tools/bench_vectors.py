@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from carto_etl_spark.session import get_spark
+from carto_etl_spark.session import dense_scan_conf, get_spark
 
 # NOTE: two catalog entries are deliberately absent, both quadratic BY
 # PINNED PARAMETER (oracle determinism), not by algorithm:
@@ -191,7 +191,10 @@ def _quick(small: str) -> int:
 
     from carto_etl_spark.operators import similarity as sim
 
-    spark = get_spark("bench-vectors-quick")
+    # Scope the 16MB dense-scan packing to THIS vector-only job (it was
+    # session-global in r8 and taxed every relational scan — r8 verdict #1)
+    spark = get_spark("bench-vectors-quick", extra_conf=dense_scan_conf())
+    dense_scan_conf(spark)  # in case getOrCreate reused a live session
     spark.sparkContext.setLogLevel("ERROR")
     failures: list[str] = []
 
@@ -269,7 +272,8 @@ def main() -> None:
         raise SystemExit(_quick(small))
     small = argv[0] if len(argv) > 0 else "/tmp/carto-vec50k"
     big = argv[1] if len(argv) > 1 else "/tmp/carto-vec500k"
-    spark = get_spark("bench-vectors")
+    spark = get_spark("bench-vectors", extra_conf=dense_scan_conf())
+    dense_scan_conf(spark)  # in case getOrCreate reused a live session
     spark.sparkContext.setLogLevel("ERROR")
     n_small = spark.read.parquet(f"{small}/embeddings.parquet").count()
     n_big = spark.read.parquet(f"{big}/embeddings.parquet").count()
