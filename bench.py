@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "gopher_repetition",
     # r9: the quality half of the Gopher rule set (scan-stage, no shuffle)
     "gopher_quality",
+    # r9: hex-WKB passthrough decoding (pure column math, fixture-sized)
+    "wkb_points",
     "pipeline_fineweb",
     "source_reputation",
     "paragraph_dedup",

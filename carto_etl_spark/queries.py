@@ -507,6 +507,113 @@ def _synth_lon(key, modulo=400, offset=200):
     return (key % modulo - offset + F.lit(0.5)).cast("double")
 
 
+def _wkb_fixture_rows() -> list[tuple[int, str | None]]:
+    """Deterministic hex-WKB corpus for the wkb_points entry: EWKB + plain
+    WKB, both byte orders, mixed SRIDs, and a tail of undecodable rows
+    (NaN coords, a LINESTRING, bad hex, truncation, NULL/empty).  The hex
+    is built driver-side with struct.pack — the ENCODE side is shared
+    input; what the oracle independently re-derives is the DECODE."""
+    import math as _math
+    import struct as _struct
+
+    def ewkb(x, y, srid=4326, little=True, gtype=1, with_srid=True):
+        bo = "<" if little else ">"
+        t = gtype | (0x20000000 if with_srid else 0)
+        out = bytes([1 if little else 0]) + _struct.pack(bo + "I", t)
+        if with_srid:
+            out += _struct.pack(bo + "I", srid)
+        out += _struct.pack(bo + "dd", x, y)
+        return out.hex()
+
+    rows: list[tuple[int, str | None]] = []
+    for i in range(48):
+        x = round(-180 + (i * 7.31) % 360, 6)
+        y = round(-85 + (i * 3.77) % 170, 6)
+        rows.append(
+            (
+                i,
+                ewkb(
+                    x,
+                    y,
+                    srid=3857 if i % 7 == 3 else 4326,
+                    little=i % 6 != 5,
+                    with_srid=i % 5 != 4,
+                ),
+            )
+        )
+    rows += [
+        (100, ewkb(_math.nan, 1.0)),
+        (101, ewkb(_math.inf, 1.0)),
+        (102, ewkb(1.0, 2.0, gtype=2)),          # LINESTRING
+        (103, "zz" + ewkb(1.0, 2.0)[2:]),         # non-hex
+        (104, ewkb(1.0, 2.0)[:-4]),               # truncated
+        (105, None),
+        (106, ""),
+    ]
+    return rows
+
+
+def q_wkb_points(spark, sf_dir):
+    """Hex-WKB POINT decoding (functions/geom.py wkb_point_expr): the
+    reference's force_the_geom passthrough column (README.md:82 — "an
+    hexstring value that has to be inserted directly into PostGIS",
+    etl/etl.py:177-178) decoded into the engine's typed point struct with
+    pure column math (substring + conv + integer bit arithmetic + one
+    exact power-of-two scale per coordinate — IEEE-754 reconstruction is
+    exact, no UDF, scan-stage).  Output: per-row st_x/st_y/srid plus the
+    zoom-4 overview tile the decoded point lands in, proving passthrough
+    geometries are first-class overview inputs.  The oracle re-derives
+    the decode INDEPENDENTLY in DuckDB from the same hex strings."""
+    from carto_etl_spark.functions.geom import wkb_point_expr
+
+    df = local_df(spark, _wkb_fixture_rows(), "pid long, wkb string")
+    g = wkb_point_expr("wkb")
+    staged = df.select("pid", g.alias("g"))
+    return staged.select(
+        "pid",
+        F.col("g.x").alias("x"),
+        F.col("g.y").alias("y"),
+        F.col("g.srid").alias("srid"),
+        F.when(
+            F.col("g").isNotNull(), tile_x(F.col("g.x"), 4)
+        ).alias("tile_x"),
+        F.when(
+            F.col("g").isNotNull(), tile_y(F.col("g.y"), 4)
+        ).alias("tile_y"),
+    )
+
+
+def _oracle_wkb_points() -> str:
+    from carto_etl_spark.functions.geom import wkb_point_sql
+
+    vals = ", ".join(
+        f"({pid}, {'NULL' if h is None else chr(39) + h + chr(39)})"
+        for pid, h in _wkb_fixture_rows()
+    )
+    sn = wkb_point_sql("wkb")
+    return f"""
+WITH raw(pid, wkb) AS (VALUES {vals}),
+dec AS (
+  SELECT pid,
+         CASE WHEN {sn['ok']} THEN {sn['x']} END AS x,
+         CASE WHEN {sn['ok']} THEN {sn['y']} END AS y,
+         CASE WHEN {sn['ok']} THEN {sn['srid']} END AS srid
+  FROM raw
+)
+SELECT pid, x, y, srid,
+       CASE WHEN x IS NOT NULL THEN
+         CAST(least(greatest(floor((x + 180) / 360 * 16), 0), 15) AS BIGINT)
+       END AS tile_x,
+       CASE WHEN y IS NOT NULL THEN
+         CAST(least(greatest(floor((1 - ln(tan(radians(
+                least(greatest(y, -85.05112878), 85.05112878)))
+              + 1 / cos(radians(least(greatest(y, -85.05112878),
+                85.05112878)))) / pi()) / 2 * 16), 0), 15) AS BIGINT)
+       END AS tile_y
+FROM dec
+"""
+
+
 def q_geom_points(spark, sf_dir):
     """Reference F5/P3/P4: point construction with bounds validation; some
     synthesized coords are deliberately out of range -> NULL geometry."""
@@ -9726,6 +9833,7 @@ QUERIES = {
     "row_range": q_row_range,
     "threeway_fanout": q_threeway_fanout,
     "geom_points": q_geom_points,
+    "wkb_points": q_wkb_points,
     "utm_transform": q_utm_transform,
     "lcc_transform": q_lcc_transform,
     "stateplane_transform": q_stateplane_transform,
@@ -9929,6 +10037,7 @@ ORACLES = {
     "chunk_assignment": ORACLE_CHUNKS,
     "row_range": ORACLE_ROW_RANGE,
     "threeway_fanout": ORACLE_FANOUT,
+    "wkb_points": _oracle_wkb_points(),
     "geom_points": ORACLE_GEOM_POINTS,
     "utm_transform": ORACLE_UTM,
     "lcc_transform": ORACLE_LCC,

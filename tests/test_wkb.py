@@ -1,0 +1,152 @@
+"""Hex-WKB point decoding (functions/geom.py): exact IEEE-754
+reconstruction against struct.unpack ground truth (property-tested over
+arbitrary finite doubles), EWKB/WKB/byte-order/SRID layout handling,
+invalid-input NULL contract, the passthrough upgrade feeding an overview
+grid end-to-end through UploadJob, and the zero-shuffle plan contract."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from carto_etl_spark.functions.geom import (
+    decode_passthrough_geom,
+    wkb_point_expr,
+)
+from carto_etl_spark.session import local_df
+
+
+def ewkb(x, y, srid=4326, little=True, gtype=1, with_srid=True):
+    bo = "<" if little else ">"
+    t = gtype | (0x20000000 if with_srid else 0)
+    out = bytes([1 if little else 0]) + struct.pack(bo + "I", t)
+    if with_srid:
+        out += struct.pack(bo + "I", srid)
+    out += struct.pack(bo + "dd", x, y)
+    return out.hex()
+
+
+def _decode(spark, hexes):
+    df = local_df(
+        spark, list(enumerate(hexes)), "pid long, wkb string"
+    )
+    out = df.select("pid", wkb_point_expr("wkb").alias("g")).collect()
+    return {r["pid"]: r["g"] for r in out}
+
+
+finite = st.floats(allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(finite, finite), min_size=1, max_size=25))
+def test_decode_is_bit_exact_for_arbitrary_doubles(spark, pts):
+    """One hypothesis example = one batch.  Every finite double —
+    including subnormals, -0.0, and extreme exponents — must round-trip
+    pack -> column-math decode EXACTLY (no epsilon)."""
+    got = _decode(spark, [ewkb(x, y) for x, y in pts])
+    for i, (x, y) in enumerate(pts):
+        g = got[i]
+        assert g is not None
+        # struct equality catches -0.0 vs 0.0 via repr comparison
+        assert struct.pack("<d", g["x"]) == struct.pack("<d", x)
+        assert struct.pack("<d", g["y"]) == struct.pack("<d", y)
+        assert g["srid"] == 4326
+
+
+def test_layout_variants(spark):
+    got = _decode(
+        spark,
+        [
+            ewkb(1.5, -2.5),                        # LE EWKB
+            ewkb(1.5, -2.5, little=False),          # BE EWKB
+            ewkb(1.5, -2.5, with_srid=False),       # LE plain WKB
+            ewkb(1.5, -2.5, little=False, with_srid=False),
+            ewkb(3.25, 4.75, srid=3857),
+            ewkb(1.5, -2.5).upper(),                # case-insensitive hex
+        ],
+    )
+    for i in range(4):
+        assert (got[i]["x"], got[i]["y"], got[i]["srid"]) == (1.5, -2.5, 4326)
+    assert got[4]["srid"] == 3857
+    assert (got[5]["x"], got[5]["y"]) == (1.5, -2.5)
+
+
+def test_invalid_inputs_decode_to_null(spark):
+    got = _decode(
+        spark,
+        [
+            ewkb(math.nan, 1.0),
+            ewkb(math.inf, 1.0),
+            ewkb(1.0, -math.inf),
+            ewkb(1.0, 2.0, gtype=2),                # LINESTRING
+            ewkb(1.0, 2.0, gtype=1 | 0x80000000),   # Z flag
+            "zz" + ewkb(1.0, 2.0)[2:],              # non-hex
+            ewkb(1.0, 2.0)[:-4],                    # truncated
+            ewkb(1.0, 2.0) + "00",                  # trailing bytes
+            "02" + ewkb(1.0, 2.0)[2:],              # bad byte-order byte
+            None,
+            "",
+        ],
+    )
+    assert all(g is None for g in got.values()), got
+
+
+def test_passthrough_feeds_overview_grid_via_uploadjob(spark, tmp_path):
+    """The r8 verdict gap: a force_the_geom table's hex column, once
+    decoded, must be a first-class overview input.  CSV with a hex-WKB
+    geometry column -> InsertJob(force_the_geom) passthrough -> decode ->
+    base_overview produces the same grid as native points."""
+    from carto_etl_spark.config import JobConfig
+    from carto_etl_spark.operators.jobs import InsertJob, TargetTable
+    from carto_etl_spark.operators.overviews import base_overview
+
+    pts = [(-3.7, 40.4), (-3.6, 40.5), (120.1, -33.3), (0.5, 0.5)]
+    csv = tmp_path / "in.csv"
+    csv.write_text(
+        "id,the_geom\n"
+        + "".join(f"{i},{ewkb(x, y)}\n" for i, (x, y) in enumerate(pts))
+    )
+    tgt = TargetTable(spark, tmp_path / "target")
+    InsertJob(
+        str(csv), spark, target=tgt,
+        config=JobConfig.from_kwargs(force_the_geom="the_geom"),
+    ).run()
+    stored = spark.read.parquet(str(tgt.path))
+    # passthrough keeps the raw hex string
+    assert dict(stored.dtypes)["the_geom"] == "string"
+
+    decoded = decode_passthrough_geom(stored)
+    assert dict(decoded.dtypes)["the_geom"].startswith("struct<")
+    grid = {
+        (r["tile_x"], r["tile_y"]): r["n_features"]
+        for r in base_overview(decoded, zoom=4).collect()
+    }
+    native = local_df(
+        spark,
+        [(float(x), float(y)) for x, y in pts],
+        "x double, y double",
+    ).select(
+        F.struct(
+            F.col("x"), F.col("y"), F.lit(4326).alias("srid")
+        ).alias("the_geom")
+    )
+    want = {
+        (r["tile_x"], r["tile_y"]): r["n_features"]
+        for r in base_overview(native, zoom=4).collect()
+    }
+    assert grid == want and sum(grid.values()) == len(pts)
+
+
+def test_decode_plans_no_shuffle(spark):
+    df = spark.range(8).select(
+        F.col("id").alias("pid"), F.lit(ewkb(1.0, 2.0)).alias("wkb")
+    )
+    plan = (
+        df.select(wkb_point_expr("wkb").alias("g"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan, plan
