@@ -406,14 +406,22 @@ def min_label_components(
         # the numpy tier only applies to integral node ids — for any other
         # key type, probing past driver_threshold would haul up to 50M+1
         # edge rows onto the driver (risking maxResultSize) just to be
-        # discarded by the dtype check below, so cap the probe accordingly
+        # discarded by the dtype check below, so cap the probe accordingly.
+        # The probe itself is BYTE-budgeted against the live maxResultSize
+        # (operators/probe.py, r8 verdict #7): 50M int64 pairs are ~800 MB
+        # over Arrow, but the same edge count of wide keys would die in
+        # the transfer — probe returns None and the distributed tier runs.
+        from carto_etl_spark.operators.probe import arrow_probe
+
         probe_cap = (
             max(driver_threshold_edges, numpy_threshold_edges)
             if isinstance(node_type, T.IntegralType)
             else driver_threshold_edges
         )
-        probe = und.limit(probe_cap + 1).toArrow()
-        if probe.num_rows <= driver_threshold_edges:
+        probe = arrow_probe(und, probe_cap)
+        if probe is None:
+            pass  # byte budget binds: fall through to the distributed tier
+        elif probe.num_rows <= driver_threshold_edges:
             result = _union_find_min_roots(
                 list(
                     zip(
@@ -424,7 +432,7 @@ def min_label_components(
             )
             pdf = pd.DataFrame(result, columns=["node", "root"])
             return pairs.sparkSession.createDataFrame(pdf, schema)
-        if probe.num_rows <= numpy_threshold_edges:
+        elif probe.num_rows <= numpy_threshold_edges:
             arr_a = probe.column("id_a").to_numpy(zero_copy_only=False)
             arr_b = probe.column("id_b").to_numpy(zero_copy_only=False)
             if np.issubdtype(arr_a.dtype, np.integer) and np.issubdtype(

@@ -273,14 +273,24 @@ def bfs_hops(
 
 def _collect_if_small(e: DataFrame, threshold: int):
     """Collect (src, dst, w) tuples if the edge table fits the driver-loop
-    threshold, else None.  The probe is one limit(threshold+1) job — cheap
-    relative to even a single distributed iteration round."""
+    threshold, else None.  The probe is byte-budgeted against the live
+    maxResultSize (operators/probe.py — r8 verdict #7: a row cap alone is
+    the wrong unit when node ids are wide strings) and transfers via
+    Arrow, not Row objects."""
     if threshold <= 0:
         return None
-    rows = e.limit(threshold + 1).collect()
-    if len(rows) > threshold:
+    from carto_etl_spark.operators.probe import arrow_probe
+
+    t = arrow_probe(e.select("src", "dst", "w"), threshold)
+    if t is None or t.num_rows > threshold:
         return None
-    return [(r["src"], r["dst"], r["w"]) for r in rows]
+    return list(
+        zip(
+            t.column("src").to_pylist(),
+            t.column("dst").to_pylist(),
+            t.column("w").to_pylist(),
+        )
+    )
 
 
 def _relax_oracle_sql(

@@ -43,12 +43,26 @@ Single-writer discipline throughout: the ``foreachBatch`` handler is the
 only writer; ``recover()`` would race a concurrent appender, which these
 stores do not support (Structured Streaming guarantees serialized batch
 execution per query).
+
+**POSIX-ONLY CONTRACT (r8 verdict #6).**  Every primitive here relies on
+directory ``os.rename`` being atomic and on ``os.path`` semantics —
+guarantees object stores do not provide (S3/GCS have no rename; "rename"
+is copy+delete with a visible window).  Worse than a crash window: on an
+``s3a://``/``gs://`` path ``os.path.exists`` simply returns False, so a
+state store would silently report "fresh" and restart from scratch.
+Construction therefore REJECTS any URI-schemed state dir; on a real
+cluster, point the state at a POSIX-mounted path (HDFS via NFS gateway,
+EFS/Filestore, local NVMe + checkpoint upload) or replace this store
+with a commit-marker protocol on the object store's conditional-put
+primitive.  The guard makes the contract fail loud at the constructor,
+not quiet at recovery time.
 """
 
 from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 import uuid
 
@@ -57,6 +71,23 @@ from pyspark.sql import DataFrame, SparkSession
 from carto_etl_spark.session import local_df
 
 _LEDGER = "applied"
+
+#: Any URI scheme (s3a://, gs://, hdfs://, file://, …) — these stores are
+#: os.rename/os.path based and must fail loud rather than silently treat
+#: an object-store state as absent.
+_URI_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+def _require_posix_path(state_dir: str, who: str) -> str:
+    if _URI_SCHEME_RE.match(str(state_dir)):
+        raise ValueError(
+            f"{who} requires a POSIX-local state directory (atomic "
+            f"directory rename); got the URI {state_dir!r}. Object stores "
+            "have no atomic rename and os.path would silently report the "
+            "state missing — mount the state on a POSIX filesystem "
+            "instead (see carto_etl_spark/streaming/state.py module docs)."
+        )
+    return str(state_dir)
 
 
 def _restore_old(path: str) -> None:
@@ -90,8 +121,8 @@ class SnapshotState:
     ``begin_tmp()``, then ``promote()`` once."""
 
     def __init__(self, state_dir: str):
-        self.state_dir = state_dir
-        self.current = os.path.join(state_dir, "current")
+        self.state_dir = _require_posix_path(state_dir, "SnapshotState")
+        self.current = os.path.join(self.state_dir, "current")
 
     def recover(self) -> None:
         _restore_old(self.current)
@@ -151,8 +182,8 @@ class AppendOnlyState:
     ``state_dir``; staging dirs live beside it, outside the read path."""
 
     def __init__(self, state_dir: str, root_name: str = "batches"):
-        self.state_dir = state_dir
-        self.root = os.path.join(state_dir, root_name)
+        self.state_dir = _require_posix_path(state_dir, "AppendOnlyState")
+        self.root = os.path.join(self.state_dir, root_name)
 
     def recover(self) -> None:
         _restore_old(self.root)
@@ -222,5 +253,7 @@ def is_complete(batch_dir: str) -> bool:
 
 def complete_dirs(root: str) -> list[str]:
     """All complete batch directories under ``root`` (sorted for
-    deterministic reads); partial crash leftovers are invisible."""
+    deterministic reads); partial crash leftovers are invisible.  Same
+    POSIX-only contract as the state classes (glob/os.path based)."""
+    _require_posix_path(root, "complete_dirs")
     return sorted(d for d in glob.glob(os.path.join(root, "*")) if is_complete(d))

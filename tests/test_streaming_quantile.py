@@ -140,3 +140,28 @@ def test_crash_between_promote_renames_recovers(spark, tmp_path):
     assert sorted((r["v"], r["k"]) for r in after[0].collect()) == sorted(
         (r["v"], r["k"]) for r in before[0].collect()
     )
+
+
+def test_state_stores_reject_object_store_uris():
+    """POSIX-only contract (r9): os.rename-based state must fail LOUD at
+    construction on an object-store URI — os.path.exists would otherwise
+    silently report the state missing and restart it from scratch."""
+    import pytest as _pytest
+
+    from carto_etl_spark.streaming.state import (
+        AppendOnlyState,
+        SnapshotState,
+        complete_dirs,
+    )
+
+    for uri in ("s3a://bucket/state", "gs://bucket/state",
+                "hdfs://nn/state", "file:///tmp/state"):
+        with _pytest.raises(ValueError, match="POSIX"):
+            SnapshotState(uri)
+        with _pytest.raises(ValueError, match="POSIX"):
+            AppendOnlyState(uri)
+        with _pytest.raises(ValueError, match="POSIX"):
+            complete_dirs(uri)
+    # plain and relative paths still construct
+    SnapshotState("/tmp/x")
+    AppendOnlyState("relative/dir")
