@@ -347,20 +347,31 @@ def main() -> None:
     }
 
     timings: dict[str, float] = {}
-    reruns: dict[str, dict[str, float]] = {}
+    suspects: list[str] = []
     for name in bench_queries:
         fn = QUERIES[name]
         med = _median_run(fn, spark, sf_dir, iters)
         ref = prior.get(name)
         if ref and ref > 0 and med > OUTLIER_FACTOR * ref:
-            again = _median_run(fn, spark, sf_dir, iters)
-            reruns[name] = {
-                "first": round(med, 3),
-                "rerun": round(again, 3),
-                "prior": ref,
-            }
-            med = min(med, again)
+            suspects.append(name)
         timings[name] = round(med, 3)
+
+    # Outlier re-runs are DEFERRED to the end of the pass: noisy-neighbor
+    # windows sweep CONTIGUOUS stretches of the run order (r9 observation:
+    # two blocks of adjacent queries read 3-10x their priors and their
+    # inline re-runs, executed inside the same window, confirmed the bogus
+    # number).  Minutes later the window has usually passed; min of the
+    # two medians keeps a REAL regression visible (it reproduces) while a
+    # window artifact heals.
+    reruns: dict[str, dict[str, float]] = {}
+    for name in suspects:
+        again = _median_run(QUERIES[name], spark, sf_dir, iters)
+        reruns[name] = {
+            "first": timings[name],
+            "rerun": round(again, 3),
+            "prior": prior[name],
+        }
+        timings[name] = round(min(timings[name], again), 3)
 
     canary_end = {
         n: round(_median_run(QUERIES[n], spark, sf_dir, iters), 3)

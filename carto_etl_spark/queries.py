@@ -2956,13 +2956,18 @@ def q_pipeline_fineweb(spark, sf_dir):
     )
     # quality first (zero-shuffle projection prunes the corpus before the
     # repetition table's per-doc counting pass), then repetition — AND of
-    # two per-doc gates, so the order is a cost choice, not semantics
+    # two per-doc gates, so the order is a cost choice, not semantics.
+    # qkept is the third materialization boundary: it fans out into the
+    # repetition scorer AND the survivor join, and at scale the quality
+    # gate's pruning is exactly what the expensive counting pass should
+    # read (unmaterialized, the semi-join ran once per branch — measured
+    # +3 s at sf0.1, r9)
     qual = gopher_quality(
         c4kept, "text", "doc_id", word_count_min=10, min_stopwords=1
     )
     qkept = c4kept.join(
         qual.where("passes").select("doc_id"), ["doc_id"], "left_semi"
-    )
+    ).localCheckpoint(eager=True)
     gop = gopher_repetition(qkept, "text", "doc_id")
     gated = qkept.join(
         gop.where("passes").select("doc_id"), ["doc_id"], "left_semi"
