@@ -169,13 +169,24 @@ def lsh_candidate_pairs(
     """Candidate pairs from banded signatures: documents sharing any band
     bucket.  The shuffle key is (band_idx, band_hash) — cardinality ~rows x
     bands, never rows^2.  Returns distinct (id_a < id_b) pairs with their
-    signature-estimated Jaccard."""
+    signature-estimated Jaccard.
+
+    MEMORY SHAPE (r9, found by the 109x synthetic corpus): the banded
+    table must carry (id, band, bucket) ONLY.  Riding the full signature
+    through the explode amplifies it `bands`-fold — at 600k docs x 32
+    bands x 64-long signatures that is ~10 GB through the checkpoint and
+    the self-join, and the executor heap died; at web scale it is
+    signature-bytes x bands of shuffle.  Signatures are checkpointed ONCE
+    at corpus size and joined back onto the DEDUPED pair list (two id
+    joins over a ~corpus-linear pair table) to compute est_jaccard."""
     sig = F.col(sig_col)
-    banded = df.select(
-        F.col(id_col).alias("__id"),
-        sig.alias("__sig"),
-        F.explode(band_struct_expr(sig, bands)).alias("bb"),
-    ).select("__id", "__sig", "bb.band", "bb.bucket")
+    sigs = _materialize(
+        df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    )
+    banded = sigs.select(
+        "__id",
+        F.explode(band_struct_expr(F.col("__sig"), bands)).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
     banded = _materialize(banded)
 
     a = banded.alias("a")
@@ -190,10 +201,15 @@ def lsh_candidate_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__sig").alias("sig_a"),
-            F.col("b.__sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    with_sigs = pairs.join(
+        sigs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a")),
+        "id_a",
+    ).join(
+        sigs.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b")),
+        "id_b",
     )
     est = (
         F.size(
@@ -204,7 +220,7 @@ def lsh_candidate_pairs(
         )
         / F.size(F.col("sig_a"))
     )
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    return with_sigs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
 def verify_pairs_jaccard(
@@ -214,6 +230,7 @@ def verify_pairs_jaccard(
     text_col: str,
     n: int = 3,
     min_jaccard: float = 0.5,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """EXACT word-n-gram Jaccard verification of candidate pairs: join each
     (id_a, id_b) back to its shingle set, one ``array_intersect`` per pair.
@@ -250,8 +267,18 @@ def verify_pairs_jaccard(
     # broadcasting them serializes every shingle set through the driver
     # single-threaded; with the pair list broadcast, the array build and the
     # intersect both stay partition-parallel on the executors.
+    # ``broadcast_pairs=False`` drops the hint for blown-up candidate lists
+    # (degenerate shingle universes, pathological boilerplate): the joins
+    # become shuffle joins on id — slower, but nothing OOMs (r9: a 109x
+    # synthetic corpus with a 50-word vocabulary produced a pair list that
+    # killed the driver through this hint; the hint is honored REGARDLESS
+    # of size, so the caller must make the call — minhash_dedup counts its
+    # materialized candidate list and decides).
+    id_pairs = pairs.select("id_a", "id_b")
+    if broadcast_pairs:
+        id_pairs = F.broadcast(id_pairs)
     return (
-        F.broadcast(pairs.select("id_a", "id_b"))
+        id_pairs
         .join(
             sh.select(
                 F.col("__id").alias("id_a"),
@@ -541,9 +568,16 @@ def minhash_dedup(
                 "id_a", "id_b"
             )
         )
+        # decide the verify join strategy from the ACTUAL candidate count
+        # (cheap: prefiltered is checkpointed): a sane LSH candidate list is
+        # corpus-linear and broadcast-friendly; past ~5M pairs (~80 MB of
+        # id longs, and a sign the banding has degenerated) the shuffle
+        # join is the survivable plan.
+        bc = prefiltered.count() <= 5_000_000
         pairs = _materialize(
             verify_pairs_jaccard(
-                prefiltered, df, id_col, text_col, shingle_words, threshold
+                prefiltered, df, id_col, text_col, shingle_words, threshold,
+                broadcast_pairs=bc,
             )
         )
     else:
