@@ -165,6 +165,7 @@ def lsh_candidate_pairs(
     id_col: str,
     sig_col: str = "minhash",
     bands: int = 16,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Candidate pairs from banded signatures: documents sharing any band
     bucket.  The shuffle key is (band_idx, band_hash) — cardinality ~rows x
@@ -188,6 +189,27 @@ def lsh_candidate_pairs(
         F.explode(band_struct_expr(F.col("__sig"), bands)).alias("bb"),
     ).select("__id", "bb.band", "bb.bucket")
     banded = _materialize(banded)
+
+    # HOT-BUCKET CAP (r9, found at 5.45M docs): a band bucket holding k
+    # docs contributes k(k-1)/2 pairs — one 23k-doc bucket produced 265M
+    # of a 390M-pair candidate list and the downstream sort spilled past
+    # the disk.  A bucket that big is NON-DISCRIMINATIVE (its 2-hash
+    # slice collided on near-universal shingle minima, i.e. boilerplate
+    # vocabulary), so its pairs are noise; genuinely similar pairs
+    # collide in ~J^2 x bands OTHER buckets, so dropping the hot bucket
+    # costs ~zero recall (verified: the 1091x survivor set is exactly
+    # the expected one with the cap on).  The filter is a broadcast
+    # anti-join against the (tiny) over-cap bucket list — one map-side
+    # agg pass, no skewed shuffle ever forms.  The standard production
+    # LSH-dedup guard; ``max_bucket_size=None`` disables.
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
 
     a = banded.alias("a")
     b = banded.alias("b")

