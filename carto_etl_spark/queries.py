@@ -2585,7 +2585,10 @@ def q_minhash_dedup(spark, sf_dir):
     near = (
         d.filter(F.col("doc_id") % 10 == 0)
         .select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
+            # offset past any plausible corpus id: the old +10^6 ALIASED
+            # base ids on multi-million-doc scale corpora (r9 1091x run),
+            # silently corrupting survivor accounting
+            (F.col("doc_id") + 10_000_000_000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
         )
     )
@@ -2603,7 +2606,7 @@ ORACLE_MINHASH_DEDUP = r"""
 WITH RECURSIVE both_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text || ' extra token' AS text
+  SELECT doc_id + 10000000000 AS doc_id, text || ' extra token' AS text
   FROM documents WHERE doc_id % 10 = 0
 ), toks AS (
   SELECT doc_id,
