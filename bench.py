@@ -306,6 +306,13 @@ def _median_run(fn, spark, sf_dir: str, iters: int) -> float:
     return statistics.median(samples)
 
 
+def _sf_label(sf_dir: str):
+    """The 'sf' value a bench record carries for a given data dir — shared
+    by the writer and the prior-round comparability check."""
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return float(sf) if sf.replace(".", "").isdigit() else sf
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from carto_etl_spark.queries import QUERIES
@@ -332,7 +339,13 @@ def main() -> None:
     prior: dict[str, float] = {}
     try:
         with open(os.path.join(here, "BENCH_FULL.json")) as fh:
-            prior = json.load(fh).get("queries", {}) or {}
+            record = json.load(fh)
+        # priors are only comparable at the SAME scale factor: a run at a
+        # different SPARK_GRAFT_SF_DIR would flag every query a >2x
+        # outlier and anchor 'min of the two medians' to incomparable
+        # numbers (r9 ADVICE) — skip the outlier pass instead.
+        if str(record.get("sf")) == str(_sf_label(sf_dir)):
+            prior = record.get("queries", {}) or {}
     except Exception:
         prior = {}
 
@@ -388,8 +401,7 @@ def main() -> None:
         "iters": iters,
     }
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    sf_val = _sf_label(sf_dir)
     frame32 = round(sum(timings.get(n, 0.0) for n in FRAME32), 3)
     full = {
         "metric": (

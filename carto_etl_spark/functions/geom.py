@@ -1618,9 +1618,10 @@ def wkb_point_expr(hex_col: Column | str, default_srid: int = WGS84) -> Column:
     has_srid = (gtype / F.lit(0x20000000)).cast("long") % 2 == 1
     # mask off the PostGIS Z/M/SRID flag bits: low 16 bits carry the type
     base_type = gtype % F.lit(1 << 16)
-    srid = F.when(
-        has_srid, _wkb_u32(h, F.lit(11), little).cast("int")
-    ).otherwise(F.lit(default_srid).cast("int"))
+    srid_raw = _wkb_u32(h, F.lit(11), little)
+    srid = F.when(has_srid, srid_raw.cast("int")).otherwise(
+        F.lit(default_srid).cast("int")
+    )
     coord_pos = F.when(has_srid, F.lit(19)).otherwise(F.lit(11))
     x = _wkb_f64(h, coord_pos, little)
     y = _wkb_f64(h, coord_pos + F.lit(16), little)
@@ -1631,6 +1632,11 @@ def wkb_point_expr(hex_col: Column | str, default_srid: int = WGS84) -> Column:
         & F.substring(h, 1, 2).isin("00", "01")
         & (base_type == 1)
         & (~has_srid | ((gtype / F.lit(0x40000000)).cast("long") == 0))  # no Z/M points
+        # an EWKB srid is an unsigned uint32: values past int32 range would
+        # silently wrap negative through the cast (and diverge from oracle
+        # engines that keep it BIGINT) — reject, they are not valid EPSG
+        # codes anyway (r9 ADVICE)
+        & (~has_srid | (srid_raw <= F.lit(2147483647)))
         & x.isNotNull()
         & y.isNotNull()
     )
@@ -1702,6 +1708,7 @@ def wkb_point_sql(hex_expr: str, default_srid: int = WGS84) -> dict[str, str]:
         f"AND substr({h}, 1, 2) IN ('00', '01') "
         f"AND ({gtype} % 65536) = 1 "
         f"AND (NOT {has_srid} OR {gtype} // 1073741824 = 0) "
+        f"AND (NOT {has_srid} OR {u32('11')} <= 2147483647) "
         f"AND {x} IS NOT NULL AND {y} IS NOT NULL)"
     )
     return {"x": x, "y": y, "srid": srid, "ok": ok}

@@ -193,39 +193,61 @@ def lsh_candidate_pairs(
     # HOT-BUCKET CAP (r9, found at 5.45M docs): a band bucket holding k
     # docs contributes k(k-1)/2 pairs — one 23k-doc bucket produced 265M
     # of a 390M-pair candidate list and the downstream sort spilled past
-    # the disk.  A bucket that big is NON-DISCRIMINATIVE (its 2-hash
-    # slice collided on near-universal shingle minima, i.e. boilerplate
-    # vocabulary), so its pairs are noise; genuinely similar pairs
-    # collide in ~J^2 x bands OTHER buckets, so dropping the hot bucket
-    # costs ~zero recall (verified: the 1091x survivor set is exactly
-    # the expected one with the cap on).  The filter is a broadcast
-    # anti-join against the (tiny) over-cap bucket list — one map-side
-    # agg pass, no skewed shuffle ever forms.  The standard production
-    # LSH-dedup guard; ``max_bucket_size=None`` disables.
+    # the disk.  A bucket that big is usually NON-DISCRIMINATIVE (its
+    # 2-hash slice collided on near-universal shingle minima, i.e.
+    # boilerplate vocabulary) — but it can also be a GENUINE mega-cluster
+    # of near-identical docs (web-scale 404/boilerplate pages), for which
+    # EVERY band bucket is hot and dropping would let the whole cluster
+    # escape dedup (r9 ADVICE).  So over-cap buckets are STAR-PAIRED
+    # instead of dropped: each member pairs with the bucket's minimum id
+    # only — k-1 pairs instead of k(k-1)/2, linear in occupancy.  A true
+    # mega-cluster stays connected through its representative (the
+    # downstream Jaccard filter keeps those edges and connected
+    # components collapse the star); a noise bucket's star edges fail
+    # the Jaccard filter and die exactly as the drop would have killed
+    # them — at k-1 verification cost, not k^2/2.  The hot-bucket list
+    # and its representatives come from ONE map-side agg pass and both
+    # joins against them are broadcasts — no skewed shuffle ever forms.
+    # ``max_bucket_size=None`` disables.
+    star = None
     if max_bucket_size is not None:
-        hot = (
+        hot = _materialize(
             banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.min("__id").alias("__rep"),
+            )
             .filter(F.col("__n") > max_bucket_size)
-            .select("band", "bucket")
+            .select("band", "bucket", "__rep")
         )
-        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        star = (
+            banded.join(F.broadcast(hot), ["band", "bucket"])
+            .filter(F.col("__id") > F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col("__id").alias("id_b"),
+            )
+        )
+        banded = banded.join(
+            F.broadcast(hot.select("band", "bucket")),
+            ["band", "bucket"],
+            "left_anti",
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    ).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
     with_sigs = pairs.join(
         sigs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a")),
         "id_a",
@@ -434,7 +456,31 @@ def min_label_components(
     3. else: the distributed fixpoint below (also the fallback for
        non-integer node ids).  ``driver_threshold_edges=0`` forces it.
     """
-    und = pairs.select("id_a", "id_b").distinct()
+    from pyspark.storagelevel import StorageLevel
+
+    # persist the distinct edge list BEFORE the tier probe: arrow_probe may
+    # run two jobs over it (a bytes/row sample, then the budget-sized
+    # probe), and the pair plan feeding it is typically the expensive part
+    # of the whole operator (fuzzy/LSH blocking joins) — unpersisted, the
+    # second job replayed that plan end to end (r9: golden_records
+    # 2.28 -> 3.74 s, the probe's sample job recomputing the SymSpell
+    # blocking join).  The cache also feeds the distributed tier's edge
+    # doubling when the probe declines.
+    und = pairs.select("id_a", "id_b").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        return _min_label_components_tiered(
+            pairs, und, max_rounds, driver_threshold_edges,
+            numpy_threshold_edges,
+        )
+    finally:
+        und.unpersist(blocking=False)
+
+
+def _min_label_components_tiered(
+    pairs, und, max_rounds, driver_threshold_edges, numpy_threshold_edges
+) -> DataFrame:
     if driver_threshold_edges > 0:
         # Arrow both ways: a 1M-edge probe is ~16 MB columnar (broadcast-
         # sized — the same budget a broadcast join spends), vs seconds of
@@ -500,10 +546,11 @@ def min_label_components(
     # checkpoint blocks — an explicit unpersist() frees them the moment the
     # fixpoint returns.  At 10x the tiled pair graph is 26.9M edges; keeping
     # it pinned as checkpoint blocks starved 32 concurrent hash-agg tasks
-    # into AGGREGATE_OUT_OF_MEMORY.
+    # into AGGREGATE_OUT_OF_MEMORY.  Doubling reads the already-cached
+    # distinct edge list (``und``), not the raw pair plan.
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        und.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(und.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -555,6 +602,7 @@ def minhash_dedup(
     bands: int = 16,
     shingle_words: int = 3,
     verify_exact: bool = False,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dedup: build LSH candidate pairs (est Jaccard >= threshold), take
     connected components over the pair graph, and keep only each component's
@@ -570,9 +618,14 @@ def minhash_dedup(
     (``verify_pairs_jaccard``): no borderline pair is mis-kept or mis-dropped
     by sketch noise, at the cost of one array_intersect per candidate.  With
     exact verification the edge set is SQL-reproducible, which is how the
-    duckdb oracle checks this operator end to end."""
+    duckdb oracle checks this operator end to end.
+
+    ``max_bucket_size`` passes through to ``lsh_candidate_pairs``'s
+    hot-bucket star-pairing (``None`` disables the cap entirely)."""
     sigs = with_minhash(df, text_col, num_hashes, shingle_words)
-    cands = lsh_candidate_pairs(sigs, id_col, bands=bands)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bands=bands, max_bucket_size=max_bucket_size
+    )
     if verify_exact:
         # cheap sketch prefilter before the exact join: drop candidates whose
         # ESTIMATED Jaccard sits more than ~4 sigma below the threshold

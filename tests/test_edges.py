@@ -246,19 +246,24 @@ def test_exact_dedup_subset_columns(spark):
 
 
 def test_lsh_hot_bucket_cap(spark):
-    """r9: a non-discriminative bucket (here: identical signatures across
-    the whole corpus via identical text) must be droppable by the cap —
-    and a planted true near-dup pair must still surface through its
-    OTHER buckets when only some buckets are hot."""
+    """r9 cap + r10 star-pairing: an over-cap bucket contributes only
+    star pairs (each member against the bucket's minimum id) instead of
+    its full k(k-1)/2 quadratic blow-up — so a genuine mega-cluster of
+    identical docs stays CONNECTED through its representative (the r9
+    drop let it escape dedup entirely, the r9 ADVICE finding) while the
+    pair count stays linear in occupancy."""
     from carto_etl_spark.operators import dedup as dd
-    from pyspark.sql import functions as F
 
     # 40 docs with IDENTICAL text -> every band bucket holds all 40
     same = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(40)]
     df = spark.createDataFrame(same, "doc_id long, text string")
     sigs = dd.with_minhash(df, "text", 64, 3)
     capped = dd.lsh_candidate_pairs(sigs, "doc_id", bands=32, max_bucket_size=10)
-    assert capped.count() == 0  # every bucket over the cap -> all dropped
+    rows = capped.collect()
+    # star shape: exactly the 39 (0, i) edges, est_jaccard 1 on all
+    assert len(rows) == 39
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, i) for i in range(1, 40)}
+    assert all(r["est_jaccard"] == 1.0 for r in rows)
     uncapped = dd.lsh_candidate_pairs(
         sigs, "doc_id", bands=32, max_bucket_size=None
     )
@@ -266,3 +271,22 @@ def test_lsh_hot_bucket_cap(spark):
     # default cap (10k) far above toy occupancy: behavior unchanged
     default = dd.lsh_candidate_pairs(sigs, "doc_id", bands=32)
     assert default.count() == 40 * 39 // 2
+
+
+def test_minhash_dedup_mega_cluster_collapses(spark):
+    """End-to-end guard for the r9 ADVICE finding: a duplicate cluster
+    larger than max_bucket_size must still collapse to one survivor —
+    star pairs keep it connected, components fold the star.  The cap is
+    now a minhash_dedup parameter, so callers can tune it too."""
+    from carto_etl_spark.operators import dedup as dd
+
+    same = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(40)]
+    others = [(100 + i, f"unique document number {i} with words w{i} x{i} y{i} z{i}")
+              for i in range(5)]
+    df = spark.createDataFrame(same + others, "doc_id long, text string")
+    out = dd.minhash_dedup(
+        df, "doc_id", "text", threshold=0.5, bands=32,
+        verify_exact=True, max_bucket_size=10,
+    )
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert kept == [0, 100, 101, 102, 103, 104]

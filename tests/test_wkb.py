@@ -90,9 +90,17 @@ def test_invalid_inputs_decode_to_null(spark):
             "02" + ewkb(1.0, 2.0)[2:],              # bad byte-order byte
             None,
             "",
+            # uint32 srid past int32 range would wrap negative through the
+            # cast (r9 ADVICE) — must decode to NULL, not srid=-2
+            ewkb(1.0, 2.0, srid=2**32 - 2),
+            ewkb(1.0, 2.0, srid=2**31),
+            ewkb(1.0, 2.0, srid=2**31, little=False),
         ],
     )
     assert all(g is None for g in got.values()), got
+    # the int32 boundary itself still decodes
+    edge = _decode(spark, [ewkb(1.0, 2.0, srid=2**31 - 1)])
+    assert edge[0]["srid"] == 2**31 - 1
 
 
 def test_passthrough_feeds_overview_grid_via_uploadjob(spark, tmp_path):
