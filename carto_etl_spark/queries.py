@@ -1576,7 +1576,7 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
-def _qc_label_sql() -> str:
+def _qc_label_sql(doc_src: str = "SELECT doc_id, text FROM documents") -> str:
     junk = ", ".join(f"'{w}'" for w in _QC_JUNK)
     return rf"""
 SELECT doc_id,
@@ -1584,22 +1584,23 @@ SELECT doc_id,
             THEN 1 ELSE 0 END AS label
 FROM (SELECT doc_id, list_filter(
         string_split_regex(trim(text), '\s+'), x -> x != '') AS t
-      FROM documents)"""
+      FROM ({doc_src}))"""
 
 
-def _qc_train_sql() -> str:
-    """The unrolled 12-iteration training WITH-chain over the raw labeled
+def _qc_train_sql(doc_src: str = "SELECT doc_id, text FROM documents") -> str:
+    """The unrolled 12-iteration training WITH-chain over the labeled
     corpus — shared by the quality_classifier / quality_mixture /
-    pipeline_ccnet oracles."""
+    pipeline_ccnet oracles.  ``doc_src`` is the (doc_id, text) training
+    source: the default is the full corpus; pipeline_ccnet passes the
+    Lehmer hash-sample so BOTH features and labels come from the same
+    bounded set, exactly like train_quality_gate on the Spark side."""
     from carto_etl_spark.operators.classifier import classifier_train_sql
     from carto_etl_spark.operators.text import hashed_features_oracle_sql
 
-    feats = hashed_features_oracle_sql(
-        "SELECT doc_id, text FROM documents", ["doc_id"], dim=_QC_DIM
-    )
+    feats = hashed_features_oracle_sql(doc_src, ["doc_id"], dim=_QC_DIM)
     return classifier_train_sql(
         feats,
-        _qc_label_sql(),
+        _qc_label_sql(doc_src),
         dim=_QC_DIM,
         iterations=_QC_ITERS,
         lr_num=_QC_LR_NUM,
@@ -2639,16 +2640,13 @@ WHERE doc_id NOT IN (SELECT s FROM reach GROUP BY s HAVING min(d) < s)
 """
 
 
-def _pipeline_messy_scrubbed(spark, sf_dir):
-    """Shared pipeline PREFIX (pipeline_e2e + pipeline_ccnet): the
-    deterministic messy-corpus synthesis, then line dedup -> min-token
-    gate -> blocklist gate -> PII scrub.  Returns the scrubbed
-    (doc_id, text) frame, NOT yet checkpointed — callers place their own
-    materialization boundary (see the localCheckpoint note in
-    q_pipeline_e2e)."""
-    from carto_etl_spark.operators.blocklist import flag
-    from carto_etl_spark.operators.scrub import scrub
-
+def _pipeline_messy_pages(spark, sf_dir):
+    """Shared pipeline FIXTURE (pipeline_e2e + pipeline_ccnet): the
+    deterministic messy-corpus synthesis — cookie-banner + per-source
+    footer lines appended to every page, a mutated near-copy of every
+    10th document.  Returns the raw (doc_id, text) pages; the cleaning /
+    dedup chains themselves live in operators/pipeline.py and the
+    entries below delegate to that public API."""
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     base = d.select("doc_id", "text", "source")
     near = base.filter(F.col("doc_id") % 10 == 0).select(
@@ -2657,7 +2655,7 @@ def _pipeline_messy_scrubbed(spark, sf_dir):
         "source",
     )
     both = base.unionByName(near)
-    pages = both.select(
+    return both.select(
         "doc_id",
         F.concat_ws(
             "\n",
@@ -2666,36 +2664,38 @@ def _pipeline_messy_scrubbed(spark, sf_dir):
             F.concat(F.lit("Footer for "), F.col("source")),
         ).alias("text"),
     )
-    cleaned = dd.drop_repeated_lines(pages)
-    gated = cleaned.where(tx.token_count_expr(F.col("text")) >= 3)
-    allowed = flag(gated, "text", ("hash value", "dup")).where(
-        F.col("n_blocked") <= 2
-    ).select("doc_id", "text")
-    return scrub(allowed, "text").select("doc_id", "text")
 
 
-def _pipeline_finish(scrubbed):
-    """Shared pipeline TAIL: MinHash near-dedup (exact-verified,
-    transitive survivorship) over an already-materialized frame, then
-    split + shard assignment and the export-manifest projection."""
-    from carto_etl_spark.operators.export import assign_shards
+def _pipe_cfg(**overrides):
+    """The catalog entries' PipelineConfig: the operators/pipeline.py
+    public API parameterized with this harness's toy-scale knobs — the
+    oracles therefore prove the LIBRARY composition path, not a parallel
+    harness implementation."""
+    from carto_etl_spark.operators.pipeline import PipelineConfig
 
-    survivors = dd.minhash_dedup(
-        scrubbed, "doc_id", "text",
-        threshold=0.5, bands=32, verify_exact=True,
+    base = dict(
+        dedup_threshold=0.5,
+        dedup_bands=32,
+        dedup_verify_exact=True,
+        split_weights={"train": 0.8, "valid": 0.1, "test": 0.1},
+        split_salt=11,
+        n_shards=16,
+        blocklist_terms=("hash value", "dup"),
+        classifier_dim=_QC_DIM,
+        classifier_iterations=_QC_ITERS,
+        classifier_lr_num=_QC_LR_NUM,
+        classifier_lr_den=_QC_LR_DEN,
+        classifier_scale=_QC_SCALE,
+        quality_tau=_PC_TAU,
+        train_cap=_PC_TRAIN_CAP,
+        train_salt=_PC_TRAIN_SALT,
+        c4_min_words=3,
+        c4_min_sentences=5,
+        gopher_word_count_min=10,
+        gopher_min_stopwords=1,
     )
-    out = smp.dataset_split(
-        survivors, "doc_id",
-        {"train": 0.8, "valid": 0.1, "test": 0.1}, salt=11,
-    )
-    out = assign_shards(out, 16, "doc_id")
-    return out.select(
-        "doc_id",
-        "split",
-        "shard",
-        tx.token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
-        F.md5("text").alias("text_md5"),
-    )
+    base.update(overrides)
+    return PipelineConfig(**base)
 
 
 def q_pipeline_e2e(spark, sf_dir):
@@ -2731,46 +2731,56 @@ def q_pipeline_e2e(spark, sf_dir):
     to the line-dedup stage's own branches; at 100 TB this is the
     "stage output to durable storage" boundary every real pipeline puts
     exactly here.  (q_pipeline_ccnet adds the trained classifier quality
-    gate to this same chain.)"""
-    scrubbed = _pipeline_messy_scrubbed(spark, sf_dir).localCheckpoint(
-        eager=True
-    )
-    return _pipeline_finish(scrubbed)
+    gate to this same chain.)
+
+    Since r10 the chain itself is the PUBLIC library composition
+    (operators/pipeline.py e2e_pipeline) — this entry builds the messy
+    fixture and delegates, so the oracle proves the library path."""
+    from carto_etl_spark.operators.pipeline import e2e_pipeline
+
+    pages = _pipeline_messy_pages(spark, sf_dir)
+    return e2e_pipeline(pages, _pipe_cfg()).manifest
 
 
 #: classifier-gate threshold for pipeline_ccnet, on the [0, _QC_SCALE]
 #: hard-sigmoid score — the quality_mixture "mid" boundary: keep documents
 #: the trained gate does not actively dislike
 _PC_TAU = _QM_MID
+#: bound the ccnet classifier's training set to ~this many labeled docs via
+#: the deterministic Lehmer hash-sample (operators/pipeline.py
+#: train_quality_gate).  Real CCNet trains its LM on a bounded held-out
+#: set; in-query full-corpus training was the one composed stage without a
+#: scale story (r9: ccnet 37.5x cost at 109x rows vs fineweb's 3.5x —
+#: training dominated).  200 < the 500-doc sf0.01 corpus, so the
+#: correctness gate exercises the sampled arm, and the oracle replays the
+#: exact sample from count(*) + integer arithmetic.
+_PC_TRAIN_CAP, _PC_TRAIN_SALT = 200, 17
 
 
 def q_pipeline_ccnet(spark, sf_dir):
     """pipeline_e2e completed into the FULL CCNet shape (r7 verdict #3):
     the same messy-corpus synthesis and line-dedup/blocklist/scrub prefix,
     then the TRAINED quality classifier gates the corpus at scan stage
-    before near-dedup — train (12 fixed-point GD iterations on the raw
-    labeled seed corpus, operators/classifier.py) -> score every scrubbed
-    doc with ``quality_score_expr`` -> keep score >= tau -> MinHash
-    near-dedup -> split -> shard.  The oracle unrolls TRAINING and replays
-    the whole chain (including the recursive-CTE connected components) in
-    one statement — a green row proves the composition of the round's two
-    flagship pieces.  Plan posture: the score expression is one more
-    scan-stage predicate on the fused prefix (no new shuffle, no UDF); the
-    localCheckpoint boundary stays where pipeline_e2e pinned it."""
-    from carto_etl_spark.operators import classifier as clf
+    before near-dedup — train (12 fixed-point GD iterations on a
+    ``train_cap``-bounded deterministic hash-sample of the labeled seed
+    corpus, operators/pipeline.py train_quality_gate) -> score every
+    scrubbed doc with ``quality_score_expr`` -> keep score >= tau ->
+    MinHash near-dedup -> split -> shard.  The oracle unrolls TRAINING —
+    including the Lehmer sample filter, replayed exactly from count(*) +
+    integer arithmetic — and the whole chain (recursive-CTE connected
+    components and all) in one statement.  Plan posture: the score
+    expression is one more scan-stage predicate on the fused prefix (no
+    new shuffle, no UDF); the localCheckpoint boundary stays where
+    pipeline_e2e pinned it; training reads the bounded sample, never the
+    full corpus (the r9 scale finding: in-query full-corpus training was
+    37.5x cost at 109x rows).  Delegates to the public library
+    composition (operators/pipeline.py ccnet_pipeline)."""
+    from carto_etl_spark.operators.pipeline import ccnet_pipeline
 
     d_raw = load(spark, sf_dir, "documents")
-    feats = tx.hashed_features(d_raw, "text", ["doc_id"], dim=_QC_DIM)
-    labels = d_raw.select("doc_id", _qc_label_col())
-    w, b = clf.train_quality_classifier(
-        feats, labels, dim=_QC_DIM, iterations=_QC_ITERS,
-        lr_num=_QC_LR_NUM, lr_den=_QC_LR_DEN, scale=_QC_SCALE,
-    )
-    scrubbed = _pipeline_messy_scrubbed(spark, sf_dir)
-    gated = scrubbed.where(
-        clf.quality_score_expr("text", w, b, scale=_QC_SCALE) >= _PC_TAU
-    ).localCheckpoint(eager=True)
-    return _pipeline_finish(gated)
+    labeled = d_raw.select("doc_id", "text", _qc_label_col())
+    pages = _pipeline_messy_pages(spark, sf_dir)
+    return ccnet_pipeline(pages, labeled, _pipe_cfg()).manifest
 
 
 _PIPE_PREFIX_CTES = r"""base AS (
@@ -2875,11 +2885,22 @@ def _oracle_pipeline_e2e() -> str:
 
 def _oracle_pipeline_ccnet() -> str:
     """The ccnet composition oracle: the shared prefix, then the ENTIRE
-    classifier training unrolled (12 GD iterations over the raw labeled
-    corpus — the quality_classifier oracle's wfin), the scrubbed docs
-    rescored through the trained weights, the tau gate, and the shared
+    classifier training unrolled (12 GD iterations — the
+    quality_classifier oracle's wfin) over the ``train_cap``-bounded
+    Lehmer hash-sample of the labeled corpus (threshold = cap * M //
+    count(*), pure integer arithmetic, so the sample — and therefore
+    every weight — replays bit-for-bit), the scrubbed docs rescored
+    through the trained weights, the tau gate, and the shared
     dedup/manifest tail over the gated set."""
-    train = _qc_train_sql()
+    thr = (
+        f"least({smp.LEHMER_M}::BIGINT, "
+        f"{_PC_TRAIN_CAP} * {smp.LEHMER_M}::BIGINT "
+        f"// (SELECT count(*) FROM documents))"
+    )
+    keep = smp.hash_sql("doc_id", _PC_TRAIN_SALT)
+    train = _qc_train_sql(
+        f"SELECT doc_id, text FROM documents WHERE {keep} < {thr}"
+    )
     score_ctes = rf""", wfin AS MATERIALIZED (
   SELECT feature, weight FROM ({train}) t
 ), ptoks AS (
@@ -2929,9 +2950,10 @@ def q_pipeline_fineweb(spark, sf_dir):
     the C4-cleaned frame feeds the Gopher scorer AND the survivor join
     (without it the c4 prefix runs once per branch), and the gated frame
     feeds minhash_dedup's five plan branches (the pipeline_e2e lesson,
-    pinned by test_pipeline_ops)."""
-    from carto_etl_spark.operators import c4rules as c4
-    from carto_etl_spark.operators.gopher import gopher_quality, gopher_repetition
+    pinned by test_pipeline_ops).  Delegates to the public library
+    composition (operators/pipeline.py fineweb_pipeline), which owns the
+    stage order and all three boundaries."""
+    from carto_etl_spark.operators.pipeline import fineweb_pipeline
 
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     sent = F.regexp_replace(F.col("text"), _C4_SENT_RE, "$1.\n")
@@ -2951,31 +2973,7 @@ def q_pipeline_fineweb(spark, sf_dir):
             F.concat(F.lit("Footer for "), F.col("source")),
         ).alias("text"),
     )
-    c4out = c4.c4_filter(pages, "text", ["doc_id"], min_words=3, min_sentences=5)
-    c4kept = (
-        c4out.where("doc_kept")
-        .select("doc_id", F.col("clean_text").alias("text"))
-        .localCheckpoint(eager=True)
-    )
-    # quality first (zero-shuffle projection prunes the corpus before the
-    # repetition table's per-doc counting pass), then repetition — AND of
-    # two per-doc gates, so the order is a cost choice, not semantics.
-    # qkept is the third materialization boundary: it fans out into the
-    # repetition scorer AND the survivor join, and at scale the quality
-    # gate's pruning is exactly what the expensive counting pass should
-    # read (unmaterialized, the semi-join ran once per branch — measured
-    # +3 s at sf0.1, r9)
-    qual = gopher_quality(
-        c4kept, "text", "doc_id", word_count_min=10, min_stopwords=1
-    )
-    qkept = c4kept.join(
-        qual.where("passes").select("doc_id"), ["doc_id"], "left_semi"
-    ).localCheckpoint(eager=True)
-    gop = gopher_repetition(qkept, "text", "doc_id")
-    gated = qkept.join(
-        gop.where("passes").select("doc_id"), ["doc_id"], "left_semi"
-    ).localCheckpoint(eager=True)
-    return _pipeline_finish(gated)
+    return fineweb_pipeline(pages, _pipe_cfg()).manifest
 
 
 def _oracle_pipeline_fineweb() -> str:
