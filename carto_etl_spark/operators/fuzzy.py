@@ -113,8 +113,13 @@ def fuzzy_pairs(
             .distinct()
         )
         return (
-            cands.withColumn("dist", F.levenshtein("text_a", "text_b"))
-            .where(F.col("dist") <= max_dist)
+            cands.withColumn(
+                "dist", F.levenshtein("text_a", "text_b", max_dist)
+            )
+            # thresholded levenshtein early-exits past max_dist (returns
+            # -1): ~2x cheaper per candidate than the full DP, same exact
+            # distances for every kept row
+            .where(F.col("dist") >= 0)
         )
 
     strings = base.select("__t").distinct()
@@ -125,8 +130,8 @@ def fuzzy_pairs(
         .where(F.col("__ta") < F.col("__tb"))
         .select("__ta", "__tb")
         .distinct()
-        .withColumn("dist", F.levenshtein("__ta", "__tb"))
-        .where(F.col("dist") <= max_dist)
+        .withColumn("dist", F.levenshtein("__ta", "__tb", max_dist))
+        .where(F.col("dist") >= 0)  # -1 = early-exited past max_dist
     )
     ia = base.select(F.col("__id").alias("__xa"), F.col("__t").alias("__ta"))
     ib = base.select(F.col("__id").alias("__xb"), F.col("__t").alias("__tb"))
@@ -186,6 +191,8 @@ def fuzzy_join(
         .distinct()
     )
     return (
-        cands.withColumn("dist", F.levenshtein(left_text, right_text))
-        .where(F.col("dist") <= max_dist)
+        cands.withColumn(
+            "dist", F.levenshtein(left_text, right_text, max_dist)
+        )
+        .where(F.col("dist") >= 0)  # -1 = early-exited past max_dist
     )
