@@ -47,6 +47,16 @@ def get_spark(
         # (measured: ngram_jaccard -61%, ingest -33%, minhash -20% at sf0.1;
         # no query regressed).
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
+        # Shuffles START wide and AQE coalesces them down from the RUNTIME
+        # byte sizes: the static shuffle.partitions (32 here) is only the
+        # post-coalesce parallelism floor via parallelismFirst, while a
+        # corpus-scale run (r9: pipeline_fineweb paid 16x cost for the 10x
+        # step to 5.45M docs purely in shuffle volume against the fixed 32)
+        # can fan a big exchange out to up to 8x more reducers instead of
+        # spilling 32 oversized partitions.  This is the documented AQE
+        # sizing recipe; at toy scale the extra initial partitions coalesce
+        # away before execution (A/B'd: frame32 flat at sf0.1).
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # HotSpot never JIT-compiles methods past 8000 bytecodes
         # (-XX:-DontCompileHugeMethods), so a whole-stage-codegen method

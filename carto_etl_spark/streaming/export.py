@@ -39,7 +39,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from carto_etl_spark.operators.export import SHARD_COL, assign_shards
 from carto_etl_spark.operators.shuffle import md5_prefix_long
-from carto_etl_spark.streaming.state import complete_dirs, is_complete
+from carto_etl_spark.streaming.state import BatchSinkTarget
 
 _BATCHES = "batches"
 
@@ -52,7 +52,7 @@ _FP_MARKER = "_FPV2"
 _log = logging.getLogger(__name__)
 
 
-def _has_pre_upgrade_dirs(target_dir: str) -> bool:
+def _has_pre_upgrade_dirs(target: BatchSinkTarget) -> bool:
     """True iff the target holds at least one COMPLETE batch directory
     without the ``_FPV2`` marker — i.e. written by the pre-upgrade
     key-only-fingerprint sink.  Only then may the legacy probe suppress a
@@ -62,8 +62,8 @@ def _has_pre_upgrade_dirs(target_dir: str) -> bool:
     re-introducing the exact data-loss mode the payload-folding
     fingerprint was built to fix."""
     return any(
-        not os.path.exists(os.path.join(d, _FP_MARKER))
-        for d in complete_dirs(os.path.join(target_dir, _BATCHES))
+        not target.file_exists(_BATCHES, name, _FP_MARKER)
+        for name in target.complete_batches(_BATCHES)
     )
 
 
@@ -130,17 +130,19 @@ def stream_export_jsonl(
             "export (the sink reserves that name for the shard id)"
         )
 
+    target = BatchSinkTarget(target_dir)
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         fps = _batch_fingerprints(batch_df, key_col)
         if fps is None:
             return
         fp, legacy_fp = fps
-        dest = os.path.join(target_dir, _BATCHES, fp)
-        if is_complete(dest):
+        dest = target.spark_path(_BATCHES, fp)
+        if target.file_exists(_BATCHES, fp, "_SUCCESS"):
             return  # replayed batch: already fully written
         if (
-            _has_pre_upgrade_dirs(target_dir)
-            and is_complete(os.path.join(target_dir, _BATCHES, legacy_fp))
+            _has_pre_upgrade_dirs(target)
+            and target.file_exists(_BATCHES, legacy_fp, "_SUCCESS")
         ):
             # exported under the pre-upgrade key-only fingerprint.  The
             # probe is GATED on the target actually containing pre-upgrade
@@ -168,8 +170,7 @@ def stream_export_jsonl(
         )
         # stamp the fingerprint version AFTER the successful write: a
         # complete dir without it is, by definition, pre-upgrade
-        with open(os.path.join(dest, _FP_MARKER), "w"):
-            pass
+        target.touch(_BATCHES, fp, _FP_MARKER)
 
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint:
@@ -183,7 +184,11 @@ def complete_batch_dirs(target_dir: str) -> list[str]:
     """Batch directories whose write finished (``_SUCCESS`` present) —
     partial crash leftovers are invisible to readers (the shared
     ``streaming.state`` _SUCCESS-gating recipe)."""
-    return complete_dirs(os.path.join(target_dir, _BATCHES))
+    target = BatchSinkTarget(target_dir)
+    return [
+        target.spark_path(_BATCHES, name)
+        for name in target.complete_batches(_BATCHES)
+    ]
 
 
 def read_stream_export(

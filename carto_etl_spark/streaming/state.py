@@ -44,23 +44,27 @@ only writer; ``recover()`` would race a concurrent appender, which these
 stores do not support (Structured Streaming guarantees serialized batch
 execution per query).
 
-**POSIX-ONLY CONTRACT (r8 verdict #6).**  Every primitive here relies on
+**Path contract (r8 verdict #6 / r9 #2).**  The classes above rely on
 directory ``os.rename`` being atomic and on ``os.path`` semantics —
 guarantees object stores do not provide (S3/GCS have no rename; "rename"
-is copy+delete with a visible window).  Worse than a crash window: on an
-``s3a://``/``gs://`` path ``os.path.exists`` simply returns False, so a
-state store would silently report "fresh" and restart from scratch.
-Construction therefore REJECTS any URI-schemed state dir; on a real
-cluster, point the state at a POSIX-mounted path (HDFS via NFS gateway,
-EFS/Filestore, local NVMe + checkpoint upload) or replace this store
-with a commit-marker protocol on the object store's conditional-put
-primitive.  The guard makes the contract fail loud at the constructor,
-not quiet at recovery time.
+is copy+delete with a visible window; ``os.path.exists`` on an
+``s3a://`` path silently returns False, so a state store would quietly
+report "fresh" and restart from scratch).  Construction therefore
+DISPATCHES on the target: a plain path runs the POSIX rename protocol; an
+object-store target (a URI with a registered
+``objectstore.register_object_store_factory`` adapter, or an
+``(ObjectStore, prefix)`` tuple) runs the RENAME-FREE commit-log protocol
+(``ObjectSnapshotState`` / ``ObjectAppendOnlyState`` below: immutable
+token-addressed generation prefixes + one conditional-put commit object
+as the only visibility gate — see streaming/objectstore.py).  A URI with
+no registered adapter still fails loud at the constructor, never quiet
+at recovery time.
 """
 
 from __future__ import annotations
 
 import glob
+import json
 import os
 import re
 import shutil
@@ -69,6 +73,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from carto_etl_spark.session import local_df
+from carto_etl_spark.streaming.objectstore import (
+    CommitLog,
+    resolve_object_target,
+)
 
 _LEDGER = "applied"
 
@@ -118,7 +126,18 @@ class SnapshotState:
     Layout: ``<state_dir>/current/<table>/*.parquet`` for each named table,
     plus ``<state_dir>/current/applied/`` when the ledger is used.  The
     write protocol is: stage every table of the NEW state under
-    ``begin_tmp()``, then ``promote()`` once."""
+    ``begin_tmp()``, then ``promote()`` once.
+
+    Constructing with an object-store target — a URI whose scheme has a
+    registered adapter (``objectstore.register_object_store_factory``) or
+    an ``(ObjectStore, prefix)`` tuple — returns ``ObjectSnapshotState``,
+    the same semantics on the rename-free commit-log protocol.  A URI with
+    no registered adapter still fails loud (the r9 guard)."""
+
+    def __new__(cls, state_dir):
+        if cls is SnapshotState and resolve_object_target(state_dir):
+            return object.__new__(ObjectSnapshotState)
+        return object.__new__(cls)
 
     def __init__(self, state_dir: str):
         self.state_dir = _require_posix_path(state_dir, "SnapshotState")
@@ -179,7 +198,15 @@ class SnapshotState:
 class AppendOnlyState:
     """Append-only parquet tree with staged atomic appends + recoverable
     compaction.  ``root_name`` is the committed read path under
-    ``state_dir``; staging dirs live beside it, outside the read path."""
+    ``state_dir``; staging dirs live beside it, outside the read path.
+
+    Like ``SnapshotState``, an object-store target dispatches to the
+    rename-free implementation (``ObjectAppendOnlyState``)."""
+
+    def __new__(cls, state_dir, root_name: str = "batches"):
+        if cls is AppendOnlyState and resolve_object_target(state_dir):
+            return object.__new__(ObjectAppendOnlyState)
+        return object.__new__(cls)
 
     def __init__(self, state_dir: str, root_name: str = "batches"):
         self.state_dir = _require_posix_path(state_dir, "AppendOnlyState")
@@ -242,7 +269,228 @@ class AppendOnlyState:
         _promote(tmp, self.root)
 
 
+# -- object-store implementations (rename-free commit protocol) ----------
+
+
+class ObjectSnapshotState(SnapshotState):
+    """SnapshotState semantics on the objectstore.py commit protocol: each
+    promoted state is an immutable ``gen-<token>/`` prefix; ONE conditional
+    put of a commit object makes it current; readers follow the latest
+    commit.  There is no crash window, so ``recover()`` is a no-op — a
+    crash before the commit leaves only invisible orphans (swept by
+    ``gc()``, which ``promote()`` runs with retain=2).
+
+    The ledger methods are inherited unchanged: the applied-batch table
+    lives inside the committed generation exactly as it lives inside
+    ``current/`` on POSIX, so replayed batches are recognized the same
+    way."""
+
+    def __init__(self, state_dir):
+        self.store, self.prefix = resolve_object_target(state_dir)
+        self.state_dir = state_dir
+        self._staged_token: str | None = None
+
+    # -- protocol plumbing ----------------------------------------------
+
+    def _log(self) -> CommitLog:
+        return CommitLog(self.store, self.prefix)
+
+    def _gen(self, token: str) -> str:
+        return f"{self.prefix}/gen-{token}"
+
+    def _current_gen(self) -> str | None:
+        head = self._log().latest()
+        return None if head is None else head[1]["gen"]
+
+    # -- SnapshotState surface -------------------------------------------
+
+    def recover(self) -> None:
+        pass  # rename-free: there is no crash window to heal
+
+    def exists(self) -> bool:
+        return self._current_gen() is not None
+
+    def table_path(self, table: str) -> str:
+        gen = self._current_gen()
+        if gen is None:
+            # same failure mode as the POSIX class on a fresh state: a
+            # missing-path read error from Spark, not a silent empty frame
+            return self.store.spark_path(
+                f"{self._gen('absent')}/{table}"
+            )
+        return self.store.spark_path(f"{self._gen(gen)}/{table}")
+
+    def begin_tmp(self) -> str:
+        token = uuid.uuid4().hex
+        self._staged_token = token
+        return self.store.spark_path(self._gen(token))
+
+    def promote(self) -> None:
+        if self._staged_token is None:
+            raise RuntimeError("promote() without begin_tmp()")
+        token, self._staged_token = self._staged_token, None
+        self._log().commit({"gen": token})
+        self.gc()
+
+    def gc(self, retain: int = 2) -> None:
+        """Drop generations no commit in the newest ``retain`` references,
+        then the superseded commit objects themselves.  retain=2 keeps the
+        previous generation readable for any in-flight reader that
+        resolved the old commit just before a promote."""
+        log = self._log()
+        keys = sorted(self.store.list(f"{self.prefix}/commits"))
+        live_payloads = keys[-retain:] if retain else []
+        live = set()
+        for key in live_payloads:
+            data = self.store.get(key)
+            if data is not None:
+                live.add(json.loads(data.decode("utf-8"))["gen"])
+        staged = self._staged_token
+        for key in self.store.list(self.prefix):
+            rel = key[len(self.prefix) + 1 :]
+            if not rel.startswith("gen-"):
+                continue
+            token = rel.split("/", 1)[0][len("gen-") :]
+            if token not in live and token != staged:
+                self.store.delete(key)
+        log.gc(keep_last=retain)
+
+
+class ObjectAppendOnlyState(AppendOnlyState):
+    """AppendOnlyState semantics on the commit protocol: the latest commit
+    object's manifest lists the batch/compaction prefixes that ARE the
+    state.  Appends write an immutable ``batch-<token>/`` prefix then
+    commit ``manifest + [that prefix]``; compaction writes
+    ``compacted-<token>/`` and commits a one-element manifest.  Crash
+    before a commit orphans invisible data (``gc()``); the commit itself
+    is one atomic object creation, so there is no partially applied
+    append and ``recover()`` is a no-op."""
+
+    def __init__(self, state_dir, root_name: str = "batches"):
+        self.store, self.prefix = resolve_object_target(state_dir)
+        self.state_dir = state_dir
+        self.root_name = root_name
+
+    def _log(self) -> CommitLog:
+        return CommitLog(self.store, f"{self.prefix}/{self.root_name}")
+
+    def _manifest(self) -> list[str]:
+        head = self._log().latest()
+        return [] if head is None else list(head[1]["prefixes"])
+
+    def recover(self) -> None:
+        pass
+
+    def exists(self) -> bool:
+        return bool(self._manifest())
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        paths = [self.store.spark_path(p) for p in self._manifest()]
+        return spark.read.parquet(*paths)
+
+    def append(self, rows: DataFrame) -> bool:
+        spark = rows.sparkSession
+        token = uuid.uuid4().hex
+        data_prefix = f"{self.prefix}/{self.root_name}/batch-{token}"
+        path = self.store.spark_path(data_prefix)
+        rows.write.mode("overwrite").parquet(path)
+        if spark.read.parquet(path).isEmpty():
+            self.store.delete_prefix(data_prefix)
+            return False
+        self._log().commit({"prefixes": self._manifest() + [data_prefix]})
+        self.gc()
+        return True
+
+    def compact(self, rewritten: DataFrame) -> None:
+        token = uuid.uuid4().hex
+        data_prefix = f"{self.prefix}/{self.root_name}/compacted-{token}"
+        rewritten.write.mode("overwrite").parquet(
+            self.store.spark_path(data_prefix)
+        )
+        self._log().commit({"prefixes": [data_prefix]})
+        self.gc()
+
+    def gc(self, retain: int = 2) -> None:
+        """Drop data prefixes referenced by none of the newest ``retain``
+        manifests, then superseded commit objects."""
+        root = f"{self.prefix}/{self.root_name}"
+        keys = sorted(self.store.list(f"{root}/commits"))
+        live: set[str] = set()
+        for key in keys[-retain:] if retain else []:
+            data = self.store.get(key)
+            if data is not None:
+                live.update(json.loads(data.decode("utf-8"))["prefixes"])
+        for key in self.store.list(root):
+            rel = key[len(root) + 1 :]
+            if rel.startswith("commits/"):
+                continue
+            data_prefix = f"{root}/{rel.split('/', 1)[0]}"
+            if data_prefix not in live:
+                self.store.delete(key)
+        self._log().gc(keep_last=retain)
+
+
 # -- _SUCCESS-gated batch dirs (file sinks) ------------------------------
+
+
+class BatchSinkTarget:
+    """Dispatching facade for ``_SUCCESS``-gated batch-dir sinks (the
+    streaming JSONL export): path construction, marker probes and marker
+    writes that run on os.path for plain paths and on the store API for
+    object-store targets.  Spark's committer writes ``_SUCCESS`` last on
+    both (s3a committers included), so the completeness gate is the same
+    marker either way; only the probe mechanics differ."""
+
+    def __init__(self, root):
+        self._t = resolve_object_target(root)
+        if self._t is None:
+            _require_posix_path(root, "BatchSinkTarget")
+        self.root = root
+
+    def spark_path(self, *parts: str) -> str:
+        if self._t:
+            store, prefix = self._t
+            return store.spark_path("/".join((prefix,) + parts))
+        return os.path.join(self.root, *parts)
+
+    def file_exists(self, *parts: str) -> bool:
+        if self._t:
+            store, prefix = self._t
+            return store.get("/".join((prefix,) + parts)) is not None
+        return os.path.exists(os.path.join(self.root, *parts))
+
+    def touch(self, *parts: str) -> None:
+        """Create an empty marker object/file; already-present (a replayed
+        handler) is success."""
+        if self._t:
+            store, prefix = self._t
+            store.put("/".join((prefix,) + parts), b"")
+            return
+        path = os.path.join(self.root, *parts)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a"):
+            pass
+
+    def complete_batches(self, *parts: str) -> list[str]:
+        """Names of the complete (``_SUCCESS``-bearing) batch directories
+        under ``<root>/<parts...>``, sorted."""
+        if self._t:
+            store, prefix = self._t
+            base = "/".join((prefix,) + parts)
+            return sorted(
+                {
+                    key[len(base) + 1 : -len("/_SUCCESS")]
+                    for key in store.list(base)
+                    if key.endswith("/_SUCCESS")
+                    and "/" not in key[len(base) + 1 : -len("/_SUCCESS")]
+                }
+            )
+        base = os.path.join(self.root, *parts)
+        return sorted(
+            os.path.basename(d)
+            for d in glob.glob(os.path.join(base, "*"))
+            if is_complete(d)
+        )
 
 
 def is_complete(batch_dir: str) -> bool:
@@ -253,7 +501,18 @@ def is_complete(batch_dir: str) -> bool:
 
 def complete_dirs(root: str) -> list[str]:
     """All complete batch directories under ``root`` (sorted for
-    deterministic reads); partial crash leftovers are invisible.  Same
-    POSIX-only contract as the state classes (glob/os.path based)."""
+    deterministic reads); partial crash leftovers are invisible.  For an
+    object-store target the listing goes through the store API (Spark's
+    committer still writes ``_SUCCESS`` last on s3a-class filesystems, so
+    the same marker gates visibility); plain paths use glob/os.path."""
+    target = resolve_object_target(root)
+    if target is not None:
+        store, prefix = target
+        done = sorted(
+            key[: -len("/_SUCCESS")]
+            for key in store.list(prefix)
+            if key.endswith("/_SUCCESS")
+        )
+        return [store.spark_path(d) for d in done]
     _require_posix_path(root, "complete_dirs")
     return sorted(d for d in glob.glob(os.path.join(root, "*")) if is_complete(d))
