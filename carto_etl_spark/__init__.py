@@ -18,6 +18,13 @@ columns, text analysis) designed for 100 TB scale.
 from carto_etl_spark.config import JobConfig
 from carto_etl_spark.session import get_spark
 from carto_etl_spark.operators.jobs import InsertJob, UpdateJob, DeleteJob
+from carto_etl_spark.operators.pipeline import (
+    PipelineConfig,
+    PipelineResult,
+    ccnet_pipeline,
+    e2e_pipeline,
+    fineweb_pipeline,
+)
 
 __version__ = "0.1.0"
 
@@ -27,4 +34,9 @@ __all__ = [
     "InsertJob",
     "UpdateJob",
     "DeleteJob",
+    "PipelineConfig",
+    "PipelineResult",
+    "ccnet_pipeline",
+    "e2e_pipeline",
+    "fineweb_pipeline",
 ]

@@ -46,6 +46,38 @@ def parse_jvm_size(text: str) -> int:
     return int(m.group(1)) * _UNIT[m.group(2)]
 
 
+#: Conservative per-value Arrow width (bytes) for fixed-width Spark types;
+#: validity bitmaps and batch overhead are covered by the x2 safety factor
+#: at the call site.
+_FIXED_WIDTHS = {
+    "boolean": 1,
+    "byte": 1,
+    "short": 2,
+    "integer": 4,
+    "long": 8,
+    "float": 4,
+    "double": 8,
+    "date": 4,
+    "timestamp": 8,
+    "timestamp_ntz": 8,
+}
+
+
+def static_row_width(df: DataFrame) -> int | None:
+    """Upper-bound bytes/row over Arrow when EVERY column is fixed-width
+    (ints, floats, dates, bools); None when any column is variable-width
+    (strings, arrays, structs, maps, decimals).  For fixed-width schemas
+    the bytes/row estimate needs no sample job at all — the probe can go
+    straight to the capped materialization."""
+    total = 0
+    for field in df.schema.fields:
+        width = _FIXED_WIDTHS.get(field.dataType.typeName())
+        if width is None:
+            return None
+        total += width
+    return total
+
+
 def default_probe_budget(df: DataFrame) -> int:
     """Byte budget derived from the session's live maxResultSize (0 =
     unlimited -> a generous fixed default rather than infinity: the driver
@@ -77,6 +109,15 @@ def arrow_probe(df: DataFrame, row_cap: int, byte_budget: int | None = None):
     if byte_budget is None:
         byte_budget = default_probe_budget(df)
     cap_plus = row_cap + 1
+    width = static_row_width(df)
+    if width is not None and cap_plus * width * 2 <= byte_budget:
+        # fixed-width schema whose worst case fits the budget outright:
+        # skip the bytes/row sample job (it still pays the full upstream
+        # plan — on golden_records the SymSpell blocking join — just to
+        # estimate a number the schema already bounds) and materialize the
+        # capped probe directly; the actual-nbytes re-check still guards.
+        probe = df.limit(cap_plus).toArrow()
+        return None if probe.nbytes > byte_budget else probe
     sample_rows = min(_SAMPLE_ROWS, cap_plus)
     sample = df.limit(sample_rows).toArrow()
     if sample.num_rows == 0:
