@@ -59,7 +59,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import shutil
 import uuid
 from typing import Callable
 

@@ -21,7 +21,6 @@ from carto_etl_spark.streaming.objectstore import (
     CommitLog,
     LocalObjectStore,
     register_object_store_factory,
-    resolve_object_target,
     unregister_object_store_factory,
 )
 from carto_etl_spark.streaming.state import (
