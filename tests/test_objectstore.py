@@ -309,6 +309,87 @@ def test_lshindex_recipe_on_object_store(spark, scheme):
     assert compact_index(spark, state) > n
 
 
+def test_cardinality_quantile_kmeans_vecindex_on_object_store(
+    spark, tmp_path, scheme
+):
+    """The remaining four state recipes run against object-store URIs: the
+    HLL tracker (idempotent SnapshotState), the quantile tracker
+    (SnapshotState + ledger), the mini-batch k-means state (SnapshotState
+    + ledger, seeded fold), and the vector near-dup index
+    (AppendOnlyState).  Together with frequency/lshindex/export above,
+    all seven recipes inherit the rename-free protocol."""
+    from carto_etl_spark.streaming.cardinality import (
+        load_cardinality_registers,
+        track_cardinality,
+    )
+    from carto_etl_spark.streaming.kmeansstate import (
+        apply_kmeans_batch,
+        load_kmeans_state,
+    )
+    from carto_etl_spark.streaming.quantile import (
+        state_quantiles,
+        track_quantiles,
+    )
+    from carto_etl_spark.streaming.vecindex import (
+        append_to_vec_index,
+        compact_vec_index,
+        have_vec_index,
+    )
+
+    # HLL cardinality through a real stream
+    src = str(tmp_path / "csrc")
+    _feed(spark, src, "b1", [(i, f"item-{i % 7}") for i in range(40)])
+    stream = spark.readStream.schema(SCHEMA).option(
+        "recursiveFileLookup", "true"
+    ).parquet(src)
+    q = track_cardinality(
+        stream, "item", state_dir="testobj://bkt/card",
+        checkpoint=str(tmp_path / "cc"),
+    )
+    q.awaitTermination(120)
+    regs = load_cardinality_registers(spark, "testobj://bkt/card")
+    assert regs.count() > 0
+
+    # quantile tracker through a real stream
+    qsrc = str(tmp_path / "qsrc")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "k long, v double"
+    ).coalesce(1).write.parquet(os.path.join(qsrc, "b1"))
+    qstream = spark.readStream.schema("k long, v double").option(
+        "recursiveFileLookup", "true"
+    ).parquet(qsrc)
+    q = track_quantiles(
+        qstream, "v", "k", state_dir="testobj://bkt/quant", cap=256,
+        checkpoint=str(tmp_path / "qc"),
+    )
+    q.awaitTermination(120)
+    med = state_quantiles(spark, "testobj://bkt/quant", [0.5]).collect()
+    assert len(med) == 1 and 80 <= med[0]["est"] <= 120
+
+    # mini-batch k-means state: direct batch application (the writeStream
+    # drive equals direct batches — pinned by test_streaming_kmeans)
+    vecs = local_df(
+        spark,
+        [(i, [float(i % 3), float((i * 7) % 5)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    assert apply_kmeans_batch(vecs, "testobj://bkt/km", k=3) is True
+    # replay: the content ledger inside the committed generation skips it
+    assert apply_kmeans_batch(vecs, "testobj://bkt/km", k=3) is False
+    centroids, counts = load_kmeans_state(spark, "testobj://bkt/km")
+    assert len(centroids) == 3 and sum(counts) == 30
+
+    # vector near-dup index (AppendOnlyState)
+    emb = local_df(
+        spark,
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    append_to_vec_index(emb, "testobj://bkt/vec", dim=4)
+    assert have_vec_index("testobj://bkt/vec")
+    assert compact_vec_index(spark, "testobj://bkt/vec") > 0
+
+
 def test_export_sink_on_object_store(spark, tmp_path, scheme):
     """The _SUCCESS-gated JSONL export writes to an object target through
     BatchSinkTarget and reads back every complete batch."""
