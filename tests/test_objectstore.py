@@ -82,6 +82,33 @@ def test_commit_log_latest_wins_and_gc(store):
     assert log.latest()[1] == {"gen": "t3"}
 
 
+def test_conditional_put_atomic_under_contention(store):
+    """N threads race one conditional put per key: exactly one winner per
+    key, and every loser observes the winner's payload — the at-most-once
+    property the whole commit protocol rests on."""
+    import threading
+
+    results: dict[int, list[bool]] = {i: [] for i in range(8)}
+
+    def worker(tid):
+        for k in range(50):
+            results[tid].append(
+                store.put(f"race/{k}", f"writer-{tid}".encode())
+            )
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for k in range(50):
+        winners = sum(results[t][k] for t in range(8))
+        assert winners == 1, f"key race/{k}: {winners} winners"
+        assert store.get(f"race/{k}") is not None
+
+
 # ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
