@@ -1086,53 +1086,60 @@ def drop_repeated_lines(
     with empty text (a downstream length filter decides their fate);
     NULL-text documents pass through unchanged.
 
-    Scale: two inherent shuffles (line-count groupBy with map-side collapse;
-    doc_id regroup for reassembly) plus the anti-join of lines against the
-    repeated set, which AQE skew-splits if a hot line dominates.  Nothing
+    Scale — the DROP-LIST plan (r10; the old shape shuffled the corpus
+    text twice): the only full-text shuffle left is the line-count groupBy
+    (map-side collapse, irreducible — it IS the cross-document signal).
+    Boilerplate membership then flows as a semi-join of exploded lines
+    against the repeated set (AQE broadcasts the small side), producing a
+    per-doc drop-list of INTEGER positions; that list — bytes of ints, not
+    line text — is the only thing the regroup shuffles, and the final join
+    attaches it back to the UNEXPLODED documents (broadcast when it fits),
+    where the rewrite is pure scan-stage array math
+    (``F.filter``/``F.transform`` over the split).  The reassembly
+    ``array_sort(collect_list(struct(pos, line)))`` — all corpus text
+    through a second exchange plus a per-doc sort — is gone.  Nothing
     driver-side, no UDFs."""
+    import re as _re
+
     lines = doc_lines(df, text_col, id_col, sep)
     boiler = repeated_lines(lines, max_occurrences, min_line_chars)
-    kept = lines.withColumn(
-        "__eligible", F.length(F.trim(F.col("line"))) >= min_line_chars
+    # positions of boilerplate occurrences only: short/blank lines are
+    # structural and never dropped, so they never enter the semi-join
+    drops = (
+        lines.where(F.length(F.trim(F.col("line"))) >= min_line_chars)
+        .join(boiler, on="line", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__drops"))
     )
-    # short/blank lines never enter the anti-join — they are kept verbatim
-    survivors = (
-        kept.where(F.col("__eligible"))
-        .join(boiler, on="line", how="left_anti")
-        .unionByName(kept.where(~F.col("__eligible")))
+    parts = F.split(F.col(text_col), _re.escape(sep))
+    droplist = F.coalesce(F.col("__drops"), F.array().cast("array<int>"))
+    kept_parts = F.filter(
+        parts,
+        lambda line, i: ~F.array_contains(droplist, i),
     )
-    rebuilt = (
-        survivors.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
-                ),
-                sep,
-            ).alias("__clean"),
-            F.count(F.lit(1)).alias("n_lines_kept"),
-        )
-    )
-    n_lines = F.size(F.split(F.col(text_col), sep))
+    n_lines = F.size(parts)
+    is_null = F.col(text_col).isNull()
     out = (
-        df.join(rebuilt, on=id_col, how="left")
+        df.join(drops, on=id_col, how="left")
         .withColumn(
             "n_lines_kept",
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
-            .otherwise(F.coalesce(F.col("n_lines_kept"), F.lit(0))),
+            F.when(is_null, F.lit(None).cast("long")).otherwise(
+                (n_lines - F.size(droplist)).cast("long")
+            ),
         )
         .withColumn(
             "n_lines_dropped",
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
-            .otherwise(n_lines - F.col("n_lines_kept")),
+            F.when(is_null, F.lit(None).cast("long")).otherwise(
+                F.size(droplist).cast("long")
+            ),
         )
         .withColumn(
             "__final",
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-            .otherwise(F.coalesce(F.col("__clean"), F.lit(""))),
+            F.when(is_null, F.lit(None).cast("string")).otherwise(
+                F.array_join(kept_parts, sep)
+            ),
         )
-        .drop("__clean")
+        .drop("__drops")
         .drop(text_col)
         .withColumnRenamed("__final", text_col)
     )
