@@ -458,24 +458,35 @@ def min_label_components(
     """
     from pyspark.storagelevel import StorageLevel
 
-    # persist the distinct edge list BEFORE the tier probe: arrow_probe may
-    # run two jobs over it (a bytes/row sample, then the budget-sized
-    # probe), and the pair plan feeding it is typically the expensive part
-    # of the whole operator (fuzzy/LSH blocking joins) — unpersisted, the
-    # second job replayed that plan end to end (r9: golden_records
-    # 2.28 -> 3.74 s, the probe's sample job recomputing the SymSpell
-    # blocking join).  The cache also feeds the distributed tier's edge
-    # doubling when the probe declines.
-    und = pairs.select("id_a", "id_b").distinct().persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    from carto_etl_spark.operators.probe import static_row_width
+
+    # Persist policy for the distinct edge list (r9/r10): a cache pays off
+    # only when MORE THAN ONE job reads the pair plan, which is typically
+    # the expensive part of the whole operator (fuzzy/LSH blocking joins).
+    # Two readers exist: (a) arrow_probe's bytes/row sample job in front
+    # of its capped probe — but for fixed-width edge schemas the probe
+    # skips the sample outright (static_row_width) and runs ONE job; (b)
+    # the distributed tier's per-round fixpoint, which persists its own
+    # doubled edge table anyway.  So: persist up front only on the
+    # variable-width path, where the two-job probe would otherwise replay
+    # the pair plan end to end (r9: golden_records 2.28 -> 3.74 s, the
+    # sample job recomputing the SymSpell blocking join); on the common
+    # integer-id path the upfront cache is write bandwidth + executor
+    # memory spent on a plan only one job reads (A/B at sf0.1: neutral
+    # under host noise; the win is not paying to cache a 26M-row edge
+    # list nobody re-reads at corpus scale).
+    und = pairs.select("id_a", "id_b").distinct()
+    cache = static_row_width(und) is None
+    if cache:
+        und = und.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         return _min_label_components_tiered(
             pairs, und, max_rounds, driver_threshold_edges,
             numpy_threshold_edges,
         )
     finally:
-        und.unpersist(blocking=False)
+        if cache:
+            und.unpersist(blocking=False)
 
 
 def _min_label_components_tiered(
