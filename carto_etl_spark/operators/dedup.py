@@ -457,40 +457,56 @@ def min_label_components(
        non-integer node ids).  ``driver_threshold_edges=0`` forces it.
     """
     from pyspark.storagelevel import StorageLevel
+    from pyspark.sql import types as T
 
-    from carto_etl_spark.operators.probe import static_row_width
+    from carto_etl_spark.operators.probe import (
+        default_probe_budget,
+        static_row_width,
+    )
 
     # Persist policy for the distinct edge list (r9/r10): a cache pays off
     # only when MORE THAN ONE job reads the pair plan, which is typically
     # the expensive part of the whole operator (fuzzy/LSH blocking joins).
-    # Two readers exist: (a) arrow_probe's bytes/row sample job in front
-    # of its capped probe — but for fixed-width edge schemas the probe
-    # skips the sample outright (static_row_width) and runs ONE job; (b)
-    # the distributed tier's per-round fixpoint, which persists its own
-    # doubled edge table anyway.  So: persist up front only on the
-    # variable-width path, where the two-job probe would otherwise replay
-    # the pair plan end to end (r9: golden_records 2.28 -> 3.74 s, the
-    # sample job recomputing the SymSpell blocking join); on the common
-    # integer-id path the upfront cache is write bandwidth + executor
-    # memory spent on a plan only one job reads (A/B at sf0.1: neutral
-    # under host noise; the win is not paying to cache a 26M-row edge
-    # list nobody re-reads at corpus scale).
+    # Skip the upfront persist ONLY when the probe provably runs a single
+    # job — fixed-width schema AND the worst-case capped materialization
+    # fits the live byte budget (the same predicate arrow_probe's shortcut
+    # uses; under a smaller maxResultSize the probe falls back to its
+    # two-job sample path, which MUST see a cache or it replays the
+    # blocking join end to end — the r9 golden_records regression).  If
+    # the probe then declines at runtime and the distributed tier runs,
+    # that tier persists the edge list lazily before doubling it (the
+    # union reads ``und`` twice).  A/B at sf0.1: neutral under host
+    # noise; the win is not paying to cache a 26M-row edge list nobody
+    # re-reads at corpus scale.
     und = pairs.select("id_a", "id_b").distinct()
-    cache = static_row_width(und) is None
-    if cache:
-        und = und.persist(StorageLevel.MEMORY_AND_DISK)
+    width = static_row_width(und)
+    node_int = isinstance(pairs.schema["id_a"].dataType, T.IntegralType)
+    probe_cap = (
+        max(driver_threshold_edges, numpy_threshold_edges)
+        if node_int
+        else driver_threshold_edges
+    )
+    single_job = (
+        driver_threshold_edges > 0
+        and width is not None
+        and (probe_cap + 1) * width * 2 <= default_probe_budget(und)
+    )
+    caches: list = []
+    if not single_job:
+        caches.append(und.persist(StorageLevel.MEMORY_AND_DISK))
     try:
         return _min_label_components_tiered(
             pairs, und, max_rounds, driver_threshold_edges,
-            numpy_threshold_edges,
+            numpy_threshold_edges, caches,
         )
     finally:
-        if cache:
-            und.unpersist(blocking=False)
+        for cached in caches:
+            cached.unpersist(blocking=False)
 
 
 def _min_label_components_tiered(
-    pairs, und, max_rounds, driver_threshold_edges, numpy_threshold_edges
+    pairs, und, max_rounds, driver_threshold_edges, numpy_threshold_edges,
+    caches=None,
 ) -> DataFrame:
     if driver_threshold_edges > 0:
         # Arrow both ways: a 1M-edge probe is ~16 MB columnar (broadcast-
@@ -550,6 +566,13 @@ def _min_label_components_tiered(
             # non-integer node ids (e.g. string keys): fall through to the
             # distributed fixpoint, which is type-agnostic
     from pyspark.storagelevel import StorageLevel
+
+    # the doubling union below reads ``und`` TWICE: if the caller's persist
+    # policy skipped the upfront cache (single-job probe predicted), add it
+    # now so the expensive pair plan materializes once, not per branch;
+    # the caller's finally unpersists everything registered in ``caches``
+    if caches is not None and all(c is not und for c in caches):
+        caches.append(und.persist(StorageLevel.MEMORY_AND_DISK))
 
     # persist (NOT localCheckpoint) for the big edge table: it is referenced
     # every round from the SAME plan so lineage never grows, persist blocks

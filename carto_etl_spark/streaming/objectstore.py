@@ -110,25 +110,49 @@ class LocalObjectStore(ObjectStore):
         self.backing_dir = os.path.abspath(backing_dir)
         os.makedirs(self.backing_dir, exist_ok=True)
 
+    #: staging dir for atomic publishes — invisible to list()
+    _TMP = ".tmp"
+
     def _fs(self, key: str) -> str:
         path = os.path.normpath(os.path.join(self.backing_dir, key))
-        if not path.startswith(self.backing_dir):
+        if path != self.backing_dir and not path.startswith(
+            self.backing_dir + os.sep
+        ):
             raise ValueError(f"key escapes the store root: {key!r}")
         return path
 
     def put(self, key: str, data: bytes, if_none_match: bool = True) -> bool:
+        """Atomic publish: the payload is written COMPLETELY to a hidden
+        staging file first, then the key appears via one ``os.link`` —
+        link(2) atomically creates the new name and fails with EEXIST if
+        it already exists, which is exactly conditional-put semantics and
+        never exposes a partially written object (a reader either sees no
+        key or the full payload, matching a real store's atomic PUT).
+        link is name CREATION, not a move — the no-rename discipline
+        holds."""
         path = self._fs(key)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        if if_none_match:
+        tmp_dir = os.path.join(self.backing_dir, self._TMP)
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = os.path.join(tmp_dir, uuid.uuid4().hex)
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        try:
+            if not if_none_match:
+                # unconditional put = replace: a real store's PUT swaps the
+                # object atomically; locally, drop the old name first (the
+                # protocol never uses this arm for control-plane objects)
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
             try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.link(tmp, path)
             except FileExistsError:
                 return False
-        else:
-            fd = os.open(path, os.O_CREAT | os.O_TRUNC | os.O_WRONLY)
-        with os.fdopen(fd, "wb") as fh:
-            fh.write(data)
-        return True
+            return True
+        finally:
+            os.remove(tmp)
 
     def get(self, key: str) -> bytes | None:
         try:
@@ -142,7 +166,9 @@ class LocalObjectStore(ObjectStore):
         if not os.path.isdir(root):
             return [prefix] if os.path.isfile(root) else []
         out = []
-        for dirpath, _dirnames, filenames in os.walk(root):
+        for dirpath, dirnames, filenames in os.walk(root):
+            if dirpath == self.backing_dir and self._TMP in dirnames:
+                dirnames.remove(self._TMP)  # staging files are not objects
             rel = os.path.relpath(dirpath, self.backing_dir)
             for name in filenames:
                 out.append(os.path.join(rel, name).replace(os.sep, "/"))
@@ -175,34 +201,30 @@ class CommitLog:
 
     @staticmethod
     def _num(key: str) -> int:
-        return int(os.path.basename(key).split("-", 1)[0])
+        return int(os.path.basename(key))
 
     def latest(self) -> tuple[int, dict] | None:
-        keys = self.store.list(self._commits)
-        if not keys:
-            return None
-        key = max(keys, key=self._num)
-        data = self.store.get(key)
-        if data is None:  # racing GC of old commits; re-list
-            keys = self.store.list(self._commits)
-            if not keys:
-                return None
-            key = max(keys, key=self._num)
+        """Highest-numbered commit whose object is still readable.  A key
+        can vanish between list and get (racing gc of OLD commits), so walk
+        downward past missing ones instead of crashing; the newest commit
+        is never gc'd, so the walk terminates at it in practice."""
+        keys = sorted(self.store.list(self._commits), key=self._num)
+        for key in reversed(keys):
             data = self.store.get(key)
-        return self._num(key), json.loads(data.decode("utf-8"))
+            if data is not None:
+                return self._num(key), json.loads(data.decode("utf-8"))
+        return None
 
     def commit(self, payload: dict) -> bool:
+        """Create ``commits/<n+1>`` with a conditional put.  The key is
+        EXACTLY the zero-padded number — no unique suffix — so a replayed
+        or crash-recovered writer attempting the same n genuinely collides
+        and gets False (= its earlier attempt already committed), and
+        latest()/gc agree on ordering by construction.  S3-class stores
+        condition on the full key, which is what this is."""
         head = self.latest()
         n = (head[0] if head else 0) + 1
-        key = f"{self._commits}/{n:020d}-{uuid.uuid4().hex[:8]}"
-        # two names for one n can only arise from a replayed writer racing
-        # its own crash-recovered attempt; conditional-put on the padded
-        # number alone would be ideal, but S3-class stores condition on the
-        # full key — so the number is the full leading token and latest()
-        # breaks ties by listing order, which is deterministic.  Under
-        # single-writer discipline the tie never actually occurs; the
-        # uuid suffix only keeps a duplicate attempt from silently
-        # overwriting.
+        key = f"{self._commits}/{n:020d}"
         return self.store.put(
             key, json.dumps(payload, sort_keys=True).encode("utf-8")
         )

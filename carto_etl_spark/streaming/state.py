@@ -508,10 +508,13 @@ def complete_dirs(root: str) -> list[str]:
     target = resolve_object_target(root)
     if target is not None:
         store, prefix = target
+        # depth-1 children only, like the glob branch below: a _SUCCESS
+        # nested deeper (a partitioned sub-write) is not a batch dir
         done = sorted(
             key[: -len("/_SUCCESS")]
             for key in store.list(prefix)
             if key.endswith("/_SUCCESS")
+            and "/" not in key[len(prefix) + 1 : -len("/_SUCCESS")]
         )
         return [store.spark_path(d) for d in done]
     _require_posix_path(root, "complete_dirs")

@@ -55,8 +55,7 @@ def scheme(tmp_path):
 
 def test_conditional_put_is_create_if_absent(store):
     assert store.put("a/b", b"one") is True
-    assert store.put("a/b", b"two") is True or True  # returns False, no raise
-    assert store.put("a/b", b"two") is False
+    assert store.put("a/b", b"two") is False  # lost: returns False, no raise
     assert store.get("a/b") == b"one"  # loser never overwrites
     assert store.list("a") == ["a/b"]
     store.delete("a/b")
@@ -67,6 +66,51 @@ def test_conditional_put_is_create_if_absent(store):
 def test_store_api_has_no_rename_surface(store):
     assert not hasattr(store, "rename")
     assert not hasattr(store, "move")
+
+
+def test_store_key_escape_guard(store, tmp_path):
+    sibling = LocalObjectStore(str(tmp_path / "bucket2"))
+    sibling.put("secret", b"x")
+    # '../bucket2/...' normalizes OUTSIDE this store's root -> rejected,
+    # including the prefix-collision case (bucket vs bucket2)
+    with pytest.raises(ValueError, match="escapes"):
+        store.get("../bucket2/secret")
+    with pytest.raises(ValueError, match="escapes"):
+        store.put("../bucket2/evil", b"y")
+
+
+def test_put_staging_never_visible(store):
+    """The atomic publish stages payloads in a hidden dir: list() never
+    shows staging files, and a published key always carries its FULL
+    payload (link happens after the write completes)."""
+    store.put("x/data", b"payload-bytes")
+    assert store.list("") == ["x/data"]  # no .tmp entries
+    assert store.get("x/data") == b"payload-bytes"
+
+
+def test_commit_same_n_collides(store):
+    """Two attempts at the same commit number genuinely collide: the key
+    is exactly the zero-padded number, so the conditional put returns
+    False for the loser instead of silently coexisting."""
+    log = CommitLog(store, "state")
+    assert log.commit({"gen": "a"})
+    # forge a racing writer that computed the same next n
+    assert store.put("state/commits/%020d" % 2, b'{"gen": "b"}')
+    assert store.put("state/commits/%020d" % 2, b'{"gen": "c"}') is False
+    assert log.latest() == (2, {"gen": "b"})
+
+
+def test_latest_walks_past_missing_keys(store):
+    log = CommitLog(store, "state")
+    log.commit({"gen": "a"})
+    log.commit({"gen": "b"})
+    # emulate a racing gc that removed the NEWEST listed object between
+    # list and get by deleting it out from under a stale listing: latest()
+    # must fall back to the readable predecessor, never crash
+    store.delete("state/commits/%020d" % 2)
+    assert log.latest() == (1, {"gen": "a"})
+    store.delete("state/commits/%020d" % 1)
+    assert log.latest() is None
 
 
 def test_commit_log_latest_wins_and_gc(store):
