@@ -46,11 +46,20 @@ def item_pair_affinity(
     sizes = baskets.groupBy("basket").agg(
         F.count(F.lit(1)).alias("__sz")
     )
+    # materialize ``bounded``: it feeds FOUR plan branches (both pair-join
+    # sides, the item counts, the basket total) and unmaterialized each
+    # branch replayed the scan + distinct + size join (r10 measure: 20
+    # Exchanges in the plan).  The checkpoint holds two columns of the
+    # deduplicated basket lines — the same order of bytes the pair join
+    # must process anyway.  (Sizes stay a groupBy, not a count-window: the
+    # partial agg collapses a degenerate mega-basket map-side, where a
+    # window would funnel its rows into one task.)
     bounded = (
         baskets.join(
             sizes.where(F.col("__sz") <= max_basket_items), "basket"
         )
         .select("basket", "item")
+        .localCheckpoint(eager=True)
     )
     left = bounded.select("basket", F.col("item").alias("item_a"))
     right = bounded.select("basket", F.col("item").alias("item_b"))

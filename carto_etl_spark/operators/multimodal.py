@@ -1328,9 +1328,16 @@ def image_near_dup_pairs(
     if max_hamming > 3:
         raise ValueError("16-bit blocking guarantees recall only to hamming 3")
     mask = F.lit((1 << 16) - 1)
+    # materialize the (id, lo, hi) hash table BEFORE the blocking
+    # self-join: both join sides reference it, and unmaterialized each
+    # side replays the whole upstream — the mapInPandas image decode, the
+    # most expensive stage of the pipeline — once per side (the dedup.py
+    # _materialize rule).  The checkpoint is 24 bytes/row: sketch-sized at
+    # any corpus size, the classic "fingerprints only" staging of guide
+    # §8 (decide on small rows, decode heavy bytes once).
     h = hashes.select(
         F.col(id_col).alias("__id"), "dh_lo", "dh_hi"
-    )
+    ).localCheckpoint(eager=True)
     block_exprs = [
         F.col("dh_lo").bitwiseAND(mask),
         F.shiftrightunsigned("dh_lo", 16).bitwiseAND(mask),

@@ -3845,7 +3845,7 @@ def q_c4_rules(spark, sf_dir):
         )
         .otherwise(base)
     )
-    prepared = d.select("doc_id", txt.alias("text"))
+    prepared = widen(d.select("doc_id", txt.alias("text")), spark)
     return c4.c4_filter(
         prepared, "text", ["doc_id"], min_words=3, min_sentences=5
     )
@@ -3969,7 +3969,7 @@ def q_quality_scores(spark, sf_dir):
     word-shape, stopword, punctuation components).  Every component is plain
     IEEE double arithmetic evaluated in the same order on both engines, so
     the blend is oracle-checkable."""
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"), spark)
     return d.select(
         "doc_id", F.round(tx.quality_score_expr("text"), 6).alias("quality")
     )
@@ -4569,7 +4569,7 @@ def q_span_dedup(spark, sf_dir):
             F.concat(F.lit("footer block for source "), F.col("source")),
         ).alias("text"),
     )
-    out = dd.drop_repeated_spans(pages, k=8, max_occurrences=1)
+    out = dd.drop_repeated_spans(widen(pages, spark), k=8, max_occurrences=1)
     return out.select(
         "doc_id", "n_tokens", "dup_tokens", "n_dup_spans", "text"
     )
@@ -8343,7 +8343,11 @@ def q_url_canonical(spark, sf_dir):
     from carto_etl_spark.operators.urls import canonicalize
 
     o = load(spark, sf_dir, "orders")
-    urls_df = o.select("o_orderkey", _synth_url_exprs().alias("url"))
+    # widen: the canonicalize regex chain is per-row heavy and the toy
+    # parquet yields a single scan split (no-op at scale — see widen())
+    urls_df = widen(
+        o.select("o_orderkey", _synth_url_exprs().alias("url")), spark
+    )
     return canonicalize(urls_df, "url").select(
         "o_orderkey", "url", "canonical_url", "host", "domain"
     )
@@ -8378,7 +8382,7 @@ def q_url_dedup(spark, sf_dir):
         F.when(ok % 2 == 1, F.lit("/")).otherwise(F.lit("")),
         F.lit("?utm_campaign=c"), s(ok % 9), F.lit("&id="), s(c % 10),
     )
-    urls_df = o.select("o_orderkey", url.alias("url"))
+    urls_df = widen(o.select("o_orderkey", url.alias("url")), spark)
     return url_dedup(urls_df, "url", "o_orderkey")
 
 
@@ -8432,7 +8436,7 @@ def q_unicode_fold(spark, sf_dir):
             F.lit(" \ufb01n STRA\u00dfE \uff11\u00b2 \u00c4"),
         ).alias("text"),
     )
-    return with_normalized(inj, "text").select(
+    return with_normalized(widen(inj, spark), "text").select(
         "doc_id",
         F.md5("nfc").alias("nfc_md5"),
         F.md5("nfkc").alias("nfkc_md5"),
@@ -8921,7 +8925,7 @@ def q_audio_fingerprint(spark, sf_dir):
     copies = d.filter(F.col("media_id") % 25 == 0).select(
         (F.col("media_id") + 1000000).alias("media_id")
     )
-    src = d.unionByName(copies).withColumn(
+    src = widen(d.unionByName(copies), spark).withColumn(
         "content", synth_noise_wav_expr(F.col("media_id"))
     )
     return audio_fingerprint(src)
@@ -9357,7 +9361,7 @@ def q_bpe_tokenize(spark, sf_dir):
             (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
         ]
         _BPE_RULES[sf_dir] = rules
-    out = apply_bpe(docs, "text", rules)
+    out = apply_bpe(widen(docs, spark), "text", rules)
     return out.select(
         "doc_id",
         F.size("tokens").alias("n_tokens"),

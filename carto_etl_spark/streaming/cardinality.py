@@ -24,13 +24,10 @@ no contention with the writer beyond the promote rename.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from carto_etl_spark.operators.sketch import hll_build, hll_estimate, hll_merge
-from carto_etl_spark.session import local_df
+from carto_etl_spark.operators.sketch import hll_build, hll_estimate
 from carto_etl_spark.streaming.state import SnapshotState
 
 _REGS = "registers"
@@ -66,19 +63,39 @@ def track_cardinality(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         state = SnapshotState(state_dir)
-        regs = [
-            (int(r["bucket"]), int(r["max_rho"]))
+        regs = {
+            int(r["bucket"]): int(r["max_rho"])
             for r in hll_build(batch_df, item_col, p=p).collect()
-        ]
+        }
         if not regs:
             return
-        batch_regs = local_df(spark, regs, "bucket int, max_rho int")
+        # register state is <= 2^p rows: merge (bucket-wise max — the
+        # same rule as hll_merge, associative) on the driver and write
+        # through the Arrow fast path instead of paying two more Spark
+        # jobs per batch for a KB-sized table
         if state.exists():
-            merged = hll_merge(state.read(spark, _REGS), batch_regs)
-        else:
-            merged = batch_regs
+            prior = state.read_arrow(spark, _REGS)
+            for b, r in zip(
+                prior.column("bucket").to_pylist(),
+                prior.column("max_rho").to_pylist(),
+            ):
+                b = int(b)
+                regs[b] = max(regs.get(b, 0), int(r))
+        import pyarrow as pa
+
+        buckets = sorted(regs)
         tmp = state.begin_tmp()
-        merged.coalesce(1).write.parquet(os.path.join(tmp, _REGS))
+        state.write_arrow(
+            spark, tmp, _REGS,
+            pa.table(
+                {
+                    "bucket": pa.array(buckets, pa.int32()),
+                    "max_rho": pa.array(
+                        [regs[b] for b in buckets], pa.int32()
+                    ),
+                }
+            ),
+        )
         state.promote()
 
     writer = stream_df.writeStream.foreachBatch(handle)

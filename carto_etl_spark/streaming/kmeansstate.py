@@ -40,7 +40,6 @@ replayed batch (checkpoint reset, foreachBatch retry) is a no-op.
 from __future__ import annotations
 
 import hashlib
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,7 +53,6 @@ from carto_etl_spark.operators.kmeans import (
     _argmin_expr,
     _q_sql,
 )
-from carto_etl_spark.session import local_df
 from carto_etl_spark.streaming.state import SnapshotState
 
 __all__ = [
@@ -68,10 +66,12 @@ __all__ = [
 _CENTROIDS = "centroids"
 
 
-def _batch_fingerprint(batch_df: DataFrame, id_col: str, vec_col: str) -> str | None:
-    """Order-independent content fingerprint (the frequency.py ledger
-    convention): row count + two independently salted md5-prefix sums over
-    id and the quantized-coordinate repr.  None for an empty batch."""
+def _fingerprint_cols(id_col: str, vec_col: str) -> list:
+    """The two salted md5-prefix terms of the order-independent content
+    fingerprint (the frequency.py ledger convention), as columns — summed
+    per cluster inside the update aggregate and re-totalled on the driver
+    (integer addition is associative, so the total equals the old
+    whole-batch sum bit-for-bit)."""
     from carto_etl_spark.operators.shuffle import md5_prefix_long
 
     rep = F.concat_ws(
@@ -79,30 +79,41 @@ def _batch_fingerprint(batch_df: DataFrame, id_col: str, vec_col: str) -> str | 
         F.col(id_col).cast("string"),
         F.col(vec_col).cast("array<double>").cast("string"),
     )
-    r = batch_df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(md5_prefix_long(rep, "a:")).alias("s1"),
-        F.sum(md5_prefix_long(rep, "b:")).alias("s2"),
-    ).first()
-    if not r["n"]:
-        return None
-    return hashlib.md5(f"{r['n']}:{r['s1']}:{r['s2']}".encode()).hexdigest()
+    return [
+        md5_prefix_long(rep, "a:").alias("__f1"),
+        md5_prefix_long(rep, "b:").alias("__f2"),
+    ]
+
+
+def _fingerprint_from_sums(n: int, s1, s2) -> str:
+    return hashlib.md5(f"{n}:{s1}:{s2}".encode()).hexdigest()
+
+
+def _sum_or_none(parts: list):
+    """SQL-SUM semantics over per-group partial sums: None iff every part
+    is NULL (matches what one whole-batch F.sum would have returned)."""
+    vals = [v for v in parts if v is not None]
+    return sum(int(v) for v in vals) if vals else None
 
 
 def load_kmeans_state(
     spark: SparkSession, state_dir: str
 ) -> tuple[list[list[int]], list[int]]:
     """(centroids, counts) from committed state — centroids in cid order,
-    ready for ``operators.kmeans.assign_clusters``."""
-    rows = (
-        SnapshotState(state_dir)
-        .read(spark, _CENTROIDS)
-        .orderBy("cid")
-        .collect()
+    ready for ``operators.kmeans.assign_clusters``.  State is k x (dim+1)
+    longs: read driver-side via the SnapshotState Arrow fast path (no
+    Spark job on POSIX state)."""
+    tbl = SnapshotState(state_dir).read_arrow(spark, _CENTROIDS)
+    rows = sorted(
+        zip(
+            tbl.column("cid").to_pylist(),
+            tbl.column("v").to_pylist(),
+            tbl.column("cnt").to_pylist(),
+        )
     )
     return (
-        [[int(x) for x in r["v"]] for r in rows],
-        [int(r["cnt"]) for r in rows],
+        [[int(x) for x in v] for _, v, _cnt in rows],
+        [int(cnt) for _, _v, cnt in rows],
     )
 
 
@@ -121,36 +132,55 @@ def apply_kmeans_batch(
     sample every sketch here uses) before folding itself in."""
     spark = batch_df.sparkSession
     state = SnapshotState(state_dir)
-    fp = _batch_fingerprint(batch_df, id_col, vec_col)
-    if fp is None:
-        return False
-    if state.exists():
-        if state.ledger_contains(spark, fp):
-            return False
-        centroids, counts = load_kmeans_state(spark, state_dir)
-        fps = state.ledger_fps(spark) + [fp]
-    else:
+    fresh = not state.exists()
+    if fresh:
         centroids = _init_centroids(batch_df, k, id_col, vec_col, scale)
+        if not centroids:
+            return False  # empty first batch: nothing to seed or apply
         if len(centroids) < k:
             raise ValueError(
                 f"k={k} exceeds the first batch's row count "
                 f"({len(centroids)}); seed from a bigger batch"
             )
         counts = [0] * k
-        fps = [fp]
+    else:
+        centroids, counts = load_kmeans_state(spark, state_dir)
     dim = len(centroids[0])
-    qdf = batch_df.select(F.expr(_q_sql(vec_col, scale)).alias("__q"))
+    # ONE pass over the batch: assignment + per-cluster coordinate sums +
+    # the content-fingerprint partials, all in the same hash aggregate.
+    # (The fingerprint used to be its own whole-batch job; its salted
+    # md5-prefix sums are integers, so per-cluster partials re-totalled on
+    # the driver give the identical fingerprint.)  A ledger-replayed batch
+    # now pays this aggregate before being recognized — replay is the rare
+    # path, the per-batch job count drops from ~8 to ~2.
+    qdf = batch_df.select(
+        F.expr(_q_sql(vec_col, scale)).alias("__q"),
+        *_fingerprint_cols(id_col, vec_col),
+    )
     if _pick_method(method, centroids) == "arrow":
         assigned = _assign_bulk_q(qdf, "__q", centroids, "__cl")
     else:
         assigned = qdf.withColumn("__cl", _argmin_expr("__q", centroids))
     agg = assigned.groupBy("__cl").agg(
         F.count(F.lit(1)).alias("__n"),
+        F.sum("__f1").alias("__fs1"),
+        F.sum("__f2").alias("__fs2"),
         *[
             F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}")
             for i in range(dim)
         ],
     ).collect()
+    n_total = sum(int(r["__n"]) for r in agg)
+    if n_total == 0:
+        return False
+    fp = _fingerprint_from_sums(
+        n_total,
+        _sum_or_none([r["__fs1"] for r in agg]),
+        _sum_or_none([r["__fs2"] for r in agg]),
+    )
+    if not fresh and state.ledger_contains(spark, fp):
+        return False
+    fps = ([] if fresh else state.ledger_fps(spark)) + [fp]
     for r in agg:
         c = int(r["__cl"])
         n = int(r["__n"])
@@ -160,12 +190,24 @@ def apply_kmeans_batch(
             for i in range(dim)
         ]
         counts[c] = cnt_new
+    import pyarrow as pa
+
     tmp = state.begin_tmp()
-    local_df(
-        spark,
-        [(cid, centroids[cid], counts[cid]) for cid in range(k)],
-        "cid int, v array<bigint>, cnt bigint",
-    ).coalesce(1).write.parquet(os.path.join(tmp, _CENTROIDS))
+    state.write_arrow(
+        spark, tmp, _CENTROIDS,
+        pa.table(
+            {
+                "cid": pa.array(range(k), pa.int32()),
+                "v": pa.array(
+                    [centroids[cid] for cid in range(k)],
+                    pa.list_(pa.int64()),
+                ),
+                "cnt": pa.array(
+                    [counts[cid] for cid in range(k)], pa.int64()
+                ),
+            }
+        ),
+    )
     state.write_ledger(spark, tmp, fps)
     state.promote()
     return True

@@ -146,6 +146,16 @@ def match_against_index(
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # materialize BEFORE verify (the dedup.py _materialize rule):
+        # verify_pairs_jaccard references the pair list from five plan
+        # branches (touched-id union x2 inside each shingle side + the
+        # broadcast join), and per-branch column pruning makes the
+        # subtrees non-identical so ReuseExchange cannot dedup them — an
+        # unmaterialized candidate plan replays the signature build AND
+        # the full bucket-state scan per branch (r10 measure:
+        # lsh_match_steady's plan held 94 Exchanges; the state scan is
+        # the dominant per-batch term at corpus scale)
+        .localCheckpoint(eager=True)
     )
     corpus = batch.select(id_col, text_col).unionByName(
         history_text.select(id_col, text_col)

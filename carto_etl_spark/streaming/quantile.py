@@ -101,14 +101,34 @@ def _fingerprint_and_counts(
     return fp, n, counts
 
 
+def _load_meta(state: SnapshotState, spark: SparkSession) -> tuple[int, int]:
+    """(level, n_total) — one driver-side Arrow read, no Spark job on
+    POSIX state."""
+    meta = state.read_arrow(spark, _META)
+    return (
+        int(meta.column("level")[0].as_py()),
+        int(meta.column("n_total")[0].as_py()),
+    )
+
+
 def load_quantile_state(
     spark: SparkSession, state_dir: str
 ) -> tuple[DataFrame, int, int]:
     """(sample_df, level, n_total) for the current state."""
     state = SnapshotState(state_dir)
-    meta = state.read(spark, _META).collect()[0]
+    level, n_total = _load_meta(state, spark)
     sample = state.read(spark, _SAMPLE)
-    return sample, int(meta["level"]), int(meta["n_total"])
+    return sample, level, n_total
+
+
+#: Arrow scalar type -> Spark SQL DDL name, for the estimate column of the
+#: state_quantiles output (the sample's value column is a plain scalar).
+_ARROW_SPARK_NAMES = {
+    "double": "double", "float": "float", "int64": "bigint",
+    "int32": "int", "int16": "smallint", "int8": "tinyint",
+    "string": "string", "large_string": "string", "bool": "boolean",
+    "date32[day]": "date",
+}
 
 
 def state_quantiles(
@@ -117,17 +137,24 @@ def state_quantiles(
     """Quantile estimates from the current state: one row per probe —
     (q, est, sample_m, n_total, level).  The sample is sketch-sized by
     contract, so ranking it is a driver-side sort (the same budget class
-    as reading the CMS cell table)."""
-    sample, level, n_total = load_quantile_state(spark, state_dir)
-    cols = sample.columns  # [value, key]
-    rows = sorted((r[cols[0]], r[cols[1]]) for r in sample.collect())
+    as reading the CMS cell table); both state tables come through the
+    Arrow fast path — zero Spark jobs before the output frame."""
+    state = SnapshotState(state_dir)
+    level, n_total = _load_meta(state, spark)
+    tbl = state.read_arrow(spark, _SAMPLE)
+    cols = tbl.column_names  # [value, key]
+    rows = sorted(
+        zip(tbl.column(cols[0]).to_pylist(), tbl.column(cols[1]).to_pylist())
+    )
     m = len(rows)
     out = [
         (float(q), rows[rank_target(q, m) - 1][0] if m else None,
          m, n_total, level)
         for q in probs
     ]
-    vt = dict(sample.dtypes)[cols[0]]
+    vt = _ARROW_SPARK_NAMES.get(str(tbl.schema.field(cols[0]).type))
+    if vt is None:
+        vt = dict(state.read(spark, _SAMPLE).dtypes)[cols[0]]
     return local_df(
         spark, out, f"q double, est {vt}, sample_m long, n_total long, level int"
     )
@@ -152,8 +179,7 @@ def track_quantiles(
         state = SnapshotState(state_dir)
         have_state = state.exists()
         if have_state:
-            meta = state.read(spark, _META).collect()[0]
-            level, n_total = int(meta["level"]), int(meta["n_total"])
+            level, n_total = _load_meta(state, spark)
         else:
             level, n_total = 0, 0
 
@@ -204,9 +230,17 @@ def track_quantiles(
         # batch-filter scan into one task; repartition keeps the scan
         # parallel and shuffles only the <= cap surviving rows to one file
         merged.repartition(1).write.parquet(os.path.join(tmp, _SAMPLE))
-        local_df(
-            spark, [(new_level, n_total + batch_n)], "level int, n_total long"
-        ).coalesce(1).write.parquet(os.path.join(tmp, _META))
+        import pyarrow as pa
+
+        state.write_arrow(
+            spark, tmp, _META,
+            pa.table(
+                {
+                    "level": pa.array([new_level], pa.int32()),
+                    "n_total": pa.array([n_total + batch_n], pa.int64()),
+                }
+            ),
+        )
         state.write_ledger(spark, tmp, fps)
         state.promote()
 

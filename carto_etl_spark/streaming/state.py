@@ -72,7 +72,6 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from carto_etl_spark.session import local_df
 from carto_etl_spark.streaming.objectstore import (
     CommitLog,
     resolve_object_target,
@@ -96,6 +95,27 @@ def _require_posix_path(state_dir: str, who: str) -> str:
             "instead (see carto_etl_spark/streaming/state.py module docs)."
         )
     return str(state_dir)
+
+
+def _staged_row_count(staging: str, stop_after: int | None = None) -> int:
+    """Total row count of a staged local parquet directory from file
+    footers only (no Spark job; ``_``/``.``-prefixed marker files are
+    skipped).  ``stop_after`` short-circuits once that many rows are
+    known — the empty-append probe needs only "zero or not"."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, dirnames, filenames in os.walk(staging):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for name in filenames:
+            if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+                continue
+            total += pq.ParquetFile(
+                os.path.join(dirpath, name)
+            ).metadata.num_rows
+            if stop_after is not None and total >= stop_after:
+                return total
+    return total
 
 
 def _restore_old(path: str) -> None:
@@ -157,6 +177,38 @@ class SnapshotState:
         self.recover()
         return spark.read.parquet(self.table_path(table))
 
+    # -- driver-side Arrow fast path (sketch-sized tables only) ----------
+    #
+    # Snapshot tables are SKETCH-sized by contract (k centroids, <=cap
+    # quantile samples, CMS cells, a ledger of one md5 per batch): reading
+    # or writing them through a distributed Spark job costs a full
+    # job-launch round-trip (~100 ms at local[32], a scheduler round-trip
+    # on a cluster) per table PER BATCH, which dominates the streaming
+    # recipes' per-batch cost (r10 measure: apply_kmeans_batch was ~8 jobs,
+    # ~6 of them state I/O on KB-sized tables).  On a POSIX state the
+    # driver reads/writes the parquet directly via pyarrow — zero jobs,
+    # same files, same schema.  The object-store subclasses override these
+    # with the Spark path (state may live behind any registered adapter).
+
+    def read_arrow(self, spark: SparkSession, table: str):
+        """The committed ``table`` as a pyarrow.Table, without a Spark job
+        on POSIX state dirs.  pyarrow skips ``_``/``.``-prefixed files
+        (Spark's _SUCCESS markers) by default."""
+        import pyarrow.parquet as pq
+
+        self.recover()
+        return pq.read_table(self.table_path(table))
+
+    def write_arrow(self, spark: SparkSession, tmp: str, table, arrow_table) -> None:
+        """Stage ``arrow_table`` as ``<tmp>/<table>`` parquet, without a
+        Spark job on POSIX state dirs.  Layout-compatible with
+        ``spark.read.parquet`` (one part file in a directory)."""
+        import pyarrow.parquet as pq
+
+        dest = os.path.join(tmp, table)
+        os.makedirs(dest, exist_ok=True)
+        pq.write_table(arrow_table, os.path.join(dest, "part-00000.parquet"))
+
     def begin_tmp(self) -> str:
         """Staging root for the replacement state (cleared if a previous
         crash left one behind).  Write each table under
@@ -175,24 +227,24 @@ class SnapshotState:
         """All applied-batch fingerprints ([] for a fresh state)."""
         if not self.exists():
             return []
-        return [
-            r["fp"] for r in self.read(spark, _LEDGER).collect()
-        ]
+        return self.read_arrow(spark, _LEDGER).column("fp").to_pylist()
 
     def ledger_contains(self, spark: SparkSession, fp: str) -> bool:
         if not self.exists():
             return False
-        applied = self.read(spark, _LEDGER)
-        return applied.where(applied.fp == fp).limit(1).count() > 0
+        return fp in self.ledger_fps(spark)
 
     def write_ledger(
         self, spark: SparkSession, tmp: str, fps: list[str]
     ) -> None:
         """Stage the ledger table into a ``begin_tmp()`` root (ledger rows
         are sketch-sized: one md5 per applied batch)."""
-        local_df(spark, [(f,) for f in fps], "fp string").coalesce(
-            1
-        ).write.parquet(os.path.join(tmp, _LEDGER))
+        import pyarrow as pa
+
+        self.write_arrow(
+            spark, tmp, _LEDGER,
+            pa.table({"fp": pa.array(list(fps), pa.string())}),
+        )
 
 
 class AppendOnlyState:
@@ -247,11 +299,12 @@ class AppendOnlyState:
         probe the staged local parquet rather than count the plan twice).
         Returns True when a batch dir was committed."""
         self.recover()
-        spark = rows.sparkSession
         token = uuid.uuid4().hex
         staging = os.path.join(self.state_dir, f"staging-{token}")
         rows.write.mode("overwrite").parquet(staging)
-        if spark.read.parquet(staging).isEmpty():
+        # emptiness from the staged parquet FOOTERS (driver-side metadata
+        # read, no second Spark job over the staged data)
+        if _staged_row_count(staging, stop_after=1) == 0:
             shutil.rmtree(staging, ignore_errors=True)
             return False
         os.makedirs(self.root, exist_ok=True)
@@ -319,6 +372,18 @@ class ObjectSnapshotState(SnapshotState):
                 f"{self._gen('absent')}/{table}"
             )
         return self.store.spark_path(f"{self._gen(gen)}/{table}")
+
+    def read_arrow(self, spark: SparkSession, table: str):
+        """Object-store states read through Spark (the store may be any
+        registered adapter; only Spark's reader speaks its scheme)."""
+        return self.read(spark, table).toArrow()
+
+    def write_arrow(self, spark: SparkSession, tmp: str, table, arrow_table) -> None:
+        """Object-store staging prefixes are store URIs — write through
+        Spark (createDataFrame on a pyarrow Table preserves the schema)."""
+        spark.createDataFrame(arrow_table).coalesce(1).write.parquet(
+            f"{tmp}/{table}"
+        )
 
     def begin_tmp(self) -> str:
         token = uuid.uuid4().hex

@@ -166,7 +166,11 @@ def match_against_vec_index(
         bb.select("band", "bucket", F.col(id_col).alias("__id")),
         other=state.select("band", "bucket", F.col(id_col).alias("__id")),
         broadcast_left=True,
-    )
+        # materialize: the candidate list feeds both the touched-history
+        # semi-join and the verify joins below — unmaterialized, each
+        # branch would replay the banded join INCLUDING the bucket-state
+        # scan (the dedup.py _materialize rule; see lshindex.py)
+    ).localCheckpoint(eager=True)
     # exact verify on the candidate-touched sliver only (fold forms — dim
     # None: a micro-batch's candidate sliver is small, and the expansion's
     # per-build cost dominates at streaming cadence); history vectors are
