@@ -305,6 +305,13 @@ def verify_pairs_jaccard(
     narrowed = narrowed.repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
+    # NOT materialized, deliberately (r10 A/B): both join sides read this,
+    # so a checkpoint would halve the md5-shingle compute — but the
+    # shingle payload is fat array<string>, and serializing it to
+    # checkpoint blocks plus reading it back twice measured SLOWER than
+    # recomputing the projection in-pipeline (minhash 2.78 -> 3.33 s,
+    # pipeline_e2e 5.0 -> 7.6 s at sf0.1).  Compute beats materialize for
+    # wide derived columns; contrast the candidate-pair list (ints) above.
     sh = _staged_shingles(narrowed, id_col, text_col, n, False, 5)
     # broadcast the (small, id-only) pair list — NEVER the shingle table:
     # Spark's byte estimate undercounts the materialized array columns, and
@@ -671,12 +678,13 @@ def minhash_dedup(
         # materialize BEFORE verify: verify_pairs_jaccard references the pair
         # list three times (two join sides + the touched-id semi-join), and an
         # unmaterialized candidate plan would replay the banded self-join per
-        # reference (the module's _materialize rule).
-        prefiltered = _materialize(
-            cands.filter(F.col("est_jaccard") >= threshold - margin).select(
-                "id_a", "id_b"
-            )
-        )
+        # reference (the module's _materialize rule).  Lazy checkpoint: the
+        # count() below is a FULL action over the same frame, so checkpoint
+        # materialization and the count share one job (the rfm pattern;
+        # eager=True paid a separate materialization job first).
+        prefiltered = cands.filter(
+            F.col("est_jaccard") >= threshold - margin
+        ).select("id_a", "id_b").localCheckpoint(eager=False)
         # decide the verify join strategy from the ACTUAL candidate count
         # (cheap: prefiltered is checkpointed): a sane LSH candidate list is
         # corpus-linear and broadcast-friendly; past ~5M pairs (~80 MB of

@@ -268,11 +268,17 @@ def ann_candidates(
     n_planes: int = 8,
     hamming_radius: int = 1,
     seed: int = 42,
+    expansion: bool = True,
 ) -> DataFrame:
     """Rows whose LSH bucket is within ``hamming_radius`` of the query's
-    bucket — the pruned candidate set ann_topk scores."""
+    bucket — the pruned candidate set ann_topk scores.  ``expansion``
+    passes through to the signature build (see with_lsh_buckets): False
+    keeps toy/oracle-pinned frames off the doomed >hugeMethodLimit codegen
+    compile of an 8x64 expanded signature tree."""
     dim = len(query_vec)
-    bucketed = with_lsh_buckets(df, vec_col, n_planes, dim, seed)
+    bucketed = with_lsh_buckets(
+        df, vec_col, n_planes, dim, seed, expansion=expansion
+    )
     qsig = query_signature(query_vec, n_planes, seed)
     return bucketed.filter(
         F.bit_count(F.col("lsh_bucket").bitwiseXOR(F.lit(qsig))) <= hamming_radius

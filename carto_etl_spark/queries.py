@@ -3086,7 +3086,13 @@ def q_ann_topk(spark, sf_dir):
     q_cosine_topk convention) so the k boundary resolves identically."""
     e = load(spark, sf_dir, "embeddings")
     query = [float(v) for v in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    cands = sim.ann_candidates(e, query, n_planes=8, hamming_radius=2)
+    # fold-form signature: the 8x64 expanded tree can never JIT (49KB
+    # method > hugeMethodLimit) and, fused with the scoring projection,
+    # overflowed janino's 64KB ceiling — every run paid a doomed compile
+    # (see q_ann_ivf).  Values bit-identical.
+    cands = sim.ann_candidates(
+        e, query, n_planes=8, hamming_radius=2, expansion=False
+    )
     emb_sql = "CAST(`embedding` AS ARRAY<DOUBLE>)"
     scored = cands.select(
         "vec_id",
@@ -3150,7 +3156,14 @@ def q_ann_ivf(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     query = [float(v) for v in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     centroids = sim.sampled_centroids(e, n_lists=8)
-    indexed = sim.assign_ivf_lists(e, centroids)
+    # fold distances, not the literal expansion: at 8x64 centroid-dims the
+    # expanded argmin generates a 49KB codegen method — past the 8000-byte
+    # hugeMethodLimit it can never JIT, and fused with the scoring
+    # projection it crosses janino's 64KB ceiling, so every run paid a
+    # DOOMED compile (~2-3 s) before falling back to the same interpreted
+    # eval the fold uses directly.  Values are bit-identical (documented +
+    # equality-tested); r10 A/B: 3.2-4.1 s -> 1.0-1.5 s per run.
+    indexed = sim.assign_ivf_lists(e, centroids, expansion=False)
     probes = sim.probe_lists(centroids, query, nprobe=3)
     cands = indexed.filter(F.col("ivf_list").isin(probes))
     emb_sql = "CAST(`embedding` AS ARRAY<DOUBLE>)"
@@ -9777,7 +9790,9 @@ def q_ann_ivf_sq8(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     centroids = sim.sampled_centroids(e, n_lists=8)
     qz = qt.quantize_int8(e)
-    indexed = sim.assign_ivf_lists(qz, centroids)
+    # fold distances: see q_ann_ivf — the literal expansion's argmin method
+    # cannot JIT and its doomed janino compile cost ~2 s per run here
+    indexed = sim.assign_ivf_lists(qz, centroids, expansion=False)
     qrow = qz.filter(F.col("vec_id") == 0).select("embedding", "q_vec").first()
     query = [float(v) for v in qrow["embedding"]]
     qq_sql = "array(" + ", ".join(f"{int(v)}L" for v in qrow["q_vec"]) + ")"
