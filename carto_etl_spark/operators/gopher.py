@@ -460,6 +460,7 @@ def gopher_quality(
     word_count_min: int = WORD_COUNT_MIN,
     word_count_max: int = WORD_COUNT_MAX,
     min_stopwords: int = MIN_STOPWORDS,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document Gopher quality signals + per-rule flags + ``passes``.
 
@@ -477,11 +478,29 @@ def gopher_quality(
     data-scale knobs (published defaults); toy corpora with synthetic
     vocabularies override them the way pipeline compositions override
     C4's ``min_words`` — the rule SHAPE is what is pinned.
-    """
+
+    ``keep_cols`` passes input columns (e.g. the text itself) through to
+    the output, turning ``table.where("passes")`` into a single
+    scan-stage filter-projection — a composition that gates on quality
+    (pipeline.py fineweb) then needs NO semi-join back onto the corpus
+    and no extra materialization boundary."""
+    keep = list(keep_cols or [])
+    reserved = {id_col, "n_words", "mean_word_len", "hash_word_ratio",
+                "ellipsis_word_ratio", "alpha_word_frac", "n_stopwords",
+                "bullet_line_frac", "ellipsis_line_frac", "passes",
+                "word_count_ok", "mean_word_len_ok", "hash_ratio_ok",
+                "ellipsis_ratio_ok", "bullet_lines_ok", "ellipsis_lines_ok",
+                "alpha_frac_ok", "stopwords_ok"}
+    clash = [
+        c for c in keep
+        if c in reserved or c in _QUALITY_INT_COLS or c in ("__t", "__l")
+    ]
+    if clash:
+        raise ValueError(f"keep_cols collide with output columns: {clash}")
     if method == "arrow":
-        ints = _quality_ints_arrow(df, text_col, id_col)
+        ints = _quality_ints_arrow(df, text_col, id_col, keep)
     elif method == "expr":
-        ints = _quality_ints_expr(df, text_col, id_col)
+        ints = _quality_ints_expr(df, text_col, id_col, keep)
     else:
         raise ValueError(f"method must be 'expr' or 'arrow', got {method!r}")
     return _quality_projection(
@@ -489,18 +508,24 @@ def gopher_quality(
         word_count_min=word_count_min,
         word_count_max=word_count_max,
         min_stopwords=min_stopwords,
+        keep_cols=keep,
     )
 
 
-def _quality_ints_expr(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _quality_ints_expr(
+    df: DataFrame, text_col: str, id_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """Integer signals as pure column expressions (whole-stage codegen).
 
     Tokens and lines are staged in their own projection so CollapseProject
     does not rebuild the split chain once per referencing signal (the
     word_ngrams_expr lesson, text.py)."""
     raw = F.coalesce(F.col(text_col), F.lit(""))
+    keep = list(keep_cols or [])
     staged = df.select(
         id_col,
+        *keep,
         # tokenize the COALESCED text: NULL must report 0 words like the
         # Arrow twin, not size(NULL)=NULL
         tokens_expr(raw).alias("__t"),
@@ -517,6 +542,7 @@ def _quality_ints_expr(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     return staged.select(
         id_col,
+        *keep,
         F.size(toks).cast("long").alias("__words"),
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
@@ -543,15 +569,20 @@ def _quality_ints_expr(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _quality_ints_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _quality_ints_arrow(
+    df: DataFrame, text_col: str, id_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """Arrow twin: same exact integers, one map-only ``mapInPandas`` pass."""
     import re
 
     from pyspark.sql.types import LongType, StructField, StructType
 
+    keep = list(keep_cols or [])
     id_field = df.schema[id_col]
     out_schema = StructType(
         [id_field]
+        + [df.schema[c] for c in keep]
         + [StructField(c, LongType(), False) for c in _QUALITY_INT_COLS]
     )
     split = re.compile(_JAVA_WS).split
@@ -593,7 +624,7 @@ def _quality_ints_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                         if rstrip_re.sub("", l).endswith(("...", "…"))
                     )
                 )
-            out = pdf[[id_col]].copy()
+            out = pdf[[id_col] + keep].copy()
             for c in _QUALITY_INT_COLS:
                 out[c] = rows[c]
             yield out
@@ -608,6 +639,7 @@ def _quality_projection(
     word_count_min: int,
     word_count_max: int,
     min_stopwords: int,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Shared final projection (both paths end here — the repetition
     table's bit-identity contract): integer signals -> rounded ratios,
@@ -641,6 +673,7 @@ def _quality_projection(
         passes = passes & f
     return int_df.select(
         id_col,
+        *(keep_cols or []),
         words.alias("n_words"),
         F.round(mwl, 6).alias("mean_word_len"),
         F.round(hashr, 6).alias("hash_word_ratio"),

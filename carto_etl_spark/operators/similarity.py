@@ -1618,6 +1618,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     out_col: str = "pq_codes",
+    expansion: bool = True,
 ) -> DataFrame:
     """Attach the PQ code array: per subspace, the index of the nearest
     codebook entry (squared L2; ties to the smaller code).  Codebooks are
@@ -1625,17 +1626,28 @@ def pq_encode(
     join, no shuffle; at 100 TB this is the map-only pass that shrinks an
     f32 corpus ~(4*dim/n_sub)x for the ADC scan.
 
-    Distances are expanded ``(get(i) - lit)^2`` chains, not zip_with folds:
-    the fold form is CodegenFallback and interpreted per ELEMENT — at 505k
-    rows the encode pass was the dominant cost of the whole PQ pipeline
-    (SCALING.md r6).  Same 0.0 seed and term order, so codes are
-    bit-identical to the fold form."""
+    By default distances are expanded ``(get(i) - lit)^2`` chains, not
+    zip_with folds: the fold form is CodegenFallback and interpreted per
+    ELEMENT — at 505k rows the encode pass was the dominant cost of the
+    whole PQ pipeline (SCALING.md r6).  ``expansion=False`` swaps each
+    distance for its fold form (same 0.0 seed + per-index term order, so
+    codes are bit-identical — equality-tested): for toy/oracle-pinned
+    frames the 8x16x8-term expansion generates a codegen method past
+    janino's 64 KB ceiling once fused with the ADC projection, so every
+    run paid a DOOMED compile before the interpreted fallback anyway (the
+    assign_ivf_lists lesson)."""
     emb_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     n_sub = len(codebooks)
     w = len(codebooks[0][0])
 
     def code_for(s: int) -> str:
         def d2(entry: list[float]) -> str:
+            if not expansion:
+                return (
+                    f"aggregate(zip_with(slice({emb_sql}, {s * w + 1}, {w}), "
+                    f"{arr_lit_sql(entry)}, (x, y) -> (x - y) * (x - y)), "
+                    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                )
             terms = []
             for i, x in enumerate(entry):
                 t = (

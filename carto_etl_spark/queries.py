@@ -9062,7 +9062,11 @@ def q_ann_pq(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     query = [float(v) for v in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     cbs = sim.pq_codebooks(e, n_sub=8, n_codes=16)
-    enc = sim.pq_encode(e, cbs)
+    # fold-form distances: the 8x16x8-term expansion fused with the ADC
+    # projection crosses janino's 64KB method ceiling, so every run paid a
+    # doomed ~2 s compile before the same interpreted eval (see q_ann_ivf).
+    # Codes bit-identical (equality-tested).
+    enc = sim.pq_encode(e, cbs, expansion=False)
     return sim.pq_adc_topk(enc, cbs, query, k=5)
 
 

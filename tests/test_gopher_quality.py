@@ -149,3 +149,38 @@ def test_expr_path_plans_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_keep_cols_passthrough_both_methods(spark):
+    """keep_cols carries input columns (e.g. the text) through to the
+    output on both paths — the fineweb composition gates on ``passes``
+    without a semi-join back onto the corpus — and must not disturb the
+    quality columns themselves."""
+    rows = [(1, GOOD), (2, "too few words"), (3, None)]
+    base = _run(spark, rows, method="expr")
+    for method in ("expr", "arrow"):
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = gopher_quality(df, method=method, keep_cols=["text"])
+        assert out.columns[:2] == ["doc_id", "text"]
+        got = {r["doc_id"]: r.asDict() for r in out.collect()}
+        for doc_id, text in rows:
+            row = got[doc_id]
+            assert row.pop("text") == text
+            assert row == base[doc_id], (method, doc_id)
+
+
+def test_keep_cols_clash_raises(spark):
+    df = spark.createDataFrame([(1, "x", True)], ["doc_id", "text", "passes"])
+    with pytest.raises(ValueError, match="collide"):
+        gopher_quality(df, keep_cols=["passes"])
+
+
+def test_keep_cols_expr_path_still_no_shuffle(spark):
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(GOOD).alias("text")
+    )
+    plan = (
+        gopher_quality(df, method="expr", keep_cols=["text"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan

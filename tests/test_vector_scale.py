@@ -88,6 +88,34 @@ def test_bulk_ivf_assignment_equals_literal_path(spark, emb_df):
     assert lit.join(blk, "vec_id").where("a != b").count() == 0
 
 
+def test_ivf_fold_assignment_bit_identical_to_expansion(spark, emb_df):
+    """expansion=False (the toy/oracle arm that skips the doomed janino
+    compile of the 8x64 argmin) must produce the SAME list for every
+    vector: same 0.0 seed and per-index term order, so the double sums are
+    bit-identical, not approximately equal."""
+    cents = sim.sampled_centroids(emb_df, n_lists=8)
+    exp = sim.assign_ivf_lists(
+        emb_df, cents, force_literal=True, expansion=True
+    ).select("vec_id", F.col("ivf_list").alias("a"))
+    fold = sim.assign_ivf_lists(
+        emb_df, cents, force_literal=True, expansion=False
+    ).select("vec_id", F.col("ivf_list").alias("b"))
+    assert exp.join(fold, "vec_id").where("a != b").count() == 0
+
+
+def test_pq_encode_fold_bit_identical_to_expansion(spark, emb_df):
+    """pq_encode's fold arm (q_ann_pq's janino-ceiling workaround) must
+    emit byte-identical code arrays to the expanded chains."""
+    cbs = sim.pq_codebooks(emb_df, n_sub=8, n_codes=16)
+    exp = sim.pq_encode(emb_df, cbs, expansion=True).select(
+        "vec_id", F.col("pq_codes").alias("a")
+    )
+    fold = sim.pq_encode(emb_df, cbs, expansion=False).select(
+        "vec_id", F.col("pq_codes").alias("b")
+    )
+    assert exp.join(fold, "vec_id").where("a != b").count() == 0
+
+
 def test_bulk_ivf_dispatch_threshold(spark, emb_df):
     # 16 lists x 64 dims = 1024 <= cap -> literal; 64 x 64 = 4096 > cap -> bulk
     few = sim.assign_ivf_lists(emb_df, sim.sampled_centroids(emb_df, 16))
