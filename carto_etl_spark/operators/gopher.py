@@ -95,6 +95,7 @@ def gopher_repetition(
     text_col: str = "text",
     id_col: str = "doc_id",
     method: str = "arrow",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document Gopher repetition signals + the overall ``passes``
     flag.  Empty / gram-less documents report 0.0 fractions (they carry no
@@ -107,11 +108,20 @@ def gopher_repetition(
     construction (both end in `_ratio_projection`; equality-tested), and
     6x slower at sf0.1 (9.4 s vs 1.5 s: within-doc counting pays an
     exchange plus interpreted slice/concat HOFs to be expressed
-    relationally)."""
+    relationally).
+
+    ``keep_cols`` (arrow path only) passes input columns through to the
+    output — same contract as ``gopher_quality``: a composition gating on
+    ``passes`` keeps the text in the same map stage instead of semi-
+    joining back onto the corpus.  The declarative twin aggregates an
+    exploded gram stream, so a passthrough there would need its own join;
+    it stays the oracle-shaped reference and rejects the knob."""
     if method == "arrow":
-        return gopher_repetition_arrow(df, text_col, id_col)
+        return gopher_repetition_arrow(df, text_col, id_col, keep_cols)
     if method != "expr":
         raise ValueError(f"method must be 'arrow' or 'expr', got {method!r}")
+    if keep_cols:
+        raise ValueError("keep_cols is only supported with method='arrow'")
     ns_top = sorted(TOP_NGRAM_THRESHOLDS)
     ns_dup = sorted(DUP_NGRAM_THRESHOLDS)
 
@@ -172,7 +182,9 @@ def gopher_repetition(
     return _ratio_projection(out, id_col)
 
 
-def _ratio_projection(int_df: DataFrame, id_col: str) -> DataFrame:
+def _ratio_projection(
+    int_df: DataFrame, id_col: str, keep_cols: list[str] | None = None
+) -> DataFrame:
     """Shared final projection: integer signal columns (__chars, __top{n},
     __dup{n}, __nlines, __duplines, __linechars, __duplinechars — nullable)
     -> rounded fractions + the pass flag.  BOTH the declarative and the
@@ -205,7 +217,8 @@ def _ratio_projection(int_df: DataFrame, id_col: str) -> DataFrame:
         F.round(lcf, 6).alias("dup_line_char_frac"),
     ]
     ok = ok & (lf <= F.lit(DUP_LINE_FRAC_MAX)) & (lcf <= F.lit(DUP_LINE_CHAR_FRAC_MAX))
-    return int_df.select(id_col, chars.cast("long").alias("n_chars_joined"),
+    return int_df.select(id_col, *(keep_cols or []),
+                         chars.cast("long").alias("n_chars_joined"),
                          *cols, ok.alias("passes"))
 
 
@@ -218,6 +231,7 @@ def gopher_repetition_arrow(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Arrow twin of `gopher_repetition`: per-document integer counting in
     ONE ``mapInPandas`` pass — the within-doc Counter needs no exchange at
@@ -245,9 +259,22 @@ def gopher_repetition_arrow(
         + [f"__dup{n}" for n in ns_dup]
         + ["__nlines", "__duplines", "__linechars", "__duplinechars"]
     )
+    keep = list(keep_cols or [])
+    out_names = (
+        {id_col, "n_chars_joined", "passes", "dup_line_frac",
+         "dup_line_char_frac"}
+        | {f"top{n}gram_char_frac" for n in ns_top}
+        | {f"dup{n}gram_char_frac" for n in ns_dup}
+        | set(int_cols)
+    )
+    clash = [c for c in keep if c in out_names]
+    if clash:
+        raise ValueError(f"keep_cols collide with output columns: {clash}")
     id_field = df.schema[id_col]
     out_schema = StructType(
-        [id_field] + [StructField(c, LongType(), False) for c in int_cols]
+        [id_field]
+        + [df.schema[c] for c in keep]
+        + [StructField(c, LongType(), False) for c in int_cols]
     )
     split = re.compile(_JAVA_WS).split
 
@@ -297,13 +324,13 @@ def gopher_repetition_arrow(
                 rows["__duplinechars"].append(
                     sum(c * len(l) for l, c in lcnt.items() if c >= 2)
                 )
-            out = pdf[[id_col]].copy()
+            out = pdf[[id_col] + keep].copy()
             for c in int_cols:
                 out[c] = rows[c]
             yield out
 
     ints = df.mapInPandas(_count_batches, schema=out_schema)
-    return _ratio_projection(ints, id_col)
+    return _ratio_projection(ints, id_col, keep)
 
 
 def gopher_repetition_sql(rows_sql: str, id_col: str = "doc_id") -> str:

@@ -2973,7 +2973,9 @@ def q_pipeline_fineweb(spark, sf_dir):
             F.concat(F.lit("Footer for "), F.col("source")),
         ).alias("text"),
     )
-    return fineweb_pipeline(pages, _pipe_cfg()).manifest
+    # the whole pre-dedup chain is one fused CPU-heavy map stage now
+    # (keep_cols gates, no semi-joins) — spread the single-row-group scan
+    return fineweb_pipeline(widen(pages, spark), _pipe_cfg()).manifest
 
 
 def _oracle_pipeline_fineweb() -> str:
