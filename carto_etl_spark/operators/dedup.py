@@ -133,6 +133,59 @@ def with_minhash(
     ).drop("__toks", "__shingles")
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_words: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """(id_col, out_col) signature TABLE via exploded shingles + codegen'd
+    min aggregates — bit-identical values to ``with_minhash``'s per-row
+    fold (equality-tested in tests/test_operators.py), for the
+    signature-table consumers (minhash_dedup, the LSH index) that never
+    need the text carried along.
+
+    Why a second form: ``minhash_signature_expr``'s aggregate/zip_with
+    lambdas run on Spark's interpreted HOF path (HigherOrderFunction is
+    CodegenFallback), allocating a ``num_hashes``-long array per SHINGLE.
+    Here each exploded shingle row evaluates ``num_hashes`` plain xxhash64
+    expressions under whole-stage codegen, and the partial hash aggregate
+    collapses to one row per document MAP-SIDE, so the exchange carries
+    ~8*num_hashes bytes per DOCUMENT, not per shingle — strictly fewer
+    bytes than shuffling the corpus text and ~2-3x less CPU than the
+    interpreted fold at sf0.1.
+
+    Shingle-less documents (empty/NULL text) have NO row here, where the
+    fold emits a NULL signature; every consumer treats the two identically
+    (banding explodes nothing out of a NULL signature, and the est/verify
+    joins are inner joins on candidate ids)."""
+    staged = df.withColumn(
+        "__toks", tokens_expr(normalize_text_expr(text_col))
+    )
+    ex = staged.select(
+        F.col(id_col),
+        F.explode(
+            word_shingles_expr("__toks", shingle_words, pretokenized=True)
+        ).alias("__sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(
+                *[F.col(f"__h{i}") for i in range(num_hashes)]
+            ).alias(out_col),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH banding -> candidate pairs -> near-dedup
 # ---------------------------------------------------------------------------
@@ -663,7 +716,9 @@ def minhash_dedup(
 
     ``max_bucket_size`` passes through to ``lsh_candidate_pairs``'s
     hot-bucket star-pairing (``None`` disables the cap entirely)."""
-    sigs = with_minhash(df, text_col, num_hashes, shingle_words)
+    # exploded-agg signature table (codegen'd; see minhash_signatures) —
+    # (id, sig) is all the banding and est/verify joins ever read
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_words)
     cands = lsh_candidate_pairs(
         sigs, id_col, bands=bands, max_bucket_size=max_bucket_size
     )

@@ -3691,7 +3691,9 @@ def q_ngram_jaccard(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail marker")).alias("text"),
     )
-    both = d.unionByName(near)
+    # the shingle build + prefix explode are the expensive per-row chain;
+    # spread the single-row-group toy scan (no-op on multi-split inputs)
+    both = widen(d.unionByName(near), spark)
     pairs = dd.ngram_jaccard_pairs_prefix(
         both, "doc_id", "text", n=3, min_jaccard=0.6
     )
@@ -3752,7 +3754,9 @@ def q_split_leakage(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail marker")).alias("text"),
     )
-    both = d.unionByName(near)
+    # the shingle build + prefix explode are the expensive per-row chain;
+    # spread the single-row-group toy scan (no-op on multi-split inputs)
+    both = widen(d.unionByName(near), spark)
     pairs = dd.ngram_jaccard_pairs_prefix(
         both, "doc_id", "text", n=3, min_jaccard=0.6
     )
@@ -8527,11 +8531,11 @@ def _lsh_batch_df(spark, sf_dir):
 
 
 def _lsh_build_index(spark, sf_dir, workdir):
-    from carto_etl_spark.operators.dedup import with_minhash
+    from carto_etl_spark.operators.dedup import minhash_signatures
     from carto_etl_spark.streaming.lshindex import append_to_index
 
-    signed = with_minhash(
-        _lsh_history_df(spark, sf_dir), "text", num_hashes=64
+    signed = minhash_signatures(
+        _lsh_history_df(spark, sf_dir), "doc_id", "text", num_hashes=64
     )
     append_to_index(signed, workdir, "doc_id", bands=32)
 

@@ -68,8 +68,8 @@ from pyspark.sql.streaming import StreamingQuery
 
 from carto_etl_spark.operators.dedup import (
     band_struct_expr,
+    minhash_signatures,
     verify_pairs_jaccard,
-    with_minhash,
 )
 from carto_etl_spark.operators.jobs import TargetTable
 from carto_etl_spark.streaming.state import AppendOnlyState
@@ -130,8 +130,8 @@ def match_against_index(
     caller checks the index exists (``have_index``; the streaming handler
     does)."""
     _state(state_dir).recover()
-    signed = with_minhash(
-        batch.select(id_col, text_col), text_col,
+    signed = minhash_signatures(
+        batch, id_col, text_col,
         num_hashes=num_hashes, shingle_words=shingle_words,
     )
     bb = batch_buckets(signed, id_col, bands=bands)
@@ -243,8 +243,8 @@ def insert_stream_near_dedup(
         # two consumers (target append, state append): pin survivors once
         fresh = fresh.localCheckpoint(eager=True)
         target.append(fresh)
-        signed = with_minhash(
-            fresh.select(id_col, text_col), text_col,
+        signed = minhash_signatures(
+            fresh, id_col, text_col,
             num_hashes=num_hashes, shingle_words=shingle_words,
         )
         append_to_index(signed, state_dir, id_col, bands=bands)

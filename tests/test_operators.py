@@ -79,6 +79,30 @@ def test_minhash_finds_near_dup(docs):
     assert all(k == (1, 2) or found[k] < 0.5 for k in found)
 
 
+def test_minhash_signatures_equal_fold_form(docs, spark):
+    # the exploded-agg signature table must be BIT-IDENTICAL to the per-row
+    # fold for every document with shingles, and omit exactly the documents
+    # the fold gives a NULL signature (empty/short/NULL text)
+    extra = spark.createDataFrame(
+        [(6, None), (7, "two words"), (8, "one two three")],
+        ["doc_id", "text"],
+    )
+    both = docs.unionByName(extra)
+    fold = {
+        r["doc_id"]: r["minhash"]
+        for r in dd.with_minhash(both, "text", num_hashes=64).collect()
+    }
+    table = {
+        r["doc_id"]: r["minhash"]
+        for r in dd.minhash_signatures(
+            both, "doc_id", "text", num_hashes=64
+        ).collect()
+    }
+    assert set(table) == {k for k, v in fold.items() if v is not None}
+    for k, sig in table.items():
+        assert sig == fold[k], k
+
+
 def test_minhash_dedup_removes_higher_id(docs):
     out = dd.minhash_dedup(docs, "doc_id", "text", threshold=0.5)
     ids = {r["doc_id"] for r in out.collect()}
