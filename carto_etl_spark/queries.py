@@ -2655,6 +2655,12 @@ def _pipeline_messy_pages(spark, sf_dir):
         "source",
     )
     both = base.unionByName(near)
+    # NO widen here, deliberately (r10 A/B): the pages frame feeds
+    # drop_repeated_lines from TWO branches (line explode + the drop-list
+    # attach join), so a round-robin repartition shuffles the full
+    # synthesized text twice — measured e2e [36.6, 9.7, 14.9] s/iter
+    # widened vs [7-8.5] unwidened at sf0.1.  The line-count exchange
+    # already re-spreads the downstream work.
     return both.select(
         "doc_id",
         F.concat_ws(
