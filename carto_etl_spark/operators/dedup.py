@@ -241,7 +241,12 @@ def lsh_candidate_pairs(
         "__id",
         F.explode(band_struct_expr(F.col("__sig"), bands)).alias("bb"),
     ).select("__id", "bb.band", "bb.bucket")
-    banded = _materialize(banded)
+    # NOT re-materialized (r11): every consumer (hot-bucket count, both
+    # self-join sides, the rare star branch) reads the CHECKPOINTED sigs
+    # table, and the band explode above it is a pure codegen projection —
+    # recomputing it per consumer is cheaper than writing corpus x bands
+    # x ~20 B through another eager checkpoint and reading it back (one
+    # fewer materialization job per run, and no bands-fold block residency).
 
     # HOT-BUCKET CAP (r9, found at 5.45M docs): a band bucket holding k
     # docs contributes k(k-1)/2 pairs — one 23k-doc bucket produced 265M
@@ -263,8 +268,25 @@ def lsh_candidate_pairs(
     # joins against them are broadcasts — no skewed shuffle ever forms.
     # ``max_bucket_size=None`` disables.
     star = None
-    if max_bucket_size is not None:
-        hot = _materialize(
+    # r11: the star/anti-join plan around the over-cap list cost EVERY run
+    # two broadcast joins, a union branch, and an extra eager checkpoint
+    # even though the list is empty on every non-degenerate corpus
+    # (in-session A/B: ~0.4 s of pipeline_e2e's 4.1 s and ~0.3 s of
+    # minhash_dedup's 2.8 s at sf0.1).  Two driver-side short circuits keep
+    # the emitted pairs identical by construction:
+    #   1. occupancy dominance — each doc contributes exactly one row per
+    #      band, so no bucket can ever hold more rows than the signature
+    #      table has docs; sigs.count() is a cheap scan of the checkpoint
+    #      blocks and skips the bucket aggregate outright when
+    #      n_docs <= cap (sound at any scale, decisive at toy scale);
+    #   2. emptiness — one count() over the map-side-collapsed bucket
+    #      aggregate (count(), not take(1)/isEmpty(): the incremental-limit
+    #      path schedules 1-then-4x partition mini-jobs, measured SLOWER
+    #      than the single full pass).  Anti-join against an empty set and
+    #      union with an empty star are identities.
+    # The rare non-empty path keeps the exact star-pair plan.
+    if max_bucket_size is not None and sigs.count() > max_bucket_size:
+        hot = (
             banded.groupBy("band", "bucket")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
@@ -273,19 +295,21 @@ def lsh_candidate_pairs(
             .filter(F.col("__n") > max_bucket_size)
             .select("band", "bucket", "__rep")
         )
-        star = (
-            banded.join(F.broadcast(hot), ["band", "bucket"])
-            .filter(F.col("__id") > F.col("__rep"))
-            .select(
-                F.col("__rep").alias("id_a"),
-                F.col("__id").alias("id_b"),
+        if hot.count() > 0:
+            hot = _materialize(hot)
+            star = (
+                banded.join(F.broadcast(hot), ["band", "bucket"])
+                .filter(F.col("__id") > F.col("__rep"))
+                .select(
+                    F.col("__rep").alias("id_a"),
+                    F.col("__id").alias("id_b"),
+                )
             )
-        )
-        banded = banded.join(
-            F.broadcast(hot.select("band", "bucket")),
-            ["band", "bucket"],
-            "left_anti",
-        )
+            banded = banded.join(
+                F.broadcast(hot.select("band", "bucket")),
+                ["band", "bucket"],
+                "left_anti",
+            )
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -7,8 +7,12 @@ For each named catalog entry (default: the 10 slowest in BENCH_FULL.json):
   - counts the Spark JOBS one materialization launches (statusTracker over
     a dedicated job group) — each job at local[32] carries fixed launch
     cost, so eager checkpoints / count() prepasses show up here;
-  - writes .explain("formatted") to plans/r10/<name>_<tag>.txt and a plan
-    shape summary (Exchange count, join nodes, Python-eval nodes).
+  - records the JVM process CPU seconds each timed iteration consumed
+    (local mode: executors live in the driver JVM, so /proc utime+stime
+    deltas ARE executor+driver CPU — the noise-robust metric on a host
+    with CPU steal);
+  - writes .explain("formatted") to plans/<round>/<name>_<tag>.txt and a
+    plan shape summary (Exchange count, join nodes, Python-eval nodes).
 
 Usage: python tools/profile_query.py [--tag before|after] [--iters 3] [name ...]
 """
@@ -48,6 +52,7 @@ def main() -> int:
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--plans-dir", default="r11")
     args = ap.parse_args()
 
     from carto_etl_spark.queries import QUERIES
@@ -61,12 +66,23 @@ def main() -> int:
         names = [k for k, _ in sorted(
             rec["queries"].items(), key=lambda kv: -kv[1])[:10]]
 
-    plans_dir = os.path.join(here, "plans", "r10")
+    plans_dir = os.path.join(here, "plans", args.plans_dir)
     os.makedirs(plans_dir, exist_ok=True)
 
     spark = get_spark(app_name="profile-query")
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
+
+    jvm_pid = int(sc._jvm.java.lang.ProcessHandle.current().pid())
+    clk = os.sysconf("SC_CLK_TCK")
+
+    def jvm_cpu_s() -> float:
+        # utime+stime of the gateway JVM (fields 14/15 of /proc/pid/stat);
+        # local mode runs executors inside this JVM, so the delta across a
+        # query is its executor+driver CPU including codegen and GC.
+        with open(f"/proc/{jvm_pid}/stat") as fh:
+            parts = fh.read().rsplit(") ", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / clk
     # warmup: JVM + codegen + parquet footers (bench.py does the same)
     spark.read.parquet(f"{args.sf_dir}/lineitem.parquet").count()
 
@@ -89,15 +105,19 @@ def main() -> int:
         sc.setJobGroup(f"profile-{name}-timed", name)
 
         samples = []
+        cpu_samples = []
         for _ in range(args.iters):
             t0 = time.time()
+            c0 = jvm_cpu_s()
             d2 = fn(spark, args.sf_dir)
             try:
                 d2.toArrow()
             except Exception:
                 d2.collect()
             samples.append(time.time() - t0)
+            cpu_samples.append(jvm_cpu_s() - c0)
         med = statistics.median(samples)
+        med_cpu = statistics.median(cpu_samples)
 
         # noop-sink timing: computation without the driver transfer
         t0 = time.time()
@@ -117,6 +137,7 @@ def main() -> int:
 
         results[name] = {
             "median_s": round(med, 3),
+            "median_cpu_s": round(med_cpu, 3),
             "warm_first_s": round(warm_s, 3),
             "build_s": round(t_build, 3),
             "noop_s": round(noop_s, 3),
@@ -125,7 +146,7 @@ def main() -> int:
         }
         print(json.dumps({name: results[name]}), flush=True)
 
-    out = os.path.join(here, "plans", "r10", f"profile_{args.tag}.json")
+    out = os.path.join(here, "plans", args.plans_dir, f"profile_{args.tag}.json")
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1, sort_keys=True)
         fh.write("\n")
