@@ -370,6 +370,17 @@ def verify_pairs_jaccard(
         .union(pairs.select(F.col("id_b").alias("__want")))
         .distinct()
     )
+    # Broadcast the touched-id set whenever the caller deems the pair list
+    # broadcast-sized (touched <= 2x pairs, ids only).  The pair list is a
+    # localCheckpoint in every caller, and checkpointed frames carry NO
+    # size statistics — the planner assumed worst-case and gave the
+    # semi-join a SortMergeJoin PER UNION BRANCH of the corpus, each with
+    # its own shuffle, sort, and an optimizer-injected 1M-item runtime
+    # Bloom filter (r11 lsh_match_steady plan: 3 SMJ LeftSemi + 8
+    # bloom_filter_agg passes, 29 Exchanges).  With the hint the corpus
+    # branches are never shuffled for the semi-join at all (guide §3.1).
+    if broadcast_pairs:
+        touched = F.broadcast(touched)
     narrowed = df.join(
         touched, F.col(id_col) == F.col("__want"), "left_semi"
     )
@@ -1224,6 +1235,28 @@ def drop_repeated_lines(
 
     lines = doc_lines(df, text_col, id_col, sep)
     boiler = repeated_lines(lines, max_occurrences, min_line_chars)
+    # Rejoin-side widen (r11): the drop-list attach join keeps the LEFT
+    # side's partitioning, so the whole downstream rewrite (array filter +
+    # rejoin) AND every caller stage stacked above it (token gates, PII
+    # scrub, classifier scoring, the pipeline boundary checkpoint, the
+    # minhash signature map side) runs at the SCAN's parallelism — on the
+    # single-row-group toy parquet that is 2 tasks of 32 (measured r11:
+    # the e2e boundary + signature map jobs were 1.9 s on 2 tasks).  A
+    # round-robin repartition of ONLY this branch spreads it; the line
+    # branch (explode -> line-count agg) keeps reading the narrow scan, so
+    # the synthesized text is shuffled at most ONCE (the r10 negative
+    # result widened the shared pages frame and paid the shuffle twice).
+    # Catalyst keeps deterministic projections ABOVE a round-robin
+    # exchange, so the rewrite runs wide.  Guarded like queries.widen():
+    # a corpus-scale scan already yields >= defaultParallelism splits and
+    # the repartition never fires.
+    rejoin = df
+    try:
+        parts = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < parts:
+            rejoin = df.repartition(parts)
+    except Exception:
+        rejoin = df
     # positions of boilerplate occurrences only: short/blank lines are
     # structural and never dropped, so they never enter the semi-join
     drops = (
@@ -1241,7 +1274,7 @@ def drop_repeated_lines(
     n_lines = F.size(parts)
     is_null = F.col(text_col).isNull()
     out = (
-        df.join(drops, on=id_col, how="left")
+        rejoin.join(drops, on=id_col, how="left")
         .withColumn(
             "n_lines_kept",
             F.when(is_null, F.lit(None).cast("long")).otherwise(
