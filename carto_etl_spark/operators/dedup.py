@@ -170,19 +170,21 @@ def minhash_signatures(
             word_shingles_expr("__toks", shingle_words, pretokenized=True)
         ).alias("__sh"),
     )
+    # aggregates as ONE parsed SQL string each, not F.min(F.xxhash64(...))
+    # Columns: the Column chain costs ~4 py4j round-trips per hash — ~0.5 s
+    # of DRIVER time per call at 64 hashes, paid on every run (measured
+    # r11; the ranking.py _bucket_expr lesson).  xxhash64(<int literal>,
+    # __sh) parses to the same typed expression, values bit-identical
+    # (the fold-equality test pins it).
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"__h{i}")
+        F.expr(f"min(xxhash64({i}, __sh))").alias(f"__h{i}")
         for i in range(num_hashes)
     ]
+    arr = "array(" + ",".join(f"__h{i}" for i in range(num_hashes)) + ")"
     return (
         ex.groupBy(id_col)
         .agg(*aggs)
-        .select(
-            F.col(id_col),
-            F.array(
-                *[F.col(f"__h{i}") for i in range(num_hashes)]
-            ).alias(out_col),
-        )
+        .select(F.col(id_col), F.expr(arr).alias(out_col))
     )
 
 
@@ -860,23 +862,26 @@ def with_simhash(
         F.col(id_col),
         F.explode(tokens_expr(normalize_text_expr(text_col))).alias("__t"),
     ).select(id_col, F.xxhash64("__t").alias("__h"))
+    # parsed SQL strings instead of per-bit Column chains: the Column form
+    # cost ~10 py4j round-trips per bit for the counter aggs plus ~6 per
+    # bit for the packing OR — ~1.5 s of DRIVER time per call (measured
+    # r11), re-paid on every run.  Same typed expressions after parsing:
+    # `&`/`|` are bitwiseAND/OR, the masks are long literals, values
+    # bit-identical (simhash golden-table oracle pins them).
     aggs = [
-        F.sum(
-            F.when(
-                F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1,
-                1,
-            ).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftrightunsigned(__h, {b}) & 1) = 1 "
+            "THEN 1 ELSE -1 END)"
         ).alias(f"__c{b}")
         for b in range(64)
     ]
     counters = toks.groupBy(id_col).agg(*aggs)
-    packed = F.lit(0).cast("long")
-    for b in range(64):
-        mask = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
-        packed = packed.bitwiseOR(
-            F.when(F.col(f"__c{b}") > 0, mask).otherwise(F.lit(0).cast("long"))
-        )
-    return counters.select(F.col(id_col), packed.alias(out_col))
+    packed = " | ".join(
+        f"(CASE WHEN __c{b} > 0 THEN "
+        f"{(1 << b) if b < 63 else -(1 << 63)}L ELSE 0L END)"
+        for b in range(64)
+    )
+    return counters.select(F.col(id_col), F.expr(packed).alias(out_col))
 
 
 def hamming_distance_expr(a, b, bits: int = 64):
