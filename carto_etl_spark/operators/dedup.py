@@ -236,9 +236,15 @@ def lsh_candidate_pairs(
     at corpus size and joined back onto the DEDUPED pair list (two id
     joins over a ~corpus-linear pair table) to compute est_jaccard."""
     sig = F.col(sig_col)
-    sigs = _materialize(
-        df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
-    )
+    # Lazy checkpoint when the occupancy count below runs anyway: the
+    # count() is a full action over the same frame, so materialization
+    # happens inside that job instead of paying a separate eager
+    # materialization action first (the prefiltered-count pattern, r10).
+    # Without a count (max_bucket_size=None) the eager form keeps the
+    # multi-consumer guarantee.
+    sigs = df.select(
+        F.col(id_col).alias("__id"), sig.alias("__sig")
+    ).localCheckpoint(eager=max_bucket_size is None)
     banded = sigs.select(
         "__id",
         F.explode(band_struct_expr(F.col("__sig"), bands)).alias("bb"),

@@ -2963,6 +2963,13 @@ def q_pipeline_fineweb(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     sent = F.regexp_replace(F.col("text"), _C4_SENT_RE, "$1.\n")
+    # NOT widened here, deliberately (r11 interleaved A/B): pushing the
+    # widen below this sentence regex (onto the raw scan, so the regex
+    # runs 32-wide instead of on the 2 scan partitions) measured 1.17x
+    # SLOWER with jobs 21 -> 24 — the union's two branches stop sharing
+    # one exchange and the fused Arrow chain fans to 64 partitions of
+    # per-task Python worker overhead.  The pages-level widen below
+    # keeps the chain at defaultParallelism.
     base = d.select("doc_id", sent.alias("text"), "source")
     near = base.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
