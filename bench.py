@@ -428,21 +428,27 @@ def main() -> None:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    print(
-        json.dumps(
-            {
-                "metric": full["metric"] + f"; n={len(timings)} queries; "
-                "full per-query map in BENCH_FULL.json",
-                "value": full["value"],
-                "unit": "sec",
-                "queries": slowest,
-                "frame32": frame32,
-                "noise_drift": drift,
-                "noise_reruns": len(reruns),
-                "sf": sf_val,
-            }
-        )
-    )
+    line = {
+        "metric": full["metric"] + f"; n={len(timings)} queries; "
+        "full per-query map in BENCH_FULL.json",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": slowest,
+        "frame32": frame32,
+        "noise_drift": drift,
+        "noise_reruns": len(reruns),
+        "sf": sf_val,
+    }
+    # r11 (additions only): the 10-slowest contract conditions per-query
+    # round-over-round deltas on BEING slow (improved queries exit the
+    # comparison, regressed ones stay — the r10 survivorship bias).  The
+    # frame32 members are a FIXED comparison set, so also emit their
+    # timings — guarded against the driver's 2 KB output-tail capture
+    # (the reason the full map lives in BENCH_FULL.json).
+    f32q = {n: timings[n] for n in FRAME32 if n in timings}
+    if f32q and len(json.dumps({**line, "frame32_queries": f32q})) <= 1900:
+        line["frame32_queries"] = f32q
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -528,6 +528,7 @@ def min_label_components(
     max_rounds: int = 20,
     driver_threshold_edges: int = 1_000_000,
     numpy_threshold_edges: int = NUMPY_LOOP_MAX_EDGES,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected pair list (``id_a``/``id_b``)
     as (node, root) where root = the component's minimum id.
@@ -581,7 +582,16 @@ def min_label_components(
     # union reads ``und`` twice).  A/B at sf0.1: neutral under host
     # noise; the win is not paying to cache a 26M-row edge list nobody
     # re-reads at corpus scale.
-    und = pairs.select("id_a", "id_b").distinct()
+    # ``assume_distinct``: callers whose pair list is unique BY
+    # CONSTRUCTION (minhash_dedup: the candidate list is deduped before
+    # the one-row-per-pair verify join) skip the distinct's exchange +
+    # two aggregate passes; every labeling tier tolerates duplicate
+    # edges anyway (union-find/scatter-min are idempotent per edge, the
+    # distributed tier re-distincts after doubling), so the flag is a
+    # pure plan-shape saving, never a correctness risk.
+    und = pairs.select("id_a", "id_b")
+    if not assume_distinct:
+        und = und.distinct()
     width = static_row_width(und)
     node_int = isinstance(pairs.schema["id_a"].dataType, T.IntegralType)
     probe_cap = (
@@ -797,7 +807,10 @@ def minhash_dedup(
         )
     else:
         pairs = _materialize(cands.filter(F.col("est_jaccard") >= threshold))
-    labels = min_label_components(pairs)
+    # the pair list is distinct by construction on BOTH arms: the
+    # candidate list is deduped before est/verify and each verify join
+    # emits one row per pair — skip the components' distinct exchange
+    labels = min_label_components(pairs, assume_distinct=True)
     doomed = labels.filter(F.col("node") != F.col("root")).select(
         F.col("node").alias(id_col)
     )

@@ -8566,7 +8566,12 @@ def _lsh_match_summary(spark, sf_dir, workdir):
         F.count(F.lit(1)).alias("n_matches"),
         F.min("id_b").alias("best_match"),
     )
-    return batch.select("doc_id").join(agg, "doc_id", "left").select(
+    # broadcast the per-batch match summary: it is bounded by the batch
+    # size (one row per matched batch doc), but its lineage roots in the
+    # checkpointed candidate list, whose missing stats otherwise planned a
+    # SortMergeJoin that re-shuffled BOTH sides (r11 plan: the batch side
+    # paid a stacked hash exchange over its widen exchange)
+    return batch.select("doc_id").join(F.broadcast(agg), "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
         (F.coalesce(F.col("n_matches"), F.lit(0)) > 0).alias("is_dup"),

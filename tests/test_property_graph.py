@@ -46,6 +46,24 @@ def test_min_label_components_matches_union_find(spark, edges):
     assert got == _union_find_roots(edges)
 
 
+@settings(max_examples=5, deadline=None)
+@given(st.lists(edge, min_size=1, max_size=60))
+def test_min_label_components_assume_distinct_tolerates_dups(spark, edges):
+    """assume_distinct=True (the minhash_dedup fast path, r11) must stay
+    correct even when the caller's contract is violated and duplicate
+    edges slip through — every labeling tier is idempotent per edge, so
+    the flag may only change plan shape, never the labeling."""
+    dup_edges = edges + edges[: len(edges) // 2]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in dup_edges], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["root"]
+        for r in min_label_components(pairs, assume_distinct=True).collect()
+    }
+    assert got == _union_find_roots(edges)
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(
