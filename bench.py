@@ -293,17 +293,48 @@ CANARIES = ["pricing_summary", "token_counts", "events_window"]
 OUTLIER_FACTOR = 2.0
 
 
-def _median_run(fn, spark, sf_dir: str, iters: int) -> float:
+def _jvm_cpu_reader(spark):
+    """JVM-process CPU seconds (utime+stime).  In local mode executors
+    live in the driver JVM, so deltas across a query are its executor+
+    driver CPU — the noise-robust sidecar metric (r11 verdict item 2:
+    CPU time separates host windows from code).  Returns None when /proc
+    is unavailable; callers skip the sidecar then."""
+    try:
+        jvm_pid = int(
+            spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+        )
+        clk = os.sysconf("SC_CLK_TCK")
+        with open(f"/proc/{jvm_pid}/stat") as fh:
+            fh.read()
+    except Exception:
+        return None
+
+    def read() -> float:
+        with open(f"/proc/{jvm_pid}/stat") as fh:
+            parts = fh.read().rsplit(") ", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / clk
+
+    return read
+
+
+def _median_run(fn, spark, sf_dir: str, iters: int, cpu_read=None):
     samples = []
+    cpu_samples = []
     for _ in range(iters):
+        c0 = cpu_read() if cpu_read else 0.0
         t0 = time.time()
         try:
             rows = fn(spark, sf_dir).toArrow()
         except Exception:
             rows = fn(spark, sf_dir).collect()
         samples.append(time.time() - t0)
+        if cpu_read:
+            cpu_samples.append(cpu_read() - c0)
         del rows
-    return statistics.median(samples)
+    med = statistics.median(samples)
+    if cpu_read:
+        return med, statistics.median(cpu_samples)
+    return med, None
 
 
 def _sf_label(sf_dir: str):
@@ -355,15 +386,19 @@ def main() -> None:
     for n in CANARIES:
         _median_run(QUERIES[n], spark, sf_dir, 1)
     canary_start = {
-        n: round(_median_run(QUERIES[n], spark, sf_dir, iters), 3)
+        n: round(_median_run(QUERIES[n], spark, sf_dir, iters)[0], 3)
         for n in CANARIES
     }
 
+    cpu_read = _jvm_cpu_reader(spark)
     timings: dict[str, float] = {}
+    cpu_sec: dict[str, float] = {}
     suspects: list[str] = []
     for name in bench_queries:
         fn = QUERIES[name]
-        med = _median_run(fn, spark, sf_dir, iters)
+        med, cpu = _median_run(fn, spark, sf_dir, iters, cpu_read)
+        if cpu is not None:
+            cpu_sec[name] = round(cpu, 3)
         ref = prior.get(name)
         if ref and ref > 0 and med > OUTLIER_FACTOR * ref:
             suspects.append(name)
@@ -378,16 +413,19 @@ def main() -> None:
     # window artifact heals.
     reruns: dict[str, dict[str, float]] = {}
     for name in suspects:
-        again = _median_run(QUERIES[name], spark, sf_dir, iters)
+        again, again_cpu = _median_run(
+            QUERIES[name], spark, sf_dir, iters, cpu_read)
         reruns[name] = {
             "first": timings[name],
             "rerun": round(again, 3),
             "prior": prior[name],
         }
+        if again_cpu is not None and again < timings[name]:
+            cpu_sec[name] = round(again_cpu, 3)
         timings[name] = round(min(timings[name], again), 3)
 
     canary_end = {
-        n: round(_median_run(QUERIES[n], spark, sf_dir, iters), 3)
+        n: round(_median_run(QUERIES[n], spark, sf_dir, iters)[0], 3)
         for n in CANARIES
     }
     drift = round(
@@ -416,6 +454,12 @@ def main() -> None:
         "noise": noise,
         "sf": sf_val,
     }
+    # r11 (additions only, sidecar file only): per-entry JVM-process CPU
+    # seconds alongside the wall medians — wall separates from CPU when a
+    # host window inflates the capture, so the next round can tell noise
+    # from code without re-running (VERDICT r10 item 2).
+    if cpu_sec:
+        full["cpu_sec"] = cpu_sec
     # The full per-query map (~200 entries) exceeds the driver's 2 KB output
     # tail capture (round-4's BENCH_r04.json recorded parsed:null for exactly
     # this reason), so the complete record goes to a sidecar file and the
